@@ -1,0 +1,186 @@
+"""Reference-parity CDC operators (SURVEY.md §2 O2-O10), Spark-first.
+
+Pipeline shape mirrors /root/reference/src/mq/kafka.rs:48-109:
+
+    parse -> count-inbound -> filter deletes -> route -> count-outbound
+          -> project(key, value, target topic)
+
+Each stage is a composable DataFrame -> DataFrame function so the same
+lineage runs in batch (oracle-tested) and under Structured Streaming
+(streaming.pipeline). All stages are built-in Catalyst expressions —
+no UDFs, no RDDs; the whole batch pipeline compiles to a single
+WholeStageCodegen over the scan.
+
+Scale notes (100 TB):
+- The rule table is O(10..10k) rows: first-match routing folds it into
+  an ordered ``when`` chain (constant-folded literals, zero shuffle,
+  zero join) — preferred for config-sized rule sets. The broadcast-join
+  variant exists for very large rule tables and encodes priority via
+  ``min(priority)`` per message, still shuffle-free on the stream side
+  (broadcast hash join + partial aggregation).
+- Counters are streaming groupBy counts: map-side partial aggregation
+  means the shuffle carries only (group, partial_count) rows, bounded
+  by group cardinality (topics x dbs x tables x 4 ops), not data size.
+- The payload column is carried as opaque bytes/string and never
+  re-serialized (kafka.rs:80-82 passthrough parity).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_kafka_filter_transform_spark.functions.json import parse_envelope_col
+
+# ---------------------------------------------------------------------------
+# O2 — JSON parse / projection (kafka.rs:53-55, structs :119-153)
+# ---------------------------------------------------------------------------
+
+
+def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse the Debezium envelope; null-safe (malformed -> null fields).
+
+    Adds ``op``/``db``/``table_name`` (overwriting any same-named input
+    columns — the parsed value is authoritative, matching the reference
+    which trusts only the payload) and ``parse_ok``.
+    """
+    parsed = parse_envelope_col(value_col)
+    return (
+        df.withColumn("_env", parsed)
+        .withColumn("op", F.col("_env.op"))
+        .withColumn("db", F.col("_env.source.db"))
+        .withColumn("table_name", F.col("_env.source.table"))
+        .withColumn("parse_ok", F.col("_env.op").isNotNull())
+        .drop("_env")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3 — delete filter (kafka.rs:65-67): drop op == 'd'; also drop
+# unparseable rows (reference panics there; we discard-with-count).
+# ---------------------------------------------------------------------------
+
+
+def filter_deletes(df: DataFrame, drop_ops: Iterable[str] = ("d",)) -> DataFrame:
+    """Keep rows whose op parsed and is not in ``drop_ops``."""
+    ops = list(drop_ops)
+    return df.filter(F.col("op").isNotNull() & ~F.col("op").isin(ops))
+
+
+# ---------------------------------------------------------------------------
+# O4+O5+O6+O7 — regex routing, first-match-wins (transform.rs:52-65)
+# ---------------------------------------------------------------------------
+
+
+def _rule_cond(rule: dict, topic: str, db: str, table: str) -> Column:
+    return (
+        (F.col(topic) == F.lit(rule["source_topic"]))
+        & (F.col(db) == F.lit(rule["db"]))
+        & F.col(table).rlike(rule["table_pattern"])
+    )
+
+
+def route_when_chain(
+    df: DataFrame,
+    rules: list[dict],
+    topic_col: str = "topic",
+    db_col: str = "db",
+    table_col: str = "table_name",
+) -> DataFrame:
+    """Routing as one ordered CASE expression — the scale-preferred path.
+
+    Rule order is semantic (``.find()`` over the config Vec,
+    transform.rs:57-64); a ``when`` chain preserves it exactly. Regex
+    literals are compiled once per plan inside codegen (the Catalyst
+    analog of the reference's startup regex pre-compilation,
+    transform.rs:26-38). No join, no shuffle, streams unchanged.
+    """
+    expr: Column = F.lit(None).cast("string")
+    for rule in sorted(rules, key=lambda r: r["priority"], reverse=True):
+        expr = F.when(_rule_cond(rule, topic_col, db_col, table_col), F.lit(rule["target_topic"])).otherwise(expr)
+    return df.withColumn("target_topic", expr)
+
+
+def route_broadcast_join(
+    df: DataFrame,
+    rules_df: DataFrame,
+    topic_col: str = "topic",
+    db_col: str = "db",
+    table_col: str = "table_name",
+) -> DataFrame:
+    """Routing as an explicit broadcast join — for large/dynamic rule tables.
+
+    Equi-keys (topic, db) drive the broadcast hash join; the regex is a
+    residual join filter. First-match-wins is restored by keeping the
+    minimum-priority match per message via a window over the join key.
+    The stream side is never shuffled (broadcast), only the per-message
+    window ranks matches — bounded by matches-per-message, typically 1-2.
+    """
+    r = F.broadcast(rules_df.withColumnRenamed("db", "rule_db"))
+    joined = df.join(
+        r,
+        (F.col(topic_col) == r["source_topic"])
+        & (F.col(db_col) == r["rule_db"])
+        & F.regexp_like(F.col(table_col), r["table_pattern"]),
+        "inner",
+    )
+    w = Window.partitionBy("msg_id").orderBy(F.col("priority").asc())
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "source_topic", "rule_db", "table_pattern", "priority")
+    )
+
+
+def drop_unrouted(df: DataFrame) -> DataFrame:
+    """O6 — silently drop messages with no matching rule (kafka.rs:70-74)."""
+    return df.filter(F.col("target_topic").isNotNull())
+
+
+def project_outgoing(df: DataFrame, key_col: str = "key", value_col: str = "value") -> DataFrame:
+    """O7 — outgoing record: topic := target_topic, key/payload verbatim
+    (kafka.rs:80-82). The payload is the ORIGINAL bytes, never
+    re-serialized."""
+    return df.select(
+        F.col("target_topic").alias("topic"),
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O9/O10 — running grouped counters (mq/mod.rs:35-59)
+# ---------------------------------------------------------------------------
+
+
+def inbound_counts(df: DataFrame) -> DataFrame:
+    """O9: COUNT(*) BY (topic, db, table, op) over ALL messages —
+    including deletes and unparseable ones (incremented before the
+    filter, kafka.rs:56-61; unparseable rows group under NULL op here
+    instead of panicking)."""
+    return df.groupBy("topic", "db", "table_name", "op").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def outbound_counts(df: DataFrame) -> DataFrame:
+    """O10: COUNT(*) BY (target_topic, op) over forwarded messages only
+    (kafka.rs:75-78)."""
+    return df.groupBy("target_topic", "op").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline (flagship): the reference's entire data path as one plan.
+# ---------------------------------------------------------------------------
+
+
+def cdc_pipeline(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """parse -> filter -> route -> drop-unmatched -> outbound counts.
+
+    Returns the outbound counter relation (deterministic, oracle-able);
+    ``project_outgoing`` on the routed stream is what a Kafka sink
+    would consume.
+    """
+    routed = drop_unrouted(route_when_chain(filter_deletes(parse_envelope(df)), rules))
+    return outbound_counts(routed)

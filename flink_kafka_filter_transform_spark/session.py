@@ -1,0 +1,64 @@
+"""SparkSession builder with scale-oriented defaults.
+
+Local testing runs on ``local[N]``; the config block is written for a
+real multi-executor cluster: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), explicit broadcast threshold, Arrow
+for the few pandas-UDF paths, UTC session timezone so results are
+stable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "flink-kafka-filter-transform-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 4
+    for tests). ``shuffle_partitions`` defaults to 2x the local
+    parallelism — on a real cluster this would be set to ~2-3x total
+    executor cores and AQE coalesces the excess.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- correctness-stability ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: runtime re-plan, skew split, coalesce ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle discipline ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- scan discipline: parquet splits sized for executor memory ---
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS); Spark reads it as
+        # bigint nanos (sources.cdc_fixture re-derives a timestamp)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- python boundary: Arrow batches, never row-at-a-time pickling ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- quieter local runs ---
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
