@@ -16,8 +16,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_kafka_filter_transform_spark import oracles
-from flink_kafka_filter_transform_spark.operators import cdc
+from flink_kafka_filter_transform_spark.operators import (
+    cdc,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 from flink_kafka_filter_transform_spark.sources.cdc_fixture import RULES, cdc_events_df, rules_df
+from flink_kafka_filter_transform_spark.sources.parquet import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -70,6 +78,19 @@ def q_cdc_outgoing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extension + relational queries
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -82,6 +103,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, QueryFn]:
     return {
+        # --- reference parity (SURVEY §2 O2-O10) ---
         "cdc_parse": q_cdc_parse,
         "cdc_filter_deletes": q_cdc_filter_deletes,
         "cdc_route": q_cdc_route,
@@ -89,6 +111,44 @@ def queries() -> dict[str, QueryFn]:
         "cdc_counts_inbound": q_cdc_counts_inbound,
         "cdc_counts_outbound": q_cdc_counts_outbound,
         "cdc_outgoing": q_cdc_outgoing,
+        # --- text analysis ---
+        "text_stats": lambda s, d: text.text_stats(_docs(s, d)),
+        "lang_id": lambda s, d: text.lang_id(_docs(s, d)),
+        "token_counts": lambda s, d: text.token_counts(_docs(s, d)),
+        "doc_fingerprint": lambda s, d: text.doc_fingerprint(_docs(s, d)),
+        # --- dedup ---
+        "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
+        # --- similarity search ---
+        "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
+        "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
+        # --- multimodal plumbing (mapInPandas path) ---
+        "multimodal_features": lambda s, d: multimodal.multimodal_features(_docs(s, d)),
+        # --- relational surface ---
+        "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(load_table(s, "lineitem", d)),
+        "q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(
+            load_table(s, "customer", d), load_table(s, "orders", d), load_table(s, "lineitem", d)
+        ),
+        "q5_local_supplier_volume": lambda s, d: relational.q5_local_supplier_volume(
+            load_table(s, "region", d),
+            load_table(s, "nation", d),
+            load_table(s, "customer", d),
+            load_table(s, "orders", d),
+            load_table(s, "lineitem", d),
+            load_table(s, "supplier", d),
+        ),
+        "top_customers_per_segment": lambda s, d: relational.top_customers_per_segment(
+            load_table(s, "customer", d)
+        ),
+        "events_daily": lambda s, d: relational.events_daily(load_table(s, "events", d)),
+        "events_props_extract": lambda s, d: relational.events_props_extract(
+            load_table(s, "events", d)
+        ),
+        "order_priority_stats": lambda s, d: relational.order_priority_stats(
+            load_table(s, "orders", d)
+        ),
     }
 
 
@@ -101,4 +161,22 @@ def oracle_sql() -> dict[str, str]:
         "cdc_counts_inbound": oracles.cdc_counts_inbound_oracle(),
         "cdc_counts_outbound": oracles.cdc_counts_outbound_oracle(),
         "cdc_outgoing": oracles.cdc_outgoing_oracle(),
+        "text_stats": oracles.text_stats_oracle(),
+        "lang_id": oracles.lang_id_oracle(),
+        "token_counts": oracles.token_counts_oracle(),
+        "doc_fingerprint": oracles.doc_fingerprint_oracle(),
+        "exact_dedup": oracles.exact_dedup_oracle(),
+        "minhash_lsh_pairs": oracles.minhash_lsh_pairs_oracle(),
+        "simhash_pairs": oracles.simhash_pairs_oracle(),
+        "embedding_neardup": oracles.embedding_neardup_oracle(),
+        "knn_brute": oracles.knn_brute_oracle(),
+        "knn_lsh": oracles.knn_lsh_oracle(),
+        "multimodal_features": oracles.multimodal_features_oracle(),
+        "q1_pricing_summary": oracles.q1_pricing_summary_oracle(),
+        "q3_shipping_priority": oracles.q3_shipping_priority_oracle(),
+        "q5_local_supplier_volume": oracles.q5_local_supplier_volume_oracle(),
+        "top_customers_per_segment": oracles.top_customers_per_segment_oracle(),
+        "events_daily": oracles.events_daily_oracle(),
+        "events_props_extract": oracles.events_props_extract_oracle(),
+        "order_priority_stats": oracles.order_priority_stats_oracle(),
     }

@@ -1,0 +1,246 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+Four strategies, each with a DuckDB oracle (oracles.py):
+
+- ``exact_dedup``        : hash-groupBy on a 60-bit content hash — the
+                           shuffle carries 8-byte keys, never the text.
+- ``minhash_lsh_pairs``  : shingle -> salted-md5 MinHash signature ->
+                           banded LSH bucket join -> exact-Jaccard verify.
+- ``simhash_pairs``      : 32-bit SimHash -> 8-bit chunk bucket join ->
+                           Hamming-distance verify (bit_count(xor)).
+- ``embedding_neardup``  : cosine near-dup blocked by the ``label``
+                           column (the IVF coarse-quantizer analog).
+
+Scale design (100 TB):
+- Candidate generation is always *blocked* (LSH bands / SimHash chunks
+  / label partitions) — the quadratic all-pairs join never materializes.
+- ``LSH_BUCKET_CAP`` drops pathological buckets (a degenerate shingle
+  shared by millions of docs would otherwise make one reducer
+  quadratic); at the cap the bucket contributes C(cap,2) pairs max.
+- Signatures are fixed-width (K bigints) so the band shuffle rows are
+  tiny regardless of document size; full shingle arrays are only
+  joined back for the candidate pairs (a small fraction of the corpus).
+- All hashing is md5-based for cross-engine determinism (see
+  functions.hashing); swap HASH for xxhash64 in production for ~2x.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64
+from flink_kafka_filter_transform_spark.operators import params
+from flink_kafka_filter_transform_spark.operators.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, key_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: one row per distinct content hash.
+
+    Keeps the minimum doc_id (deterministic winner) and counts copies.
+    Grouping on the 60-bit hash instead of the raw text keeps shuffle
+    rows at ~16 bytes; a production pipeline would add a full-text
+    equality confirm within hash groups to rule out collisions.
+    """
+    return docs.groupBy(portable_hash64(F.col(key_col)).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(tok_col: Column) -> Column:
+    """Distinct word 3-shingles (space-joined token triples)."""
+    k = params.SHINGLE_SIZE
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok_col) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok_col, i + j + 1) for j in range(k)]
+            ),
+        )
+    )
+
+
+def _salted_min(shingles: Column, salt: int) -> Column:
+    """MinHash component j: min over shingles of md5-hash salted with j.
+
+    Salting the hash input (f"{j}:" prefix) gives K independent hash
+    functions without 128-bit modular arithmetic — portable to the
+    DuckDB oracle and overflow-free."""
+    return F.array_min(
+        F.transform(shingles, lambda s: portable_hash64(F.concat(F.lit(f"{salt}:"), s)))
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id, shingles, mh0..mh{K-1} (docs with >= SHINGLE_SIZE tokens)."""
+    toks = tokens()
+    with_sh = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= params.SHINGLE_SIZE)
+        .select("doc_id", shingles_col(F.col("t")).alias("shingles"))
+    )
+    return with_sh.select(
+        "doc_id",
+        "shingles",
+        *[_salted_min(F.col("shingles"), j).alias(f"mh{j}") for j in range(params.MINHASH_K)],
+    )
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    K=8 rows banded 4x2; the self-join key is (band_idx, band_key), so
+    only same-band collisions meet — the classic S-curve selectivity.
+    Buckets above LSH_BUCKET_CAP are dropped (skew guard)."""
+    rows_per_band = params.MINHASH_K // params.MINHASH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "_", *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(params.MINHASH_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_key"
+    )
+    capped = bands.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_key"))
+    ).filter(F.col("n") <= params.LSH_BUCKET_CAP)
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard."""
+    sig = minhash_signatures(docs)
+    cand = lsh_candidates(sig)
+    s1 = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    s2 = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= params.JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over distinct tokens.
+
+    Explode to (doc, token) rows, one aggregation computes all 32 bit
+    weights as sum(+1/-1) columns — a single shuffle keyed by doc_id
+    with map-side partial aggregation."""
+    ex = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
+    ).withColumn("hv", portable_hash64(F.col("tok")))
+    bit = lambda i: F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1))
+    weights = [
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(params.SIMHASH_BITS)
+    ]
+    agg = ex.groupBy("doc_id").agg(*weights)
+    simhash = None
+    for i in range(params.SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        simhash = term if simhash is None else simhash + term
+    return agg.select("doc_id", simhash.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= SIMHASH_MAX_HAMMING.
+
+    Candidates must share at least one exact 8-bit chunk (pigeonhole:
+    distance <= 6 over 4 chunks guarantees >= 1 equal chunk ... for
+    distance < 4; the chunk filter is a recall/cost tradeoff, standard
+    practice from Manku et al. WWW'07)."""
+    sig = simhash_signatures(docs)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("ci"),
+            F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(255)).alias("ck"),
+        )
+        for c in range(params.SIMHASH_CHUNKS)
+    ]
+    chunks = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("doc_id", "simhash", "c.ci", "c.ck")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= params.SIMHASH_MAX_HAMMING
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (blocked by label = IVF coarse cell)
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup(emb: DataFrame) -> DataFrame:
+    """Pairs in the same label cell with cosine >= EMB_NEARDUP_THRESHOLD.
+
+    ``label`` plays the role of an IVF coarse-quantizer assignment:
+    the pair join is co-partitioned by cell, so each reducer sees only
+    its cell's vectors — the standard way to keep vector dedup from
+    going quadratic at 100 TB (recall loss at cell borders is the
+    documented tradeoff; multi-probe extends it)."""
+    from flink_kafka_filter_transform_spark.functions.vectors import cosine_similarity
+
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label", cosine_similarity("ea", "eb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= params.EMB_NEARDUP_THRESHOLD)
+    )

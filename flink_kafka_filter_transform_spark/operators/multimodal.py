@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque binary content + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the raw media as a
+``binary`` column beside a typed metadata struct, keep ALL filtering /
+routing / dedup on the metadata (Catalyst, pushdown-able), and cross
+the Python boundary only for per-item decode/feature-extraction —
+as Arrow-batched ``mapInPandas``, never row-at-a-time.
+
+The decode step itself is STUBBED (no image/audio libs in this
+container): ``decode_image``/``decode_audio`` raise NotImplementedError
+behind an import-try, and ``extract_features`` computes deterministic
+byte-level features instead, so the Spark-side plumbing — schema,
+partitioning, Arrow batch shape, UDF signature — is fully real and
+differentially tested (byte features have a SQL oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_kafka_filter_transform_spark.operators import params
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, byte_len BIGINT, content_md5 STRING, first_byte INT, n_frames BIGINT"
+)
+
+
+def to_multimodal(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, content: binary, meta: struct).
+
+    Stands in for an image/audio table: text bytes play the raw media
+    blob; the metadata struct is what real pipelines filter on."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(content: bytes):  # pragma: no cover - stub
+    """STUB: real deployment decodes with PIL/torchvision; this
+    container has neither, and fabricating pixels would hide that."""
+    if not HAS_PIL:
+        raise NotImplementedError("image decode requires PIL; not available in this container")
+    raise NotImplementedError("wire to PIL.Image.open when media libs are present")
+
+
+def decode_audio(content: bytes):  # pragma: no cover - stub
+    raise NotImplementedError("audio decode requires soundfile/librosa; not in this container")
+
+
+def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic byte-level features per Arrow batch.
+
+    Stands in for decode+embed; md5 via hashlib matches the SQL
+    oracle's md5(text) because content IS the UTF-8 encoding."""
+    import hashlib
+
+    for pdf in batches:
+        content = pdf["content"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": content.map(len).astype("int64"),
+                "content_md5": content.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                "first_byte": content.map(lambda b: b[0] if len(b) else None).astype("int32"),
+                "n_frames": content.map(lambda b: len(b) // params.FRAME_BYTES + 1).astype("int64"),
+            }
+        )
+
+
+def extract_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``mapInPandas`` streams ~10k-row Arrow batches through Python —
+    the only sanctioned Python hot path in the engine. Partitioning is
+    preserved (no shuffle); at scale this is a map-only stage whose
+    cost is decode CPU, which is exactly where it belongs."""
+    return mm.select("doc_id", "content").mapInPandas(_featurize_batches, FEATURE_SCHEMA)
+
+
+def multimodal_features(docs: DataFrame) -> DataFrame:
+    """documents -> binary table -> per-item features (the full path)."""
+    return extract_features(to_multimodal(docs))

@@ -1,0 +1,49 @@
+"""Shared parameters for extension operators.
+
+Single source of truth consumed by BOTH the Spark operators and the
+DuckDB oracle builders — any constant appearing on one side only is a
+differential-test bug waiting to happen.
+"""
+
+# --- tokenization ----------------------------------------------------------
+TOKEN_PATTERN = r"[^\s]+"  # whitespace tokenizer with no empty tokens
+# BPE-ish piece pattern: letter runs, digit runs, single other glyphs
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# language-ID marker tokens (deterministic n-gram-style heuristic)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+LANG_ORDER = ("en", "de", "es", "fr")  # tie-break priority
+
+# --- fingerprint (polynomial rolling hash) ---------------------------------
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+FP_TOKEN_MOD = 1_000_000  # token hash reduced first so fold never overflows
+
+# --- MinHash + LSH dedup ---------------------------------------------------
+SHINGLE_SIZE = 3
+MINHASH_K = 8
+MINHASH_BANDS = 4  # 4 bands x 2 rows
+LSH_BUCKET_CAP = 100  # skew guard: drop pathological buckets (scale safety)
+JACCARD_THRESHOLD = 0.6
+
+# --- SimHash dedup ---------------------------------------------------------
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8-bit chunks -> candidates share >=1 exact chunk
+SIMHASH_MAX_HAMMING = 6
+
+# --- embedding near-dup + similarity search --------------------------------
+EMB_NEARDUP_THRESHOLD = 0.30
+KNN_NUM_QUERIES = 5  # vec_id < 5 are the query set
+KNN_K = 10
+LSH_NUM_PLANES = 4  # hyperplanes = embeddings vec_id < 4
+LSH_TOPK = 5
+
+# --- multimodal ------------------------------------------------------------
+FRAME_BYTES = 256  # fake "frame" granularity for the decode stub

@@ -1,0 +1,143 @@
+"""General relational operators over the TPC-H-ish tables.
+
+The reference has no SQL layer (SURVEY.md §2.2 — no joins between data
+streams, no value aggregations, no windows); these queries prove the
+engine carries the full relational surface a user migrating off the
+reference onto a real analytics engine needs, and they are the bench
+workload's heavy half.
+
+Float determinism policy (vs the DuckDB oracle): double SUMs are
+order-dependent, so every aggregated measure is summed as
+DECIMAL(28,6) (exact, order-independent) and cast to double at the
+end; averages divide the exact sum by the count in double. Per-row
+double arithmetic (e.g. price*(1-discount)) is IEEE-deterministic and
+written with identical association on both sides.
+
+Scale notes: all joins are key-equi joins Catalyst can reorder;
+dimension sides (region/nation/customer at 1:150k of lineitem) fall
+under the broadcast threshold, so the big fact table is never
+shuffled for them; AQE handles skew. Aggregations get map-side partial
+combine for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dsum(col: Column) -> Column:
+    """Order-independent exact sum of a double measure -> double."""
+    return F.sum(col.cast("decimal(28,6)")).cast("double")
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 analog: grouped pricing aggregates over lineitem."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1999-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / n).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / n).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 analog: top-10 unshipped orders by revenue for a segment."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+        # ISO string, not DATE: date/timestamp objects canonicalize
+        # differently across Spark/DuckDB/pandas and would break the
+        # driver's value hash
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 analog: revenue per nation where supplier and customer
+    share the nation, region-restricted. Six-way join: the dimension
+    chain broadcasts, lineitem never shuffles for it."""
+    return (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def top_customers_per_segment(customer: DataFrame, k: int = 3) -> DataFrame:
+    """Window ranking: top-k customers by balance within each segment."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        customer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("c_mktsegment", "rank", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def events_daily(events: DataFrame) -> DataFrame:
+    """Daily per-type event rollup (the batch twin of a streaming
+    tumbling-window count). ``ts`` arrives as bigint nanos."""
+    day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+    return events.groupBy(day.alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+def events_props_extract(events: DataFrame) -> DataFrame:
+    """JSON property extraction + bucketed aggregation over props."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"), "value")
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", F.expr("k div 10").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (_dsum(F.col("value")) / F.count(F.lit(1))).alias("avg_value"),
+        )
+    )
+
+
+def order_priority_stats(orders: DataFrame) -> DataFrame:
+    """Distinct aggregation: order counts + distinct customers per priority."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        _dsum(F.col("o_totalprice")).alias("sum_totalprice"),
+    )

@@ -1,0 +1,97 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``knn_brute``  : exact cosine top-k — the correctness baseline. The
+                   (small) query set is broadcast against the corpus,
+                   so the corpus is scanned once with no shuffle except
+                   the final per-query top-k.
+- ``knn_lsh``    : random-hyperplane (sign-LSH) bucketed top-k — the
+                   scale path. Vectors hash to a bucket by the sign
+                   pattern of dot products against NUM_PLANES fixed
+                   hyperplanes; a query only scans its own bucket
+                   (~corpus/2^planes of the data).
+
+Hyperplanes are taken deterministically from the corpus itself
+(vec_id < LSH_NUM_PLANES) — embeddings are zero-centered so corpus
+vectors work as random hyperplanes, and determinism keeps the whole
+operator oracle-checkable (no RNG).
+
+All vector math is Catalyst higher-order functions (functions.vectors)
+— JVM-side, no UDF. At 100 TB the brute path becomes a
+broadcast-queries × corpus map + per-query top-k (Spark's
+TakeOrderedAndProject); the LSH path turns it into a bucket-equi-join,
+shuffling each corpus vector once into its bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_kafka_filter_transform_spark.functions.vectors import cosine_similarity, dot
+from flink_kafka_filter_transform_spark.operators import params
+
+
+def _queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def knn_brute(emb: DataFrame, k: int = params.KNN_K) -> DataFrame:
+    """Exact top-k by cosine for each query vector (ties -> lower vec_id)."""
+    q = _queries(emb)
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine_similarity("embedding", "q_vec").alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "cos_sim")
+    )
+
+
+def bucketize(emb: DataFrame) -> DataFrame:
+    """Assign each vector its sign-LSH bucket id.
+
+    bucket = sum over planes p of (dot(v, plane_p) > 0) << p, computed
+    as one broadcast join against the plane set plus one aggregation —
+    both map-side cheap."""
+    planes = emb.filter(F.col("vec_id") < params.LSH_NUM_PLANES).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    joined = emb.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        F.when(dot("embedding", "pvec") > 0, F.expr("CAST(power(2, pid) AS BIGINT)"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("bit"),
+    )
+    return joined.groupBy("vec_id").agg(F.sum("bit").alias("bucket"))
+
+
+def knn_lsh(emb: DataFrame, k: int = params.LSH_TOPK) -> DataFrame:
+    """Approximate top-k: each query only scans its own LSH bucket.
+
+    Deterministic, so the oracle checks exactness of the approximate
+    result (same bucketing, same ranking); recall vs knn_brute is the
+    accuracy metric a user would monitor."""
+    buckets = bucketize(emb)
+    corpus = emb.join(buckets, "vec_id")
+    q = _queries(emb).join(
+        buckets.withColumnRenamed("vec_id", "q_id").withColumnRenamed("bucket", "q_bucket"),
+        "q_id",
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine_similarity("embedding", "q_vec").alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "cos_sim")
+    )

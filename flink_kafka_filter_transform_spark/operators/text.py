@@ -1,0 +1,119 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Everything is built-in Catalyst expressions (split/filter/aggregate
+higher-order functions) — no Python in the hot path, so the whole
+pipeline stays inside WholeStageCodegen and scales linearly with input
+bytes. At 100 TB these are embarrassingly parallel map-only plans:
+no shuffle at all until an (optional) aggregation over the stats.
+
+Ops (each with a DuckDB oracle in oracles.py):
+- ``text_stats``      : token counts + quality score (length/stopword/
+                        diversity heuristics)
+- ``lang_id``         : marker-token language guess (n-gram heuristic)
+- ``token_counts``    : whitespace + BPE-ish regex tokenization counts
+- ``doc_fingerprint`` : order-sensitive polynomial rolling hash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64
+from flink_kafka_filter_transform_spark.operators import params
+
+
+def tokens(col: Column | str = "text") -> Column:
+    """Whitespace tokens with no empty strings (regexp_extract_all)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(params.TOKEN_PATTERN), 0)
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics + composite quality score.
+
+    quality = 0.25*min(n_tokens/100,1) + 0.25*diversity
+            + 0.25*(1-stopword_ratio) + 0.25*min(avg_token_len/8,1)
+    """
+    toks = tokens()
+    stop_arr = F.array(*[F.lit(s) for s in params.STOPWORDS])
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    avg_len = sum_len.cast("double") / n
+    stop_ratio = n_stop.cast("double") / n
+    diversity = n_distinct.cast("double") / n
+    quality = (
+        F.lit(0.25) * F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.25) * diversity
+        + F.lit(0.25) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.25) * F.least(avg_len / F.lit(8.0), F.lit(1.0))
+    )
+    return docs.filter(n > 0).select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Deterministic marker-token language guess.
+
+    Scores each language by marker-token occurrences; highest score
+    wins, ties broken by LANG_ORDER, all-zero -> 'unknown'. The point
+    is the *shape* of a real n-gram language-ID pass (token match +
+    per-language score + argmax), fully vectorized JVM-side.
+    """
+    toks = tokens()
+
+    def marker_score(markers: tuple[str, ...]) -> Column:
+        # no default-arg lambdas here: PySpark's higher-order-function
+        # wrapper counts lambda params and would bind a second lambda var
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: marker_score(m) for lang, m in params.LANG_MARKERS.items()}
+    best = F.greatest(*[scores[lang] for lang in params.LANG_ORDER])
+    pred = F.lit("unknown")
+    for lang in reversed(params.LANG_ORDER):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang in params.LANG_ORDER],
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex piece count + char count."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(params.BPE_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe_pieces"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive polynomial rolling hash of the token stream.
+
+    fp = fold(tokens, 0, acc -> (acc*31 + h(tok) mod 1e6) mod 1e9+7)
+    with h the portable 60-bit md5 hash — arithmetic stays well under
+    63 bits, so it is exact (and identical in DuckDB's list_reduce
+    oracle). A content fingerprint that, unlike a set hash, detects
+    token reordering."""
+    toks = tokens()
+    reduced = F.transform(toks, lambda t: portable_hash64(t) % params.FP_TOKEN_MOD)
+    fp = F.aggregate(
+        reduced,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * params.FP_BASE + h) % params.FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -10,6 +10,9 @@ at sf0.01 (CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
+from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64_sql
+from flink_kafka_filter_transform_spark.functions.vectors import cosine_sql, dot_sql
+from flink_kafka_filter_transform_spark.operators import params
 from flink_kafka_filter_transform_spark.sources.cdc_fixture import RULES, cdc_sql, rules_cte_sql
 
 # ---------------------------------------------------------------------------
@@ -117,3 +120,378 @@ SELECT target_topic AS topic, key, value FROM (
 ) routed WHERE target_topic IS NOT NULL
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis oracles (operators.text)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = r"toks AS (SELECT doc_id, lang, regexp_extract_all(text, '[^\s]+') AS t FROM documents)"
+
+
+def _sql_list(items) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in items) + "]"
+
+
+def text_stats_oracle() -> str:
+    stop = _sql_list(params.STOPWORDS)
+    return f"""
+WITH {_TOKS_CTE},
+comp AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+    CAST(list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, b) -> a + b) AS DOUBLE)
+      / len(t) AS avg_token_len,
+    CAST(len(list_filter(t, x -> list_contains({stop}, x))) AS DOUBLE) / len(t) AS stopword_ratio,
+    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS diversity
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, n_tokens, n_distinct_tokens, avg_token_len, stopword_ratio,
+  0.25 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+  + 0.25 * diversity
+  + 0.25 * (1.0 - stopword_ratio)
+  + 0.25 * least(avg_token_len / 8.0, 1.0) AS quality_score
+FROM comp
+"""
+
+
+def lang_id_oracle() -> str:
+    scores = ",\n    ".join(
+        f"CAST(len(list_filter(t, x -> list_contains({_sql_list(m)}, x))) AS BIGINT) AS score_{lang}"
+        for lang, m in params.LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in params.LANG_ORDER) + ")"
+    whens = "\n    ".join(
+        f"WHEN {best} > 0 AND score_{lang} = {best} THEN '{lang}'" for lang in params.LANG_ORDER
+    )
+    score_cols = ", ".join(f"score_{lang}" for lang in params.LANG_ORDER)
+    return f"""
+WITH {_TOKS_CTE},
+scored AS (SELECT doc_id, lang, {scores} FROM toks)
+SELECT doc_id, lang,
+  CASE {whens} ELSE 'unknown' END AS pred_lang,
+  {score_cols}
+FROM scored
+"""
+
+
+def token_counts_oracle() -> str:
+    return rf"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{params.TOKEN_PATTERN}')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{params.BPE_PATTERN}')) AS BIGINT) AS n_bpe_pieces,
+  CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+"""
+
+
+def doc_fingerprint_oracle() -> str:
+    h = portable_hash64_sql("x")
+    return f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform(t, x -> {h} % {params.FP_TOKEN_MOD})),
+    (acc, v) -> (acc * {params.FP_BASE} + v) % {params.FP_MOD}) AS fingerprint
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup oracles (operators.dedup)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_oracle() -> str:
+    h = portable_hash64_sql("text")
+    return f"""
+SELECT {h} AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def _minhash_sig_ctes() -> str:
+    k = params.SHINGLE_SIZE
+    shingle_expr = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    mh_cols = ",\n    ".join(
+        "list_min(list_transform(shingles, s -> {h})) AS mh{j}".format(
+            h=portable_hash64_sql(f"'{j}:' || s"), j=j
+        )
+        for j in range(params.MINHASH_K)
+    )
+    return f"""
+{_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(t) - {k - 1}),
+      i -> {shingle_expr})) AS shingles
+  FROM toks WHERE len(t) >= {k}
+),
+sig AS (
+  SELECT doc_id, shingles,
+    {mh_cols}
+  FROM sh
+)"""
+
+
+def minhash_lsh_pairs_oracle() -> str:
+    rows = params.MINHASH_K // params.MINHASH_BANDS
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows)
+            ),
+        )
+        for b in range(params.MINHASH_BANDS)
+    )
+    return f"""
+WITH {_minhash_sig_ctes()},
+bands AS (
+  {band_selects}
+),
+capped AS (
+  SELECT doc_id, band_idx, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS n FROM bands
+  ) b WHERE n <= {params.LSH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+    CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS jaccard
+  FROM cand
+  JOIN sig s1 ON cand.doc_a = s1.doc_id
+  JOIN sig s2 ON cand.doc_b = s2.doc_id
+) j WHERE jaccard >= {params.JACCARD_THRESHOLD}
+"""
+
+
+def simhash_pairs_oracle() -> str:
+    h = portable_hash64_sql("tok")
+    weights = ",\n    ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(params.SIMHASH_BITS)
+    )
+    build = "\n    + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(params.SIMHASH_BITS)
+    )
+    chunk_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS ci, (simhash >> {8 * c}) & 255 AS ck FROM sh"
+        for c in range(params.SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks),
+hv AS (SELECT doc_id, {h} AS hv FROM ex),
+bits AS (
+  SELECT doc_id,
+    {weights}
+  FROM hv GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+    {build} AS simhash
+  FROM bits
+),
+chunks AS (
+  {chunk_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a, b.doc_id AS doc_b, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming FROM cand
+) h WHERE hamming <= {params.SIMHASH_MAX_HAMMING}
+"""
+
+
+def embedding_neardup_oracle() -> str:
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+SELECT vec_a, vec_b, label, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+    {cos} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+) p WHERE cos_sim >= {params.EMB_NEARDUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity-search oracles (operators.similarity)
+# ---------------------------------------------------------------------------
+
+
+def knn_brute_oracle() -> str:
+    cos = cosine_sql("e.embedding", "q.q_vec")
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {params.KNN_NUM_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id, {cos} AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+) r WHERE rank <= {params.KNN_K}
+"""
+
+
+def knn_lsh_oracle() -> str:
+    dotp = dot_sql("e.embedding", "p.pvec")
+    cos = cosine_sql("e.embedding", "q.q_vec")
+    return f"""
+WITH planes AS (SELECT vec_id AS pid, embedding AS pvec FROM embeddings WHERE vec_id < {params.LSH_NUM_PLANES}),
+buckets AS (
+  SELECT e.vec_id,
+    sum(CASE WHEN {dotp} > 0 THEN CAST(power(2, p.pid) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id
+),
+q AS (
+  SELECT e.vec_id AS q_id, e.embedding AS q_vec, b.bucket AS q_bucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+  WHERE e.vec_id < {params.KNN_NUM_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {cos} AS cos_sim
+  FROM embeddings e
+  JOIN buckets b ON e.vec_id = b.vec_id
+  JOIN q ON b.bucket = q.q_bucket
+  WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+) r WHERE rank <= {params.LSH_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal oracle (operators.multimodal — byte-level feature twin)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_features_oracle() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  md5(text) AS content_md5,
+  CAST(ascii(text) AS INTEGER) AS first_byte,
+  CAST(octet_length(encode(text)) // {params.FRAME_BYTES} + 1 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational oracles (operators.relational)
+# ---------------------------------------------------------------------------
+
+_DSUM = "CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def _dsum_sql(expr: str) -> str:
+    return _DSUM.format(expr=expr)
+
+
+def q1_pricing_summary_oracle() -> str:
+    disc = "l_extendedprice * (1.0 - l_discount)"
+    charge = "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"
+    return f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum_sql('l_quantity')} AS sum_qty,
+  {_dsum_sql('l_extendedprice')} AS sum_base_price,
+  {_dsum_sql(disc)} AS sum_disc_price,
+  {_dsum_sql(charge)} AS sum_charge,
+  {_dsum_sql('l_quantity')} / count(*) AS avg_qty,
+  {_dsum_sql('l_extendedprice')} / count(*) AS avg_price,
+  {_dsum_sql('l_discount')} / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority_oracle() -> str:
+    return f"""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume_oracle() -> str:
+    return f"""
+SELECT n_name, {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def top_customers_per_segment_oracle() -> str:
+    return """
+SELECT c_mktsegment, rank, c_custkey, c_name, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rank
+  FROM customer
+) r WHERE rank <= 3
+"""
+
+
+def events_daily_oracle() -> str:
+    return f"""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, event_type,
+  count(*) AS n_events,
+  {_dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, event_type
+"""
+
+
+def events_props_extract_oracle() -> str:
+    return f"""
+SELECT event_type, k_bucket, count(*) AS n,
+  {_dsum_sql('value')} / count(*) AS avg_value
+FROM (
+  SELECT event_type, value,
+    CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS INTEGER) AS k_bucket
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+) e
+GROUP BY event_type, k_bucket
+"""
+
+
+def order_priority_stats_oracle() -> str:
+    return f"""
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  count(DISTINCT o_custkey) AS n_customers,
+  {_dsum_sql('o_totalprice')} AS sum_totalprice
+FROM orders
+GROUP BY o_orderpriority
+"""
