@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end into a noop sink (full pipeline runs,
+nothing collected to the driver, no disk write measured). A warmup
+query first absorbs JVM/session startup so per-query numbers reflect
+steady-state execution, which is what extrapolates to cluster scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: the reference's full data path + the heavy extension and
+# relational operators. Names must exist in __spark_entry__.queries().
+HEADLINE = [
+    "cdc_parse",
+    "cdc_counts_inbound",
+    "cdc_counts_outbound",
+    "cdc_route_join",
+    "cdc_outgoing",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_neardup",
+    "knn_brute",
+    "knn_lsh",
+    "text_stats",
+    "doc_fingerprint",
+    "multimodal_features",
+    "events_daily",
+]
+
+
+def main() -> None:
+    from flink_kafka_filter_transform_spark import get_session
+
+    spark = get_session(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=2 * CPUS,
+    )
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    run("cdc_counts_outbound")  # warmup: JVM + codegen + parquet footer cache
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,7 @@ Four strategies, each with a DuckDB oracle (oracles.py):
                            shuffle carries 8-byte keys, never the text.
 - ``minhash_lsh_pairs``  : shingle -> salted-md5 MinHash signature ->
                            banded LSH bucket join -> exact-Jaccard verify.
-- ``simhash_pairs``      : 32-bit SimHash -> 8-bit chunk bucket join ->
+- ``simhash_pairs``      : 60-bit SimHash -> 15-bit chunk bucket join ->
                            Hamming-distance verify (bit_count(xor)).
 - ``embedding_neardup``  : cosine near-dup blocked by the ``label``
                            column (the IVF coarse-quantizer analog).
@@ -156,7 +156,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """32-bit SimHash over distinct tokens.
+    """SIMHASH_BITS-bit SimHash over distinct tokens.
 
     Explode to (doc, token) rows, one aggregation computes all 32 bit
     weights as sum(+1/-1) columns — a single shuffle keyed by doc_id
@@ -181,14 +181,15 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     """Near-dup pairs with Hamming distance <= SIMHASH_MAX_HAMMING.
 
     Candidates must share at least one exact 8-bit chunk (pigeonhole:
-    distance <= 6 over 4 chunks guarantees >= 1 equal chunk ... for
-    distance < 4; the chunk filter is a recall/cost tradeoff, standard
-    practice from Manku et al. WWW'07)."""
+    distance < SIMHASH_CHUNKS is fully recalled; the chunk filter is a
+    recall/cost tradeoff, standard practice from Manku et al. WWW'07)."""
     sig = simhash_signatures(docs)
+    cb = params.SIMHASH_CHUNK_BITS
+    mask = (1 << cb) - 1
     chunk_structs = [
         F.struct(
             F.lit(c).alias("ci"),
-            F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(255)).alias("ck"),
+            F.shiftright(F.col("simhash"), cb * c).bitwiseAND(F.lit(mask)).alias("ck"),
         )
         for c in range(params.SIMHASH_CHUNKS)
     ]
@@ -229,18 +230,30 @@ def embedding_neardup(emb: DataFrame) -> DataFrame:
     the pair join is co-partitioned by cell, so each reducer sees only
     its cell's vectors — the standard way to keep vector dedup from
     going quadratic at 100 TB (recall loss at cell borders is the
-    documented tradeoff; multi-probe extends it)."""
-    from flink_kafka_filter_transform_spark.functions.vectors import cosine_similarity
+    documented tradeoff; multi-probe extends it).
 
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    Norms are precomputed once per VECTOR before the pair join (N norm
+    folds instead of 2 x N^2/cells): only the dot product runs per
+    pair. Same doubles, ~3x less higher-order-function work."""
+    from flink_kafka_filter_transform_spark.functions.vectors import dot, l2_norm
+
+    normed = emb.select("vec_id", "label", "embedding", l2_norm("embedding").alias("nrm"))
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
+    cos = F.when((F.col("na") > 0) & (F.col("nb") > 0), dot("ea", "eb") / (F.col("na") * F.col("nb")))
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "label", cosine_similarity("ea", "eb").alias("cos_sim"))
+        .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= params.EMB_NEARDUP_THRESHOLD)
     )

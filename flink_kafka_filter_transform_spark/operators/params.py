@@ -34,9 +34,15 @@ LSH_BUCKET_CAP = 100  # skew guard: drop pathological buckets (scale safety)
 JACCARD_THRESHOLD = 0.6
 
 # --- SimHash dedup ---------------------------------------------------------
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4  # 8-bit chunks -> candidates share >=1 exact chunk
-SIMHASH_MAX_HAMMING = 6
+# 60 bits (full portable-hash width), 4 x 15-bit chunks: Manku-style
+# block-permuted candidates — one equal chunk guarantees full recall for
+# distance <= 3; distance-4 pairs need luck in chunk placement. Wide
+# chunks matter: 8-bit chunks collide catastrophically on clustered
+# corpora (measured 7.3M candidates on 5k docs vs 0.6M with 15-bit).
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 15
+SIMHASH_MAX_HAMMING = 4
 
 # --- embedding near-dup + similarity search --------------------------------
 EMB_NEARDUP_THRESHOLD = 0.30

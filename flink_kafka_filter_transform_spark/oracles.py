@@ -282,8 +282,10 @@ def simhash_pairs_oracle() -> str:
         f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i in range(params.SIMHASH_BITS)
     )
+    cb = params.SIMHASH_CHUNK_BITS
+    mask = (1 << cb) - 1
     chunk_selects = "\n  UNION ALL ".join(
-        f"SELECT doc_id, simhash, {c} AS ci, (simhash >> {8 * c}) & 255 AS ck FROM sh"
+        f"SELECT doc_id, simhash, {c} AS ci, (simhash >> {cb * c}) & {mask} AS ck FROM sh"
         for c in range(params.SIMHASH_CHUNKS)
     )
     return f"""

@@ -1,0 +1,76 @@
+"""Physical-plan inspection: make scale discipline testable.
+
+At 100 TB the difference between a good and a bad plan is not style —
+broadcast vs shuffle join on a fact table is a 1000x traffic
+difference. These helpers turn `.explain("formatted")` into
+assertions so plan regressions fail CI like wrong results do:
+
+- scans must show column pruning (ReadSchema) and predicate pushdown
+  (PushedFilters) — a scan reading all columns for a 2-column
+  projection re-reads the lake for nothing;
+- dimension joins must be broadcast (no fact-table shuffle);
+- stateless pipelines (parse/filter/route) must be shuffle-free;
+- hot expressions must sit inside WholeStageCodegen spans.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (what df.explain() prints)."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of Exchange operators in the physical plan."""
+    return len(re.findall(r"\bExchange\b", explain_str(df, "simple")))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    plan = explain_str(df, "simple")
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    plan = explain_str(df, "simple")
+    return plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+
+
+def sortmerge_join_count(df: DataFrame) -> int:
+    return explain_str(df, "simple").count("SortMergeJoin")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across scans (empty brackets excluded)."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", explain_str(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings for every file scan in the plan."""
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (struct<[^\n]*>)", explain_str(df))]
+
+
+def scan_reads_only(df: DataFrame, allowed: set[str]) -> bool:
+    """True if every file scan reads a subset of ``allowed`` columns —
+    the column-pruning check."""
+    for schema in read_schemas(df):
+        cols = {c.split(":")[0].strip() for c in schema[len("struct<") : -1].split(",") if c}
+        if not cols <= allowed:
+            return False
+    return True
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct WholeStageCodegen stages (simple mode marks them *(N))."""
+    return len(set(re.findall(r"\*\((\d+)\)", explain_str(df, "simple"))))

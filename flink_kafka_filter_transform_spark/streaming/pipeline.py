@@ -1,0 +1,135 @@
+"""Structured Streaming wrappers for the CDC pipeline.
+
+The reference is a streaming service (tokio loop over a Kafka
+consumer, /root/reference/src/mq/kafka.rs:48-109). Here the SAME
+batch-tested operators from operators.cdc run under Structured
+Streaming — one lineage, two execution modes, which is the whole point
+of building on the SIGMOD'18 Structured Streaming model: correctness
+is proven in batch against the DuckDB oracle, then the identical plan
+runs incrementally.
+
+Semantics upgrades over the reference (SURVEY §3.4, deliberate):
+- at-least-once with checkpointing instead of the reference's
+  at-most-once auto-commit (kafka.rs:99-101 logs-and-drops errors);
+- per-partition ordering within a micro-batch instead of the
+  per-message tokio::spawn reordering (kafka.rs:64);
+- malformed/tombstone payloads are counted and discarded instead of
+  panicking (kafka.rs:53-55).
+
+Kafka configs mirror the reference: earliest offsets, session timeout
+6000 ms (kafka.rs:33-34), producer batch.size 10 MiB (kafka.rs:44).
+No broker exists in this container, so Kafka entry points are built
+and returned unstarted; tests drive the file-stream twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.types import StructType
+
+from flink_kafka_filter_transform_spark.operators import cdc
+
+# Reference producer/consumer tuning (src/mq/kafka.rs:18, :33-34, :43-44)
+PRODUCER_BATCH_SIZE = 10_485_760
+PRODUCER_MESSAGE_TIMEOUT_MS = 5_000
+CONSUMER_SESSION_TIMEOUT_MS = 6_000
+
+
+def kafka_stream_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: list[str],
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """O1: the Kafka scan as a streaming DataFrame.
+
+    Fixed Kafka source schema (key/value binary, topic, partition,
+    offset, timestamp) — the Spark analog of rdkafka's message view."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", starting_offsets)
+        .option("kafka.session.timeout.ms", str(CONSUMER_SESSION_TIMEOUT_MS))
+        .load()
+    )
+
+
+def file_stream_source(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Deterministic file-based twin of the Kafka source for tests:
+    same downstream lineage, parquet directory instead of a broker."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def transformed_stream(stream: DataFrame, rules: list[dict]) -> DataFrame:
+    """The reference's full per-message path on a streaming DataFrame:
+    parse -> filter deletes -> route (when-chain: stateless, no
+    shuffle, so the stream stays append-mode) -> outgoing projection."""
+    routed = cdc.drop_unrouted(
+        cdc.route_when_chain(cdc.filter_deletes(cdc.parse_envelope(stream)), rules)
+    )
+    return cdc.project_outgoing(routed)
+
+
+def inbound_counter_stream(stream: DataFrame) -> DataFrame:
+    """O9 as a streaming aggregation (update mode): the
+    flink_cdc_event_count family (mq/mod.rs:47-53)."""
+    return cdc.inbound_counts(cdc.parse_envelope(stream))
+
+
+def outbound_counter_stream(stream: DataFrame, rules: list[dict]) -> DataFrame:
+    """O10: flink_kafka_filter_transform_count family (mq/mod.rs:35-39)."""
+    routed = cdc.drop_unrouted(
+        cdc.route_when_chain(cdc.filter_deletes(cdc.parse_envelope(stream)), rules)
+    )
+    return cdc.outbound_counts(routed)
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data handling —
+    ABSENT in the reference (it ignores event time entirely, SURVEY
+    §2.2); required for any real rollup at scale. Watermarking bounds
+    state: windows older than the watermark are finalized and evicted."""
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col("op"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "op", "cnt")
+    )
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+) -> DataStreamWriter:
+    """O8: Kafka producer sink; the per-row ``topic`` column routes each
+    record (exactly the FutureRecord::to(target) behavior,
+    kafka.rs:80-82). Checkpointing -> at-least-once."""
+    return (
+        df.selectExpr("topic", "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("kafka.batch.size", str(PRODUCER_BATCH_SIZE))
+        .option("kafka.message.timeout.ms", str(PRODUCER_MESSAGE_TIMEOUT_MS))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def observed(stream: DataFrame, name: str = "cdc_in") -> DataFrame:
+    """Attach streaming metrics via DataFrame.observe — the lightweight
+    analog of the Prometheus counters: per-micro-batch row counts and
+    delete counts, published to StreamingQueryListener without an extra
+    aggregation subtree."""
+    return stream.observe(
+        name,
+        F.count(F.lit(1)).alias("n_messages"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_deletes"),
+    )

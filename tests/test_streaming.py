@@ -1,0 +1,106 @@
+"""Streaming twin tests: the SAME operators that passed the batch
+oracle, run under Structured Streaming from a file source (availableNow
+trigger), must produce identical results."""
+
+import pytest
+
+from flink_kafka_filter_transform_spark.operators import cdc
+from flink_kafka_filter_transform_spark.sources.cdc_fixture import RULES, cdc_events_df
+from flink_kafka_filter_transform_spark.streaming import pipeline as sp
+from flink_kafka_filter_transform_spark.streaming.state import running_counters
+
+
+@pytest.fixture(scope="module")
+def cdc_dir(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cdc_stream"))
+    cdc_events_df(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def cdc_schema(spark, sf_dir):
+    return cdc_events_df(spark, sf_dir).schema
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_transformed_stream_matches_batch(spark, sf_dir, cdc_dir, cdc_schema):
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    assert stream.isStreaming
+    _run_to_memory(sp.transformed_stream(stream, RULES), "t_out", "append")
+    got = {
+        (r["topic"], r["key"], r["value"])
+        for r in spark.table("t_out").collect()
+    }
+    batch = cdc.project_outgoing(
+        cdc.drop_unrouted(
+            cdc.route_when_chain(
+                cdc.filter_deletes(cdc.parse_envelope(cdc_events_df(spark, sf_dir))), RULES
+            )
+        )
+    )
+    want = {(r["topic"], r["key"], r["value"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_outbound_counter_stream_matches_batch(spark, sf_dir, cdc_dir, cdc_schema):
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    _run_to_memory(sp.outbound_counter_stream(stream, RULES), "t_counts", "complete")
+    got = {
+        (r["target_topic"], r["op"]): r["cnt"] for r in spark.table("t_counts").collect()
+    }
+    want = {
+        (r["target_topic"], r["op"]): r["cnt"]
+        for r in cdc.cdc_pipeline(cdc_events_df(spark, sf_dir), RULES).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_windowed_counts_with_watermark(spark, sf_dir, cdc_dir, cdc_schema):
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    parsed = cdc.parse_envelope(stream)
+    _run_to_memory(sp.windowed_counts(parsed, "1 hour", "10 minutes"), "t_windows", "complete")
+    rows = spark.table("t_windows").collect()
+    assert len(rows) > 0
+    # total across windows == total parsed rows (no late drops: one batch)
+    batch_total = cdc.parse_envelope(cdc_events_df(spark, sf_dir)).count()
+    assert sum(r["cnt"] for r in rows) == batch_total
+
+
+def test_running_counters_stateful(spark, sf_dir, cdc_dir, cdc_schema):
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    routed = cdc.drop_unrouted(
+        cdc.route_when_chain(cdc.filter_deletes(cdc.parse_envelope(stream)), RULES)
+    )
+    _run_to_memory(running_counters(routed), "t_state", "update")
+    got = {
+        (r["target_topic"], r["op"]): r["total"] for r in spark.table("t_state").collect()
+    }
+    want = {
+        (r["target_topic"], r["op"]): r["cnt"]
+        for r in cdc.cdc_pipeline(cdc_events_df(spark, sf_dir), RULES).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_observed_metrics(spark, sf_dir, cdc_dir, cdc_schema):
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    parsed = cdc.parse_envelope(stream)
+    q = _run_to_memory(sp.observed(parsed).select("msg_id"), "t_obs", "append")
+    progress = q.recentProgress
+    totals = sum(
+        p["observedMetrics"]["cdc_in"]["n_messages"]
+        for p in progress
+        if "cdc_in" in p.get("observedMetrics", {})
+    )
+    assert totals == cdc.parse_envelope(cdc_events_df(spark, sf_dir)).count()
