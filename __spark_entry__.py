@@ -121,11 +121,13 @@ def queries() -> dict[str, QueryFn]:
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
+        "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         # --- similarity search ---
         "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
         # --- multimodal plumbing (mapInPandas path) ---
         "multimodal_features": lambda s, d: multimodal.multimodal_features(_docs(s, d)),
+        "frame_sample": lambda s, d: multimodal.frame_sample_from_docs(_docs(s, d)),
         # --- relational surface ---
         "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(load_table(s, "lineitem", d)),
         "q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(
@@ -149,6 +151,16 @@ def queries() -> dict[str, QueryFn]:
         "order_priority_stats": lambda s, d: relational.order_priority_stats(
             load_table(s, "orders", d)
         ),
+        "events_sessionized": lambda s, d: relational.events_sessionized(
+            load_table(s, "events", d)
+        ),
+        "q4_order_priority_semi": lambda s, d: relational.q4_order_priority_semi(
+            load_table(s, "orders", d), load_table(s, "lineitem", d)
+        ),
+        "customers_without_orders": lambda s, d: relational.customers_without_orders(
+            load_table(s, "customer", d), load_table(s, "orders", d)
+        ),
+        "revenue_rollup": lambda s, d: relational.revenue_rollup(load_table(s, "lineitem", d)),
     }
 
 
@@ -179,4 +191,10 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": oracles.events_daily_oracle(),
         "events_props_extract": oracles.events_props_extract_oracle(),
         "order_priority_stats": oracles.order_priority_stats_oracle(),
+        "ngram_jaccard_pairs": oracles.ngram_jaccard_pairs_oracle(),
+        "frame_sample": oracles.frame_sample_oracle(),
+        "events_sessionized": oracles.events_sessionized_oracle(),
+        "q4_order_priority_semi": oracles.q4_order_priority_semi_oracle(),
+        "customers_without_orders": oracles.customers_without_orders_oracle(),
+        "revenue_rollup": oracles.revenue_rollup_oracle(),
     }

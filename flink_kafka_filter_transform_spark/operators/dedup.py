@@ -257,3 +257,47 @@ def embedding_neardup(emb: DataFrame) -> DataFrame:
         .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= params.EMB_NEARDUP_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram Jaccard (single-minhash blocking)
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams_col(text: Column | str, n: int = 4) -> Column:
+    """Distinct character n-grams of a string column (Catalyst HOF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: F.substring(c, i, n),
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by character-n-gram Jaccard.
+
+    Blocking: docs sharing minhash component mh0 (one permutation ~
+    'one-permutation LSH', collision prob = j/(2-j) for word-shingle
+    jaccard j) with the usual bucket cap; verify on character 4-gram
+    sets, which catches reorder/typo-level similarity that word
+    shingles miss. Candidate volume is one bucket-join, never O(N^2)."""
+    sig = minhash_signatures(docs).select("doc_id", "mh0")
+    capped = sig.withColumn(
+        "bn", F.count(F.lit(1)).over(Window.partitionBy("mh0"))
+    ).filter(F.col("bn") <= params.LSH_BUCKET_CAP)
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = a.join(
+        b, (F.col("a.mh0") == F.col("b.mh0")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    grams = docs.select("doc_id", char_ngrams_col("text", n).alias("g")).filter(F.size("g") > 0)
+    g1 = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    g2 = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(F.array_union("ga", "gb"))
+    return (
+        cand.join(g1, "doc_a")
+        .join(g2, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard_ngram"))
+        .filter(F.col("jaccard_ngram") >= threshold)
+    )

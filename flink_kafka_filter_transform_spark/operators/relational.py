@@ -141,3 +141,62 @@ def order_priority_stats(orders: DataFrame) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_customers"),
         _dsum(F.col("o_totalprice")).alias("sum_totalprice"),
     )
+
+
+def events_sessionized(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: split each user's event stream at >gap_minutes
+    silences (lag + cumulative sum — the classic two-window pattern).
+
+    Timestamps are compared as integer microseconds (``ts`` arrives as
+    bigint nanos), which keeps the whole operator in exact integer
+    arithmetic. Both windows shuffle once on user_id; at scale this is
+    a single hash partitioning reused by both window specs."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = F.expr("ts DIV 1000")
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_gap = events.select("user_id", "event_id", ts_us.alias("ts_us")).withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(order).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(order)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = with_gap.withColumn("session_id", F.sum("new_session").over(running))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q4_order_priority_semi(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 analog: left-semi join — orders with at least one
+    late-shipped lineitem, counted per priority. Semi joins stop at
+    first match: no row multiplication, fact side streams through."""
+    late = lineitem.filter(F.col("l_shipdate") > F.lit("1999-06-01").cast("timestamp"))
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join: customers that never ordered (broadcast the distinct
+    key set at scale, or let AQE pick)."""
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def revenue_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP aggregation: revenue at (flag, status), (flag), and grand
+    total levels in one pass — Spark expands grouping sets map-side, so
+    the shuffle still carries one partial row per group per mapper."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum(disc_price).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -497,3 +497,108 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+
+def ngram_jaccard_pairs_oracle(n: int = 4, threshold: float = 0.5) -> str:
+    k = params.SHINGLE_SIZE
+    shingle_expr = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    mh0 = "list_min(list_transform(shingles, s -> {h}))".format(h=portable_hash64_sql("'0:' || s"))
+    return f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(t) - {k - 1}),
+      i -> {shingle_expr})) AS shingles
+  FROM toks WHERE len(t) >= {k}
+),
+sig AS (SELECT doc_id, {mh0} AS mh0 FROM sh),
+capped AS (
+  SELECT doc_id, mh0 FROM (
+    SELECT *, count(*) OVER (PARTITION BY mh0) AS bn FROM sig
+  ) s WHERE bn <= {params.LSH_BUCKET_CAP}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+),
+grams AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, length(text) - {n - 1}),
+      i -> substr(text, i, {n}))) AS g
+  FROM documents WHERE length(text) >= {n}
+)
+SELECT doc_a, doc_b, jaccard_ngram FROM (
+  SELECT doc_a, doc_b,
+    CAST(len(list_intersect(g1.g, g2.g)) AS DOUBLE)
+      / len(list_distinct(list_concat(g1.g, g2.g))) AS jaccard_ngram
+  FROM cand
+  JOIN grams g1 ON cand.doc_a = g1.doc_id
+  JOIN grams g2 ON cand.doc_b = g2.doc_id
+) j WHERE jaccard_ngram >= {threshold}
+"""
+
+
+def events_sessionized_oracle(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+),
+g AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {gap_us}
+             THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_id FROM g
+)
+SELECT user_id, session_id, min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us, count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q4_order_priority_semi_oracle() -> str:
+    return """
+SELECT o_orderpriority, count(*) AS n_orders FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1999-06-01 00:00:00'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def customers_without_orders_oracle() -> str:
+    return """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def revenue_rollup_oracle() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+  count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def frame_sample_oracle() -> str:
+    fb = params.FRAME_BYTES
+    return f"""
+WITH f AS (
+  SELECT doc_id, text,
+    unnest(generate_series(0, CAST(octet_length(encode(text)) // {fb} AS BIGINT), 2)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, frame_idx,
+  CAST(length(substr(text, frame_idx * {fb} + 1, {fb})) AS BIGINT) AS frame_len,
+  md5(substr(text, frame_idx * {fb} + 1, {fb})) AS frame_md5
+FROM f
+"""
