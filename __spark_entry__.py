@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_kafka_filter_transform_spark import oracles
 from flink_kafka_filter_transform_spark.operators import (
+    asof,
     cdc,
     dedup,
     multimodal,
@@ -116,6 +117,7 @@ def queries() -> dict[str, QueryFn]:
         "lang_id": lambda s, d: text.lang_id(_docs(s, d)),
         "token_counts": lambda s, d: text.token_counts(_docs(s, d)),
         "doc_fingerprint": lambda s, d: text.doc_fingerprint(_docs(s, d)),
+        "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
         # --- dedup ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
@@ -125,6 +127,11 @@ def queries() -> dict[str, QueryFn]:
         # --- similarity search ---
         "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
+        "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
+        # --- as-of (point-in-time) join ---
+        "events_last_purchase": lambda s, d: asof.events_last_purchase(
+            load_table(s, "events", d)
+        ),
         # --- multimodal plumbing (mapInPandas path) ---
         "multimodal_features": lambda s, d: multimodal.multimodal_features(_docs(s, d)),
         "frame_sample": lambda s, d: multimodal.frame_sample_from_docs(_docs(s, d)),
@@ -177,12 +184,15 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.lang_id_oracle(),
         "token_counts": oracles.token_counts_oracle(),
         "doc_fingerprint": oracles.doc_fingerprint_oracle(),
+        "tfidf_top_terms": oracles.tfidf_top_terms_oracle(),
         "exact_dedup": oracles.exact_dedup_oracle(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_oracle(),
         "simhash_pairs": oracles.simhash_pairs_oracle(),
         "embedding_neardup": oracles.embedding_neardup_oracle(),
         "knn_brute": oracles.knn_brute_oracle(),
         "knn_lsh": oracles.knn_lsh_oracle(),
+        "knn_ivf": oracles.knn_ivf_oracle(),
+        "events_last_purchase": oracles.events_last_purchase_oracle(),
         "multimodal_features": oracles.multimodal_features_oracle(),
         "q1_pricing_summary": oracles.q1_pricing_summary_oracle(),
         "q3_shipping_priority": oracles.q3_shipping_priority_oracle(),

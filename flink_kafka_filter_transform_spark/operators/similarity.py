@@ -95,3 +95,59 @@ def knn_lsh(emb: DataFrame, k: int = params.LSH_TOPK) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "cos_sim")
     )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean vector (the IVF coarse codebook).
+
+    posexplode -> exact decimal elementwise sums -> rebuild ordered
+    arrays. One shuffle keyed (label, pos) with map-side combine; the
+    codebook is cells x dim — tiny, always broadcastable."""
+    pos = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = pos.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(28,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cv")
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("centroid")
+    )
+
+
+def knn_ivf(emb: DataFrame, k: int = params.LSH_TOPK, nprobe: int = 2) -> DataFrame:
+    """IVF-style approximate top-k: probe the nprobe nearest cells only.
+
+    The scale path for vector search: centroids are learned from the
+    data (here: the label assignment plays k-means), each query ranks
+    the tiny codebook, and the corpus scan is restricted to the probed
+    cells — corpus/cells * nprobe of the data per query instead of all
+    of it. Everything is joins + windows: the codebook and query set
+    broadcast; the corpus is read once."""
+    cents = label_centroids(emb)
+    q = _queries(emb)
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "q_vec", "label", cosine_similarity("q_vec", "centroid").alias("c_sim"))
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("label").asc())
+            ),
+        )
+        .filter(F.col("c_rank") <= nprobe)
+        .select("q_id", "q_vec", "label")
+    )
+    scored = (
+        emb.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine_similarity("embedding", "q_vec").alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "cos_sim")
+    )

@@ -117,3 +117,36 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         lambda acc, h: (acc * params.FP_BASE + h) % params.FP_MOD,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k terms per document by tf-idf.
+
+    Classic two-aggregation shape: explode -> per-(doc,term) tf ->
+    per-term document frequency -> join -> per-doc top-k window. The
+    idf is the RATIONAL form N/df (no logarithm): transcendental
+    functions are not bit-reproducible across engines, and for ranking
+    the monotone transform changes nothing. At scale: tf agg and df
+    agg share the term-hash shuffle; the df relation (vocabulary-sized)
+    broadcasts back onto tf."""
+    from pyspark.sql.window import Window
+
+    ex = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df_count").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df_count", "tfidf")
+    )

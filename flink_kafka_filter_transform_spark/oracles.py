@@ -602,3 +602,89 @@ SELECT doc_id, frame_idx,
   md5(substr(text, frame_idx * {fb} + 1, {fb})) AS frame_md5
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# tf-idf, IVF vector search, as-of join oracles
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms_oracle(k: int = 5) -> str:
+    """Twin of text.tfidf_top_terms — rational idf (N/df, no log), so
+    the double arithmetic (tf * (N/df)) is bit-identical cross-engine."""
+    return f"""
+WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df_count,
+    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfc.df_count AS DOUBLE)) AS tfidf
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, df_count, tfidf FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+  FROM scored
+) r WHERE rank <= {k}
+"""
+
+
+def knn_ivf_oracle(k: int = params.LSH_TOPK, nprobe: int = 2) -> str:
+    """Twin of similarity.knn_ivf. Centroids via exact DECIMAL(28,18)
+    elementwise sums (order-independent) cast back to double, so both
+    engines build bit-identical codebooks despite shuffle order."""
+    c_cos = cosine_sql("q.q_vec", "c.centroid")
+    cos = cosine_sql("e.embedding", "p.q_vec")
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {params.KNN_NUM_QUERIES}),
+pos AS (
+  SELECT label,
+    unnest(generate_series(1, len(embedding))) AS pos,
+    unnest(embedding) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
+  FROM pos GROUP BY label, pos
+),
+cents AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label),
+probed AS (
+  SELECT q_id, q_vec, label FROM (
+    SELECT q.q_id, q.q_vec, c.label,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY {c_cos} DESC, c.label ASC) AS c_rank
+    FROM q CROSS JOIN cents c
+  ) pr WHERE c_rank <= {nprobe}
+),
+scored AS (
+  SELECT p.q_id, e.vec_id, {cos} AS cos_sim
+  FROM embeddings e JOIN probed p ON e.label = p.label
+  WHERE e.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+) r WHERE rank <= {k}
+"""
+
+
+def events_last_purchase_oracle() -> str:
+    """Twin of asof.events_last_purchase — uses DuckDB's NATIVE ASOF
+    JOIN, an independent implementation of the same point-in-time
+    semantics (>= : right rows at equal ts are visible)."""
+    return """
+WITH evs AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events
+),
+p AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts_us,
+         max_by(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+)
+SELECT evs.user_id, evs.event_id, evs.ts_us, evs.event_type,
+       p.purchase_value AS asof_purchase_value
+FROM evs ASOF LEFT JOIN p
+  ON evs.user_id = p.user_id AND evs.ts_us >= p.p_ts_us
+"""
