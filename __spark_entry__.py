@@ -21,6 +21,7 @@ from flink_kafka_filter_transform_spark.operators import (
     cdc,
     dedup,
     multimodal,
+    rangejoin,
     relational,
     similarity,
     text,
@@ -168,6 +169,24 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "customer", d), load_table(s, "orders", d)
         ),
         "revenue_rollup": lambda s, d: relational.revenue_rollup(load_table(s, "lineitem", d)),
+        "revenue_cube": lambda s, d: relational.revenue_cube(load_table(s, "lineitem", d)),
+        "users_purchase_except_error": lambda s, d: relational.users_purchase_except_error(
+            load_table(s, "events", d)
+        ),
+        "users_purchase_intersect_error": lambda s, d: relational.users_purchase_intersect_error(
+            load_table(s, "events", d)
+        ),
+        "orders_top10": lambda s, d: relational.orders_top10(load_table(s, "orders", d)),
+        "user_value_moving_avg": lambda s, d: relational.user_value_moving_avg(
+            load_table(s, "events", d)
+        ),
+        "salted_event_counts": lambda s, d: relational.salted_event_counts(
+            load_table(s, "events", d)
+        ),
+        # --- interval/range join (bucketed rewrite vs naive oracle) ---
+        "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
+            load_table(s, "events", d)
+        ),
     }
 
 
@@ -207,4 +226,11 @@ def oracle_sql() -> dict[str, str]:
         "q4_order_priority_semi": oracles.q4_order_priority_semi_oracle(),
         "customers_without_orders": oracles.customers_without_orders_oracle(),
         "revenue_rollup": oracles.revenue_rollup_oracle(),
+        "revenue_cube": oracles.revenue_cube_oracle(),
+        "users_purchase_except_error": oracles.users_purchase_except_error_oracle(),
+        "users_purchase_intersect_error": oracles.users_purchase_intersect_error_oracle(),
+        "orders_top10": oracles.orders_top10_oracle(),
+        "user_value_moving_avg": oracles.user_value_moving_avg_oracle(),
+        "salted_event_counts": oracles.salted_event_counts_oracle(),
+        "purchases_with_recent_clicks": oracles.purchases_with_recent_clicks_oracle(),
     }

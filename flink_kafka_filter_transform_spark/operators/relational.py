@@ -200,3 +200,93 @@ def revenue_rollup(lineitem: DataFrame) -> DataFrame:
         _dsum(disc_price).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+def revenue_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE aggregation: all four grouping levels (flag x status) in one
+    pass. Same map-side grouping-set expansion as rollup; at scale the
+    shuffle volume is #groups x #mappers regardless of input rows."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        _dsum(disc_price).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _user_days(events: DataFrame, event_type: str) -> DataFrame:
+    day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+    return (
+        events.filter(F.col("event_type") == event_type)
+        .select("user_id", day.alias("day"))
+        .distinct()
+    )
+
+
+def users_purchase_except_error(events: DataFrame) -> DataFrame:
+    """Set difference: (user, day) pairs with a purchase but no error
+    that day. EXCEPT is a distinct + hash-partition by the full row —
+    at scale both sides pre-aggregate to distinct pairs first, so the
+    shuffle carries |distinct pairs|, not |events|."""
+    return _user_days(events, "purchase").subtract(_user_days(events, "error"))
+
+
+def users_purchase_intersect_error(events: DataFrame) -> DataFrame:
+    """Set intersection: (user, day) pairs with both a purchase and an
+    error event."""
+    return _user_days(events, "purchase").intersect(_user_days(events, "error"))
+
+
+def orders_top10(orders: DataFrame) -> DataFrame:
+    """Global top-k: orderBy + limit compiles to TakeOrderedAndProject —
+    each partition keeps a k-row heap and only k rows per partition
+    reach the driver; never a full sort at scale."""
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def user_value_moving_avg(events: DataFrame) -> DataFrame:
+    """Per-user moving average of `value` over the last 3 events
+    (analytic window frame). The frame sum is DECIMAL — exact and
+    order-independent — divided by the frame count in double, so the
+    result is bit-identical to the oracle despite float inputs."""
+    ts_us = F.expr("ts DIV 1000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "user_id", "event_id", ts_us.alias("ts_us"), "value"
+    ).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_3"),
+    )
+
+
+def salted_event_counts(events: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Skew-safe two-phase aggregation: low-cardinality group keys
+    (event_type: ~5 values over everything) would put all 100 TB behind
+    5 reduce tasks. Salting splits each hot key into `salt_buckets`
+    partials first; the second aggregation combines `salt_buckets`
+    rows per key — O(keys x buckets), trivially small. Result is
+    identical to the direct groupBy (decimal partial sums commute)."""
+    salted = events.withColumn(
+        "_salt", F.pmod(F.hash("event_id"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("_sum_v"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        F.sum("_sum_v").cast("double").alias("sum_value"),
+    )

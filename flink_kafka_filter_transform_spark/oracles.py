@@ -688,3 +688,84 @@ SELECT evs.user_id, evs.event_id, evs.ts_us, evs.event_type,
 FROM evs ASOF LEFT JOIN p
   ON evs.user_id = p.user_id AND evs.ts_us >= p.p_ts_us
 """
+
+
+# ---------------------------------------------------------------------------
+# Set ops, cube, top-k, moving avg, salted agg, range join oracles
+# ---------------------------------------------------------------------------
+
+
+def revenue_cube_oracle() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+  count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+_USER_DAY = "user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day"
+
+
+def users_purchase_except_error_oracle() -> str:
+    return f"""
+SELECT DISTINCT {_USER_DAY} FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT {_USER_DAY} FROM events WHERE event_type = 'error'
+"""
+
+
+def users_purchase_intersect_error_oracle() -> str:
+    return f"""
+SELECT DISTINCT {_USER_DAY} FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT {_USER_DAY} FROM events WHERE event_type = 'error'
+"""
+
+
+def orders_top10_oracle() -> str:
+    return """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def user_value_moving_avg_oracle() -> str:
+    return """
+SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / count(*) OVER w AS moving_avg_3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def salted_event_counts_oracle() -> str:
+    """Salting is an execution-strategy rewrite; the oracle is the plain
+    direct aggregation the rewrite must be equivalent to."""
+    return """
+SELECT event_type, count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def purchases_with_recent_clicks_oracle(window_us: int = 3_600_000_000) -> str:
+    """Naive inequality join — checks the bucketed rewrite against the
+    direct range-join semantics."""
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id, p.ts_us, count(c.c_ts_us) AS n_clicks_1h
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_ts_us > p.ts_us - {window_us} AND c.c_ts_us <= p.ts_us
+GROUP BY p.user_id, p.event_id, p.ts_us
+"""
