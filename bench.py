@@ -42,10 +42,15 @@ HEADLINE = [
     "embedding_neardup",
     "knn_brute",
     "knn_lsh",
+    "knn_ivf",
     "text_stats",
     "doc_fingerprint",
+    "tfidf_top_terms",
     "multimodal_features",
     "events_daily",
+    "events_last_purchase",
+    "purchases_with_recent_clicks",
+    "events_sessionized",
 ]
 
 

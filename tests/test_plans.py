@@ -75,3 +75,51 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     )
     assert any("event_type" in f for f in px.pushed_filters(df))
     assert px.scan_reads_only(df, {"event_id", "value", "event_type"})
+
+
+def test_route_join_minby_partial_aggregates(spark, sf_dir):
+    """First-match-wins must partial-aggregate before its single
+    shuffle (one row per msg_id crosses the wire) — and never use a
+    window (whose Exchange would carry every matched row)."""
+    df = cdc.route_broadcast_join(
+        cdc.filter_deletes(cdc.parse_envelope(cdc_events_df(spark, sf_dir))), rules_df(spark)
+    )
+    plan = px.explain_str(df, "simple")
+    assert "partial_min_by" in plan
+    assert "Window" not in plan
+    assert px.count_shuffles(df) <= 2  # agg exchange + broadcast exchange
+
+
+def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.tfidf_top_terms(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_join_count(df) >= 2
+    assert px.sortmerge_join_count(df) == 0
+
+
+def test_knn_ivf_broadcasts_codebook_and_probes(spark, sf_dir):
+    df = similarity.knn_ivf(load_table(spark, "embeddings", sf_dir))
+    assert px.broadcast_join_count(df) >= 2
+    assert px.sortmerge_join_count(df) == 0
+
+
+def test_asof_join_is_single_pass(spark, sf_dir):
+    """Union + window: the as-of itself adds exactly one shuffle (the
+    hash partition by key); no join operator at all."""
+    from flink_kafka_filter_transform_spark.operators import asof
+
+    df = asof.events_last_purchase(load_table(spark, "events", sf_dir))
+    plan = px.explain_str(df, "simple")
+    assert "Join" not in plan
+    assert px.count_shuffles(df) <= 2  # purchase-dedup agg + asof window
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed rewrite must hash-join; a naive range join would
+    appear as BroadcastNestedLoopJoin / CartesianProduct."""
+    from flink_kafka_filter_transform_spark.operators import rangejoin
+
+    df = rangejoin.purchases_with_recent_clicks(load_table(spark, "events", sf_dir))
+    plan = px.explain_str(df, "simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
