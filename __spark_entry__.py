@@ -24,6 +24,7 @@ from flink_kafka_filter_transform_spark.operators import (
     rangejoin,
     relational,
     similarity,
+    sketch,
     text,
 )
 from flink_kafka_filter_transform_spark.sources.cdc_fixture import RULES, cdc_events_df, rules_df
@@ -183,6 +184,16 @@ def queries() -> dict[str, QueryFn]:
         "salted_event_counts": lambda s, d: relational.salted_event_counts(
             load_table(s, "events", d)
         ),
+        "event_value_percentiles": lambda s, d: relational.event_value_percentiles(
+            load_table(s, "events", d)
+        ),
+        # --- sketches ---
+        "hll_distinct_users": lambda s, d: sketch.hll_distinct_users(
+            load_table(s, "events", d)
+        ),
+        "hll_distinct_orders": lambda s, d: sketch.hll_distinct_orders(
+            load_table(s, "lineitem", d)
+        ),
         # --- interval/range join (bucketed rewrite vs naive oracle) ---
         "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
             load_table(s, "events", d)
@@ -232,5 +243,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_top10": oracles.orders_top10_oracle(),
         "user_value_moving_avg": oracles.user_value_moving_avg_oracle(),
         "salted_event_counts": oracles.salted_event_counts_oracle(),
+        "event_value_percentiles": oracles.event_value_percentiles_oracle(),
+        "hll_distinct_users": oracles.hll_distinct_users_oracle(),
+        "hll_distinct_orders": oracles.hll_distinct_orders_oracle(),
         "purchases_with_recent_clicks": oracles.purchases_with_recent_clicks_oracle(),
     }

@@ -290,3 +290,20 @@ def salted_event_counts(events: DataFrame, salt_buckets: int = 16) -> DataFrame:
         F.sum("_n").alias("n_events"),
         F.sum("_sum_v").cast("double").alias("sum_value"),
     )
+
+
+def event_value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of event value per type.
+
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    lower + (upper-lower)*frac interpolation on sorted doubles and
+    agree bit-for-bit (verified over the test corpus). Exact
+    percentiles sort per group — at 100 TB swap in approx_percentile
+    (t-digest, mergeable, no sort) and keep this as the oracle-checked
+    reference semantics."""
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_value"),
+        F.expr("percentile(value, 0.95)").alias("p95_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

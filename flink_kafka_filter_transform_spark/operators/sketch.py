@@ -1,0 +1,151 @@
+"""Distinct-count sketching: a deterministic, oracle-checkable
+HyperLogLog.
+
+``hll_distinct`` estimates per-group distinct keys with a classic
+HLL-256 (p=8) built entirely from relational ops — the sketch shape
+that replaces exact COUNT(DISTINCT) at 100 TB, where the exact form
+must shuffle every distinct key and the sketch shuffles at most
+``m=256`` register rows per group.
+
+Plan shape (two aggregations, both map-side combinable):
+  1. hash each key (portable 60-bit md5 hash, functions.hashing) →
+     register index = low 8 bits, rho = leading-zero count of the
+     remaining 52 bits + 1,
+  2. groupBy(group, register) → max(rho)   [shuffle ≤ m rows/group]
+  3. groupBy(group) → harmonic sum + estimate.
+
+Cross-engine determinism (the whole point — a Spark HLL and a DuckDB
+HLL normally disagree, making differential testing impossible):
+- the hash is the shared md5-based 60-bit hash;
+- 2^-rho terms are summed EXACTLY as integers: 2^(62-rho) is a
+  bit-shift, summed into DECIMAL(38,0) — no float accumulation;
+- the leading-zero count uses length(bin(x)) — identical string
+  semantics in both engines — not transcendental log2;
+- the small-range (linear counting) branch needs ln(m/zeros), and ln
+  is NOT bit-identical across engines (measured: 18/255 inputs differ
+  by 1 ulp). Since zeros has only 255 possible values, the table
+  m*ln(m/zeros) is precomputed HERE in Python and embedded as
+  literals in BOTH the Spark plan and the DuckDB oracle — zero
+  engine-side transcendental math.
+
+Estimator: Flajolet et al. 2007 (raw + small-range correction; the
+large-range correction is unreachable with a 60-bit hash space).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_kafka_filter_transform_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+)
+
+P = 8
+M = 1 << P  # 256 registers
+REST_BITS = 60 - P  # 52
+RHO_MAX = REST_BITS + 1  # 53, when the rest field is all zeros
+# alpha_256 * m^2 * 2^62 — the raw-estimate numerator. Every literal is
+# CAST to DOUBLE explicitly: a bare 0.7213 parses as DECIMAL in both
+# engines, and their decimal-division rules differ (Spark rounds to a
+# result scale, DuckDB switches to double) — a 1-ulp trap measured at
+# sf0.01. With explicit doubles both engines run identical IEEE ops.
+ALPHA_EXPR = (
+    "(CAST(0.7213 AS DOUBLE) / "
+    f"(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST({float(M)} AS DOUBLE)))"
+)
+_POW62 = "pow(2.0, 62.0)"
+# Linear-counting lookup: m * ln(m / zeros) for zeros in 1..m-1.
+# repr() gives shortest-round-trip literals -> both engines parse the
+# exact same double.
+LC_TABLE = [float(M) * math.log(float(M) / z) for z in range(1, M)]
+
+
+def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
+    """Per-``group`` HLL-256 distinct estimate of ``key`` alongside the
+    exact count (the pair a user monitors to trust the sketch)."""
+    h = portable_hash64(F.col(key).cast("string"))
+    hashed = df.select(F.col(group), h.alias("_h")).select(
+        group,
+        (F.col("_h") % M).alias("_idx"),
+        F.expr(f"_h div {M}").alias("_rest"),
+    )
+    rho = F.when(F.col("_rest") == 0, F.lit(RHO_MAX)).otherwise(
+        F.lit(RHO_MAX) - F.length(F.bin(F.col("_rest")))
+    )
+    regs = hashed.select(group, "_idx", rho.alias("_rho")).groupBy(group, "_idx").agg(
+        F.max("_rho").alias("_r")
+    )
+    scaled = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(62 - _r AS INT))")
+    agg = regs.groupBy(group).agg(
+        F.sum(scaled.cast("decimal(38,0)")).alias("_s_present"),
+        F.count(F.lit(1)).alias("_m_present"),
+    )
+    # empty registers contribute 2^-0 = 1, i.e. 2^62 scaled — exact
+    s_total = (
+        F.col("_s_present")
+        + (F.lit(M).cast("decimal(38,0)") - F.col("_m_present"))
+        * F.lit(1 << 62).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.expr(f"{ALPHA_EXPR} * CAST({float(M * M)} AS DOUBLE) * {_POW62}") / s_total
+    zeros = (F.lit(M) - F.col("_m_present")).cast("int")
+    lc = F.element_at(F.array(*[F.lit(v) for v in LC_TABLE]), zeros)
+    est = F.when((raw <= 2.5 * M) & (zeros > 0), lc).otherwise(raw)
+    sketched = agg.select(group, est.alias("hll_estimate"))
+    exact = df.groupBy(group).agg(F.count_distinct(F.col(key)).alias("n_exact"))
+    return exact.join(F.broadcast(sketched), group).select(
+        group, "n_exact", "hll_estimate"
+    )
+
+
+def hll_distinct_sql(table: str, key: str, group: str) -> str:
+    """DuckDB twin — same hash, same exact integer register sums, same
+    embedded linear-counting literals."""
+    h = portable_hash64_sql(f"CAST({key} AS VARCHAR)")
+    lc_case = " ".join(
+        f"WHEN {z} THEN {v!r}" for z, v in zip(range(1, M), LC_TABLE)
+    )
+    return f"""
+WITH h AS (SELECT {group} AS g, {h} AS h FROM {table}),
+b AS (SELECT g, h % {M} AS idx, h // {M} AS rest FROM h),
+r AS (
+  SELECT g, idx,
+    max(CASE WHEN rest = 0 THEN {RHO_MAX} ELSE {RHO_MAX} - length(bin(rest)) END) AS r
+  FROM b GROUP BY g, idx
+),
+a AS (
+  SELECT g,
+    SUM(CAST(CAST(1 AS BIGINT) << CAST(62 - r AS INT) AS DECIMAL(38,0))) AS s_present,
+    count(*) AS m_present
+  FROM r GROUP BY g
+),
+e AS (
+  SELECT g,
+    {ALPHA_EXPR} * CAST({float(M * M)!r} AS DOUBLE) * {_POW62}
+      / CAST(s_present + (CAST({M} AS DECIMAL(38,0)) - m_present)
+             * CAST({1 << 62} AS DECIMAL(38,0)) AS DOUBLE) AS raw,
+    CAST({M} - m_present AS INT) AS zeros
+  FROM a
+),
+x AS (SELECT {group}, count(DISTINCT {key}) AS n_exact FROM {table} GROUP BY {group})
+SELECT x.{group}, x.n_exact,
+  CASE WHEN e.raw <= {2.5 * M!r} AND e.zeros > 0
+       THEN CASE e.zeros {lc_case} END
+       ELSE e.raw END AS hll_estimate
+FROM x JOIN e ON x.{group} = e.g
+"""
+
+
+def hll_distinct_users(events: DataFrame) -> DataFrame:
+    """Distinct users per event type: exact vs HLL-256 estimate."""
+    return hll_distinct(events, key="user_id", group="event_type")
+
+
+def hll_distinct_orders(lineitem: DataFrame) -> DataFrame:
+    """Distinct orders per return flag — high cardinality (tens of
+    thousands per group at sf0.01), exercising the raw-estimator
+    branch rather than linear counting."""
+    return hll_distinct(lineitem, key="l_orderkey", group="l_returnflag")

@@ -769,3 +769,26 @@ FROM p LEFT JOIN c
  AND c.c_ts_us > p.ts_us - {window_us} AND c.c_ts_us <= p.ts_us
 GROUP BY p.user_id, p.event_id, p.ts_us
 """
+
+
+def event_value_percentiles_oracle() -> str:
+    return """
+SELECT event_type,
+  quantile_cont(value, 0.5) AS p50_value,
+  quantile_cont(value, 0.95) AS p95_value,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def hll_distinct_users_oracle() -> str:
+    from flink_kafka_filter_transform_spark.operators.sketch import hll_distinct_sql
+
+    return hll_distinct_sql("events", key="user_id", group="event_type")
+
+
+def hll_distinct_orders_oracle() -> str:
+    from flink_kafka_filter_transform_spark.operators.sketch import hll_distinct_sql
+
+    return hll_distinct_sql("lineitem", key="l_orderkey", group="l_returnflag")
