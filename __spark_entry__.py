@@ -187,6 +187,12 @@ def queries() -> dict[str, QueryFn]:
         "event_value_percentiles": lambda s, d: relational.event_value_percentiles(
             load_table(s, "events", d)
         ),
+        "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
+            load_table(s, "lineitem", d), load_table(s, "part", d)
+        ),
+        "revenue_grouping_sets": lambda s, d: relational.revenue_grouping_sets(
+            load_table(s, "lineitem", d)
+        ),
         # --- sketches ---
         "hll_distinct_users": lambda s, d: sketch.hll_distinct_users(
             load_table(s, "events", d)
@@ -244,6 +250,8 @@ def oracle_sql() -> dict[str, str]:
         "user_value_moving_avg": oracles.user_value_moving_avg_oracle(),
         "salted_event_counts": oracles.salted_event_counts_oracle(),
         "event_value_percentiles": oracles.event_value_percentiles_oracle(),
+        "q14_promo_revenue": oracles.q14_promo_revenue_oracle(),
+        "revenue_grouping_sets": oracles.revenue_grouping_sets_oracle(),
         "hll_distinct_users": oracles.hll_distinct_users_oracle(),
         "hll_distinct_orders": oracles.hll_distinct_orders_oracle(),
         "purchases_with_recent_clicks": oracles.purchases_with_recent_clicks_oracle(),

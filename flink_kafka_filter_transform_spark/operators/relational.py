@@ -307,3 +307,48 @@ def event_value_percentiles(events: DataFrame) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 analog: share of promo-part revenue in a ship window.
+
+    Fact-dimension join: part broadcasts under the threshold at test
+    scale; at 100 TB part is bucketed/bloom-joined but lineitem still
+    never shuffles — the ratio is two exact decimal sums over the
+    joined stream, divided in double at the end."""
+    disc_price = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(28,6)")
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def revenue_grouping_sets(lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS: (flag, status) and (status) only — the
+    general form rollup/cube are sugar for. Same single-pass map-side
+    grouping-set expansion."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return lineitem.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        _dsum(disc_price).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

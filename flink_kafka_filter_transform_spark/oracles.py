@@ -792,3 +792,27 @@ def hll_distinct_orders_oracle() -> str:
     from flink_kafka_filter_transform_spark.operators.sketch import hll_distinct_sql
 
     return hll_distinct_sql("lineitem", key="l_orderkey", group="l_returnflag")
+
+
+def q14_promo_revenue_oracle() -> str:
+    return """
+SELECT
+  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
+                        ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+    AS promo_revenue_pct,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-07-01'
+"""
+
+
+def revenue_grouping_sets_oracle() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+  count(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+"""

@@ -133,3 +133,29 @@ def observed(stream: DataFrame, name: str = "cdc_in") -> DataFrame:
         F.count(F.lit(1)).alias("n_messages"),
         F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_deletes"),
     )
+
+
+def session_windowed_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "key",
+) -> DataFrame:
+    """Native event-time session windows (F.session_window): dynamic
+    gap-closed windows per key, state evicted once the watermark passes
+    a session's close. The streaming twin of the batch
+    relational.events_sessionized (lag + cumulative-sum) — same
+    semantics, but windows merge incrementally across micro-batches
+    instead of requiring the full history in one sort."""
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -104,3 +104,26 @@ def test_observed_metrics(spark, sf_dir, cdc_dir, cdc_schema):
         if "cdc_in" in p.get("observedMetrics", {})
     )
     assert totals == cdc.parse_envelope(cdc_events_df(spark, sf_dir)).count()
+
+
+def test_session_windowed_counts(spark, sf_dir, cdc_dir, cdc_schema):
+    """Native session windows close after the gap; total event mass is
+    preserved across sessions (completeness check vs the raw stream)."""
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    _run_to_memory(
+        sp.session_windowed_counts(stream, gap="30 minutes"), "t_sess", "append"
+    )
+    got = spark.sql(
+        "SELECT CAST(sum(n_events) AS BIGINT) s, count(*) n FROM t_sess"
+    ).collect()[0]
+    total = cdc_events_df(spark, sf_dir).count()
+    # append mode only emits sessions CLOSED by the final watermark:
+    # sessions still open at end-of-stream (ts > max_ts - delay - gap)
+    # are correctly withheld, so emitted mass is slightly below total.
+    assert total * 0.95 <= got.s <= total
+    assert 0 < got.n <= total
+    # every session is internally consistent
+    bad = spark.sql(
+        "SELECT count(*) c FROM t_sess WHERE session_end < session_start OR n_events <= 0"
+    ).collect()[0].c
+    assert bad == 0
