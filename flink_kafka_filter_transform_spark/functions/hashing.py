@@ -49,3 +49,18 @@ def portable_hash64_sql(expr: str) -> str:
 def portable_hash64_spark_sql(expr: str) -> str:
     """Spark SQL text form (for spark.sql-composed queries)."""
     return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def portable_hash64_second(col: Column | str) -> Column:
+    """Second independent 60-bit hash from the SAME md5 digest (hex
+    chars 16-30). One md5 invocation yields (h1, h2) for double
+    hashing: h_j = (h1 + j*h2) mod 2^61-1 — j independent hash
+    functions for the price of one digest, with j*h2 <= 7*(2^60-1)
+    staying safely under the int64 overflow line both engines share."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 16, 15), 16, 10).cast("bigint")
+
+
+def portable_hash64_second_sql(expr: str) -> str:
+    """DuckDB twin of ``portable_hash64_second``."""
+    return f"CAST('0x' || substr(md5({expr}), 16, 15) AS BIGINT)"

@@ -72,29 +72,48 @@ def shingles_col(tok_col: Column) -> Column:
     )
 
 
-def _salted_min(shingles: Column, salt: int) -> Column:
-    """MinHash component j: min over shingles of md5-hash salted with j.
+def _hash_pairs(shingles: Column) -> Column:
+    """Per-shingle (h1, h2) from ONE md5 digest (double hashing).
 
-    Salting the hash input (f"{j}:" prefix) gives K independent hash
-    functions without 128-bit modular arithmetic — portable to the
-    DuckDB oracle and overflow-free."""
+    The previous scheme salted the hash input per component — K md5
+    invocations per shingle, and md5 dominates MinHash cost. One digest
+    now yields both halves; component j is pure 64-bit arithmetic."""
+    from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64_second
+
+    return F.transform(
+        shingles,
+        lambda s: F.struct(
+            portable_hash64(s).alias("h1"), portable_hash64_second(s).alias("h2")
+        ),
+    )
+
+
+def _mh(hp: Column, j: int) -> Column:
+    """MinHash component j: min over shingles of (h1 + j*h2) mod 2^61-1."""
+    from flink_kafka_filter_transform_spark.functions.hashing import MERSENNE_61
+
     return F.array_min(
-        F.transform(shingles, lambda s: portable_hash64(F.concat(F.lit(f"{salt}:"), s)))
+        F.transform(hp, lambda x: (x["h1"] + F.lit(j) * x["h2"]) % F.lit(MERSENNE_61))
     )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id, shingles, mh0..mh{K-1} (docs with >= SHINGLE_SIZE tokens)."""
+    """doc_id, shingles, mh0..mh{K-1} (docs with >= SHINGLE_SIZE tokens).
+
+    The hash-pair array is aliased in its own projection; Catalyst
+    keeps it un-inlined (alias referenced K times, non-cheap since
+    SPARK-36718), so md5 runs once per shingle, not K times."""
     toks = tokens()
     with_sh = (
         docs.select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= params.SHINGLE_SIZE)
         .select("doc_id", shingles_col(F.col("t")).alias("shingles"))
     )
-    return with_sh.select(
+    hp = with_sh.select("doc_id", "shingles", _hash_pairs(F.col("shingles")).alias("hp"))
+    return hp.select(
         "doc_id",
         "shingles",
-        *[_salted_min(F.col("shingles"), j).alias(f"mh{j}") for j in range(params.MINHASH_K)],
+        *[_mh(F.col("hp"), j).alias(f"mh{j}") for j in range(params.MINHASH_K)],
     )
 
 

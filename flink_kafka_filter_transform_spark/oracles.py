@@ -212,12 +212,16 @@ FROM documents GROUP BY 1
 
 
 def _minhash_sig_ctes() -> str:
+    from flink_kafka_filter_transform_spark.functions.hashing import (
+        MERSENNE_61,
+        portable_hash64_second_sql,
+    )
+
     k = params.SHINGLE_SIZE
     shingle_expr = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    h1, h2 = portable_hash64_sql("s"), portable_hash64_second_sql("s")
     mh_cols = ",\n    ".join(
-        "list_min(list_transform(shingles, s -> {h})) AS mh{j}".format(
-            h=portable_hash64_sql(f"'{j}:' || s"), j=j
-        )
+        f"list_min(list_transform(hp, x -> (x.h1 + {j} * x.h2) % {MERSENNE_61})) AS mh{j}"
         for j in range(params.MINHASH_K)
     )
     return f"""
@@ -228,10 +232,15 @@ sh AS (
       i -> {shingle_expr})) AS shingles
   FROM toks WHERE len(t) >= {k}
 ),
+hpair AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles, s -> {{'h1': {h1}, 'h2': {h2}}}) AS hp
+  FROM sh
+),
 sig AS (
   SELECT doc_id, shingles,
     {mh_cols}
-  FROM sh
+  FROM hpair
 )"""
 
 
@@ -502,7 +511,8 @@ GROUP BY o_orderpriority
 def ngram_jaccard_pairs_oracle(n: int = 4, threshold: float = 0.5) -> str:
     k = params.SHINGLE_SIZE
     shingle_expr = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
-    mh0 = "list_min(list_transform(shingles, s -> {h}))".format(h=portable_hash64_sql("'0:' || s"))
+    # double-hashing component 0 is (h1 + 0*h2) % M61 = h1 itself
+    mh0 = "list_min(list_transform(shingles, s -> {h}))".format(h=portable_hash64_sql("s"))
     return f"""
 WITH {_TOKS_CTE},
 sh AS (

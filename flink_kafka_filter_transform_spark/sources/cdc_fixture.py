@@ -25,6 +25,11 @@ Derivation (pure functions of event_id/user_id/event_type/props):
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 # One source of truth for the derivation; {json_get} is the only
@@ -84,12 +89,39 @@ def cdc_cte(dialect: str) -> str:
     return f"WITH cdc AS ({cdc_sql(dialect)})"
 
 
-def cdc_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CDC fixture as a Spark DataFrame (events view auto-registered)."""
+def synthesized_cdc_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC fixture computed inline (events view auto-registered)."""
     from flink_kafka_filter_transform_spark.sources.parquet import load_table
 
     load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
     return spark.sql(cdc_sql("spark"))
+
+
+def cdc_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC fixture as a Spark DataFrame, materialized once per
+    (sf_dir, template version) to a parquet cache and scanned from
+    there.
+
+    The inline synthesis is a wide expression tree that Catalyst
+    re-evaluates inside every from_json-derived filter, so it doubles
+    the cost of each CDC query — and it models the input WORSE than a
+    scan does: real messages arrive as stored bytes, not as expressions
+    fused into the reader's plan. Cache key includes the template hash,
+    so editing the derivation invalidates; the rename is atomic, so a
+    lost concurrent race just reuses the winner's directory."""
+    key = "{}_{}".format(
+        os.path.basename(os.path.normpath(sf_dir)),
+        hashlib.md5(cdc_sql("spark").encode()).hexdigest()[:10],
+    )
+    cache = os.path.join(tempfile.gettempdir(), "spark_graft_cdc_cache", key)
+    if not os.path.isdir(cache):
+        tmp = f"{cache}.tmp-{os.getpid()}"
+        synthesized_cdc_events_df(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, cache)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race; cache exists
+    return spark.read.parquet(cache)
 
 
 # ---------------------------------------------------------------------------
