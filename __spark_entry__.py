@@ -187,6 +187,9 @@ def queries() -> dict[str, QueryFn]:
         "event_value_percentiles": lambda s, d: relational.event_value_percentiles(
             load_table(s, "events", d)
         ),
+        "scalar_function_showcase": lambda s, d: relational.scalar_function_showcase(
+            load_table(s, "orders", d)
+        ),
         "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
             load_table(s, "lineitem", d), load_table(s, "part", d)
         ),
@@ -251,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_event_counts": oracles.salted_event_counts_oracle(),
         "event_value_percentiles": oracles.event_value_percentiles_oracle(),
         "q14_promo_revenue": oracles.q14_promo_revenue_oracle(),
+        "scalar_function_showcase": oracles.scalar_function_showcase_oracle(),
         "revenue_grouping_sets": oracles.revenue_grouping_sets_oracle(),
         "hll_distinct_users": oracles.hll_distinct_users_oracle(),
         "hll_distinct_orders": oracles.hll_distinct_orders_oracle(),

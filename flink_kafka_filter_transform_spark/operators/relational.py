@@ -352,3 +352,39 @@ def revenue_grouping_sets(lineitem: DataFrame) -> DataFrame:
         _dsum(disc_price).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+def scalar_function_showcase(orders: DataFrame) -> DataFrame:
+    """Scalar-function breadth in one oracle-checked projection: date
+    parts and day arithmetic, string slicing/casing/concat, math
+    (abs/sqrt/floor/ceil/sign, all IEEE-or-integer deterministic),
+    conditional (greatest/least/coalesce/nullif/CASE). Map-only plan —
+    stays entirely inside one WholeStageCodegen span."""
+    price = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.datediff(F.lit("1999-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_1999"
+        ),
+        F.upper(F.substring("o_orderpriority", 3, 100)).alias("priority_word"),
+        F.length("o_orderpriority").cast("int").alias("priority_len"),
+        F.concat_ws(":", "o_orderpriority", F.col("o_custkey").cast("string")).alias(
+            "prio_cust"
+        ),
+        F.abs(price - F.lit(100000.0)).alias("abs_from_100k"),
+        F.sqrt(price).alias("sqrt_price"),
+        F.floor(price).cast("bigint").alias("floor_price"),
+        F.ceil(price).cast("bigint").alias("ceil_price"),
+        F.signum(price - F.lit(100000.0)).alias("price_sign"),
+        F.greatest(price, F.lit(50000.0)).alias("floored_price"),
+        F.least(F.col("o_custkey") % 100, F.lit(50)).cast("bigint").alias("capped_mod"),
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")), F.lit("(med)")).alias(
+            "prio_or_med"
+        ),
+        F.when(price > 200000, "high").when(price > 100000, "mid").otherwise("low").alias(
+            "price_band"
+        ),
+    )

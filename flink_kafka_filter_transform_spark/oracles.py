@@ -826,3 +826,29 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
 """
+
+
+def scalar_function_showcase_oracle() -> str:
+    return """
+SELECT
+  o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS order_year,
+  CAST(month(o_orderdate) AS INT) AS order_month,
+  CAST(day(o_orderdate) AS INT) AS order_day,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT) AS days_to_1999,
+  upper(substr(o_orderpriority, 3, 100)) AS priority_word,
+  CAST(length(o_orderpriority) AS INT) AS priority_len,
+  o_orderpriority || ':' || CAST(o_custkey AS VARCHAR) AS prio_cust,
+  abs(o_totalprice - 100000.0) AS abs_from_100k,
+  sqrt(o_totalprice) AS sqrt_price,
+  CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+  CASE WHEN o_totalprice - 100000.0 > 0 THEN 1.0
+       WHEN o_totalprice - 100000.0 < 0 THEN -1.0 ELSE 0.0 END AS price_sign,
+  greatest(o_totalprice, 50000.0) AS floored_price,
+  CAST(least(o_custkey % 100, 50) AS BIGINT) AS capped_mod,
+  coalesce(nullif(o_orderpriority, '3-MEDIUM'), '(med)') AS prio_or_med,
+  CASE WHEN o_totalprice > 200000 THEN 'high'
+       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS price_band
+FROM orders
+"""

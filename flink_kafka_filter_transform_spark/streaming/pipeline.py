@@ -159,3 +159,44 @@ def session_windowed_counts(
             "n_events",
         )
     )
+
+
+def stream_stream_interval_join(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream event-time interval join — a whole category the
+    reference lacks (SURVEY §2.2: no joins between data streams).
+
+    Creates ('c') and updates ('u') from the parsed CDC stream join on
+    key, with the update required to land within ``window`` after the
+    create. Watermarks on BOTH sides bound the join state: rows older
+    than watermark + interval are evicted, so state is O(window), not
+    O(stream). Inner join + append mode — each match emits exactly
+    once."""
+    parsed = cdc.parse_envelope(stream)
+    creates = (
+        parsed.filter(F.col("op") == "c")
+        .select(
+            F.col("key").alias("c_key"),
+            F.col("ts").alias("c_ts"),
+            F.col("msg_id").alias("c_msg_id"),
+        )
+        .withWatermark("c_ts", watermark_delay)
+    )
+    updates = (
+        parsed.filter(F.col("op") == "u")
+        .select(
+            F.col("key").alias("u_key"),
+            F.col("ts").alias("u_ts"),
+            F.col("msg_id").alias("u_msg_id"),
+        )
+        .withWatermark("u_ts", watermark_delay)
+    )
+    return creates.join(
+        updates,
+        F.expr(
+            f"c_key = u_key AND u_ts >= c_ts AND u_ts <= c_ts + INTERVAL {window}"
+        ),
+    ).select("c_key", "c_msg_id", "u_msg_id", "c_ts", "u_ts")

@@ -127,3 +127,29 @@ def test_session_windowed_counts(spark, sf_dir, cdc_dir, cdc_schema):
         "SELECT count(*) c FROM t_sess WHERE session_end < session_start OR n_events <= 0"
     ).collect()[0].c
     assert bad == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, cdc_dir, cdc_schema):
+    """The streaming interval join must emit exactly the batch join's
+    result set once the stream is drained (inner join completeness)."""
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    _run_to_memory(sp.stream_stream_interval_join(stream), "t_ssj", "append")
+    got = {
+        tuple(r) for r in spark.sql(
+            "SELECT c_msg_id, u_msg_id FROM t_ssj"
+        ).collect()
+    }
+    batch = cdc.parse_envelope(spark.read.parquet(cdc_dir))
+    from pyspark.sql import functions as F
+    c = batch.filter(F.col("op") == "c").select(
+        F.col("key").alias("c_key"), F.col("ts").alias("c_ts"), F.col("msg_id").alias("c_msg_id"))
+    u = batch.filter(F.col("op") == "u").select(
+        F.col("key").alias("u_key"), F.col("ts").alias("u_ts"), F.col("msg_id").alias("u_msg_id"))
+    want = {
+        tuple(r)
+        for r in c.join(
+            u,
+            F.expr("c_key = u_key AND u_ts >= c_ts AND u_ts <= c_ts + INTERVAL 1 hour"),
+        ).select("c_msg_id", "u_msg_id").collect()
+    }
+    assert got == want and len(want) > 0
