@@ -157,6 +157,9 @@ def queries() -> dict[str, QueryFn]:
         "events_props_extract": lambda s, d: relational.events_props_extract(
             load_table(s, "events", d)
         ),
+        "events_props_map_explode": lambda s, d: relational.events_props_map_explode(
+            load_table(s, "events", d)
+        ),
         "order_priority_stats": lambda s, d: relational.order_priority_stats(
             load_table(s, "orders", d)
         ),
@@ -239,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_per_segment": oracles.top_customers_per_segment_oracle(),
         "events_daily": oracles.events_daily_oracle(),
         "events_props_extract": oracles.events_props_extract_oracle(),
+        "events_props_map_explode": oracles.events_props_map_explode_oracle(),
         "order_priority_stats": oracles.order_priority_stats_oracle(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_pairs_oracle(),
         "frame_sample": oracles.frame_sample_oracle(),

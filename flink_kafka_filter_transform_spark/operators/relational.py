@@ -388,3 +388,17 @@ def scalar_function_showcase(orders: DataFrame) -> DataFrame:
             "price_band"
         ),
     )
+
+
+def events_props_map_explode(events: DataFrame) -> DataFrame:
+    """Map-type surface: parse the props JSON into MAP<STRING,STRING>,
+    explode to (key, value) pairs, aggregate per key. Generators
+    (explode) run inside codegen; the per-key agg is the only shuffle."""
+    m = F.from_json(F.col("props"), "map<string,string>")
+    ex = events.select("event_type", F.explode(m).alias("prop_key", "prop_val"))
+    return ex.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("prop_val").alias("n_distinct_vals"),
+        F.min("prop_val").alias("min_val"),
+        F.max("prop_val").alias("max_val"),
+    )

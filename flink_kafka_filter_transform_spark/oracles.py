@@ -852,3 +852,20 @@ SELECT
        WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS price_band
 FROM orders
 """
+
+
+def events_props_map_explode_oracle() -> str:
+    """json_keys + lateral unnest is DuckDB's map-explode analog; values
+    extracted as strings to mirror MAP<STRING,STRING>."""
+    return """
+WITH ex AS (
+  SELECT event_type,
+    unnest(json_keys(props)) AS prop_key,
+    json_extract_string(props, '$.' || unnest(json_keys(props))) AS prop_val
+  FROM events WHERE props IS NOT NULL AND json_valid(props)
+)
+SELECT prop_key, count(*) AS n,
+  count(DISTINCT prop_val) AS n_distinct_vals,
+  min(prop_val) AS min_val, max(prop_val) AS max_val
+FROM ex GROUP BY prop_key
+"""

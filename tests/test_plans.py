@@ -123,3 +123,22 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     df = rangejoin.purchases_with_recent_clicks(load_table(spark, "events", sf_dir))
     plan = px.explain_str(df, "simple")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_hll_is_two_phase_aggregation(spark, sf_dir):
+    """The sketch must partial-aggregate map-side at both levels: the
+    shuffle carries at most m register rows per group, never raw keys."""
+    from flink_kafka_filter_transform_spark.operators import sketch
+
+    df = sketch.hll_distinct_users(load_table(spark, "events", sf_dir))
+    plan = px.explain_str(df, "simple")
+    assert "partial_max" in plan  # register max combines before shuffle
+    assert px.sortmerge_join_count(df) == 0
+
+
+def test_q14_part_dimension_broadcasts(spark, sf_dir):
+    df = relational.q14_promo_revenue(
+        load_table(spark, "lineitem", sf_dir), load_table(spark, "part", sf_dir)
+    )
+    assert px.has_broadcast_join(df)
+    assert any("l_shipdate" in f for f in px.pushed_filters(df)), px.pushed_filters(df)
