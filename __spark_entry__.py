@@ -130,6 +130,8 @@ def queries() -> dict[str, QueryFn]:
         "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
         "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
+        "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
+        "knn_ivf_recall": lambda s, d: similarity.knn_ivf_recall(_emb(s, d)),
         # --- as-of (point-in-time) join ---
         "events_last_purchase": lambda s, d: asof.events_last_purchase(
             load_table(s, "events", d)
@@ -234,6 +236,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": oracles.knn_brute_oracle(),
         "knn_lsh": oracles.knn_lsh_oracle(),
         "knn_ivf": oracles.knn_ivf_oracle(),
+        "knn_lsh_recall": oracles.knn_lsh_recall_oracle(),
+        "knn_ivf_recall": oracles.knn_ivf_recall_oracle(),
         "events_last_purchase": oracles.events_last_purchase_oracle(),
         "multimodal_features": oracles.multimodal_features_oracle(),
         "q1_pricing_summary": oracles.q1_pricing_summary_oracle(),

@@ -151,3 +151,34 @@ def knn_ivf(emb: DataFrame, k: int = params.LSH_TOPK, nprobe: int = 2) -> DataFr
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "cos_sim")
     )
+
+
+def _recall_vs_brute(approx: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approximate result against brute force.
+
+    The accuracy metric a user MUST monitor when trading exactness for
+    scale (LSH/IVF probe fewer candidates): recall = |approx ∩ brute|/k.
+    Queries with zero overlap are kept (left join + coalesce 0)."""
+    truth = knn_brute(emb, k=k).select("q_id", "vec_id")
+    hits = (
+        approx.select("q_id", "vec_id")
+        .join(truth, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    qids = truth.select("q_id").distinct()
+    return qids.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce(F.col("_n"), F.lit(0)).cast("double") / F.lit(float(k))).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+def knn_lsh_recall(emb: DataFrame, k: int = params.LSH_TOPK) -> DataFrame:
+    return _recall_vs_brute(knn_lsh(emb, k=k), emb, k)
+
+
+def knn_ivf_recall(emb: DataFrame, k: int = params.LSH_TOPK) -> DataFrame:
+    return _recall_vs_brute(knn_ivf(emb, k=k), emb, k)

@@ -342,7 +342,7 @@ SELECT vec_a, vec_b, label, cos_sim FROM (
 # ---------------------------------------------------------------------------
 
 
-def knn_brute_oracle() -> str:
+def knn_brute_oracle(k: int = params.KNN_K) -> str:
     cos = cosine_sql("e.embedding", "q.q_vec")
     return f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {params.KNN_NUM_QUERIES}),
@@ -353,7 +353,7 @@ scored AS (
 SELECT q_id, vec_id, rank, cos_sim FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
   FROM scored
-) r WHERE rank <= {params.KNN_K}
+) r WHERE rank <= {k}
 """
 
 
@@ -869,3 +869,29 @@ SELECT prop_key, count(*) AS n,
   min(prop_val) AS min_val, max(prop_val) AS max_val
 FROM ex GROUP BY prop_key
 """
+
+
+def _recall_oracle(approx_sql: str, k: int) -> str:
+    """Recall@k of a nested approximate-knn SELECT vs nested brute force."""
+    return f"""
+WITH brute AS (SELECT q_id, vec_id FROM ({knn_brute_oracle(k=k)}) b),
+appr AS (SELECT q_id, vec_id FROM ({approx_sql}) a),
+hits AS (
+  SELECT brute.q_id, count(*) AS n
+  FROM brute JOIN appr ON brute.q_id = appr.q_id AND brute.vec_id = appr.vec_id
+  GROUP BY brute.q_id
+),
+qs AS (SELECT DISTINCT q_id FROM brute)
+SELECT qs.q_id,
+  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+  CAST(coalesce(hits.n, 0) AS DOUBLE) / CAST({float(k)} AS DOUBLE) AS recall_at_k
+FROM qs LEFT JOIN hits ON qs.q_id = hits.q_id
+"""
+
+
+def knn_lsh_recall_oracle(k: int = params.LSH_TOPK) -> str:
+    return _recall_oracle(knn_lsh_oracle(), k)
+
+
+def knn_ivf_recall_oracle(k: int = params.LSH_TOPK) -> str:
+    return _recall_oracle(knn_ivf_oracle(k=k), k)

@@ -38,3 +38,24 @@ def write_partitioned_parquet(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+) -> None:
+    """Persist as a bucketed (hash-clustered, per-bucket sorted) catalog
+    table. Two tables bucketed the same way join with ZERO shuffle —
+    the 100 TB answer for a fact-fact join both sides too big to
+    broadcast: pay the partitioning once at write time, reuse it on
+    every subsequent join/aggregation on the bucket key."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table_name)
+    )

@@ -200,3 +200,20 @@ def stream_stream_interval_join(
             f"c_key = u_key AND u_ts >= c_ts AND u_ts <= c_ts + INTERVAL {window}"
         ),
     ).select("c_key", "c_msg_id", "u_msg_id", "c_ts", "u_ts")
+
+
+def deduped_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps a key only until the watermark
+    passes it, so state is O(keys-per-delay-window) instead of O(all
+    keys ever) — the streaming face of the batch exact_dedup operator,
+    e.g. for at-least-once sources that can re-deliver (our Kafka sink
+    semantics, SURVEY §3.4)."""
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys or ["msg_id"]
+    )

@@ -153,3 +153,14 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, cdc_dir, cdc_s
         ).select("c_msg_id", "u_msg_id").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_deduped_stream(spark, sf_dir, cdc_dir, cdc_schema, tmp_path):
+    """A doubled input stream dedups back to exactly the distinct set."""
+    doubled_dir = str(tmp_path / "doubled")
+    base = spark.read.parquet(cdc_dir)
+    base.unionAll(base).repartition(4).write.mode("overwrite").parquet(doubled_dir)
+    stream = sp.file_stream_source(spark, doubled_dir, cdc_schema)
+    _run_to_memory(sp.deduped_stream(stream), "t_dedup", "append")
+    assert spark.table("t_dedup").count() == base.count()
+    assert spark.sql("SELECT max(c) m FROM (SELECT count(*) c FROM t_dedup GROUP BY msg_id)").collect()[0].m == 1
