@@ -51,6 +51,9 @@ HEADLINE = [
     "events_last_purchase",
     "purchases_with_recent_clicks",
     "events_sessionized",
+    "hll_distinct_orders",
+    "q14_promo_revenue",
+    "scalar_function_showcase",
 ]
 
 
