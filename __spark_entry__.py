@@ -20,6 +20,7 @@ from flink_kafka_filter_transform_spark.operators import (
     asof,
     cdc,
     dedup,
+    graph,
     multimodal,
     rangejoin,
     relational,
@@ -126,6 +127,7 @@ def queries() -> dict[str, QueryFn]:
         "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
         # --- similarity search ---
         "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
@@ -249,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_map_explode": oracles.events_props_map_explode_oracle(),
         "order_priority_stats": oracles.order_priority_stats_oracle(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_pairs_oracle(),
+        "neardup_clusters": oracles.neardup_clusters_oracle(),
         "frame_sample": oracles.frame_sample_oracle(),
         "events_sessionized": oracles.events_sessionized_oracle(),
         "q4_order_priority_semi": oracles.q4_order_priority_semi_oracle(),

@@ -1,0 +1,85 @@
+"""Iterative graph algorithms on DataFrames: connected components.
+
+The one place this engine runs a driver-side loop — label propagation
+for connected components, the step that turns near-duplicate PAIRS
+into dedup CLUSTERS (pick one canonical doc per cluster, drop the
+rest: the standard web-scale dedup pipeline tail).
+
+Scale shape: each iteration is one join + one min-aggregation, both
+hash-partitioned on the vertex id — the same partitioning every
+iteration, so at 100 TB the shuffle is stable and AQE-coalesced.
+Iterations needed = graph diameter in label-hops (O(log n) for
+near-dup clusters, which are tiny and dense). ``localCheckpoint``
+truncates lineage each round — without it the plan tree doubles per
+iteration and the driver dies long before the data does.
+
+The DuckDB oracle computes the same components with a RECURSIVE CTE
+(min reachable vertex id) — an independent fixpoint formulation
+agreeing on every cluster assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation. vertices: (id); edges: (src, dst).
+    Returns (id, component) where component = min id in the component."""
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lab = vertices.select("id", F.col("id").alias("component"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(lab, sym["src"] == lab["id"])
+            .select(F.col("dst").alias("id"), F.col("component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new = lab.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias(
+                "component"
+            ),
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    return lab
+
+
+def neardup_clusters(docs: DataFrame) -> DataFrame:
+    """Cluster near-duplicate documents (MinHash-LSH verified pairs)
+    and pick the canonical keeper per cluster.
+
+    Output: one row per document — cluster_id (min doc_id in its
+    component; singletons cluster alone), cluster_size, and is_kept
+    (true for the canonical doc). Filtering is_kept deduplicates the
+    corpus with exactly one survivor per near-dup family."""
+    from flink_kafka_filter_transform_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    verts = docs.select(F.col("doc_id").alias("id")).distinct()
+    comp = connected_components(verts, edges)
+    sized = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sized, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("id") == F.col("component")).alias("is_kept"),
+        )
+    )

@@ -895,3 +895,29 @@ def knn_lsh_recall_oracle(k: int = params.LSH_TOPK) -> str:
 
 def knn_ivf_recall_oracle(k: int = params.LSH_TOPK) -> str:
     return _recall_oracle(knn_ivf_oracle(k=k), k)
+
+
+def neardup_clusters_oracle() -> str:
+    """Connected components as a RECURSIVE CTE: min reachable doc_id.
+    Independent fixpoint formulation of graph.connected_components."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_oracle()}) p),
+verts AS (SELECT DISTINCT doc_id FROM documents),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+r(doc, root) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT e.b, r.root FROM r JOIN e ON e.a = r.doc
+),
+comp AS (SELECT doc, min(root) AS cluster_id FROM r GROUP BY doc),
+sized AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT comp.doc AS doc_id, comp.cluster_id,
+  CAST(sized.cluster_size AS BIGINT) AS cluster_size,
+  comp.doc = comp.cluster_id AS is_kept
+FROM comp JOIN sized ON comp.cluster_id = sized.cluster_id
+"""
