@@ -20,6 +20,7 @@ from flink_kafka_filter_transform_spark.operators import (
     asof,
     cdc,
     dedup,
+    extensibility,
     graph,
     multimodal,
     rangejoin,
@@ -138,6 +139,11 @@ def queries() -> dict[str, QueryFn]:
         "events_last_purchase": lambda s, d: asof.events_last_purchase(
             load_table(s, "events", d)
         ),
+        # --- extensibility surface (pandas UDAF + Python UDTF) ---
+        "weighted_avg_by_type": lambda s, d: extensibility.weighted_avg_by_type(
+            load_table(s, "events", d)
+        ),
+        "sentence_split_rows": lambda s, d: extensibility.sentence_split_rows(_docs(s, d)),
         # --- multimodal plumbing (mapInPandas path) ---
         "multimodal_features": lambda s, d: multimodal.multimodal_features(_docs(s, d)),
         "frame_sample": lambda s, d: multimodal.frame_sample_from_docs(_docs(s, d)),
@@ -252,6 +258,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_stats": oracles.order_priority_stats_oracle(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_pairs_oracle(),
         "neardup_clusters": oracles.neardup_clusters_oracle(),
+        "weighted_avg_by_type": oracles.weighted_avg_by_type_oracle(),
+        "sentence_split_rows": oracles.sentence_split_rows_oracle(),
         "frame_sample": oracles.frame_sample_oracle(),
         "events_sessionized": oracles.events_sessionized_oracle(),
         "q4_order_priority_semi": oracles.q4_order_priority_semi_oracle(),

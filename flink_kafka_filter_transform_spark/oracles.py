@@ -921,3 +921,55 @@ SELECT comp.doc AS doc_id, comp.cluster_id,
   comp.doc = comp.cluster_id AS is_kept
 FROM comp JOIN sized ON comp.cluster_id = sized.cluster_id
 """
+
+
+def weighted_avg_by_type_oracle() -> str:
+    """Twin of the pandas grouped-agg UDF: the same sequential left
+    fold over event_id-ordered rows, as list_reduce."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {xs}), (a, x) -> a + x)"
+    )
+    num = fold.format(
+        xs="list_transform(list_zip(vs, ks), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))"
+    )
+    den = fold.format(xs="ks")
+    return f"""
+WITH src AS (
+  SELECT event_type, event_id, value,
+    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+  FROM events
+  WHERE props IS NOT NULL AND json_valid(props)
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+g AS (
+  SELECT event_type,
+    list(value ORDER BY event_id) AS vs,
+    list(k ORDER BY event_id) AS ks,
+    count(*) AS n
+  FROM src GROUP BY event_type
+)
+SELECT event_type,
+  CASE WHEN {den} = 0.0 THEN NULL ELSE {num} / {den} END AS weighted_avg_value,
+  n AS n_weighted
+FROM g
+"""
+
+
+def sentence_split_rows_oracle() -> str:
+    r"""Twin of the sentence-split UDTF: same sentence regex, same
+    ASCII edge-trim, same 0-based numbering of non-empty sentences."""
+    return r"""
+WITH s AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'),
+                     x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+      x -> length(x) > 0) AS sents
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  CAST(unnest(generate_series(1, len(sents))) - 1 AS INT) AS sentence_idx,
+  unnest(sents) AS sentence,
+  CAST(length(unnest(sents)) AS INT) AS n_chars
+FROM s
+"""
