@@ -20,3 +20,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias used by property tests (kept separate so they could pin a
+    smaller parallelism later without touching the main fixture)."""
+    return spark
