@@ -176,6 +176,12 @@ def queries() -> dict[str, QueryFn]:
         "events_sessionized": lambda s, d: relational.events_sessionized(
             load_table(s, "events", d)
         ),
+        "window_function_showcase": lambda s, d: relational.window_function_showcase(
+            load_table(s, "orders", d)
+        ),
+        "events_daily_gapfilled": lambda s, d: relational.events_daily_gapfilled(
+            load_table(s, "events", d)
+        ),
         "q4_order_priority_semi": lambda s, d: relational.q4_order_priority_semi(
             load_table(s, "orders", d), load_table(s, "lineitem", d)
         ),
@@ -262,6 +268,8 @@ def oracle_sql() -> dict[str, str]:
         "sentence_split_rows": oracles.sentence_split_rows_oracle(),
         "frame_sample": oracles.frame_sample_oracle(),
         "events_sessionized": oracles.events_sessionized_oracle(),
+        "window_function_showcase": oracles.window_function_showcase_oracle(),
+        "events_daily_gapfilled": oracles.events_daily_gapfilled_oracle(),
         "q4_order_priority_semi": oracles.q4_order_priority_semi_oracle(),
         "customers_without_orders": oracles.customers_without_orders_oracle(),
         "revenue_rollup": oracles.revenue_rollup_oracle(),

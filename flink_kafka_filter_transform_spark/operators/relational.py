@@ -402,3 +402,56 @@ def events_props_map_explode(events: DataFrame) -> DataFrame:
         F.min("prop_val").alias("min_val"),
         F.max("prop_val").alias("max_val"),
     )
+
+
+def window_function_showcase(orders: DataFrame) -> DataFrame:
+    """Analytic-window breadth over one deterministic ordering:
+    ranking (row_number/rank/dense_rank/ntile), offsets (lag/lead),
+    frame endpoints (first/last value), and distribution
+    (percent_rank/cume_dist — count ratios, so exact doubles). The
+    single window spec means one shuffle + one sort serves all nine
+    functions."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        F.first("o_orderkey").over(wf).alias("top_key"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).filter(F.col("rn") <= 50)
+
+
+def events_daily_gapfilled(events: DataFrame) -> DataFrame:
+    """Date-spine gap filling: every (day, event_type) cell over the
+    observed date range, zero-filled where no events occurred — the
+    resample/densify step every time-series rollup needs. The spine is
+    sequence+explode over the global min/max (one tiny driver-free
+    cross join that broadcasts); the real data joins back left."""
+    day = F.to_date(F.timestamp_micros(F.expr("ts DIV 1000")))
+    daily = events.groupBy(day.alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return (
+        grid.join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )

@@ -973,3 +973,39 @@ SELECT doc_id,
   CAST(length(unnest(sents)) AS INT) AS n_chars
 FROM s
 """
+
+
+def window_function_showcase_oracle() -> str:
+    return """
+SELECT * FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+    CAST(row_number() OVER w AS INT) AS rn,
+    CAST(rank() OVER w AS INT) AS rnk,
+    CAST(dense_rank() OVER w AS INT) AS drnk,
+    CAST(ntile(4) OVER w AS INT) AS quartile,
+    lag(o_orderkey, 1) OVER w AS prev_key,
+    lead(o_orderkey, 1) OVER w AS next_key,
+    first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_key,
+    percent_rank() OVER w AS pct_rank,
+    cume_dist() OVER w AS cume
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+) t WHERE rn <= 50
+"""
+
+
+def events_daily_gapfilled_oracle() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+),
+grid AS (SELECT s.day, t.event_type FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM daily) t)
+SELECT strftime(g.day, '%Y-%m-%d') AS day, g.event_type,
+  CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
+"""
