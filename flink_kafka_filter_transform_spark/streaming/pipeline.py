@@ -217,3 +217,26 @@ def deduped_stream(
     return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         keys or ["msg_id"]
     )
+
+
+def foreach_batch_parquet_sink(
+    df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> DataStreamWriter:
+    """foreachBatch escape hatch: sinks Spark lacks natively get the
+    micro-batch as a plain DataFrame plus a batch id for idempotence.
+    Here each batch appends to a parquet dir partitioned by batch id —
+    re-delivered batches overwrite their own partition, giving
+    effectively-once output on top of at-least-once delivery."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )

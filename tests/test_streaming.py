@@ -164,3 +164,55 @@ def test_deduped_stream(spark, sf_dir, cdc_dir, cdc_schema, tmp_path):
     _run_to_memory(sp.deduped_stream(stream), "t_dedup", "append")
     assert spark.table("t_dedup").count() == base.count()
     assert spark.sql("SELECT max(c) m FROM (SELECT count(*) c FROM t_dedup GROUP BY msg_id)").collect()[0].m == 1
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, cdc_dir, cdc_schema, tmp_path):
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    out = str(tmp_path / "fb_out")
+    q = (
+        sp.foreach_batch_parquet_sink(
+            sp.transformed_stream(stream, RULES), out, str(tmp_path / "fb_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    batch = cdc.project_outgoing(
+        cdc.drop_unrouted(
+            cdc.route_when_chain(
+                cdc.filter_deletes(cdc.parse_envelope(cdc_events_df(spark, sf_dir))), RULES
+            )
+        )
+    )
+    assert back.count() == batch.count()
+    assert {r.topic for r in back.select("topic").distinct().collect()} == {
+        r.topic for r in batch.select("topic").distinct().collect()
+    }
+
+
+def test_metrics_endpoint(spark, sf_dir, cdc_dir, cdc_schema):
+    """O12 parity: /version and /metrics serve OpenMetrics text fed by
+    the streaming counters."""
+    import urllib.request
+
+    from flink_kafka_filter_transform_spark.streaming import metrics as mx
+
+    reg = mx.CounterRegistry()
+    counts = cdc.cdc_pipeline(cdc_events_df(spark, sf_dir), RULES).collect()
+    for r in counts:
+        reg.inc_transform(r["target_topic"], r["op"], r["cnt"])
+    server = mx.serve(reg, port=19266)
+    try:
+        ver = urllib.request.urlopen("http://127.0.0.1:19266/version").read().decode()
+        assert ver == mx.VERSION
+        body = urllib.request.urlopen("http://127.0.0.1:19266/metrics").read().decode()
+        assert "# TYPE flink_kafka_filter_transform_count counter" in body
+        total_served = sum(
+            int(line.rsplit(" ", 1)[1])
+            for line in body.splitlines()
+            if line.startswith("flink_kafka_filter_transform_count_total")
+        )
+        assert total_served == sum(r["cnt"] for r in counts)
+    finally:
+        server.shutdown()
