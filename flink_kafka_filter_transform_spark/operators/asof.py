@@ -46,18 +46,29 @@ def asof_join(
     left row/column plus ``value_cols`` (null when no prior right row).
     """
     lcols = left.columns
+    # Carry the whole right ROW as one non-null struct, not each value
+    # column separately: last(col, ignorenulls) on a bare value column
+    # would (a) skip a legitimately-NULL value and fall back to an
+    # OLDER right row, and (b) with several value_cols let each column
+    # come from a DIFFERENT right row. The struct is non-null for every
+    # right row even when all its fields are null, so the carry always
+    # picks the latest right row — matching DuckDB's native ASOF JOIN.
+    row_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+    )
     tagged_r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),  # right sorts first at equal ts -> visible
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        row_struct.alias("_v"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
     )
     tagged_l = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        null_struct.alias("_v"),
         *[F.col(c) for c in lcols if c != key],
     )
     w = (
@@ -66,12 +77,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_r.unionByName(tagged_l).select(
-        "*", *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}") for c in value_cols]
+        "*", F.last("_v", ignorenulls=True).over(w).alias("_asof")
     )
     return carried.filter(F.col("_side") == 1).select(
         F.col(key),
         *[F.col(c) for c in lcols if c != key],
-        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols],
     )
 
 

@@ -152,8 +152,14 @@ def route_broadcast_join(
     # several rules match the same message.
     payload_cols = [c for c in joined.columns if c not in
                     ("msg_id", "source_topic", "rule_db", "table_pattern", "priority")]
+    # NULL-priority rules: min_by IGNORES rows whose ordering value is
+    # NULL (a message matching only NULL-priority rules would emit an
+    # all-NULL payload row). Coalesce to int-max so NULL priority means
+    # "lowest precedence" — the same place DuckDB's default NULLS LAST
+    # puts it in the oracle's row_number ordering.
+    pri = F.coalesce(F.col("priority"), F.lit(2_147_483_647))
     picked = joined.groupBy("msg_id").agg(
-        F.min_by(F.struct(*payload_cols), F.col("priority")).alias("_m")
+        F.min_by(F.struct(*payload_cols), pri).alias("_m")
     )
     return picked.select("msg_id", *[F.col(f"_m.{c}").alias(c) for c in payload_cols])
 

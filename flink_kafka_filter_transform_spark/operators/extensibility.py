@@ -63,9 +63,12 @@ def weighted_avg_by_type(events: DataFrame) -> DataFrame:
 
 
 _SENTENCE_RE = re.compile(r"[^.!?]+[.!?]?")
-# ASCII-only edge trim: Python str.strip() eats unicode whitespace but
-# DuckDB's RE2 \s is ASCII — pin both sides to the ASCII set.
-_EDGE_WS_RE = re.compile(r"^\s+|\s+$", re.ASCII)
+# Explicit edge-trim char class shared with the oracle: Python's \s
+# (even with re.ASCII) includes \v, RE2's does not, and str.strip()
+# eats unicode whitespace — an enumerated class is the only set both
+# engines agree on. Keep in sync with EDGE_WS_CLASS in oracles.py.
+EDGE_WS_CLASS = "[ \\t\\n\\f\\r]"
+_EDGE_WS_RE = re.compile(f"^{EDGE_WS_CLASS}+|{EDGE_WS_CLASS}+$")
 
 
 def sentence_split_rows(docs: DataFrame) -> DataFrame:

@@ -25,10 +25,17 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 200
 ) -> DataFrame:
     """Min-label propagation. vertices: (id); edges: (src, dst).
-    Returns (id, component) where component = min id in the component."""
+    Returns (id, component) where component = min id in the component.
+
+    Labels move one hop per iteration, so convergence takes O(graph
+    diameter) rounds — near-dup clusters are dense (diameter ~ a few),
+    but a pathological chain needs its full length. ``max_iter`` is a
+    safety bound only: exhausting it without convergence RAISES rather
+    than silently returning split components (which would let two
+    'canonical' docs survive from one duplicate family)."""
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -55,8 +62,11 @@ def connected_components(
         )
         lab = new
         if changed == 0:
-            break
-    return lab
+            return lab
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        "iterations; raise max_iter (graph diameter exceeds the bound)"
+    )
 
 
 def neardup_clusters(docs: DataFrame) -> DataFrame:

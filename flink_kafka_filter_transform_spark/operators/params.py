@@ -53,3 +53,4 @@ LSH_TOPK = 5
 
 # --- multimodal ------------------------------------------------------------
 FRAME_BYTES = 256  # fake "frame" granularity for the decode stub
+IVF_NPROBE = 2  # cells probed per query in knn_ivf (shared with the oracle)

@@ -117,7 +117,7 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def knn_ivf(emb: DataFrame, k: int = params.LSH_TOPK, nprobe: int = 2) -> DataFrame:
+def knn_ivf(emb: DataFrame, k: int = params.LSH_TOPK, nprobe: int = params.IVF_NPROBE) -> DataFrame:
     """IVF-style approximate top-k: probe the nprobe nearest cells only.
 
     The scale path for vector search: centroids are learned from the

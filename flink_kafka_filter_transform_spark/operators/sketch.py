@@ -67,6 +67,10 @@ LC_TABLE = [float(M) * math.log(float(M) / z) for z in range(1, M)]
 def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
     """Per-``group`` HLL-256 distinct estimate of ``key`` alongside the
     exact count (the pair a user monitors to trust the sketch)."""
+    # NULL keys are excluded on BOTH sides: md5(NULL) would otherwise
+    # create a phantom NULL register inflating m_present, while the
+    # exact count_distinct (and DuckDB's COUNT(DISTINCT)) ignore NULLs.
+    df = df.filter(F.col(key).isNotNull())
     h = portable_hash64(F.col(key).cast("string"))
     hashed = df.select(F.col(group), h.alias("_h")).select(
         group,
@@ -109,7 +113,7 @@ def hll_distinct_sql(table: str, key: str, group: str) -> str:
         f"WHEN {z} THEN {v!r}" for z, v in zip(range(1, M), LC_TABLE)
     )
     return f"""
-WITH h AS (SELECT {group} AS g, {h} AS h FROM {table}),
+WITH h AS (SELECT {group} AS g, {h} AS h FROM {table} WHERE {key} IS NOT NULL),
 b AS (SELECT g, h % {M} AS idx, h // {M} AS rest FROM h),
 r AS (
   SELECT g, idx,

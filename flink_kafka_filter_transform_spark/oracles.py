@@ -640,7 +640,7 @@ SELECT doc_id, rank, term, tf, df_count, tfidf FROM (
 """
 
 
-def knn_ivf_oracle(k: int = params.LSH_TOPK, nprobe: int = 2) -> str:
+def knn_ivf_oracle(k: int = params.LSH_TOPK, nprobe: int = params.IVF_NPROBE) -> str:
     """Twin of similarity.knn_ivf. Centroids via exact DECIMAL(28,18)
     elementwise sums (order-independent) cast back to double, so both
     engines build bit-identical codebooks despite shuffle order."""
@@ -761,9 +761,14 @@ FROM events GROUP BY event_type
 """
 
 
-def purchases_with_recent_clicks_oracle(window_us: int = 3_600_000_000) -> str:
+def purchases_with_recent_clicks_oracle(window_us: int | None = None) -> str:
     """Naive inequality join — checks the bucketed rewrite against the
-    direct range-join semantics."""
+    direct range-join semantics. Default window imported from the
+    operator so tuning one side cannot de-synchronize the gate."""
+    from flink_kafka_filter_transform_spark.operators.rangejoin import HOUR_US
+
+    if window_us is None:
+        window_us = HOUR_US
     return f"""
 WITH p AS (
   SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
@@ -936,10 +941,10 @@ def weighted_avg_by_type_oracle() -> str:
     return f"""
 WITH src AS (
   SELECT event_type, event_id, value,
-    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+    TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
   FROM events
   WHERE props IS NOT NULL AND json_valid(props)
-    AND json_extract_string(props, '$.k') IS NOT NULL
+    AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
 ),
 g AS (
   SELECT event_type,
@@ -957,13 +962,17 @@ FROM g
 
 def sentence_split_rows_oracle() -> str:
     r"""Twin of the sentence-split UDTF: same sentence regex, same
-    ASCII edge-trim, same 0-based numbering of non-empty sentences."""
-    return r"""
+    enumerated edge-trim char class (Python \s and RE2 \s disagree on
+    \v), same 0-based numbering of non-empty sentences."""
+    from flink_kafka_filter_transform_spark.operators.extensibility import EDGE_WS_CLASS
+
+    cls = EDGE_WS_CLASS  # literal "[ \t\n\f\r]" — RE2 parses the escapes
+    return rf"""
 WITH s AS (
   SELECT doc_id,
     list_filter(
       list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'),
-                     x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                     x -> regexp_replace(x, '^{cls}+|{cls}+$', '', 'g')),
       x -> length(x) > 0) AS sents
   FROM documents WHERE text IS NOT NULL
 )

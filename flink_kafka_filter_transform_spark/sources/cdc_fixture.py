@@ -109,9 +109,14 @@ def cdc_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused into the reader's plan. Cache key includes the template hash,
     so editing the derivation invalidates; the rename is atomic, so a
     lost concurrent race just reuses the winner's directory."""
+    # key covers the FULL directory path, not just its leaf: two sf
+    # dirs named alike (e.g. /a/sf0.01 vs /b/sf0.01) must not share a
+    # cache entry.
     key = "{}_{}".format(
         os.path.basename(os.path.normpath(sf_dir)),
-        hashlib.md5(cdc_sql("spark").encode()).hexdigest()[:10],
+        hashlib.md5(
+            (os.path.abspath(sf_dir) + "\x00" + cdc_sql("spark")).encode()
+        ).hexdigest()[:10],
     )
     cache = os.path.join(tempfile.gettempdir(), "spark_graft_cdc_cache", key)
     if not os.path.isdir(cache):

@@ -41,8 +41,16 @@ class CounterRegistry:
             k = (topic, op)
             self.transform[k] = self.transform.get(k, 0) + n
 
+    @staticmethod
+    def _esc(label: str) -> str:
+        """OpenMetrics label-value escaping: labels come from CDC
+        payloads (db/table names), so quotes/backslashes/newlines must
+        be escaped or one hostile message breaks the whole scrape."""
+        return label.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
     def render(self) -> str:
         """OpenMetrics text exposition (counter families + # EOF)."""
+        e = self._esc
         with self._lock:
             lines = [
                 "# TYPE flink_cdc_event_count counter",
@@ -50,8 +58,8 @@ class CounterRegistry:
             ]
             for (topic, db, table, op), v in sorted(self.cdc_event.items()):
                 lines.append(
-                    f'flink_cdc_event_count_total{{topic="{topic}",db="{db}",'
-                    f'table="{table}",op="{op}"}} {v}'
+                    f'flink_cdc_event_count_total{{topic="{e(topic)}",db="{e(db)}",'
+                    f'table="{e(table)}",op="{e(op)}"}} {v}'
                 )
             lines += [
                 "# TYPE flink_kafka_filter_transform_count counter",
@@ -59,15 +67,20 @@ class CounterRegistry:
             ]
             for (topic, op), v in sorted(self.transform.items()):
                 lines.append(
-                    f'flink_kafka_filter_transform_count_total{{topic="{topic}",op="{op}"}} {v}'
+                    f'flink_kafka_filter_transform_count_total{{topic="{e(topic)}",op="{e(op)}"}} {v}'
                 )
             lines.append("# EOF")
             return "\n".join(lines) + "\n"
 
 
-def serve(registry: CounterRegistry, port: int = DEFAULT_PORT) -> ThreadingHTTPServer:
+def serve(
+    registry: CounterRegistry, port: int = DEFAULT_PORT, host: str = ""
+) -> ThreadingHTTPServer:
     """Start the observability server on a daemon thread; returns the
-    server (call .shutdown() to stop). Routes mirror the reference."""
+    server (call .shutdown() to stop). Routes mirror the reference.
+
+    Binds all interfaces by default — the reference endpoint is scraped
+    off-host (k8s pod IP); pass host='127.0.0.1' for loopback-only."""
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self) -> None:  # noqa: N802 (http.server API)
@@ -90,7 +103,7 @@ def serve(registry: CounterRegistry, port: int = DEFAULT_PORT) -> ThreadingHTTPS
         def log_message(self, *args) -> None:  # silence per-request logs
             pass
 
-    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server
 

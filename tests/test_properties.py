@@ -44,7 +44,11 @@ def test_range_join_bucketed_equals_naive(spark_prop, left, right):
 
 
 _right_unique = st.lists(
-    st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(-5, 5)),
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 40),
+        st.one_of(st.none(), st.integers(-5, 5)),  # NULL values must carry
+    ),
     min_size=0,
     max_size=10,
     unique_by=lambda r: (r[0], r[1]),  # unique (key, ts) as asof requires
