@@ -182,6 +182,8 @@ def queries() -> dict[str, QueryFn]:
         "events_daily_gapfilled": lambda s, d: relational.events_daily_gapfilled(
             load_table(s, "events", d)
         ),
+        "events_pivot": lambda s, d: relational.events_pivot(load_table(s, "events", d)),
+        "events_unpivot": lambda s, d: relational.events_unpivot(load_table(s, "events", d)),
         "q4_order_priority_semi": lambda s, d: relational.q4_order_priority_semi(
             load_table(s, "orders", d), load_table(s, "lineitem", d)
         ),
@@ -270,6 +272,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionized": oracles.events_sessionized_oracle(),
         "window_function_showcase": oracles.window_function_showcase_oracle(),
         "events_daily_gapfilled": oracles.events_daily_gapfilled_oracle(),
+        "events_pivot": oracles.events_pivot_oracle(),
+        "events_unpivot": oracles.events_unpivot_oracle(),
         "q4_order_priority_semi": oracles.q4_order_priority_semi_oracle(),
         "customers_without_orders": oracles.customers_without_orders_oracle(),
         "revenue_rollup": oracles.revenue_rollup_oracle(),

@@ -455,3 +455,42 @@ def events_daily_gapfilled(events: DataFrame) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(events: DataFrame) -> DataFrame:
+    """Pivot: one row per day, one count column per event type. The
+    pivot values are EXPLICIT — with an explicit list Spark skips the
+    extra distinct-collection job and the plan is a single grouped
+    conditional aggregation, identical shape to the oracle's CASE
+    sums (and the only sane form at scale: unknown pivot values mean
+    an unbounded schema)."""
+    day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+    return (
+        events.groupBy(day.alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+def events_unpivot(events: DataFrame) -> DataFrame:
+    """Unpivot (melt): the pivoted wide table back to long
+    (day, event_type, n) rows — Spark's unpivot/stack surface. Zero-
+    count cells are dropped to make the round trip exact."""
+    wide = events_pivot(events)
+    return (
+        wide.unpivot(
+            "day",
+            [f"n_{t}" for t in EVENT_TYPES],
+            "event_type",
+            "n_events",
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .filter(F.col("n_events") > 0)
+    )

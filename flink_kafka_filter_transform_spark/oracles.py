@@ -1018,3 +1018,25 @@ SELECT strftime(g.day, '%Y-%m-%d') AS day, g.event_type,
   CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
 FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
 """
+
+
+def events_pivot_oracle() -> str:
+    from flink_kafka_filter_transform_spark.operators.relational import EVENT_TYPES
+
+    cols = ",\n  ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+  {cols}
+FROM events GROUP BY 1
+"""
+
+
+def events_unpivot_oracle() -> str:
+    return """
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+  event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
