@@ -224,6 +224,7 @@ def queries() -> dict[str, QueryFn]:
         "hll_distinct_orders": lambda s, d: sketch.hll_distinct_orders(
             load_table(s, "lineitem", d)
         ),
+        "cms_token_counts": lambda s, d: sketch.cms_token_counts(_docs(s, d)),
         # --- interval/range join (bucketed rewrite vs naive oracle) ---
         "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
             load_table(s, "events", d)
@@ -289,5 +290,6 @@ def oracle_sql() -> dict[str, str]:
         "revenue_grouping_sets": oracles.revenue_grouping_sets_oracle(),
         "hll_distinct_users": oracles.hll_distinct_users_oracle(),
         "hll_distinct_orders": oracles.hll_distinct_orders_oracle(),
+        "cms_token_counts": oracles.cms_token_counts_oracle(),
         "purchases_with_recent_clicks": oracles.purchases_with_recent_clicks_oracle(),
     }

@@ -153,3 +153,74 @@ def hll_distinct_orders(lineitem: DataFrame) -> DataFrame:
     thousands per group at sf0.01), exercising the raw-estimator
     branch rather than linear counting."""
     return hll_distinct(lineitem, key="l_orderkey", group="l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: heavy-hitter frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_token_counts(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Count-Min Sketch frequency estimates for the corpus's top tokens.
+
+    The CMS grid is DEPTH x WIDTH integer counters — the mergeable,
+    fixed-size structure that replaces exact per-token counts when the
+    vocabulary doesn't fit (estimate >= true count, off by collision
+    mass only). Everything is exact integer arithmetic on the shared
+    portable hash, so Spark and DuckDB build bit-identical grids —
+    a sketch whose error is REPRODUCIBLE, not just bounded.
+
+    Plan: one explode + one (row,bucket) count (map-combined, grid is
+    DEPTH*WIDTH rows total) + a broadcast of the top-N probe set onto
+    the tiny grid. Output: token, exact count, CMS estimate."""
+    from flink_kafka_filter_transform_spark.operators.text import tokens
+
+    ex = docs.select(F.explode(tokens()).alias("tok"))
+    salted = ex.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            portable_hash64(F.concat(F.lit(f"{j}:"), F.col("tok")))
+                            % CMS_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row", "rb.bucket")
+    grid = salted.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+
+    top = (
+        ex.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+        .limit(top_n)
+    )
+    probes = top.select(
+        "tok",
+        "n_exact",
+        *[
+            (portable_hash64(F.concat(F.lit(f"{j}:"), F.col("tok"))) % CMS_WIDTH).alias(
+                f"b{j}"
+            )
+            for j in range(CMS_DEPTH)
+        ],
+    )
+    est = probes
+    for j in range(CMS_DEPTH):
+        gj = grid.filter(F.col("row") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("cell").alias(f"c{j}")
+        )
+        est = est.join(F.broadcast(gj), f"b{j}")
+    return est.select(
+        F.col("tok").alias("token"),
+        "n_exact",
+        F.least(*[F.col(f"c{j}") for j in range(CMS_DEPTH)]).alias("cms_estimate"),
+    )

@@ -1040,3 +1040,45 @@ SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
   event_type, CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2
 """
+
+
+def cms_token_counts_oracle(top_n: int = 20) -> str:
+    from flink_kafka_filter_transform_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    hashes = {
+        j: portable_hash64_sql(f"'{j}:' || tok") for j in range(CMS_DEPTH)
+    }
+    grid_rows = "\n  UNION ALL ".join(
+        f"SELECT {j} AS row, {hashes[j]} % {CMS_WIDTH} AS bucket FROM ex"
+        for j in range(CMS_DEPTH)
+    )
+    probe_cols = ",\n    ".join(
+        f"{hashes[j]} % {CMS_WIDTH} AS b{j}" for j in range(CMS_DEPTH)
+    )
+    joins = "\n".join(
+        f"JOIN (SELECT bucket AS b{j}, cell AS c{j} FROM grid WHERE row = {j}) g{j} USING (b{j})"
+        for j in range(CMS_DEPTH)
+    )
+    least = ", ".join(f"c{j}" for j in range(CMS_DEPTH))
+    return rf"""
+WITH ex AS (
+  SELECT unnest(regexp_extract_all(text, '[^\s]+')) AS tok FROM documents
+),
+grid AS (
+  SELECT row, bucket, count(*) AS cell FROM (
+  {grid_rows}
+  ) rb GROUP BY row, bucket
+),
+top AS (
+  SELECT tok, count(*) AS n_exact FROM ex GROUP BY tok
+  ORDER BY n_exact DESC, tok ASC LIMIT {top_n}
+),
+probes AS (
+  SELECT tok, n_exact,
+    {probe_cols}
+  FROM top
+)
+SELECT probes.tok AS token, probes.n_exact, least({least}) AS cms_estimate
+FROM probes
+{joins}
+"""
