@@ -25,6 +25,7 @@ from flink_kafka_filter_transform_spark.operators import (
     multimodal,
     rangejoin,
     relational,
+    sampling,
     similarity,
     sketch,
     text,
@@ -225,6 +226,11 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "lineitem", d)
         ),
         "cms_token_counts": lambda s, d: sketch.cms_token_counts(_docs(s, d)),
+        # --- deterministic sampling / splits ---
+        "documents_split_summary": lambda s, d: sampling.documents_split_summary(_docs(s, d)),
+        "events_stratified_sample": lambda s, d: sampling.events_stratified_sample(
+            load_table(s, "events", d)
+        ),
         # --- interval/range join (bucketed rewrite vs naive oracle) ---
         "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
             load_table(s, "events", d)
@@ -291,5 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": oracles.hll_distinct_users_oracle(),
         "hll_distinct_orders": oracles.hll_distinct_orders_oracle(),
         "cms_token_counts": oracles.cms_token_counts_oracle(),
+        "documents_split_summary": oracles.documents_split_summary_oracle(),
+        "events_stratified_sample": oracles.events_stratified_sample_oracle(),
         "purchases_with_recent_clicks": oracles.purchases_with_recent_clicks_oracle(),
     }

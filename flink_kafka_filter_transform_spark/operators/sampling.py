@@ -1,0 +1,89 @@
+"""Deterministic sampling — the reproducibility-critical tail of a
+training-data pipeline.
+
+``df.sample()`` is seed-dependent AND partitioning-dependent: the same
+seed over a repartitioned input yields a different sample, which makes
+experiment reruns unreproducible and is impossible to oracle-check.
+Every operator here instead derives membership from the portable
+content hash of a KEY column — a pure function of the data:
+
+- ``hash_sample``      : keep rows whose hash bucket < rate*1000.
+- ``stratified_sample``: per-stratum rates (balance a skewed corpus).
+- ``train_val_test``   : disjoint 80/10/10 split labels from hash
+                         ranges — membership never changes when the
+                         corpus is re-partitioned, appended to, or
+                         re-read, so no example ever leaks between
+                         splits across pipeline runs.
+
+All are map-only plans (filter/label on a scan — no shuffle, no state)
+and trivially parallel at 100 TB; the hash seeds the SAME split on
+every engine, which is exactly what the DuckDB oracles check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64
+
+BUCKETS = 1000
+
+
+def _bucket(key: str) -> Column:
+    return portable_hash64(F.col(key).cast("string")) % BUCKETS
+
+
+def hash_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
+    """Keep ~rate of rows, membership a pure function of ``key``."""
+    return df.filter(_bucket(key) < int(rate * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, rates: dict[str, float]
+) -> DataFrame:
+    """Per-stratum sampling rates; strata without a rate are dropped."""
+    expr = F.lit(-1)
+    for value, rate in sorted(rates.items()):
+        expr = F.when(F.col(stratum) == value, F.lit(int(rate * BUCKETS))).otherwise(expr)
+    return df.filter(_bucket(key) < expr)
+
+
+def train_val_test(
+    df: DataFrame, key: str, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Append a disjoint split label: test = lowest hash buckets, then
+    val, the rest train (cut points in buckets of 0.1%)."""
+    b = _bucket(key)
+    test_hi = test_pct * BUCKETS // 100
+    val_hi = test_hi + val_pct * BUCKETS // 100
+    split = (
+        F.when(b < test_hi, F.lit("test"))
+        .when(b < val_hi, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def documents_split_summary(docs: DataFrame) -> DataFrame:
+    """Split sizes + per-split token mass for the documents corpus —
+    the sanity report run before any training job."""
+    from flink_kafka_filter_transform_spark.operators.text import tokens
+
+    with_split = train_val_test(docs, key="doc_id")
+    return with_split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens())).cast("bigint").alias("n_tokens"),
+    )
+
+
+def events_stratified_sample(events: DataFrame) -> DataFrame:
+    """Downsample bulky click/view streams, keep all purchases — the
+    classic class-rebalance before training on event data."""
+    sampled = stratified_sample(
+        events,
+        key="event_id",
+        stratum="event_type",
+        rates={"click": 0.1, "view": 0.1, "purchase": 1.0, "signup": 0.5},
+    )
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -1082,3 +1082,38 @@ SELECT probes.tok AS token, probes.n_exact, least({least}) AS cms_estimate
 FROM probes
 {joins}
 """
+
+
+def documents_split_summary_oracle() -> str:
+    from flink_kafka_filter_transform_spark.operators.sampling import BUCKETS
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)")
+    test_hi = 10 * BUCKETS // 100
+    val_hi = test_hi + 10 * BUCKETS // 100
+    return rf"""
+WITH s AS (
+  SELECT doc_id, text,
+    CASE WHEN {h} % {BUCKETS} < {test_hi} THEN 'test'
+         WHEN {h} % {BUCKETS} < {val_hi} THEN 'val'
+         ELSE 'train' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs,
+  CAST(sum(len(regexp_extract_all(text, '[^\s]+'))) AS BIGINT) AS n_tokens
+FROM s GROUP BY split
+"""
+
+
+def events_stratified_sample_oracle() -> str:
+    from flink_kafka_filter_transform_spark.operators.sampling import BUCKETS
+
+    h = portable_hash64_sql("CAST(event_id AS VARCHAR)")
+    rates = {"click": 0.1, "view": 0.1, "purchase": 1.0, "signup": 0.5}
+    whens = " ".join(
+        f"WHEN event_type = '{v}' THEN {int(r * BUCKETS)}" for v, r in sorted(rates.items())
+    )
+    return f"""
+SELECT event_type, count(*) AS n_sampled FROM events
+WHERE {h} % {BUCKETS} < (CASE {whens} ELSE -1 END)
+GROUP BY event_type
+"""
