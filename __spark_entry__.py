@@ -22,6 +22,7 @@ from flink_kafka_filter_transform_spark.operators import (
     dedup,
     extensibility,
     graph,
+    kmeans,
     multimodal,
     rangejoin,
     relational,
@@ -135,6 +136,8 @@ def queries() -> dict[str, QueryFn]:
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
         "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
         "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
+        "kmeans_clusters": lambda s, d: kmeans.kmeans_clusters(_emb(s, d)),
+        "kmeans_cluster_sizes": lambda s, d: kmeans.kmeans_cluster_sizes(_emb(s, d)),
         "knn_ivf_recall": lambda s, d: similarity.knn_ivf_recall(_emb(s, d)),
         # --- as-of (point-in-time) join ---
         "events_last_purchase": lambda s, d: asof.events_last_purchase(
@@ -260,6 +263,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": oracles.knn_lsh_oracle(),
         "knn_ivf": oracles.knn_ivf_oracle(),
         "knn_lsh_recall": oracles.knn_lsh_recall_oracle(),
+        "kmeans_clusters": oracles.kmeans_clusters_oracle(),
+        "kmeans_cluster_sizes": oracles.kmeans_cluster_sizes_oracle(),
         "knn_ivf_recall": oracles.knn_ivf_recall_oracle(),
         "events_last_purchase": oracles.events_last_purchase_oracle(),
         "multimodal_features": oracles.multimodal_features_oracle(),

@@ -1,0 +1,105 @@
+"""K-means (Lloyd's algorithm) over the embeddings table — the
+iterative-ML escape hatch, differentially tested.
+
+Each iteration is two relational steps:
+  1. assign  : broadcast the k centroids, score every vector's squared
+               L2 distance (left-to-right double fold), keep the
+               argmin (ties -> lower centroid id);
+  2. update  : per-cluster elementwise mean via exact DECIMAL sums
+               (order-independent, so shuffle order can't perturb the
+               centroids) cast back to double; empty clusters keep
+               their previous centroid.
+
+Determinism is the point: seeded with the first k vectors and run a
+FIXED number of iterations, both engines walk the identical centroid
+trajectory, so the DuckDB oracle — the same two steps unrolled as a
+CTE chain per iteration — agrees on every final assignment. This is
+the template for iterative algorithms at 100 TB: per iteration one
+broadcast (centroids are k x dim, tiny) + one aggregation shuffle
+keyed (cluster, pos); the corpus is scanned once per iteration and
+never re-shuffled by key.
+
+Also wired as the learned-codebook upgrade of similarity.knn_ivf
+(label cells -> k-means cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+K_DEFAULT = 4
+ITERS_DEFAULT = 2
+
+
+def _sq_dist(a: Column | str, b: Column | str) -> Column:
+    """Left-to-right double fold of sum((x-y)^2) — see functions.vectors
+    for the cross-engine fold-order contract."""
+    ac = (F.col(a) if isinstance(a, str) else a).cast("array<double>")
+    bc = (F.col(b) if isinstance(b, str) else b).cast("array<double>")
+    return F.aggregate(
+        F.zip_with(ac, bc, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest centroid, ties to lower cid."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("_d").asc(), F.col("cid").asc())
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", _sq_dist("v", "centroid").alias("_d"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def _update(vecs: DataFrame, assign: DataFrame, prev: DataFrame) -> DataFrame:
+    """New per-cluster mean centroids; empty clusters keep prev."""
+    pos = (
+        assign.join(vecs, "vec_id")
+        .select("cid", F.posexplode("v").alias("pos", "val"))
+    )
+    cell = pos.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cv")
+    )
+    new = cell.groupBy("cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("_new")
+    )
+    return prev.join(new, "cid", "left").select(
+        "cid", F.coalesce("_new", F.col("centroid")).alias("centroid")
+    )
+
+
+def kmeans_clusters(
+    emb: DataFrame, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT
+) -> DataFrame:
+    """Final (vec_id, cluster_id) assignment after ``iters`` Lloyd
+    iterations seeded with the first k vectors."""
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
+    )
+    for _ in range(iters):
+        assign = _assign(vecs, cents)
+        cents = _update(vecs, assign, cents)
+    return _assign(vecs, cents).select(
+        "vec_id", F.col("cid").alias("cluster_id")
+    )
+
+
+def kmeans_cluster_sizes(
+    emb: DataFrame, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT
+) -> DataFrame:
+    """Cluster cardinalities — the codebook balance report."""
+    return kmeans_clusters(emb, k, iters).groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )

@@ -1117,3 +1117,82 @@ SELECT event_type, count(*) AS n_sampled FROM events
 WHERE {h} % {BUCKETS} < (CASE {whens} ELSE -1 END)
 GROUP BY event_type
 """
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """Lloyd's algorithm unrolled as a CTE chain — iteration i reads
+    c{i-1} and emits a{i} (assignments) and c{i} (centroids). The
+    distance fold, decimal centroid means, and tie-breaks mirror
+    operators.kmeans exactly."""
+    dist = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(list_zip(e.v, c.centroid),"
+        " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS centroid FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {prev} c
+  ) r WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""s{i} AS (
+  SELECT cid, pos, CAST(SUM(CAST(val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
+  FROM (
+    SELECT a{i}.cid,
+      unnest(generate_series(1, len(e.v))) AS pos,
+      unnest(e.v) AS val
+    FROM a{i} JOIN e USING (vec_id)
+  ) x GROUP BY cid, pos
+)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT p.cid, coalesce(n.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS centroid FROM s{i} GROUP BY cid) n
+  USING (cid)
+)"""
+        )
+    # final assignment against the last centroids
+    parts.append(
+        f"""afinal AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN c{iters} c
+  ) r WHERE rn = 1
+)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+def kmeans_clusters_oracle(k: int | None = None, iters: int | None = None) -> str:
+    from flink_kafka_filter_transform_spark.operators.kmeans import ITERS_DEFAULT, K_DEFAULT
+
+    k = K_DEFAULT if k is None else k
+    iters = ITERS_DEFAULT if iters is None else iters
+    return f"""
+{_kmeans_ctes(k, iters)}
+SELECT vec_id, cid AS cluster_id FROM afinal
+"""
+
+
+def kmeans_cluster_sizes_oracle(k: int | None = None, iters: int | None = None) -> str:
+    from flink_kafka_filter_transform_spark.operators.kmeans import ITERS_DEFAULT, K_DEFAULT
+
+    k = K_DEFAULT if k is None else k
+    iters = ITERS_DEFAULT if iters is None else iters
+    return f"""
+{_kmeans_ctes(k, iters)}
+SELECT cid AS cluster_id, count(*) AS n_vectors FROM afinal GROUP BY cid
+"""
