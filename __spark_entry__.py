@@ -138,6 +138,7 @@ def queries() -> dict[str, QueryFn]:
         "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
         "kmeans_clusters": lambda s, d: kmeans.kmeans_clusters(_emb(s, d)),
         "kmeans_cluster_sizes": lambda s, d: kmeans.kmeans_cluster_sizes(_emb(s, d)),
+        "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
         "knn_ivf_recall": lambda s, d: similarity.knn_ivf_recall(_emb(s, d)),
         # --- as-of (point-in-time) join ---
         "events_last_purchase": lambda s, d: asof.events_last_purchase(
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_recall": oracles.knn_lsh_recall_oracle(),
         "kmeans_clusters": oracles.kmeans_clusters_oracle(),
         "kmeans_cluster_sizes": oracles.kmeans_cluster_sizes_oracle(),
+        "knn_ivf_kmeans": oracles.knn_ivf_kmeans_oracle(),
         "knn_ivf_recall": oracles.knn_ivf_recall_oracle(),
         "events_last_purchase": oracles.events_last_purchase_oracle(),
         "multimodal_features": oracles.multimodal_features_oracle(),

@@ -103,3 +103,50 @@ def kmeans_cluster_sizes(
     return kmeans_clusters(emb, k, iters).groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+def knn_ivf_kmeans(
+    emb: DataFrame,
+    k_neighbors: int = 5,
+    n_cells: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF vector search over the LEARNED k-means codebook — the
+    production shape (similarity.knn_ivf uses label cells as a stand-in
+    codebook). Queries rank the k centroids, probe the nprobe nearest
+    cells, and scan only those cells' vectors."""
+    from flink_kafka_filter_transform_spark.functions.vectors import cosine_similarity
+    from flink_kafka_filter_transform_spark.operators import params
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = vecs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
+    )
+    for _ in range(iters):
+        cents = _update(vecs, _assign(vecs, cents), cents)
+    member = _assign(vecs, cents)
+
+    q = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("_cs").desc(), F.col("cid").asc())
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "q_vec", "cid", cosine_similarity("q_vec", "centroid").alias("_cs"))
+        .withColumn("_cr", F.row_number().over(wp))
+        .filter(F.col("_cr") <= nprobe)
+        .select("q_id", "q_vec", "cid")
+    )
+    scored = (
+        vecs.join(member, "vec_id")
+        .join(F.broadcast(probed), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine_similarity("v", "q_vec").alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("q_id", "vec_id", "rank", "cos_sim")
+    )

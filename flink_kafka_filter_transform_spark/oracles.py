@@ -1196,3 +1196,36 @@ def kmeans_cluster_sizes_oracle(k: int | None = None, iters: int | None = None) 
 {_kmeans_ctes(k, iters)}
 SELECT cid AS cluster_id, count(*) AS n_vectors FROM afinal GROUP BY cid
 """
+
+
+def knn_ivf_kmeans_oracle(
+    k_neighbors: int = 5, n_cells: int | None = None, iters: int | None = None, nprobe: int = 2
+) -> str:
+    from flink_kafka_filter_transform_spark.operators.kmeans import ITERS_DEFAULT, K_DEFAULT
+
+    n_cells = K_DEFAULT if n_cells is None else n_cells
+    iters = ITERS_DEFAULT if iters is None else iters
+    c_cos = cosine_sql("q.q_vec", "c.centroid")
+    cos = cosine_sql("e2.v", "p.q_vec")
+    return f"""
+{_kmeans_ctes(n_cells, iters)},
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {params.KNN_NUM_QUERIES}),
+probed AS (
+  SELECT q_id, q_vec, cid FROM (
+    SELECT q.q_id, q.q_vec, c.cid,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY {c_cos} DESC, c.cid ASC) AS cr
+    FROM q CROSS JOIN c{iters} c
+  ) pr WHERE cr <= {nprobe}
+),
+scored AS (
+  SELECT p.q_id, e2.vec_id, {cos} AS cos_sim
+  FROM e e2
+  JOIN afinal m ON e2.vec_id = m.vec_id
+  JOIN probed p ON m.cid = p.cid
+  WHERE e2.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+) r WHERE rank <= {k_neighbors}
+"""
