@@ -131,6 +131,10 @@ def queries() -> dict[str, QueryFn]:
         "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
+        "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
+        "array_function_showcase": lambda s, d: relational.array_function_showcase(
+            _docs(s, d)
+        ),
         # --- similarity search ---
         "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
@@ -280,6 +284,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_stats": oracles.order_priority_stats_oracle(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_pairs_oracle(),
         "neardup_clusters": oracles.neardup_clusters_oracle(),
+        "dedup_survivors": oracles.dedup_survivors_oracle(),
+        "array_function_showcase": oracles.array_function_showcase_oracle(),
         "weighted_avg_by_type": oracles.weighted_avg_by_type_oracle(),
         "sentence_split_rows": oracles.sentence_split_rows_oracle(),
         "frame_sample": oracles.frame_sample_oracle(),

@@ -93,3 +93,13 @@ def neardup_clusters(docs: DataFrame) -> DataFrame:
             (F.col("id") == F.col("component")).alias("is_kept"),
         )
     )
+
+
+def dedup_survivors(docs: DataFrame) -> DataFrame:
+    """The deduplicated corpus: every document whose cluster keeper it
+    is — the final artifact of exact+near dedup (pairs -> clusters ->
+    one survivor per family). Downstream training jobs read THIS."""
+    keep = neardup_clusters(docs).filter(F.col("is_kept")).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

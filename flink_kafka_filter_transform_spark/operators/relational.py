@@ -494,3 +494,28 @@ def events_unpivot(events: DataFrame) -> DataFrame:
         .withColumn("event_type", F.expr("substring(event_type, 3)"))
         .filter(F.col("n_events") > 0)
     )
+
+
+def array_function_showcase(docs: DataFrame) -> DataFrame:
+    """Array-function breadth over the token arrays: sort, dedupe,
+    slice, set ops against a constant, existence predicates, and a
+    fold — all Catalyst higher-order functions, one map-only plan."""
+    from flink_kafka_filter_transform_spark.operators.text import tokens
+
+    # NOT F.expr("regexp_extract_all(text, '[^\\s]+')"): Spark SQL
+    # string literals eat the backslash ('\s' -> 's'), silently turning
+    # the pattern into [^s]+ — use the Column-API helper instead.
+    toks = tokens()
+    stop = F.array(F.lit("the"), F.lit("and"), F.lit("of"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias("first5_sorted"),
+        F.size(F.array_intersect(toks, stop)).alias("n_stopword_kinds"),
+        F.size(F.array_except(F.array_distinct(toks), stop)).alias("n_content_kinds"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.exists(toks, lambda t: F.length(t) > 10).alias("has_long_token"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        .cast("bigint")
+        .alias("total_chars"),
+    )

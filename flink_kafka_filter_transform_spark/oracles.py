@@ -1229,3 +1229,40 @@ SELECT q_id, vec_id, rank, cos_sim FROM (
   FROM scored
 ) r WHERE rank <= {k_neighbors}
 """
+
+
+def dedup_survivors_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_oracle()}) p),
+verts AS (SELECT DISTINCT doc_id FROM documents),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+r(doc, root) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT e.b, r.root FROM r JOIN e ON e.a = r.doc
+),
+comp AS (SELECT doc, min(root) AS cluster_id FROM r GROUP BY doc)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN comp ON d.doc_id = comp.doc
+WHERE comp.doc = comp.cluster_id
+"""
+
+
+def array_function_showcase_oracle() -> str:
+    return r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '[^\s]+') AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  list_sort(list_distinct(toks))[1:5] AS first5_sorted,
+  CAST(len(list_intersect(toks, ['the','and','of'])) AS INT) AS n_stopword_kinds,
+  CAST(len(list_filter(list_distinct(toks), x -> NOT list_contains(['the','and','of'], x))) AS INT) AS n_content_kinds,
+  list_contains(toks, 'the') AS has_the,
+  len(list_filter(toks, x -> length(x) > 10)) > 0 AS has_long_token,
+  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b) AS BIGINT) AS total_chars
+FROM t
+"""
