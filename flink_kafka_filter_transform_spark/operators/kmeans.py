@@ -74,7 +74,10 @@ def _update(vecs: DataFrame, assign: DataFrame, prev: DataFrame) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
         ).alias("_new")
     )
-    return prev.join(new, "cid", "left").select(
+    # explicit hint: `new` is k rows by construction, but it sits behind
+    # an aggregation so the static planner can't see its size and would
+    # pick a sort-merge join pre-AQE
+    return prev.join(F.broadcast(new), "cid", "left").select(
         "cid", F.coalesce("_new", F.col("centroid")).alias("centroid")
     )
 

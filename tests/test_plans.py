@@ -142,3 +142,28 @@ def test_q14_part_dimension_broadcasts(spark, sf_dir):
     )
     assert px.has_broadcast_join(df)
     assert any("l_shipdate" in f for f in px.pushed_filters(df)), px.pushed_filters(df)
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """Every Lloyd iteration must broadcast the (k x dim) codebook —
+    the corpus is never shuffled for assignment."""
+    from flink_kafka_filter_transform_spark.operators import kmeans
+
+    df = kmeans.kmeans_clusters(load_table(spark, "embeddings", sf_dir), iters=1)
+    assert px.has_broadcast_join(df)
+    assert px.sortmerge_join_count(df) == 0
+
+
+def test_sampling_is_shuffle_free(spark, sf_dir):
+    """Hash sampling and split labeling are pure map plans."""
+    from flink_kafka_filter_transform_spark.operators import sampling
+
+    docs = load_table(spark, "documents", sf_dir)
+    assert px.count_shuffles(sampling.hash_sample(docs, "doc_id", 0.1)) == 0
+    assert px.count_shuffles(sampling.train_val_test(docs, "doc_id")) == 0
+
+
+def test_array_showcase_is_single_codegen_map(spark, sf_dir):
+    df = relational.array_function_showcase(load_table(spark, "documents", sf_dir))
+    assert px.count_shuffles(df) == 0
+    assert px.codegen_stage_count(df) >= 1
