@@ -30,6 +30,7 @@ from flink_kafka_filter_transform_spark.operators import (
     similarity,
     sketch,
     text,
+    vectorprep,
 )
 from flink_kafka_filter_transform_spark.sources.cdc_fixture import RULES, cdc_events_df, rules_df
 from flink_kafka_filter_transform_spark.sources.parquet import load_table
@@ -124,6 +125,12 @@ def queries() -> dict[str, QueryFn]:
         "token_counts": lambda s, d: text.token_counts(_docs(s, d)),
         "doc_fingerprint": lambda s, d: text.doc_fingerprint(_docs(s, d)),
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
+        "normalize_text": lambda s, d: text.normalize_text(_docs(s, d)),
+        # --- vector preprocessing ---
+        "embedding_normalized_norms": lambda s, d: vectorprep.embedding_normalized_norms(
+            _emb(s, d)
+        ),
+        "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
         # --- dedup ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
@@ -260,6 +267,9 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles.token_counts_oracle(),
         "doc_fingerprint": oracles.doc_fingerprint_oracle(),
         "tfidf_top_terms": oracles.tfidf_top_terms_oracle(),
+        "normalize_text": oracles.normalize_text_oracle(),
+        "embedding_normalized_norms": oracles.embedding_normalized_norms_oracle(),
+        "embedding_quantize": oracles.embedding_quantize_oracle(),
         "exact_dedup": oracles.exact_dedup_oracle(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_oracle(),
         "simhash_pairs": oracles.simhash_pairs_oracle(),

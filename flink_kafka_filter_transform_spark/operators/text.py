@@ -150,3 +150,22 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "df_count", "tfidf")
     )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text cleaning: lowercase, strip non-alphanumeric
+    (keeping spaces), collapse whitespace runs, trim — the first pass
+    of every text-dedup/training pipeline, plus before/after lengths
+    so the aggressiveness is observable."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +",
+        " ",
+    )
+    trimmed = F.regexp_replace(cleaned, "^ +| +$", "")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("len_raw"),
+        F.length(trimmed).cast("bigint").alias("len_clean"),
+        F.substring(trimmed, 1, 80).alias("clean_prefix"),
+    )

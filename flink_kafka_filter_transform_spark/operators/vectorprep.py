@@ -1,0 +1,67 @@
+"""Embedding preprocessing: L2 normalization and int8 quantization.
+
+The vector-pipeline steps that precede indexing/serving at scale:
+normalized vectors make cosine a plain dot product; max-abs int8
+quantization cuts storage and bandwidth 4x with a per-vector scale.
+Both are map-only Catalyst plans (no UDF, no shuffle).
+
+Cross-engine determinism: norms fold left-to-right in double
+(functions.vectors contract); quantization rounds via floor(x + 0.5)
+rather than round() — Spark's HALF_UP and DuckDB's half-away-from-zero
+agree on most inputs but are DIFFERENT functions, while floor(x+0.5)
+is the same IEEE expression in both engines. Reconstruction error is
+summed as exact DECIMAL so the report is bit-stable too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_kafka_filter_transform_spark.functions.vectors import l2_norm
+
+
+def l2_normalize(col: Column | str) -> Column:
+    """Unit-norm copy of the vector (null if zero norm)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("array<double>")
+    n = l2_norm(c)
+    return F.when(n > 0, F.transform(c, lambda x: x / n))
+
+
+def embedding_normalized_norms(emb: DataFrame) -> DataFrame:
+    """Per-vector original norm + norm after normalization (sanity:
+    the latter is 1.0 up to float rounding — reported, not assumed)."""
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        l2_norm(v).alias("norm"),
+        l2_norm(l2_normalize(v)).alias("norm_after"),
+    )
+
+
+def embedding_quantize(emb: DataFrame) -> DataFrame:
+    """Max-abs int8 quantization with reconstruction-error report.
+
+    q_i = floor(v_i * 127 / max_abs + 0.5) in [-127, 127];
+    error = sum(|v_i - q_i * scale|) as exact decimal -> double."""
+    v = F.col("embedding").cast("array<double>")
+    max_abs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = max_abs / F.lit(127.0)
+    q = F.transform(v, lambda x: F.floor(x * F.lit(127.0) / max_abs + F.lit(0.5)).cast("int"))
+    # decimal sizing: element (20,18) + acc (30,18) adds WITHOUT scale
+    # loss (Spark shrinks scale when precision would pass 38 — a silent
+    # exactness leak); the per-step cast back to (30,18) is an identity
+    # for any error mass under 10^12.
+    recon_err = F.aggregate(
+        F.zip_with(v, q, lambda x, qi: F.abs(x - qi.cast("double") * scale).cast("decimal(20,18)")),
+        F.lit(0).cast("decimal(30,18)"),
+        lambda acc, e: (acc + e).cast("decimal(30,18)"),
+    ).cast("double")
+    return emb.filter(max_abs > 0).select(
+        "vec_id",
+        scale.alias("scale"),
+        q.alias("q8"),
+        recon_err.alias("recon_err"),
+    )

@@ -1266,3 +1266,58 @@ SELECT doc_id,
   CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b) AS BIGINT) AS total_chars
 FROM t
 """
+
+
+def embedding_normalized_norms_oracle() -> str:
+    from flink_kafka_filter_transform_spark.functions.vectors import norm_sql
+
+    n = norm_sql("v")
+    unit = f"list_transform(v, x -> x / {n})"
+    n_after = norm_sql(unit)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+SELECT vec_id, {n} AS norm,
+  CASE WHEN {n} > 0 THEN {n_after} END AS norm_after
+FROM e
+"""
+
+
+def embedding_quantize_oracle() -> str:
+    return """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> abs(x))),
+                (acc, x) -> greatest(acc, x)) AS max_abs
+  FROM e
+),
+qd AS (
+  SELECT vec_id, v, max_abs, max_abs / 127.0 AS scale,
+    list_transform(v, x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS INT)) AS q8
+  FROM m WHERE max_abs > 0
+)
+SELECT vec_id, scale, q8,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS DECIMAL(30,18)),
+      list_transform(list_zip(v, q8),
+        z -> CAST(abs(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) * scale) AS DECIMAL(20,18)))),
+    (acc, x) -> CAST(acc + x AS DECIMAL(30,18))) AS DOUBLE) AS recon_err
+FROM qd
+"""
+
+
+def normalize_text_oracle() -> str:
+    return """
+WITH c AS (
+  SELECT doc_id, text,
+    regexp_replace(
+      regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'),
+      '^ +| +$', '', 'g') AS clean
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS len_raw,
+  CAST(length(clean) AS BIGINT) AS len_clean,
+  substr(clean, 1, 80) AS clean_prefix
+FROM c
+"""
