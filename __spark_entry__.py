@@ -215,6 +215,9 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "events", d)
         ),
         "orders_top10": lambda s, d: relational.orders_top10(load_table(s, "orders", d)),
+        "orders_above_customer_avg": lambda s, d: relational.orders_above_customer_avg(
+            load_table(s, "orders", d)
+        ),
         "user_value_moving_avg": lambda s, d: relational.user_value_moving_avg(
             load_table(s, "events", d)
         ),
@@ -311,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "users_purchase_except_error": oracles.users_purchase_except_error_oracle(),
         "users_purchase_intersect_error": oracles.users_purchase_intersect_error_oracle(),
         "orders_top10": oracles.orders_top10_oracle(),
+        "orders_above_customer_avg": oracles.orders_above_customer_avg_oracle(),
         "user_value_moving_avg": oracles.user_value_moving_avg_oracle(),
         "salted_event_counts": oracles.salted_event_counts_oracle(),
         "event_value_percentiles": oracles.event_value_percentiles_oracle(),

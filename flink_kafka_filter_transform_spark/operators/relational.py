@@ -519,3 +519,21 @@ def array_function_showcase(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("total_chars"),
     )
+
+
+def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
+    """Correlated-subquery semantics, decorrelated: orders whose price
+    exceeds their own customer's average order price. Spark expresses
+    the correlation as aggregate + self-join (what a decorrelation
+    rewrite produces); the oracle keeps the CORRELATED subquery form —
+    two independent formulations of the same semantics. The per-
+    customer average divides an exact decimal sum in double so both
+    engines compare against the identical threshold."""
+    avg_ = orders.groupBy(F.col("o_custkey").alias("_ck")).agg(
+        (_dsum(F.col("o_totalprice")) / F.count(F.lit(1))).alias("cust_avg")
+    )
+    return (
+        orders.join(avg_, F.col("o_custkey") == F.col("_ck"))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )

@@ -1321,3 +1321,15 @@ SELECT doc_id,
   substr(clean, 1, 80) AS clean_prefix
 FROM c
 """
+
+
+def orders_above_customer_avg_oracle() -> str:
+    return f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+  (SELECT {_dsum_sql('o2.o_totalprice')} / count(*)
+   FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+FROM orders o
+WHERE o_totalprice > (
+  SELECT {_dsum_sql('o3.o_totalprice')} / count(*)
+  FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+"""
