@@ -110,12 +110,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
+    """Dict ORDER is part of the driver contract: the driver gates only
+    the FIRST 50 entries. Round-robin policy: queries that are new,
+    changed this round, or lacked a driver verdict last round occupy the
+    head; queries already proven green in a prior CORRECTNESS_r{N}.json
+    and unchanged since yield their slots (their old rows stand)."""
     return {
+        # === HEAD: driver-unchecked in r01 (first-50 cutoff) ===
+        "customers_without_orders": lambda s, d: relational.customers_without_orders(
+            load_table(s, "customer", d), load_table(s, "orders", d)
+        ),
+        "revenue_rollup": lambda s, d: relational.revenue_rollup(load_table(s, "lineitem", d)),
+        "revenue_cube": lambda s, d: relational.revenue_cube(load_table(s, "lineitem", d)),
+        "users_purchase_except_error": lambda s, d: relational.users_purchase_except_error(
+            load_table(s, "events", d)
+        ),
+        "users_purchase_intersect_error": lambda s, d: relational.users_purchase_intersect_error(
+            load_table(s, "events", d)
+        ),
+        "orders_top10": lambda s, d: relational.orders_top10(load_table(s, "orders", d)),
+        "orders_above_customer_avg": lambda s, d: relational.orders_above_customer_avg(
+            load_table(s, "orders", d)
+        ),
+        "user_value_moving_avg": lambda s, d: relational.user_value_moving_avg(
+            load_table(s, "events", d)
+        ),
+        "salted_event_counts": lambda s, d: relational.salted_event_counts(
+            load_table(s, "events", d)
+        ),
+        "event_value_percentiles": lambda s, d: relational.event_value_percentiles(
+            load_table(s, "events", d)
+        ),
+        "scalar_function_showcase": lambda s, d: relational.scalar_function_showcase(
+            load_table(s, "orders", d)
+        ),
+        "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
+            load_table(s, "lineitem", d), load_table(s, "part", d)
+        ),
+        "revenue_grouping_sets": lambda s, d: relational.revenue_grouping_sets(
+            load_table(s, "lineitem", d)
+        ),
+        "hll_distinct_users": lambda s, d: sketch.hll_distinct_users(
+            load_table(s, "events", d)
+        ),
+        "hll_distinct_orders": lambda s, d: sketch.hll_distinct_orders(
+            load_table(s, "lineitem", d)
+        ),
+        "cms_token_counts": lambda s, d: sketch.cms_token_counts(_docs(s, d)),
+        "documents_split_summary": lambda s, d: sampling.documents_split_summary(_docs(s, d)),
+        "events_stratified_sample": lambda s, d: sampling.events_stratified_sample(
+            load_table(s, "events", d)
+        ),
+        "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
+            load_table(s, "events", d)
+        ),
+        # === HEAD: red or changed in r01 -> need a fresh verdict ===
+        "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
+        "array_function_showcase": lambda s, d: relational.array_function_showcase(
+            _docs(s, d)
+        ),
+        "events_sessionized": lambda s, d: relational.events_sessionized(
+            load_table(s, "events", d)
+        ),
+        "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
+        "cdc_route_join": q_cdc_route_join,
+        # === TAIL: green in CORRECTNESS_r01 and unchanged since ===
         # --- reference parity (SURVEY §2 O2-O10) ---
         "cdc_parse": q_cdc_parse,
         "cdc_filter_deletes": q_cdc_filter_deletes,
         "cdc_route": q_cdc_route,
-        "cdc_route_join": q_cdc_route_join,
         "cdc_counts_inbound": q_cdc_counts_inbound,
         "cdc_counts_outbound": q_cdc_counts_outbound,
         "cdc_outgoing": q_cdc_outgoing,
@@ -124,13 +187,11 @@ def queries() -> dict[str, QueryFn]:
         "lang_id": lambda s, d: text.lang_id(_docs(s, d)),
         "token_counts": lambda s, d: text.token_counts(_docs(s, d)),
         "doc_fingerprint": lambda s, d: text.doc_fingerprint(_docs(s, d)),
-        "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
         "normalize_text": lambda s, d: text.normalize_text(_docs(s, d)),
         # --- vector preprocessing ---
         "embedding_normalized_norms": lambda s, d: vectorprep.embedding_normalized_norms(
             _emb(s, d)
         ),
-        "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
         # --- dedup ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
@@ -139,9 +200,6 @@ def queries() -> dict[str, QueryFn]:
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
         "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
-        "array_function_showcase": lambda s, d: relational.array_function_showcase(
-            _docs(s, d)
-        ),
         # --- similarity search ---
         "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
@@ -189,9 +247,6 @@ def queries() -> dict[str, QueryFn]:
         "order_priority_stats": lambda s, d: relational.order_priority_stats(
             load_table(s, "orders", d)
         ),
-        "events_sessionized": lambda s, d: relational.events_sessionized(
-            load_table(s, "events", d)
-        ),
         "window_function_showcase": lambda s, d: relational.window_function_showcase(
             load_table(s, "orders", d)
         ),
@@ -202,56 +257,6 @@ def queries() -> dict[str, QueryFn]:
         "events_unpivot": lambda s, d: relational.events_unpivot(load_table(s, "events", d)),
         "q4_order_priority_semi": lambda s, d: relational.q4_order_priority_semi(
             load_table(s, "orders", d), load_table(s, "lineitem", d)
-        ),
-        "customers_without_orders": lambda s, d: relational.customers_without_orders(
-            load_table(s, "customer", d), load_table(s, "orders", d)
-        ),
-        "revenue_rollup": lambda s, d: relational.revenue_rollup(load_table(s, "lineitem", d)),
-        "revenue_cube": lambda s, d: relational.revenue_cube(load_table(s, "lineitem", d)),
-        "users_purchase_except_error": lambda s, d: relational.users_purchase_except_error(
-            load_table(s, "events", d)
-        ),
-        "users_purchase_intersect_error": lambda s, d: relational.users_purchase_intersect_error(
-            load_table(s, "events", d)
-        ),
-        "orders_top10": lambda s, d: relational.orders_top10(load_table(s, "orders", d)),
-        "orders_above_customer_avg": lambda s, d: relational.orders_above_customer_avg(
-            load_table(s, "orders", d)
-        ),
-        "user_value_moving_avg": lambda s, d: relational.user_value_moving_avg(
-            load_table(s, "events", d)
-        ),
-        "salted_event_counts": lambda s, d: relational.salted_event_counts(
-            load_table(s, "events", d)
-        ),
-        "event_value_percentiles": lambda s, d: relational.event_value_percentiles(
-            load_table(s, "events", d)
-        ),
-        "scalar_function_showcase": lambda s, d: relational.scalar_function_showcase(
-            load_table(s, "orders", d)
-        ),
-        "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
-            load_table(s, "lineitem", d), load_table(s, "part", d)
-        ),
-        "revenue_grouping_sets": lambda s, d: relational.revenue_grouping_sets(
-            load_table(s, "lineitem", d)
-        ),
-        # --- sketches ---
-        "hll_distinct_users": lambda s, d: sketch.hll_distinct_users(
-            load_table(s, "events", d)
-        ),
-        "hll_distinct_orders": lambda s, d: sketch.hll_distinct_orders(
-            load_table(s, "lineitem", d)
-        ),
-        "cms_token_counts": lambda s, d: sketch.cms_token_counts(_docs(s, d)),
-        # --- deterministic sampling / splits ---
-        "documents_split_summary": lambda s, d: sampling.documents_split_summary(_docs(s, d)),
-        "events_stratified_sample": lambda s, d: sampling.events_stratified_sample(
-            load_table(s, "events", d)
-        ),
-        # --- interval/range join (bucketed rewrite vs naive oracle) ---
-        "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
-            load_table(s, "events", d)
         ),
     }
 

@@ -510,7 +510,12 @@ def array_function_showcase(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias("first5_sorted"),
+        # Driver contract: no array/map/struct output columns (the
+        # harness canonicalizer cannot hash list cells) — join to a
+        # string; tokens are [^\s]+ so a space separator is unambiguous.
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), " ").alias(
+            "first5_sorted"
+        ),
         F.size(F.array_intersect(toks, stop)).alias("n_stopword_kinds"),
         F.size(F.array_except(F.array_distinct(toks), stop)).alias("n_content_kinds"),
         F.array_contains(toks, "the").alias("has_the"),

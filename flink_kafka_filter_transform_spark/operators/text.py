@@ -127,8 +127,12 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     idf is the RATIONAL form N/df (no logarithm): transcendental
     functions are not bit-reproducible across engines, and for ranking
     the monotone transform changes nothing. At scale: tf agg and df
-    agg share the term-hash shuffle; the df relation (vocabulary-sized)
-    broadcasts back onto tf."""
+    agg share the term-hash shuffle, and the tf<->df join is a plain
+    equi-join on term — NO broadcast hint: the vocabulary is unbounded
+    (billions of terms at 100 TB, a guaranteed driver/executor OOM as a
+    broadcast), while AQE picks broadcast at runtime when df is
+    actually small and splits hot-term skew otherwise. Only the 1-row
+    n_docs aggregate is pinned broadcast."""
     from pyspark.sql.window import Window
 
     ex = docs.select("doc_id", F.explode(tokens()).alias("term"))
@@ -136,7 +140,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_counts), "term")
+        tf.join(df_counts, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

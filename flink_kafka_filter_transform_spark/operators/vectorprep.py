@@ -59,9 +59,14 @@ def embedding_quantize(emb: DataFrame) -> DataFrame:
         F.lit(0).cast("decimal(30,18)"),
         lambda acc, e: (acc + e).cast("decimal(30,18)"),
     ).cast("double")
+    # Driver contract: no array-typed output columns (the harness
+    # canonicalizer cannot hash list cells) — emit the quantized vector
+    # as a comma-joined string; int->string formatting is identical in
+    # Spark and DuckDB.
+    q_str = F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
     return emb.filter(max_abs > 0).select(
         "vec_id",
         scale.alias("scale"),
-        q.alias("q8"),
+        q_str.alias("q8"),
         recon_err.alias("recon_err"),
     )

@@ -561,9 +561,9 @@ g AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ),
 s AS (
-  SELECT *, sum(new_session) OVER (
+  SELECT *, CAST(sum(new_session) OVER (
     PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING
-  ) AS session_id FROM g
+  ) AS BIGINT) AS session_id FROM g
 )
 SELECT user_id, session_id, min(ts_us) AS session_start_us,
        max(ts_us) AS session_end_us, count(*) AS n_events
@@ -1258,7 +1258,7 @@ def array_function_showcase_oracle() -> str:
 WITH t AS (SELECT doc_id, regexp_extract_all(text, '[^\s]+') AS toks FROM documents)
 SELECT doc_id,
   CAST(len(toks) AS INT) AS n_tokens,
-  list_sort(list_distinct(toks))[1:5] AS first5_sorted,
+  array_to_string(list_sort(list_distinct(toks))[1:5], ' ') AS first5_sorted,
   CAST(len(list_intersect(toks, ['the','and','of'])) AS INT) AS n_stopword_kinds,
   CAST(len(list_filter(list_distinct(toks), x -> NOT list_contains(['the','and','of'], x))) AS INT) AS n_content_kinds,
   list_contains(toks, 'the') AS has_the,
@@ -1296,7 +1296,8 @@ qd AS (
     list_transform(v, x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS INT)) AS q8
   FROM m WHERE max_abs > 0
 )
-SELECT vec_id, scale, q8,
+SELECT vec_id, scale,
+  array_to_string(list_transform(q8, x -> CAST(x AS VARCHAR)), ',') AS q8,
   CAST(list_reduce(
     list_prepend(CAST(0 AS DECIMAL(30,18)),
       list_transform(list_zip(v, q8),

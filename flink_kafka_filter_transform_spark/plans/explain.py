@@ -71,6 +71,18 @@ def scan_reads_only(df: DataFrame, allowed: set[str]) -> bool:
     return True
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of EXPLICIT broadcast hints in the analyzed logical plan.
+
+    A hint is unconditional — it pins a relation as broadcast no matter
+    how large it grows, which is an OOM on any unbounded-cardinality
+    side (e.g. a vocabulary aggregate at 100 TB). Size-based broadcasts
+    chosen by the planner/AQE don't count: those re-decide per run.
+    """
+    qe = df._jdf.queryExecution()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", qe.analyzed().toString()))
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct WholeStageCodegen stages (simple mode marks them *(N))."""
     return len(set(re.findall(r"\*\((\d+)\)", explain_str(df, "simple"))))

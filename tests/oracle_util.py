@@ -60,6 +60,22 @@ def compare_exact(spark_df, sql: str, sf_dir: str) -> None:
     assert cols_s == cols_d, f"column mismatch: spark={cols_s} duckdb={cols_d}"
     assert len(pdf_s) == len(pdf_d), f"row count mismatch: spark={len(pdf_s)} duckdb={len(pdf_d)}"
 
+    # Driver-strictness twin: the driver's value-hash is dtype-sensitive
+    # (int64 4 != float64 4.0 even when %.9g canon agrees — this masked
+    # the events_sessionized HUGEINT->float64 divergence in round 1).
+    # Compare numeric dtype KINDS per column; skip columns containing
+    # nulls, where pandas itself coerces ints to float on either side.
+    pdf_d.columns = [c.lower() for c in pdf_d.columns]
+    for c in pdf_s.columns:
+        s, d = pdf_s[c], pdf_d[c.lower()]
+        ks, kd = s.dtype.kind, d.dtype.kind
+        if {ks, kd} <= {"i", "u", "f"} and not (s.isna().any() or d.isna().any()):
+            int_kinds = {"i", "u"}
+            assert (ks in int_kinds) == (kd in int_kinds), (
+                f"dtype-kind mismatch on '{c}': spark={s.dtype} duckdb={d.dtype} "
+                "(driver value-hash would fail — CAST the oracle side)"
+            )
+
     rows_s, rows_d = _canon(pdf_s), _canon(pdf_d)
     diffs = [(a, b) for a, b in zip(rows_s, rows_d) if a != b]
     assert not diffs, f"{len(diffs)} differing rows; first 3: {diffs[:3]}"

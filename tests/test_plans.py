@@ -90,12 +90,16 @@ def test_route_join_minby_partial_aggregates(spark, sf_dir):
     assert px.count_shuffles(df) <= 2  # agg exchange + broadcast exchange
 
 
-def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
+def test_tfidf_never_pins_vocabulary_broadcast(spark, sf_dir):
+    """The df (document-frequency) relation is vocabulary-sized —
+    unbounded at 100 TB — so it must NOT carry an explicit broadcast
+    hint: the only pinned broadcast is the 1-row n_docs aggregate.
+    The planner/AQE may still broadcast by measured size at small SF;
+    that is the desired runtime-adaptive behavior, not a regression."""
     from flink_kafka_filter_transform_spark.operators import text
 
     df = text.tfidf_top_terms(load_table(spark, "documents", sf_dir))
-    assert px.broadcast_join_count(df) >= 2
-    assert px.sortmerge_join_count(df) == 0
+    assert px.broadcast_hint_count(df) == 1  # n_docs only
 
 
 def test_knn_ivf_broadcasts_codebook_and_probes(spark, sf_dir):
