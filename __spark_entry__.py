@@ -65,7 +65,7 @@ def q_cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_route_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = cdc.route_broadcast_join(
-        cdc.filter_deletes(cdc.parse_envelope(_cdc(spark, sf_dir))), rules_df(spark), rules=RULES
+        cdc.filter_deletes(cdc.parse_envelope(_cdc(spark, sf_dir))), rules_df(spark)
     )
     return df.select("msg_id", "topic", "db", "table_name", "op", "target_topic")
 

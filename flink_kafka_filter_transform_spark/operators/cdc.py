@@ -31,7 +31,6 @@ from collections.abc import Iterable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from flink_kafka_filter_transform_spark.functions.json import parse_envelope_col
 
@@ -110,58 +109,59 @@ def route_broadcast_join(
     topic_col: str = "topic",
     db_col: str = "db",
     table_col: str = "table_name",
-    rules: list[dict] | None = None,
 ) -> DataFrame:
-    """Routing as an explicit broadcast join — for large/dynamic rule tables.
+    """Routing as an explicit broadcast join — for large/DYNAMIC rule
+    tables (rules only known at runtime, unlike ``route_when_chain``
+    whose rules are compiled into the plan).
 
-    Equi-keys (topic, db) drive the broadcast hash join; the regex is a
-    residual join filter. First-match-wins is restored by keeping the
-    minimum-priority match per message via a window over the join key.
-    The stream side is never shuffled (broadcast), only the per-message
-    window ranks matches — bounded by matches-per-message, typically 1-2.
+    The routing decision is a pure function of the key triple
+    (topic, db, table_name), whose cardinality is SCHEMA-bounded
+    (topics x databases x tables — the same boundedness the rule-table
+    assumption already makes), not data-bounded. So instead of joining
+    every message against the rules and aggregating first-match per
+    msg_id (a stream-sized SortAggregate over struct buffers — the
+    round-1 shape, whose shuffle carried every matched message's full
+    payload):
 
-    When ``rules`` (the plan-time rule list) is supplied, the residual
-    regex is a priority-dispatched chain of LITERAL patterns — literal
-    regexes compile once inside codegen, where a column-valued pattern
-    (``regexp_like(col, col)``) recompiles per row (~5x slower
-    measured at sf0.1). Omit ``rules`` only when the rule table truly
-    isn't known at plan time.
+    1. distinct key triples — map-side partial distinct, so the only
+       shuffle in the whole plan carries UNIQUE keys, not messages;
+    2. join the distinct keys against the broadcast rule table and keep
+       the min-priority match per key (min_by on a relation of distinct
+       keys — tiny, SortAggregate there is irrelevant). The regex runs
+       once per (key, rule), not once per message, so the column-valued
+       ``regexp_like(col, col)`` (recompiled per evaluation) is cheap
+       here and keeps the rule table fully dynamic;
+    3. broadcast the resolved (key -> target_topic) map back onto the
+       stream: a map-only broadcast hash join — the stream itself is
+       NEVER shuffled.
+
+    Cost model: one extra scan+parse of the source (the keys branch) in
+    exchange for eliminating the payload shuffle entirely. At sf0.1 the
+    two shapes are within noise cold (~4.3s either way, codegen-bound);
+    at 100 TB a pruned columnar re-scan is linear and embarrassingly
+    parallel while a matched-payload shuffle+sort is the bottleneck —
+    this is the plan you'd want on 1000 executors.
     """
     r = F.broadcast(rules_df.withColumnRenamed("db", "rule_db"))
-    if rules is not None:
-        match = F.lit(False)
-        for rule in rules:
-            match = F.when(
-                F.col("priority") == rule["priority"],
-                F.col(table_col).rlike(rule["table_pattern"]),
-            ).otherwise(match)
-    else:
-        match = F.regexp_like(F.col(table_col), r["table_pattern"])
-    joined = df.join(
+    match = F.regexp_like(F.col(table_col), r["table_pattern"])
+    keys = df.select(topic_col, db_col, table_col).dropDuplicates()
+    matched = keys.join(
         r,
         (F.col(topic_col) == r["source_topic"]) & (F.col(db_col) == r["rule_db"]) & match,
         "inner",
     )
-    # First-match-wins via min_by aggregation, NOT a window: a window
-    # partitionBy(msg_id) must shuffle EVERY matched row and sort whole
-    # partitions; min_by partial-aggregates map-side first, so the
-    # shuffle carries at most one row per msg_id (Spark plans it as
-    # SortAggregate — struct buffers aren't hash-aggregatable — but the
-    # sort is partition-local over pre-combined rows, not a global
-    # window sort). Measured ~20% faster at sf0.1; the gap widens when
-    # several rules match the same message.
-    payload_cols = [c for c in joined.columns if c not in
-                    ("msg_id", "source_topic", "rule_db", "table_pattern", "priority")]
-    # NULL-priority rules: min_by IGNORES rows whose ordering value is
-    # NULL (a message matching only NULL-priority rules would emit an
-    # all-NULL payload row). Coalesce to int-max so NULL priority means
-    # "lowest precedence" — the same place DuckDB's default NULLS LAST
-    # puts it in the oracle's row_number ordering.
+    # First-match-wins per key via min_by. NULL-priority rules: min_by
+    # IGNORES rows whose ordering value is NULL (a key matching only
+    # NULL-priority rules would vanish). Coalesce to int-max so NULL
+    # priority means "lowest precedence" — the same place DuckDB's
+    # default NULLS LAST puts it in the oracle's row_number ordering.
     pri = F.coalesce(F.col("priority"), F.lit(2_147_483_647))
-    picked = joined.groupBy("msg_id").agg(
-        F.min_by(F.struct(*payload_cols), pri).alias("_m")
+    routed_keys = matched.groupBy(topic_col, db_col, table_col).agg(
+        F.min_by("target_topic", pri).alias("target_topic")
     )
-    return picked.select("msg_id", *[F.col(f"_m.{c}").alias(c) for c in payload_cols])
+    # Inner join == drop messages whose key matched no rule (same rows
+    # the old per-message inner join dropped, O6 semantics preserved).
+    return df.join(F.broadcast(routed_keys), [topic_col, db_col, table_col], "inner")
 
 
 def drop_unrouted(df: DataFrame) -> DataFrame:

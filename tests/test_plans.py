@@ -77,17 +77,20 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert px.scan_reads_only(df, {"event_id", "value", "event_type"})
 
 
-def test_route_join_minby_partial_aggregates(spark, sf_dir):
-    """First-match-wins must partial-aggregate before its single
-    shuffle (one row per msg_id crosses the wire) — and never use a
-    window (whose Exchange would carry every matched row)."""
+def test_route_join_never_shuffles_stream(spark, sf_dir):
+    """Distinct-key routing: the ONLY shuffle carries unique
+    (topic, db, table) triples — the message stream itself reaches the
+    sink through a map-only broadcast hash join. min_by must still
+    partial-aggregate (first-match per key combines map-side), and no
+    Window may appear (a window would shuffle every matched row)."""
     df = cdc.route_broadcast_join(
         cdc.filter_deletes(cdc.parse_envelope(cdc_events_df(spark, sf_dir))), rules_df(spark)
     )
     plan = px.explain_str(df, "simple")
     assert "partial_min_by" in plan
     assert "Window" not in plan
-    assert px.count_shuffles(df) <= 2  # agg exchange + broadcast exchange
+    assert px.count_shuffles(df) == 1  # the distinct-keys exchange only
+    assert px.has_broadcast_join(df)
 
 
 def test_tfidf_never_pins_vocabulary_broadcast(spark, sf_dir):
