@@ -77,6 +77,53 @@ def test_windowed_counts_with_watermark(spark, sf_dir, cdc_dir, cdc_schema):
     assert sum(r["cnt"] for r in rows) == batch_total
 
 
+def test_windowed_counts_matches_batch_exactly(spark, sf_dir, cdc_dir, cdc_schema):
+    """Differential check, not just mass conservation: the SAME
+    windowed_counts lineage run incrementally (file stream, complete
+    mode) and as one batch query must produce identical result SETS —
+    the one-lineage-two-modes claim made executable."""
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    parsed = cdc.parse_envelope(stream)
+    _run_to_memory(sp.windowed_counts(parsed, "1 hour", "10 minutes"), "t_weq", "complete")
+    got = {
+        (r["window_start"], r["op"], r["cnt"]) for r in spark.table("t_weq").collect()
+    }
+    batch = sp.windowed_counts(
+        cdc.parse_envelope(cdc_events_df(spark, sf_dir)), "1 hour", "10 minutes"
+    )
+    want = {(r["window_start"], r["op"], r["cnt"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_session_windowed_counts_matches_batch_exactly(spark, sf_dir, cdc_dir, cdc_schema):
+    """Session windows, same differential check. Append mode only emits
+    sessions the final watermark closed, so equality is asserted on the
+    batch result RESTRICTED to closed sessions (closure cutoff =
+    max_ts - delay - gap); the streaming side must emit exactly that
+    set — nothing extra, nothing early."""
+    import datetime
+
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    _run_to_memory(
+        sp.session_windowed_counts(stream, gap="30 minutes"), "t_seq", "append"
+    )
+    got = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("t_seq").collect()
+    }
+    batch_src = cdc_events_df(spark, sf_dir)
+    batch = sp.session_windowed_counts(batch_src, gap="30 minutes")
+    from pyspark.sql import functions as F
+
+    max_ts = batch_src.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(minutes=10)  # watermark delay
+    want = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.filter(F.col("session_end") <= F.lit(cutoff)).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_running_counters_stateful(spark, sf_dir, cdc_dir, cdc_schema):
     stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
     routed = cdc.drop_unrouted(
