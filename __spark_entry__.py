@@ -164,6 +164,12 @@ def queries() -> dict[str, QueryFn]:
         "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
             load_table(s, "events", d)
         ),
+        # === HEAD: new in round 2 ===
+        "cdc_materialize": lambda s, d: cdc.materialize_latest(
+            cdc.parse_envelope(_cdc(s, d))
+        ),
+        "repetition_ratios": lambda s, d: text.repetition_ratios(_docs(s, d)),
+        "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
         # === HEAD: red or changed in r01 -> need a fresh verdict ===
         "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
         "array_function_showcase": lambda s, d: relational.array_function_showcase(
@@ -263,6 +269,9 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cdc_materialize": oracles.cdc_materialize_oracle(),
+        "repetition_ratios": oracles.repetition_ratios_oracle(),
+        "pii_redact": oracles.pii_redact_oracle(),
         "cdc_parse": oracles.cdc_parse_oracle(),
         "cdc_filter_deletes": oracles.cdc_filter_deletes_oracle(),
         "cdc_route": oracles.cdc_route_oracle(),

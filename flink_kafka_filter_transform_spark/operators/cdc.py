@@ -213,3 +213,45 @@ def cdc_pipeline(df: DataFrame, rules: list[dict]) -> DataFrame:
     """
     routed = drop_unrouted(route_when_chain(filter_deletes(parse_envelope(df)), rules))
     return outbound_counts(routed)
+
+
+# ---------------------------------------------------------------------------
+# Changelog compaction: the natural ENDPOINT of the reference's Debezium
+# pipeline. The reference stops at forwarding envelopes (kafka.rs:80-82);
+# every real consumer of that stream next materializes current state.
+# ---------------------------------------------------------------------------
+
+
+def materialize_latest(df: DataFrame) -> DataFrame:
+    """Upsert compaction of a parsed CDC changelog into latest state.
+
+    For each (db, table_name, key): keep the newest change by
+    (ts, msg_id) — msg_id breaks same-timestamp ties deterministically —
+    then drop keys whose final operation is a delete. Unparseable rows
+    (op IS NULL) are discarded first, mirroring ``filter_deletes``.
+
+    Scale shape: ONE shuffle, grouped by the entity key with map-side
+    partial ``max_by`` — each mapper pre-compacts its partition, so the
+    wire carries at most one row per key per mapper, never the full
+    changelog. (The struct payload makes it a SortAggregate, but the
+    sort runs over pre-combined rows; a window/row_number formulation —
+    what the DuckDB oracle uses, for independence — would shuffle and
+    sort EVERY change instead.)
+    """
+    parsed = df.filter(F.col("op").isNotNull())
+    payload = F.struct("op", "ts", "msg_id", "value")
+    latest = parsed.groupBy("db", "table_name", "key").agg(
+        F.max_by(payload, F.struct("ts", "msg_id")).alias("_l")
+    )
+    return (
+        latest.filter(F.col("_l.op") != "d")
+        .select(
+            "db",
+            "table_name",
+            "key",
+            F.col("_l.op").alias("op"),
+            F.unix_micros(F.col("_l.ts")).alias("last_ts_us"),
+            F.col("_l.msg_id").alias("msg_id"),
+            F.col("_l.value").alias("value"),
+        )
+    )

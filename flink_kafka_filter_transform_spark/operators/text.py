@@ -156,6 +156,101 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def repetition_ratios(docs: DataFrame) -> DataFrame:
+    """Intra-document repetition signals (Gopher-style quality rules):
+    duplicate token-n-gram fractions and the most-frequent-token share.
+    High values flag boilerplate/spam — standard filters before
+    training-data inclusion.
+
+    All Catalyst higher-order functions over the token array: map-only,
+    zero shuffle, per-document cost bounded by document length (the
+    top-token scan is O(tokens x distinct), fine for natural-language
+    documents; it never leaves the row).
+    """
+    toks = tokens()
+    n = F.size(toks)
+
+    def ngram_dup_ratio(size_n: int) -> Column:
+        # windows of length size_n, joined by space; NULL when the doc
+        # is too short to have any (guard BOTH the sequence bounds —
+        # Spark's sequence(1, 0) would count DOWN — and the ratio).
+        grams = F.transform(
+            F.sequence(F.lit(1), n - size_n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, size_n)),
+        )
+        total = F.size(grams)
+        return F.when(
+            n >= size_n,
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+        )
+
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda t: t == d)),
+    )
+    top_ratio = F.array_max(counts).cast("double") / n
+    return docs.filter(n > 0).select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        ngram_dup_ratio(2).alias("dup_2gram_ratio"),
+        ngram_dup_ratio(3).alias("dup_3gram_ratio"),
+        top_ratio.alias("top_token_ratio"),
+    )
+
+
+# Dialect-portable PII patterns: explicit [0-9]/[A-Za-z] classes only —
+# identical in Java regex (Spark) and RE2 (DuckDB); no \d/\w shorthands
+# (Unicode semantics differ, see tests/test_regex_dialect.py).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9]{3}-[0-9]{2,}"
+PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Append a deterministic PII-bearing suffix to each document —
+    the testdata corpus contains no real PII (by design), so the
+    redaction path needs seeded positives. Pure function of doc_id;
+    the DuckDB oracle builds the identical suffix."""
+    suffix = F.concat(
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com phone 555-01"),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return docs.withColumn("aug_text", F.concat(F.col("text"), suffix))
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Detect-and-redact pass for training-data hygiene: count emails /
+    phone-like / IPv4-like spans and emit the redacted tail. Map-only
+    (regexp_extract_all + chained regexp_replace), no Python, no
+    shuffle — at 100 TB this runs at scan speed."""
+    aug = with_synthetic_pii(docs)
+    t = F.col("aug_text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).cast("bigint").alias("n_ips"),
+        # explicit start index: negative-start substring semantics
+        # differ across engines (Spark counts from the end, DuckDB
+        # follows Postgres) — greatest(1, len-79) is identical in both.
+        redacted.substr(
+            F.greatest(F.lit(1), F.length(redacted) - 79), F.lit(80)
+        ).alias("redacted_tail"),
+    )
+
+
 def normalize_text(docs: DataFrame) -> DataFrame:
     """Canonical text cleaning: lowercase, strip non-alphanumeric
     (keeping spaces), collapse whitespace runs, trim — the first pass

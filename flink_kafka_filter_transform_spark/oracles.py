@@ -91,6 +91,23 @@ SELECT msg_id, topic, db, table_name, op, target_topic FROM (
     )
 
 
+def cdc_materialize_oracle() -> str:
+    """Changelog-compaction twin. Independent formulation: window
+    row_number (rank every change, keep rn=1) vs the engine's grouped
+    max_by — same semantics, different algorithm, stronger differential."""
+    return _with_cdc(
+        """
+SELECT db, table_name, key, op, last_ts_us, msg_id, value FROM (
+  SELECT db, table_name, key, op, epoch_us(ts) AS last_ts_us, msg_id, value,
+         row_number() OVER (
+           PARTITION BY db, table_name, key ORDER BY ts DESC, msg_id DESC
+         ) AS rn
+  FROM parsed WHERE op IS NOT NULL
+) ranked WHERE rn = 1 AND op <> 'd'
+"""
+    )
+
+
 def cdc_counts_inbound_oracle() -> str:
     return _with_cdc(
         "SELECT topic, db, table_name, op, count(*) AS cnt FROM parsed "
@@ -153,6 +170,66 @@ SELECT doc_id, n_tokens, n_distinct_tokens, avg_token_len, stopword_ratio,
   + 0.25 * (1.0 - stopword_ratio)
   + 0.25 * least(avg_token_len / 8.0, 1.0) AS quality_score
 FROM comp
+"""
+
+
+def repetition_ratios_oracle() -> str:
+    def grams(n: int) -> str:
+        return (
+            f"list_transform(generate_series(1, len(t) - {n} + 1), "
+            f"i -> array_to_string(t[i:i + {n} - 1], ' '))"
+        )
+
+    def dup_ratio(n: int) -> str:
+        g = grams(n)
+        return (
+            f"CASE WHEN len(t) >= {n} THEN "
+            f"1.0 - CAST(len(list_distinct({g})) AS DOUBLE) / len({g}) END"
+        )
+
+    counts = "list_transform(list_distinct(t), d -> len(list_filter(t, x -> x = d)))"
+    return f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  {dup_ratio(2)} AS dup_2gram_ratio,
+  {dup_ratio(3)} AS dup_3gram_ratio,
+  CAST(list_reduce(list_prepend(0, {counts}), (a, b) -> greatest(a, b)) AS DOUBLE)
+    / len(t) AS top_token_ratio
+FROM toks WHERE len(t) > 0
+"""
+
+
+def pii_redact_oracle() -> str:
+    from flink_kafka_filter_transform_spark.operators.text import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+         || '@example.com phone 555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+         || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, t,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+        '{PII_IPV4}', '<IP>', 'g'),
+      '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+  substr(redacted, greatest(1, length(redacted) - 79), 80) AS redacted_tail
+FROM red
 """
 
 

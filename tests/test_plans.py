@@ -170,6 +170,27 @@ def test_sampling_is_shuffle_free(spark, sf_dir):
     assert px.count_shuffles(sampling.train_val_test(docs, "doc_id")) == 0
 
 
+def test_materialize_latest_partial_aggregates(spark, sf_dir):
+    """Changelog compaction: one shuffle grouped by entity key with
+    map-side partial max_by (each mapper pre-compacts), never a window
+    over the full changelog."""
+    df = cdc.materialize_latest(cdc.parse_envelope(cdc_events_df(spark, sf_dir)))
+    plan = px.explain_str(df, "simple")
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert px.count_shuffles(df) == 1
+
+
+def test_text_quality_ops_are_shuffle_free(spark, sf_dir):
+    """Repetition ratios and PII redaction are pure map plans."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    docs = load_table(spark, "documents", sf_dir)
+    assert px.count_shuffles(text.repetition_ratios(docs)) == 0
+    assert px.count_shuffles(text.pii_redact(docs)) == 0
+    assert px.codegen_stage_count(text.pii_redact(docs)) >= 1
+
+
 def test_array_showcase_is_single_codegen_map(spark, sf_dir):
     df = relational.array_function_showcase(load_table(spark, "documents", sf_dir))
     assert px.count_shuffles(df) == 0
