@@ -320,3 +320,65 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.5) -> 
         .select("doc_a", "doc_b", jac.alias("jaccard_ngram"))
         .filter(F.col("jaccard_ngram") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap against a held-out eval set
+# ---------------------------------------------------------------------------
+
+
+def token_ngrams_col(toks: Column, n: int) -> Column:
+    """Distinct token n-grams (space-joined windows) of a token array."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def contamination_check(docs: DataFrame, n: int = 3, eval_mod: int = 50) -> DataFrame:
+    """Training-data decontamination: per-document overlap with an eval
+    set's token n-grams (the standard benchmark-contamination test —
+    production pipelines use 13-grams; 3 here so the synthetic corpus
+    yields signal). Docs with ``doc_id % eval_mod == 0`` stand in for
+    the benchmark; everything else is the training candidate pool.
+
+    Scale shape: eval n-gram hashes are a SMALL relation (benchmarks
+    are tiny next to a corpus) — broadcast; training grams are
+    de-duplicated per document map-side (array_distinct BEFORE the
+    explode), flow through the broadcast membership probe without a
+    shuffle, and aggregate per doc_id with map-side partial count/sum
+    (fixed-width longs -> hash aggregate). ONE shuffle total, carrying
+    (doc_id, counts) rows. Grams travel as 60-bit portable hashes, not
+    strings; 60-bit collisions are negligible and the oracle hashes
+    identically, so the differential stays exact.
+    """
+    grams = docs.select(
+        "doc_id", token_ngrams_col(tokens(), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % eval_mod == 0)
+        .select(F.explode("grams").alias("g"))
+        .select(portable_hash64("g").alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = (
+        grams.filter(F.col("doc_id") % eval_mod != 0)
+        .select("doc_id", F.explode("grams").alias("g"))
+        .select("doc_id", portable_hash64("g").alias("gh"))
+    )
+    probed = train.join(F.broadcast(eval_grams), "gh", "left")
+    agg = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        (F.col("n_contaminated").cast("double") / F.col("n_grams")).alias(
+            "contamination_ratio"
+        ),
+    )

@@ -173,6 +173,36 @@ FROM comp
 """
 
 
+def contamination_check_oracle(n: int = 3, eval_mod: int = 50) -> str:
+    """Decontamination twin: IN-subquery membership instead of the
+    engine's broadcast left join — independent formulation."""
+    gh = portable_hash64_sql("gram")
+    return f"""
+WITH {_TOKS_CTE},
+g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(t) - {n} + 1),
+                                 i -> array_to_string(t[i:i + {n} - 1], ' '))) AS grams
+  FROM toks WHERE len(t) >= {n}
+),
+eval_g AS (
+  SELECT DISTINCT {gh} AS gh
+  FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % {eval_mod} = 0)
+),
+train AS (
+  SELECT doc_id, {gh} AS gh
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {eval_mod} <> 0)
+)
+SELECT doc_id,
+  count(*) AS n_grams,
+  CAST(sum(CASE WHEN gh IN (SELECT gh FROM eval_g) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated,
+  CAST(sum(CASE WHEN gh IN (SELECT gh FROM eval_g) THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS contamination_ratio
+FROM train GROUP BY doc_id
+"""
+
+
 def repetition_ratios_oracle() -> str:
     def grams(n: int) -> str:
         return (

@@ -191,6 +191,18 @@ def test_text_quality_ops_are_shuffle_free(spark, sf_dir):
     assert px.codegen_stage_count(text.pii_redact(docs)) >= 1
 
 
+def test_contamination_check_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-set n-gram relation must broadcast (benchmarks are tiny
+    next to a corpus); the training side aggregates per doc with ONE
+    shuffle of fixed-width count rows."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.contamination_check(load_table(spark, "documents", sf_dir))
+    assert px.has_broadcast_join(df)
+    assert px.sortmerge_join_count(df) == 0
+    assert px.count_shuffles(df) <= 2  # eval-gram distinct + per-doc agg
+
+
 def test_array_showcase_is_single_codegen_map(spark, sf_dir):
     df = relational.array_function_showcase(load_table(spark, "documents", sf_dir))
     assert px.count_shuffles(df) == 0
