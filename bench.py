@@ -54,6 +54,11 @@ HEADLINE = [
     "hll_distinct_orders",
     "q14_promo_revenue",
     "scalar_function_showcase",
+    # round 2 additions
+    "cdc_materialize",
+    "repetition_ratios",
+    "pii_redact",
+    "contamination_check",
 ]
 
 
