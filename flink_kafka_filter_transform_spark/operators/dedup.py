@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64
 from flink_kafka_filter_transform_spark.operators import params
-from flink_kafka_filter_transform_spark.operators.text import tokens
+from flink_kafka_filter_transform_spark.operators.text import token_ngrams, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -327,16 +327,6 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.5) -> 
 # ---------------------------------------------------------------------------
 
 
-def token_ngrams_col(toks: Column, n: int) -> Column:
-    """Distinct token n-grams (space-joined windows) of a token array."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
-
-
 def contamination_check(docs: DataFrame, n: int = 3, eval_mod: int = 50) -> DataFrame:
     """Training-data decontamination: per-document overlap with an eval
     set's token n-grams (the standard benchmark-contamination test —
@@ -355,7 +345,7 @@ def contamination_check(docs: DataFrame, n: int = 3, eval_mod: int = 50) -> Data
     identically, so the differential stays exact.
     """
     grams = docs.select(
-        "doc_id", token_ngrams_col(tokens(), n).alias("grams")
+        "doc_id", token_ngrams(tokens(), n).alias("grams")
     ).filter(F.size("grams") > 0)
     eval_grams = (
         grams.filter(F.col("doc_id") % eval_mod == 0)

@@ -156,6 +156,27 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def token_ngrams(toks: Column, n: int, distinct: bool = True) -> Column:
+    """Token n-grams (space-joined windows of ``n``) of a token array.
+
+    GUARDED for short inputs: with fewer than ``n`` tokens the result
+    is an EMPTY array — never evaluate ``sequence(1, k)`` with k <= 0
+    (Spark's sequence counts DOWN when stop < start, then slice(_, 0,
+    n) throws INVALID_PARAMETER_VALUE). The single shared builder for
+    every n-gram consumer (repetition ratios, decontamination) so the
+    guard cannot drift.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def repetition_ratios(docs: DataFrame) -> DataFrame:
     """Intra-document repetition signals (Gopher-style quality rules):
     duplicate token-n-gram fractions and the most-frequent-token share.
@@ -171,13 +192,10 @@ def repetition_ratios(docs: DataFrame) -> DataFrame:
     n = F.size(toks)
 
     def ngram_dup_ratio(size_n: int) -> Column:
-        # windows of length size_n, joined by space; NULL when the doc
-        # is too short to have any (guard BOTH the sequence bounds —
-        # Spark's sequence(1, 0) would count DOWN — and the ratio).
-        grams = F.transform(
-            F.sequence(F.lit(1), n - size_n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, size_n)),
-        )
+        # duplicate fraction of length-size_n windows; NULL when the
+        # doc is too short to have any (token_ngrams guards the
+        # sequence bounds; the outer when guards the 0/0 ratio).
+        grams = token_ngrams(toks, size_n, distinct=False)
         total = F.size(grams)
         return F.when(
             n >= size_n,
