@@ -166,10 +166,15 @@ def token_ngrams(toks: Column, n: int, distinct: bool = True) -> Column:
     every n-gram consumer (repetition ratios, decontamination) so the
     guard cannot drift.
     """
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # O(tokens) construction: zip n SHIFTED copies of the array instead
+    # of a slice+join per position (which is O(tokens^2) in interpreted
+    # higher-order-function evaluation — measured 15s for 5000 docs at
+    # sf0.1 before this rewrite, ~0.5s after).
+    sz = F.size(toks)
+    grams = F.slice(toks, 1, sz - (n - 1))
+    for j in range(1, n):
+        shifted = F.slice(toks, 1 + j, sz - (n - 1))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     if distinct:
         grams = F.array_distinct(grams)
     return F.when(F.size(toks) >= n, grams).otherwise(
@@ -202,11 +207,27 @@ def repetition_ratios(docs: DataFrame) -> DataFrame:
             F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
         )
 
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda d: F.size(F.filter(toks, lambda t: t == d)),
+    # Most-frequent-token count as the longest run in the SORTED token
+    # array: O(n log n) instead of the O(n x distinct) count-per-
+    # distinct-token scan (interpreted HOFs make the quadratic form the
+    # dominant cost of the whole query). Empty-string sentinel is safe:
+    # tokens are [^\s]+ and therefore never empty.
+    sorted_t = F.array_sort(toks)
+    run_state = F.aggregate(
+        sorted_t,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
     )
-    top_ratio = F.array_max(counts).cast("double") / n
+    top_ratio = run_state.best.cast("double") / n
     return docs.filter(n > 0).select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
