@@ -131,6 +131,22 @@ def test_session_windowed_counts_matches_batch_exactly(spark, sf_dir, cdc_dir, c
     assert want_strict <= got <= want_all and len(want_strict) > 0
 
 
+def test_materialize_latest_matches_batch(spark, sf_dir, cdc_dir, cdc_schema):
+    """Changelog compaction as a streaming aggregation (complete mode):
+    the latest-state view computed incrementally must equal the batch
+    compaction — the upsert-view maintenance a CDC consumer actually
+    runs."""
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    _run_to_memory(
+        cdc.materialize_latest(cdc.parse_envelope(stream)), "t_mat", "complete"
+    )
+    cols = ("db", "table_name", "key", "op", "last_ts_us", "msg_id", "value")
+    got = {tuple(r[c] for c in cols) for r in spark.table("t_mat").collect()}
+    batch = cdc.materialize_latest(cdc.parse_envelope(cdc_events_df(spark, sf_dir)))
+    want = {tuple(r[c] for c in cols) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_running_counters_stateful(spark, sf_dir, cdc_dir, cdc_schema):
     stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
     routed = cdc.drop_unrouted(
