@@ -40,6 +40,38 @@ def write_partitioned_parquet(
     )
 
 
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Write parquet range-CLUSTERED on ``cluster_cols``: global range
+    partition (each output file owns a disjoint key range) + sort
+    within partitions (each ROW GROUP inside a file owns a narrow
+    sub-range).
+
+    Why this is a 100 TB lever: parquet footers carry per-row-group
+    min/max statistics, and readers skip row groups whose range can't
+    match the filter. On randomly-laid-out data every row group spans
+    the whole key domain and nothing skips; after clustering, a point
+    or range predicate touches only the files/row-groups covering its
+    key range — the same scan goes from O(dataset) to O(selectivity).
+    This is the single-column analog of Z-ordering (for multi-column
+    locality, interleave the key bits first and cluster on that).
+    ``tests/test_sinks.py`` measures the clustering factor from the
+    actual parquet footer statistics rather than trusting the plan.
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,
