@@ -75,3 +75,24 @@ def test_asof_join_equals_naive(spark_prop, left, right):
         cands = [(rt, v) for (rk, rt, v) in right if rk == lk and rt <= lt]
         want.add((li, max(cands)[1] if cands else None))
     assert got == want
+
+
+_token_lists = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=10
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(toks=_token_lists, n=st.integers(2, 4))
+def test_token_ngrams_equals_naive(spark_prop, toks, n):
+    """The zip-shifted n-gram builder must equal the obvious windowed
+    construction for any token list — including lists shorter than n
+    (empty result, no crash: the sequence-counts-down regression)."""
+    from flink_kafka_filter_transform_spark.operators.text import token_ngrams
+
+    df = spark_prop.createDataFrame([(toks,)], "toks array<string>")
+    got_all = df.select(token_ngrams(F.col("toks"), n, distinct=False).alias("g")).collect()[0].g
+    got_distinct = df.select(token_ngrams(F.col("toks"), n).alias("g")).collect()[0].g
+    want_all = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    assert got_all == want_all
+    assert got_distinct == list(dict.fromkeys(want_all))  # order-preserving dedup
