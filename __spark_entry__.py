@@ -171,6 +171,7 @@ def queries() -> dict[str, QueryFn]:
         "repetition_ratios": lambda s, d: text.repetition_ratios(_docs(s, d)),
         "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
         "contamination_check": lambda s, d: dedup.contamination_check(_docs(s, d)),
+        "quality_filter_funnel": lambda s, d: text.quality_filter_funnel(_docs(s, d)),
         # === HEAD: red or changed in r01 -> need a fresh verdict ===
         "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
         "array_function_showcase": lambda s, d: relational.array_function_showcase(
@@ -274,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_ratios": oracles.repetition_ratios_oracle(),
         "pii_redact": oracles.pii_redact_oracle(),
         "contamination_check": oracles.contamination_check_oracle(),
+        "quality_filter_funnel": oracles.quality_filter_funnel_oracle(),
         "cdc_parse": oracles.cdc_parse_oracle(),
         "cdc_filter_deletes": oracles.cdc_filter_deletes_oracle(),
         "cdc_route": oracles.cdc_route_oracle(),

@@ -59,6 +59,7 @@ HEADLINE = [
     "repetition_ratios",
     "pii_redact",
     "contamination_check",
+    "quality_filter_funnel",
 ]
 
 

@@ -290,6 +290,79 @@ def pii_redact(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_filter_funnel(docs: DataFrame) -> DataFrame:
+    """The corpus-curation funnel: how many documents survive each
+    quality gate, applied cumulatively in pipeline order — the
+    one-table report every training-data run publishes.
+
+    Stages (thresholds chosen off knife-edge values so cross-engine
+    float comparisons can't flip on an exact boundary):
+      1 min_tokens : n_tokens >= 20
+      2 quality    : composite quality_score >= 0.62 (text_stats math)
+      3 repetition : dup_2gram_ratio < 0.05 (short docs fail stage 1)
+      4 top_token  : top_token_ratio <= 0.12
+
+    ONE map pass computes every flag per document (no join of the
+    per-signal operators — the expressions are recomputed inline, which
+    at 100 TB is strictly cheaper than shuffling doc_ids to join two
+    map outputs), then a single global aggregation emits the funnel.
+    """
+    toks = tokens()
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in params.STOPWORDS])
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    avg_len = sum_len.cast("double") / n
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    ) / n
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = (
+        F.lit(0.25) * F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.25) * diversity
+        + F.lit(0.25) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.25) * F.least(avg_len / F.lit(8.0), F.lit(1.0))
+    )
+    bigrams = token_ngrams(toks, 2, distinct=False)
+    dup2 = F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)
+    sorted_t = F.array_sort(toks)
+    run_state = F.aggregate(
+        sorted_t,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_ratio = run_state.best.cast("double") / n
+
+    c1 = n >= 20
+    c2 = c1 & (quality >= 0.62)
+    c3 = c2 & F.coalesce(dup2 < 0.05, F.lit(False))
+    c4 = c3 & (top_ratio <= 0.12)
+    flagged = docs.filter(n > 0).select(
+        c1.alias("c1"), c2.alias("c2"), c3.alias("c3"), c4.alias("c4")
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[
+            F.sum(F.col(f"c{i}").cast("long")).alias(f"n{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 0, 'all', n0, 1, 'min_tokens', n1, 2, 'quality', n2, "
+            "3, 'repetition', n3, 4, 'top_token', n4) AS (stage_no, stage, n_pass)"
+        )
+    )
+
+
 def normalize_text(docs: DataFrame) -> DataFrame:
     """Canonical text cleaning: lowercase, strip non-alphanumeric
     (keeping spaces), collapse whitespace runs, trim — the first pass

@@ -263,6 +263,57 @@ FROM red
 """
 
 
+def quality_filter_funnel_oracle() -> str:
+    stop = _sql_list(params.STOPWORDS)
+    bigrams = (
+        "list_transform(generate_series(1, len(t) - 1), "
+        "i -> array_to_string(t[i:i + 1], ' '))"
+    )
+    counts = "list_transform(list_distinct(t), d -> len(list_filter(t, x -> x = d)))"
+    return f"""
+WITH {_TOKS_CTE},
+f AS (
+  SELECT doc_id,
+    len(t) AS n,
+    CAST(0.25 AS DOUBLE) * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+      + CAST(0.25 AS DOUBLE) * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+      + CAST(0.25 AS DOUBLE) * (1.0 - CAST(len(list_filter(t, x -> list_contains({stop}, x))) AS DOUBLE) / len(t))
+      + CAST(0.25 AS DOUBLE) * least(
+          (CAST(list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, b) -> a + b) AS DOUBLE) / len(t)) / 8.0,
+          1.0) AS quality,
+    CASE WHEN len(t) >= 2
+         THEN 1.0 - CAST(len(list_distinct({bigrams})) AS DOUBLE) / len({bigrams}) END AS dup2,
+    CAST(list_reduce(list_prepend(0, {counts}), (a, b) -> greatest(a, b)) AS DOUBLE)
+      / len(t) AS top_ratio
+  FROM toks WHERE len(t) > 0
+),
+flags AS (
+  SELECT
+    n >= 20 AS c1,
+    (n >= 20) AND quality >= CAST(0.62 AS DOUBLE) AS c2,
+    (n >= 20) AND quality >= CAST(0.62 AS DOUBLE)
+      AND coalesce(dup2 < CAST(0.05 AS DOUBLE), false) AS c3,
+    (n >= 20) AND quality >= CAST(0.62 AS DOUBLE)
+      AND coalesce(dup2 < CAST(0.05 AS DOUBLE), false)
+      AND top_ratio <= CAST(0.12 AS DOUBLE) AS c4
+  FROM f
+),
+c AS (
+  SELECT count(*) AS n0,
+    CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+    CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM flags
+)
+SELECT 0 AS stage_no, 'all' AS stage, n0 AS n_pass FROM c
+UNION ALL SELECT 1, 'min_tokens', n1 FROM c
+UNION ALL SELECT 2, 'quality', n2 FROM c
+UNION ALL SELECT 3, 'repetition', n3 FROM c
+UNION ALL SELECT 4, 'top_token', n4 FROM c
+"""
+
+
 def lang_id_oracle() -> str:
     scores = ",\n    ".join(
         f"CAST(len(list_filter(t, x -> list_contains({_sql_list(m)}, x))) AS BIGINT) AS score_{lang}"
