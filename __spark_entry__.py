@@ -172,6 +172,9 @@ def queries() -> dict[str, QueryFn]:
         "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
         "contamination_check": lambda s, d: dedup.contamination_check(_docs(s, d)),
         "quality_filter_funnel": lambda s, d: text.quality_filter_funnel(_docs(s, d)),
+        "hll_rollup_users": lambda s, d: sketch.hll_rollup_users(
+            load_table(s, "events", d)
+        ),
         # === HEAD: red or changed in r01 -> need a fresh verdict ===
         "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
         "array_function_showcase": lambda s, d: relational.array_function_showcase(
@@ -276,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": oracles.pii_redact_oracle(),
         "contamination_check": oracles.contamination_check_oracle(),
         "quality_filter_funnel": oracles.quality_filter_funnel_oracle(),
+        "hll_rollup_users": oracles.hll_rollup_users_oracle(),
         "cdc_parse": oracles.cdc_parse_oracle(),
         "cdc_filter_deletes": oracles.cdc_filter_deletes_oracle(),
         "cdc_route": oracles.cdc_route_oracle(),

@@ -64,27 +64,37 @@ _POW62 = "pow(2.0, 62.0)"
 LC_TABLE = [float(M) * math.log(float(M) / z) for z in range(1, M)]
 
 
-def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
-    """Per-``group`` HLL-256 distinct estimate of ``key`` alongside the
-    exact count (the pair a user monitors to trust the sketch)."""
+def hll_registers(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
+    """The HLL register relation: (group..., _idx, _r) with ``_r`` the
+    max rho per register. This IS the sketch — fixed ≤m rows per group,
+    and MERGEABLE: max is associative, so registers built at any finer
+    granularity roll up to coarser groups by another max (see
+    ``hll_rollup_users``), the property that lets 100 TB pipelines
+    pre-aggregate sketches once and re-slice them for free."""
     # NULL keys are excluded on BOTH sides: md5(NULL) would otherwise
     # create a phantom NULL register inflating m_present, while the
     # exact count_distinct (and DuckDB's COUNT(DISTINCT)) ignore NULLs.
-    df = df.filter(F.col(key).isNotNull())
     h = portable_hash64(F.col(key).cast("string"))
-    hashed = df.select(F.col(group), h.alias("_h")).select(
-        group,
+    hashed = df.filter(F.col(key).isNotNull()).select(*group_cols, h.alias("_h")).select(
+        *group_cols,
         (F.col("_h") % M).alias("_idx"),
         F.expr(f"_h div {M}").alias("_rest"),
     )
     rho = F.when(F.col("_rest") == 0, F.lit(RHO_MAX)).otherwise(
         F.lit(RHO_MAX) - F.length(F.bin(F.col("_rest")))
     )
-    regs = hashed.select(group, "_idx", rho.alias("_rho")).groupBy(group, "_idx").agg(
-        F.max("_rho").alias("_r")
+    return (
+        hashed.select(*group_cols, "_idx", rho.alias("_rho"))
+        .groupBy(*group_cols, "_idx")
+        .agg(F.max("_rho").alias("_r"))
     )
+
+
+def hll_estimate_from_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Flajolet estimator over a register relation: harmonic sum with
+    exact integer arithmetic + the embedded linear-counting table."""
     scaled = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(62 - _r AS INT))")
-    agg = regs.groupBy(group).agg(
+    agg = regs.groupBy(*group_cols).agg(
         F.sum(scaled.cast("decimal(38,0)")).alias("_s_present"),
         F.count(F.lit(1)).alias("_m_present"),
     )
@@ -98,7 +108,14 @@ def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
     zeros = (F.lit(M) - F.col("_m_present")).cast("int")
     lc = F.element_at(F.array(*[F.lit(v) for v in LC_TABLE]), zeros)
     est = F.when((raw <= 2.5 * M) & (zeros > 0), lc).otherwise(raw)
-    sketched = agg.select(group, est.alias("hll_estimate"))
+    return agg.select(*group_cols, est.alias("hll_estimate"))
+
+
+def hll_distinct(df: DataFrame, key: str, group: str) -> DataFrame:
+    """Per-``group`` HLL-256 distinct estimate of ``key`` alongside the
+    exact count (the pair a user monitors to trust the sketch)."""
+    df = df.filter(F.col(key).isNotNull())
+    sketched = hll_estimate_from_registers(hll_registers(df, key, [group]), [group])
     exact = df.groupBy(group).agg(F.count_distinct(F.col(key)).alias("n_exact"))
     return exact.join(F.broadcast(sketched), group).select(
         group, "n_exact", "hll_estimate"
@@ -146,6 +163,30 @@ FROM x JOIN e ON x.{group} = e.g
 def hll_distinct_users(events: DataFrame) -> DataFrame:
     """Distinct users per event type: exact vs HLL-256 estimate."""
     return hll_distinct(events, key="user_id", group="event_type")
+
+
+def hll_rollup_users(events: DataFrame) -> DataFrame:
+    """Sketch MERGEABILITY, differentially proven: registers are built
+    per (event_type, day) — the granularity a daily pipeline would
+    persist — then rolled up to per-event_type sketches by a second
+    max, never touching raw data again. Because register max is
+    associative, the merged estimate must equal the direct one; the
+    DuckDB oracle computes the DIRECT path, so the hash match IS the
+    proof that day-sliced sketches merge losslessly."""
+    ev = events.filter(F.col("user_id").isNotNull()).select(
+        "event_type",
+        F.expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')").alias("_day"),
+        "user_id",
+    )
+    fine = hll_registers(ev, "user_id", ["event_type", "_day"])
+    merged = fine.groupBy("event_type", "_idx").agg(F.max("_r").alias("_r"))
+    sketched = hll_estimate_from_registers(merged, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_exact")
+    )
+    return exact.join(F.broadcast(sketched), "event_type").select(
+        "event_type", "n_exact", "hll_estimate"
+    )
 
 
 def hll_distinct_orders(lineitem: DataFrame) -> DataFrame:

@@ -961,6 +961,15 @@ def hll_distinct_users_oracle() -> str:
     return hll_distinct_sql("events", key="user_id", group="event_type")
 
 
+def hll_rollup_users_oracle() -> str:
+    """Deliberately the DIRECT (un-rolled-up) HLL: the engine computes
+    per-day registers merged to per-type; register max is associative,
+    so equality against the direct sketch proves lossless merging."""
+    from flink_kafka_filter_transform_spark.operators.sketch import hll_distinct_sql
+
+    return hll_distinct_sql("events", key="user_id", group="event_type")
+
+
 def hll_distinct_orders_oracle() -> str:
     from flink_kafka_filter_transform_spark.operators.sketch import hll_distinct_sql
 
