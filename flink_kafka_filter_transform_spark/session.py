@@ -45,6 +45,13 @@ def get_session(
         # --- shuffle discipline ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter join pruning: for shuffle joins with a
+        # selective build side, Catalyst injects bloom_filter_agg on the
+        # build and might_contain on the probe scan — the semi-join
+        # reduction that cuts probe-side shuffle bytes at 100 TB. Off by
+        # default in Spark; size thresholds (creation <=10MB, probe scan
+        # >=10GB) keep it from firing where it can't pay off.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # --- scan discipline: parquet splits sized for executor memory ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -203,6 +203,32 @@ def test_contamination_check_broadcasts_eval_grams(spark, sf_dir):
     assert px.count_shuffles(df) <= 2  # eval-gram distinct + per-doc agg
 
 
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """The engine enables Spark's runtime bloom-filter join pruning:
+    when a shuffle join has a selective build side, the optimizer must
+    inject bloom_filter_agg (build) + might_contain (probe) so the
+    probe side is pre-filtered BEFORE its shuffle — semi-join reduction
+    without shipping the dimension. Size thresholds are relaxed here
+    because test inputs are tiny; at scale the defaults gate it."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, "orders", sf_dir)
+        cust = load_table(spark, "customer", sf_dir).filter(F.col("c_acctbal") > 9000)
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        plan = px.explain_str(j, "simple")
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_array_showcase_is_single_codegen_map(spark, sf_dir):
     df = relational.array_function_showcase(load_table(spark, "documents", sf_dir))
     assert px.count_shuffles(df) == 0
