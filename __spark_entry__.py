@@ -175,6 +175,9 @@ def queries() -> dict[str, QueryFn]:
         "hll_rollup_users": lambda s, d: sketch.hll_rollup_users(
             load_table(s, "events", d)
         ),
+        "mixture_sample_summary": lambda s, d: sampling.mixture_sample_summary(
+            _docs(s, d)
+        ),
         # === HEAD: red or changed in r01 -> need a fresh verdict ===
         "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
         "array_function_showcase": lambda s, d: relational.array_function_showcase(
@@ -280,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": oracles.contamination_check_oracle(),
         "quality_filter_funnel": oracles.quality_filter_funnel_oracle(),
         "hll_rollup_users": oracles.hll_rollup_users_oracle(),
+        "mixture_sample_summary": oracles.mixture_sample_summary_oracle(),
         "cdc_parse": oracles.cdc_parse_oracle(),
         "cdc_filter_deletes": oracles.cdc_filter_deletes_oracle(),
         "cdc_route": oracles.cdc_route_oracle(),

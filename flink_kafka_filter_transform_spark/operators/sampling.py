@@ -77,6 +77,59 @@ def documents_split_summary(docs: DataFrame) -> DataFrame:
     )
 
 
+def mixture_sample_summary(docs: DataFrame, target_frac: float = 0.3) -> DataFrame:
+    """Data-mixing for a training run: sample each ``source`` at the
+    rate that realizes a TARGET mixture (here: even-indexed sources
+    weighted 3, odd 1) over ``target_frac`` of the corpus — the
+    per-source rate computation every "mixture weights" config compiles
+    down to.
+
+    rate_s = min(1, target_n * w_s / sum_w / n_s), materialized as an
+    INTEGER bucket threshold (floor(rate*BUCKETS)) so membership stays
+    the deterministic content-hash rule and the cross-engine comparison
+    is integer-exact. Two tiny aggregations (per-source counts, weight
+    normalizer) broadcast back onto the corpus: the corpus itself is
+    filtered map-side, never shuffled for the sampling decision.
+    """
+    w = F.when(F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0, F.lit(3.0)).otherwise(
+        F.lit(1.0)
+    )
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.first(w).alias("w")
+    )
+    norm = counts.agg(
+        F.sum("w").alias("sum_w"), F.sum("n_docs").alias("n_total")
+    )
+    thr = F.least(
+        F.lit(BUCKETS).cast("bigint"),
+        F.floor(
+            F.lit(float(target_frac))
+            * F.col("n_total").cast("double")
+            * F.col("w")
+            / F.col("sum_w")
+            / F.col("n_docs").cast("double")
+            * F.lit(float(BUCKETS))
+        ),
+    )
+    rates = counts.crossJoin(F.broadcast(norm)).select(
+        "source", "n_docs", thr.alias("thr")
+    )
+    sampled = docs.join(F.broadcast(rates), "source").filter(
+        _bucket("doc_id") < F.col("thr")
+    )
+    picked = sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_picked"))
+    # left join from rates so a source sampled down to zero still reports
+    return (
+        rates.select("source", "n_docs")
+        .join(picked, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_picked"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
+    )
+
+
 def events_stratified_sample(events: DataFrame) -> DataFrame:
     """Downsample bulky click/view streams, keep all purchases — the
     classic class-rebalance before training on event data."""

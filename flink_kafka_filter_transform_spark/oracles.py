@@ -314,6 +314,38 @@ UNION ALL SELECT 4, 'top_token', n4 FROM c
 """
 
 
+def mixture_sample_summary_oracle(target_frac: float = 0.3) -> str:
+    from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64_sql
+
+    b = f"{portable_hash64_sql('CAST(doc_id AS VARCHAR)')} % 1000"
+    return f"""
+WITH c AS (
+  SELECT source, count(*) AS n_docs,
+    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+         THEN CAST(3.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS w
+  FROM documents GROUP BY source
+),
+norm AS (SELECT sum(w) AS sum_w, CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+r AS (
+  SELECT source, n_docs,
+    least(CAST(1000 AS BIGINT),
+          CAST(floor(CAST({target_frac!r} AS DOUBLE) * CAST(n_total AS DOUBLE) * w
+                     / sum_w / CAST(n_docs AS DOUBLE) * CAST(1000.0 AS DOUBLE)) AS BIGINT)
+    ) AS thr
+  FROM c, norm
+),
+s AS (
+  SELECT d.source, count(*) AS n_picked
+  FROM documents d JOIN r ON d.source = r.source
+  WHERE {b} < r.thr
+  GROUP BY d.source
+)
+SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(s.n_picked, 0) AS BIGINT) AS n_sampled
+FROM r LEFT JOIN s ON r.source = s.source
+"""
+
+
 def lang_id_oracle() -> str:
     scores = ",\n    ".join(
         f"CAST(len(list_filter(t, x -> list_contains({_sql_list(m)}, x))) AS BIGINT) AS score_{lang}"
