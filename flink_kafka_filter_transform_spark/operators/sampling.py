@@ -91,11 +91,16 @@ def mixture_sample_summary(docs: DataFrame, target_frac: float = 0.3) -> DataFra
     normalizer) broadcast back onto the corpus: the corpus itself is
     filtered map-side, never shuffled for the sampling decision.
     """
+    # weight is a pure function of the grouping key — compute it AFTER
+    # the aggregate (no per-group first() state, no apparent order
+    # dependence)
     w = F.when(F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0, F.lit(3.0)).otherwise(
         F.lit(1.0)
     )
-    counts = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.first(w).alias("w")
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("w", w)
     )
     norm = counts.agg(
         F.sum("w").alias("sum_w"), F.sum("n_docs").alias("n_total")

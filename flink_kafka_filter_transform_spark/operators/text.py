@@ -43,13 +43,9 @@ def text_stats(docs: DataFrame) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     avg_len = sum_len.cast("double") / n
     stop_ratio = n_stop.cast("double") / n
-    diversity = n_distinct.cast("double") / n
-    quality = (
-        F.lit(0.25) * F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.25) * diversity
-        + F.lit(0.25) * (F.lit(1.0) - stop_ratio)
-        + F.lit(0.25) * F.least(avg_len / F.lit(8.0), F.lit(1.0))
-    )
+    # single shared definition of the composite score (quality_score) —
+    # quality_filter_funnel gates on the same expression
+    quality = quality_score(toks)
     return docs.filter(n > 0).select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
@@ -182,39 +178,28 @@ def token_ngrams(toks: Column, n: int, distinct: bool = True) -> Column:
     )
 
 
-def repetition_ratios(docs: DataFrame) -> DataFrame:
-    """Intra-document repetition signals (Gopher-style quality rules):
-    duplicate token-n-gram fractions and the most-frequent-token share.
-    High values flag boilerplate/spam — standard filters before
-    training-data inclusion.
+def ngram_dup_ratio(toks: Column, size_n: int) -> Column:
+    """Duplicate fraction of length-``size_n`` token windows; NULL when
+    the doc is too short to have any (token_ngrams guards the sequence
+    bounds; the outer when guards the 0/0 division — which would THROW
+    under ANSI mode, not just return null)."""
+    grams = token_ngrams(toks, size_n, distinct=False)
+    return F.when(
+        F.size(toks) >= size_n,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+    )
 
-    All Catalyst higher-order functions over the token array: map-only,
-    zero shuffle, per-document cost bounded by document length (the
-    top-token scan is O(tokens x distinct), fine for natural-language
-    documents; it never leaves the row).
-    """
-    toks = tokens()
-    n = F.size(toks)
 
-    def ngram_dup_ratio(size_n: int) -> Column:
-        # duplicate fraction of length-size_n windows; NULL when the
-        # doc is too short to have any (token_ngrams guards the
-        # sequence bounds; the outer when guards the 0/0 ratio).
-        grams = token_ngrams(toks, size_n, distinct=False)
-        total = F.size(grams)
-        return F.when(
-            n >= size_n,
-            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
-        )
-
-    # Most-frequent-token count as the longest run in the SORTED token
-    # array: O(n log n) instead of the O(n x distinct) count-per-
-    # distinct-token scan (interpreted HOFs make the quadratic form the
-    # dominant cost of the whole query). Empty-string sentinel is safe:
-    # tokens are [^\s]+ and therefore never empty.
-    sorted_t = F.array_sort(toks)
-    run_state = F.aggregate(
-        sorted_t,
+def top_token_run_count(toks: Column) -> Column:
+    """Occurrence count of the most frequent token, as the longest run
+    in the SORTED token array: O(n log n) instead of the O(n x
+    distinct) count-per-distinct-token scan (interpreted HOFs make the
+    quadratic form dominate — measured as the whole query's cost before
+    this form). Empty-string sentinel is safe: tokens are [^\\s]+ and
+    therefore never empty. Shared by repetition_ratios and
+    quality_filter_funnel so the definitions cannot drift."""
+    return F.aggregate(
+        F.array_sort(toks),
         F.struct(
             F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         ),
@@ -226,13 +211,47 @@ def repetition_ratios(docs: DataFrame) -> DataFrame:
                 F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
             ).alias("best"),
         ),
+    ).best
+
+
+def quality_score(toks: Column) -> Column:
+    """The composite quality score of ``text_stats``, as a reusable
+    expression: 0.25 each for length, diversity, non-stopword mass, and
+    average token length. Single definition shared by text_stats and
+    quality_filter_funnel."""
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in params.STOPWORDS])
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    ) / n
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    return (
+        F.lit(0.25) * F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.25) * diversity
+        + F.lit(0.25) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.25) * F.least((sum_len.cast("double") / n) / F.lit(8.0), F.lit(1.0))
     )
-    top_ratio = run_state.best.cast("double") / n
+
+
+def repetition_ratios(docs: DataFrame) -> DataFrame:
+    """Intra-document repetition signals (Gopher-style quality rules):
+    duplicate token-n-gram fractions and the most-frequent-token share.
+    High values flag boilerplate/spam — standard filters before
+    training-data inclusion.
+
+    All Catalyst higher-order functions over the token array: map-only,
+    zero shuffle, LINEAR(ish) per document — n-grams by zipped shifts,
+    top-token by the sorted-run fold (see the shared helpers).
+    """
+    toks = tokens()
+    n = F.size(toks)
+    top_ratio = top_token_run_count(toks).cast("double") / n
     return docs.filter(n > 0).select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
-        ngram_dup_ratio(2).alias("dup_2gram_ratio"),
-        ngram_dup_ratio(3).alias("dup_3gram_ratio"),
+        ngram_dup_ratio(toks, 2).alias("dup_2gram_ratio"),
+        ngram_dup_ratio(toks, 3).alias("dup_3gram_ratio"),
         top_ratio.alias("top_token_ratio"),
     )
 
@@ -302,47 +321,22 @@ def quality_filter_funnel(docs: DataFrame) -> DataFrame:
       3 repetition : dup_2gram_ratio < 0.05 (short docs fail stage 1)
       4 top_token  : top_token_ratio <= 0.12
 
-    ONE map pass computes every flag per document (no join of the
-    per-signal operators — the expressions are recomputed inline, which
-    at 100 TB is strictly cheaper than shuffling doc_ids to join two
-    map outputs), then a single global aggregation emits the funnel.
+    ONE map pass computes every flag per document via the SHARED
+    signal expressions (quality_score / ngram_dup_ratio /
+    top_token_run_count — no join of the per-signal operators, and no
+    drift from them either), then a single global aggregation emits
+    the funnel.
     """
     toks = tokens()
     n = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in params.STOPWORDS])
-    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    avg_len = sum_len.cast("double") / n
-    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
-        "double"
-    ) / n
-    diversity = F.size(F.array_distinct(toks)).cast("double") / n
-    quality = (
-        F.lit(0.25) * F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.25) * diversity
-        + F.lit(0.25) * (F.lit(1.0) - stop_ratio)
-        + F.lit(0.25) * F.least(avg_len / F.lit(8.0), F.lit(1.0))
-    )
-    bigrams = token_ngrams(toks, 2, distinct=False)
-    dup2 = F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)
-    sorted_t = F.array_sort(toks)
-    run_state = F.aggregate(
-        sorted_t,
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, t: F.struct(
-            t.alias("prev"),
-            F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc.best,
-                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-    )
-    top_ratio = run_state.best.cast("double") / n
+    # ngram_dup_ratio is NULL-guarded for short docs (an unguarded
+    # size(bigrams) division would THROW under ANSI mode, and conjunct
+    # short-circuit order is not contractual).
+    dup2 = ngram_dup_ratio(toks, 2)
+    top_ratio = top_token_run_count(toks).cast("double") / n
 
     c1 = n >= 20
-    c2 = c1 & (quality >= 0.62)
+    c2 = c1 & (quality_score(toks) >= 0.62)
     c3 = c2 & F.coalesce(dup2 < 0.05, F.lit(False))
     c4 = c3 & (top_ratio <= 0.12)
     flagged = docs.filter(n > 0).select(

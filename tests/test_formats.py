@@ -13,9 +13,14 @@ def _orders_subset(spark, sf_dir):
     )
 
 
-def _assert_same_rows(a, b, key="o_orderkey"):
+def _assert_same_rows(a, b):
+    """Full multiset equality over ALL columns (not just key
+    membership — a value-mangling roundtrip must fail here)."""
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
     assert a.count() == b.count()
-    assert a.join(b, a[key] == b[key], "left_anti").count() == 0
 
 
 def test_csv_roundtrip(spark, sf_dir, tmp_path):
@@ -24,9 +29,12 @@ def test_csv_roundtrip(spark, sf_dir, tmp_path):
     src.write.option("header", True).csv(path)
     back = fmt.read_csv(spark, path, src.schema)
     clean, bad = fmt.quarantine_split(back)
-    assert bad.count() == 0
-    _assert_same_rows(clean, src)
-    assert clean.schema["o_totalprice"].dataType == src.schema["o_totalprice"].dataType
+    try:
+        assert bad.count() == 0
+        _assert_same_rows(clean, src)
+        assert clean.schema["o_totalprice"].dataType == src.schema["o_totalprice"].dataType
+    finally:
+        back.unpersist()
 
 
 def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
@@ -38,8 +46,11 @@ def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
         f.write('{"o_orderkey": broken\nnot json at all\n')
     back = fmt.read_jsonl(spark, path, src.schema)
     clean, bad = fmt.quarantine_split(back)
-    assert bad.count() == 2  # both malformed lines quarantined, job alive
-    _assert_same_rows(clean, src)
+    try:
+        assert bad.count() == 2  # both malformed lines quarantined, job alive
+        _assert_same_rows(clean, src)
+    finally:
+        back.unpersist()
 
 
 def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):

@@ -10,8 +10,11 @@ reference kafka.rs:33-34), and the per-row topic-column sink routing
 light up with no code change.
 
 The test uses the reference's REAL topic names (flink-1/flink-2,
-config.yaml:5-6) because the rule table keys on them; run against a
-dedicated test broker.
+config.yaml:5-6) because the rule table keys on them, and it reads
+routed topics from EARLIEST offsets — so it requires a FRESH broker
+(empty topics) and is exact only on its first run; a rerun against the
+same broker accumulates prior output and fails the count equality.
+Point SPARK_GRAFT_KAFKA_BOOTSTRAP at a disposable test broker.
 
 Note: Spark's Kafka connector is a separate artifact
 (spark-sql-kafka-0-10); when absent the tests skip on that too.
