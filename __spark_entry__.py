@@ -178,6 +178,9 @@ def queries() -> dict[str, QueryFn]:
         "mixture_sample_summary": lambda s, d: sampling.mixture_sample_summary(
             _docs(s, d)
         ),
+        "histogram_quantiles": lambda s, d: sketch.histogram_quantiles(
+            load_table(s, "events", d)
+        ),
         # === HEAD: red or changed in r01 -> need a fresh verdict ===
         "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
         "array_function_showcase": lambda s, d: relational.array_function_showcase(
@@ -284,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_funnel": oracles.quality_filter_funnel_oracle(),
         "hll_rollup_users": oracles.hll_rollup_users_oracle(),
         "mixture_sample_summary": oracles.mixture_sample_summary_oracle(),
+        "histogram_quantiles": oracles.histogram_quantiles_oracle(),
         "cdc_parse": oracles.cdc_parse_oracle(),
         "cdc_filter_deletes": oracles.cdc_filter_deletes_oracle(),
         "cdc_route": oracles.cdc_route_oracle(),

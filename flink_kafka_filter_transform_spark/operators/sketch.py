@@ -265,3 +265,106 @@ def cms_token_counts(docs: DataFrame, top_n: int = 20) -> DataFrame:
         "n_exact",
         F.least(*[F.col(f"c{j}") for j in range(CMS_DEPTH)]).alias("cms_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantile sketch: mergeable approximate percentiles
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 64
+
+
+def histogram_quantiles(
+    events: DataFrame, col: str = "value", percentiles: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Approximate percentiles from a fixed-bin histogram, next to the
+    exact sort-based answer (the error report a user needs to trust the
+    sketch). Completes the sketch family: HLL (distinct), CMS
+    (frequency), histogram (quantiles).
+
+    Why this shape at 100 TB: exact percentiles SORT each group; the
+    histogram is one map pass + a shuffle of at most HIST_BINS counter
+    rows (map-side combined), and — like the HLL registers — bin counts
+    are MERGEABLE (they add), so per-partition/per-day histograms roll
+    up for free. Unlike t-digest/approx_percentile, fixed bins are
+    deterministic and cross-engine reproducible: the estimate is pure
+    double arithmetic on (min, max, bin counts), replicated exactly by
+    the DuckDB oracle. Estimate: locate the bin where the cumulative
+    count crosses p*n, then interpolate linearly inside it.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(col).cast("double")
+    vals = events.filter(v.isNotNull()).select(v.alias("_v"))
+    stats = vals.agg(
+        F.min("_v").alias("_mn"), F.max("_v").alias("_mx"), F.count(F.lit(1)).alias("_n")
+    )
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(HIST_BINS))
+    idx = F.least(
+        F.lit(HIST_BINS - 1),
+        F.floor((F.col("_v") - F.col("_mn")) / width).cast("int"),
+    )
+    # degenerate all-equal input: width 0 -> everything in bin 0
+    idx = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(idx)
+    counts = (
+        vals.crossJoin(F.broadcast(stats))
+        .groupBy(idx.alias("idx"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = counts.withColumn(
+        "cume",
+        F.sum("cnt").over(
+            Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # labels are PYTHON-built literals, never engine-side float
+    # formatting (locale/format rules differ across engines)
+    p_rows = stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(str(p)).alias("pct"), F.lit(float(p)).alias("p"))
+                    for p in percentiles
+                ]
+            )
+        ).alias("_p"),
+        "_mn",
+        "_mx",
+        "_n",
+    ).select(F.col("_p.pct").alias("pct"), F.col("_p.p").alias("p"), "_mn", "_mx", "_n")
+    target = F.col("p") * F.col("_n").cast("double")
+    win = (
+        p_rows.crossJoin(cum)
+        .filter(F.col("cume").cast("double") >= target)
+        .groupBy("pct", "p", "_mn", "_mx", "_n")
+        .agg(F.min("idx").alias("idx"))
+        .join(cum, "idx")
+    )
+    w_ = (F.col("_mx") - F.col("_mn")) / F.lit(float(HIST_BINS))
+    before = (F.col("cume") - F.col("cnt")).cast("double")
+    est = (
+        F.col("_mn")
+        + F.col("idx").cast("double") * w_
+        + (target - before) / F.col("cnt").cast("double") * w_
+    )
+    est = F.when(F.col("_mx") == F.col("_mn"), F.col("_mn")).otherwise(est)
+    sketch_df = win.select("pct", est.alias("approx"))
+    exact = events.agg(
+        *[
+            F.expr(f"percentile(CAST({col} AS DOUBLE), {p!r})").alias(f"e{i}")
+            for i, p in enumerate(percentiles)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(str(p)).alias("pct"),
+                        F.col(f"e{i}").alias("exact"),
+                    )
+                    for i, p in enumerate(percentiles)
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.pct", "_s.exact")
+    return sketch_df.join(F.broadcast(exact), "pct").select("pct", "approx", "exact")

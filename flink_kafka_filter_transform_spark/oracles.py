@@ -993,6 +993,57 @@ def hll_distinct_users_oracle() -> str:
     return hll_distinct_sql("events", key="user_id", group="event_type")
 
 
+def histogram_quantiles_oracle(percentiles: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    """Histogram-sketch twin: identical bin, cumulative, and
+    interpolation arithmetic; exact percentiles via quantile_cont
+    (proven bit-identical to Spark's percentile)."""
+    bins = 64
+    p_values = " UNION ALL ".join(
+        f"SELECT '{p}' AS pct, CAST({p!r} AS DOUBLE) AS p" for p in percentiles
+    )
+    return f"""
+WITH v AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+),
+s AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS n FROM v),
+b AS (
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE least({bins - 1}, CAST(floor((v - mn) / ((mx - mn) / {float(bins)!r})) AS INT))
+         END AS idx
+  FROM v, s
+),
+c AS (SELECT idx, count(*) AS cnt FROM b GROUP BY idx),
+cum AS (
+  SELECT idx, cnt,
+    CAST(sum(cnt) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume
+  FROM c
+),
+p AS ({p_values}),
+win AS (
+  SELECT p.pct, p.p, s.mn, s.mx, s.n, min(cum.idx) AS idx
+  FROM p, s, cum
+  WHERE CAST(cume AS DOUBLE) >= p.p * CAST(n AS DOUBLE)
+  GROUP BY p.pct, p.p, s.mn, s.mx, s.n
+),
+est AS (
+  SELECT w.pct,
+    CASE WHEN w.mx = w.mn THEN w.mn
+         ELSE w.mn + CAST(w.idx AS DOUBLE) * ((w.mx - w.mn) / {float(bins)!r})
+              + (w.p * CAST(w.n AS DOUBLE) - CAST(cum.cume - cum.cnt AS DOUBLE))
+                / CAST(cum.cnt AS DOUBLE) * ((w.mx - w.mn) / {float(bins)!r})
+    END AS approx
+  FROM win w JOIN cum ON w.idx = cum.idx
+),
+x AS (
+  {" UNION ALL ".join(
+    f"SELECT '{p}' AS pct, quantile_cont(CAST(value AS DOUBLE), {p!r}) AS exact "
+    "FROM events WHERE value IS NOT NULL" for p in percentiles
+  )}
+)
+SELECT est.pct, est.approx, x.exact FROM est JOIN x ON est.pct = x.pct
+"""
+
+
 def hll_rollup_users_oracle() -> str:
     """Deliberately the DIRECT (un-rolled-up) HLL: the engine computes
     per-day registers merged to per-type; register max is associative,
