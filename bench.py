@@ -60,6 +60,7 @@ HEADLINE = [
     "pii_redact",
     "contamination_check",
     "quality_filter_funnel",
+    "histogram_quantiles",
 ]
 
 
