@@ -72,6 +72,85 @@ def write_clustered_parquet(
     )
 
 
+def zorder_value(col_a: str, col_b: str, bits: int = 16):
+    """Bit-interleaved (Morton/Z-order) key of two non-negative integer
+    columns: bit i of each input lands at positions 2i / 2i+1, so rows
+    close in Z-value are close in BOTH dimensions.
+
+    Inputs must fit in ``bits`` bits — at scale, first map each column
+    to its quantile rank (or truncate to the needed resolution); here
+    the testdata ids/values are already small. Pure map expression
+    (shiftright/and/shiftleft chains, whole-stage codegen'd).
+    """
+    from pyspark.sql import functions as F
+
+    a = F.col(col_a).cast("bigint")
+    b = F.col(col_b).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Parquet clustered on the Z-order curve of TWO columns: each
+    file/row-group owns a compact square-ish region of the (a, b)
+    plane, so min/max pruning is selective on EITHER column — the
+    multi-dimensional generalization of ``write_clustered_parquet``
+    (which nails one column and leaves the other spanning the whole
+    domain). With k files, per-dimension row-group coverage shrinks to
+    ~k^-1/2 instead of 1 (verified from real footers in
+    tests/test_sinks.py).
+
+    Both columns are min/max-NORMALIZED to the full bit width before
+    interleaving: with raw values, the wider-ranged column's high bits
+    outrank every bit of the narrower one and the curve degenerates to
+    single-column ordering (measured: user_id coverage 1.0 before
+    normalization, ~0.4 after)."""
+    from pyspark.sql import functions as F
+
+    bits = 16
+    stats = df.agg(
+        F.min(col_a).alias("_a_mn"),
+        F.max(col_a).alias("_a_mx"),
+        F.min(col_b).alias("_b_mn"),
+        F.max(col_b).alias("_b_mx"),
+    )
+
+    def norm(c: str, mn: str, mx: str):
+        span = (F.col(mx) - F.col(mn)).cast("double")
+        scaled = (
+            (F.col(c) - F.col(mn)).cast("double") / span * float((1 << bits) - 1)
+        )
+        return F.when(span > 0, F.floor(scaled).cast("bigint")).otherwise(F.lit(0))
+
+    z = zorder_value("_a_n", "_b_n", bits).alias("_z")
+    (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_a_n", norm(col_a, "_a_mn", "_a_mx"))
+        .withColumn("_b_n", norm(col_b, "_b_mn", "_b_mx"))
+        .withColumn("_z", z)
+        .drop("_a_n", "_b_n", "_a_mn", "_a_mx", "_b_mn", "_b_mx")
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -103,3 +103,44 @@ def test_clustered_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
         spark.read.parquet(clustered).filter(pred).count()
         == events.filter(pred).count()
     )
+
+
+def test_zordered_write_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs single-column range clustering, measured from real
+    footers: range-clustering on user_id leaves each row group spanning
+    ~the whole value domain (no pruning on value filters); the Z-order
+    layout shrinks per-row-group coverage on BOTH dimensions."""
+    from flink_kafka_filter_transform_spark.sinks import (
+        write_clustered_parquet,
+        write_zordered_parquet,
+    )
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.floor(F.col("value")).cast("bigint").alias("value_i")
+    )
+
+    def coverage(path, col):
+        rows = _rowgroup_ranges(path, col)
+        los = [mn for mn, _ in rows]
+        his = [mx for _, mx in rows]
+        domain = max(his) - min(los)
+        return sum(mx - mn for mn, mx in rows) / (len(rows) * domain)
+
+    single = str(tmp_path / "single")
+    write_clustered_parquet(events, single, ["user_id"], n_files=8)
+    zpath = str(tmp_path / "zorder")
+    write_zordered_parquet(events, zpath, "user_id", "value_i", n_files=8)
+
+    # single-column clustering: tight on user_id, ~blind on value
+    assert coverage(single, "user_id") < 0.3
+    assert coverage(single, "value_i") > 0.6
+    # z-order: materially tighter than blind on BOTH dimensions
+    # (theoretical per-dim coverage for 8 files is ~8^-1/2 = 0.35)
+    assert coverage(zpath, "user_id") < 0.55
+    assert coverage(zpath, "value_i") < 0.55
+
+    # correctness: same rows come back
+    assert (
+        spark.read.parquet(zpath).exceptAll(events).count() == 0
+        and events.exceptAll(spark.read.parquet(zpath)).count() == 0
+    )
