@@ -181,6 +181,9 @@ def queries() -> dict[str, QueryFn]:
         "histogram_quantiles": lambda s, d: sketch.histogram_quantiles(
             load_table(s, "events", d)
         ),
+        "jl_projection_distortion": lambda s, d: vectorprep.jl_projection_distortion(
+            _emb(s, d)
+        ),
         # === HEAD: red or changed in r01 -> need a fresh verdict ===
         "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
         "array_function_showcase": lambda s, d: relational.array_function_showcase(
@@ -288,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_rollup_users": oracles.hll_rollup_users_oracle(),
         "mixture_sample_summary": oracles.mixture_sample_summary_oracle(),
         "histogram_quantiles": oracles.histogram_quantiles_oracle(),
+        "jl_projection_distortion": oracles.jl_projection_distortion_oracle(),
         "cdc_parse": oracles.cdc_parse_oracle(),
         "cdc_filter_deletes": oracles.cdc_filter_deletes_oracle(),
         "cdc_route": oracles.cdc_route_oracle(),

@@ -70,3 +70,62 @@ def embedding_quantize(emb: DataFrame) -> DataFrame:
         q_str.alias("q8"),
         recon_err.alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (deterministic)
+# ---------------------------------------------------------------------------
+
+JL_IN_DIM = 64
+JL_OUT_DIM = 16  # sqrt(16) = 4 is float-exact, keeping the scale division clean
+
+
+def _jl_matrix() -> list[list[float]]:
+    """The +-1 Achlioptas projection matrix, derived from md5 so it is
+    a deterministic constant embedded as literals in BOTH engines (no
+    engine-side randomness; same idiom as the HLL ln table)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"jl:{i}:{j}".encode()).digest()[0] % 2 == 0 else -1.0
+            for j in range(JL_IN_DIM)
+        ]
+        for i in range(JL_OUT_DIM)
+    ]
+
+
+def jl_projection_distortion(emb: DataFrame) -> DataFrame:
+    """Project each embedding 64 -> 16 dims with the +-1 JL matrix and
+    report the norm distortion ||y|| / ||x|| (the JL lemma says ~1 +- eps
+    — this query makes the guarantee observable per vector).
+
+    Map-only: 16 left-to-right folds per vector (one per output
+    component) + the norm ratio, all double arithmetic in the shared
+    fold order so DuckDB reproduces it bit-exactly. At 100 TB this is
+    the cheap preprocessing that shrinks ANN index memory 4x; the
+    projected vectors would feed knn_* directly."""
+    from flink_kafka_filter_transform_spark.functions.vectors import l2_norm
+
+    v = F.col("embedding").cast("array<double>")
+    rows = _jl_matrix()
+    comps = []
+    for i in range(JL_OUT_DIM):
+        r = F.array(*[F.lit(x) for x in rows[i]])
+        y_i = F.aggregate(
+            F.zip_with(v, r, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ) / F.lit(4.0)
+        comps.append(y_i)
+    # ||y||^2 summed in fixed component order (left-assoc chain)
+    y_sq = comps[0] * comps[0]
+    for c in comps[1:]:
+        y_sq = y_sq + c * c
+    x_norm = l2_norm(v)
+    ratio = F.sqrt(y_sq) / x_norm
+    return emb.filter(x_norm > 0).select(
+        "vec_id",
+        comps[0].alias("y0"),
+        ratio.alias("norm_ratio"),
+    )

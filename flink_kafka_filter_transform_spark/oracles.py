@@ -1557,6 +1557,40 @@ FROM qd
 """
 
 
+def jl_projection_distortion_oracle() -> str:
+    from flink_kafka_filter_transform_spark.functions.vectors import norm_sql
+    from flink_kafka_filter_transform_spark.operators.vectorprep import (
+        JL_OUT_DIM,
+        _jl_matrix,
+    )
+
+    rows = _jl_matrix()
+
+    def comp(i: int) -> str:
+        lits = ",".join(f"CAST({x!r} AS DOUBLE)" for x in rows[i])
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip(v, [{lits}]), "
+            f"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), "
+            f"(acc, t) -> acc + t) / CAST(4.0 AS DOUBLE)"
+        )
+
+    y_sq = " + ".join(f"(y{i} * y{i})" for i in range(JL_OUT_DIM))
+    ys = ",\n    ".join(f"{comp(i)} AS y{i}" for i in range(JL_OUT_DIM))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+proj AS (
+  SELECT vec_id, {norm_sql('v')} AS x_norm,
+    {ys}
+  FROM e
+)
+SELECT vec_id, y0, sqrt({y_sq}) / x_norm AS norm_ratio
+FROM proj WHERE x_norm > 0
+"""
+
+
 def normalize_text_oracle() -> str:
     return """
 WITH c AS (
