@@ -184,6 +184,8 @@ def queries() -> dict[str, QueryFn]:
         "jl_projection_distortion": lambda s, d: vectorprep.jl_projection_distortion(
             _emb(s, d)
         ),
+        "knn_jl": lambda s, d: similarity.knn_jl(_emb(s, d)),
+        "knn_jl_recall": lambda s, d: similarity.knn_jl_recall(_emb(s, d)),
         # === HEAD: red or changed in r01 -> need a fresh verdict ===
         "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
         "array_function_showcase": lambda s, d: relational.array_function_showcase(
@@ -292,6 +294,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample_summary": oracles.mixture_sample_summary_oracle(),
         "histogram_quantiles": oracles.histogram_quantiles_oracle(),
         "jl_projection_distortion": oracles.jl_projection_distortion_oracle(),
+        "knn_jl": oracles.knn_jl_oracle(),
+        "knn_jl_recall": oracles.knn_jl_recall_oracle(),
         "cdc_parse": oracles.cdc_parse_oracle(),
         "cdc_filter_deletes": oracles.cdc_filter_deletes_oracle(),
         "cdc_route": oracles.cdc_route_oracle(),

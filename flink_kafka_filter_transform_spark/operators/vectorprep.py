@@ -95,6 +95,31 @@ def _jl_matrix() -> list[list[float]]:
     ]
 
 
+def _jl_components(v: Column) -> list[Column]:
+    """The 16 projected components of a (cast-to-double) vector column,
+    each a left-to-right fold in the shared cross-engine order."""
+    rows = _jl_matrix()
+    comps = []
+    for i in range(JL_OUT_DIM):
+        r = F.array(*[F.lit(x) for x in rows[i]])
+        comps.append(
+            F.aggregate(
+                F.zip_with(v, r, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            / F.lit(4.0)
+        )
+    return comps
+
+
+def jl_project(col: Column | str = "embedding") -> Column:
+    """The projected vector as ``array<double>`` — feed this to the
+    knn_* operators for reduced-dimension search (see knn_jl)."""
+    v = (F.col(col) if isinstance(col, str) else col).cast("array<double>")
+    return F.array(*_jl_components(v))
+
+
 def jl_projection_distortion(emb: DataFrame) -> DataFrame:
     """Project each embedding 64 -> 16 dims with the +-1 JL matrix and
     report the norm distortion ||y|| / ||x|| (the JL lemma says ~1 +- eps
@@ -108,16 +133,7 @@ def jl_projection_distortion(emb: DataFrame) -> DataFrame:
     from flink_kafka_filter_transform_spark.functions.vectors import l2_norm
 
     v = F.col("embedding").cast("array<double>")
-    rows = _jl_matrix()
-    comps = []
-    for i in range(JL_OUT_DIM):
-        r = F.array(*[F.lit(x) for x in rows[i]])
-        y_i = F.aggregate(
-            F.zip_with(v, r, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        ) / F.lit(4.0)
-        comps.append(y_i)
+    comps = _jl_components(v)
     # ||y||^2 summed in fixed component order (left-assoc chain)
     y_sq = comps[0] * comps[0]
     for c in comps[1:]:

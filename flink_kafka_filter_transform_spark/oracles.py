@@ -1591,6 +1591,53 @@ FROM proj WHERE x_norm > 0
 """
 
 
+def _jl_proj_cte() -> str:
+    """Shared CTE text: per-vector 16-dim JL projection as a list."""
+    from flink_kafka_filter_transform_spark.operators.vectorprep import (
+        JL_OUT_DIM,
+        _jl_matrix,
+    )
+
+    rows = _jl_matrix()
+
+    def comp(i: int) -> str:
+        lits = ",".join(f"CAST({x!r} AS DOUBLE)" for x in rows[i])
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip(v, [{lits}]), "
+            f"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), "
+            f"(acc, t) -> acc + t) / CAST(4.0 AS DOUBLE)"
+        )
+
+    ys = ", ".join(comp(i) for i in range(JL_OUT_DIM))
+    return f"""
+e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+proj AS (SELECT vec_id, [{ys}] AS y FROM e0)
+"""
+
+
+def knn_jl_oracle(k: int = params.LSH_TOPK) -> str:
+    cos = cosine_sql("p.y", "q.q_y")
+    return f"""
+WITH {_jl_proj_cte()},
+q AS (SELECT vec_id AS q_id, y AS q_y FROM proj WHERE vec_id < {params.KNN_NUM_QUERIES}),
+scored AS (
+  SELECT q.q_id, p.vec_id, {cos} AS cos_sim
+  FROM proj p CROSS JOIN q WHERE p.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+) r WHERE rank <= {k}
+"""
+
+
+def knn_jl_recall_oracle(k: int = params.LSH_TOPK) -> str:
+    return _recall_oracle(knn_jl_oracle(k=k), k)
+
+
 def normalize_text_oracle() -> str:
     return """
 WITH c AS (
