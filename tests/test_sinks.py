@@ -144,3 +144,37 @@ def test_zordered_write_tightens_both_dimensions(spark, sf_dir, tmp_path):
         spark.read.parquet(zpath).exceptAll(events).count() == 0
         and events.exceptAll(spark.read.parquet(zpath)).count() == 0
     )
+
+
+def test_hll_registers_persist_and_merge(spark, sf_dir, tmp_path):
+    """Sketch-as-data round trip: per-day HLL register tables written to
+    parquet, read back, and merged must estimate exactly what the
+    direct in-memory sketch estimates — the persistence contract that
+    lets a daily pipeline store tiny register tables and re-slice
+    distinct counts forever without raw data."""
+    from flink_kafka_filter_transform_spark.operators import sketch
+
+    events = load_table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    ev = events.select(
+        "event_type",
+        F.expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')").alias("_day"),
+        "user_id",
+    )
+    regs = sketch.hll_registers(ev, "user_id", ["event_type", "_day"])
+    path = str(tmp_path / "hll_regs")
+    regs.write.mode("overwrite").partitionBy("_day").parquet(path)
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("event_type", "_idx")
+        .agg(F.max("_r").alias("_r"))
+    )
+    got = {
+        (r["event_type"], r["hll_estimate"])
+        for r in sketch.hll_estimate_from_registers(merged, ["event_type"]).collect()
+    }
+    direct = sketch.hll_estimate_from_registers(
+        sketch.hll_registers(ev, "user_id", ["event_type"]), ["event_type"]
+    )
+    want = {(r["event_type"], r["hll_estimate"]) for r in direct.collect()}
+    assert got == want and len(want) > 0
