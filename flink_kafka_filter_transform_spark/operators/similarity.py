@@ -38,6 +38,18 @@ def _queries(emb: DataFrame) -> DataFrame:
     )
 
 
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k: rank by (cos_sim DESC, vec_id ASC) — the tie-break
+    and the INT rank type are part of the oracle-parity contract, so
+    they live in exactly one place for every knn variant."""
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "cos_sim")
+    )
+
+
 def knn_brute(emb: DataFrame, k: int = params.KNN_K) -> DataFrame:
     """Exact top-k by cosine for each query vector (ties -> lower vec_id)."""
     q = _queries(emb)
@@ -46,12 +58,7 @@ def knn_brute(emb: DataFrame, k: int = params.KNN_K) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cosine_similarity("embedding", "q_vec").alias("cos_sim"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "rank", "cos_sim")
-    )
+    return _topk(scored, k)
 
 
 def bucketize(emb: DataFrame) -> DataFrame:
@@ -89,12 +96,7 @@ def knn_lsh(emb: DataFrame, k: int = params.LSH_TOPK) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cosine_similarity("embedding", "q_vec").alias("cos_sim"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "rank", "cos_sim")
-    )
+    return _topk(scored, k)
 
 
 def label_centroids(emb: DataFrame) -> DataFrame:
@@ -145,12 +147,7 @@ def knn_ivf(emb: DataFrame, k: int = params.LSH_TOPK, nprobe: int = params.IVF_N
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cosine_similarity("embedding", "q_vec").alias("cos_sim"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "rank", "cos_sim")
-    )
+    return _topk(scored, k)
 
 
 def _recall_vs_brute(approx: DataFrame, emb: DataFrame, k: int) -> DataFrame:
@@ -203,7 +200,11 @@ def knn_jl(emb: DataFrame, k: int = params.LSH_TOPK) -> DataFrame:
     always read knn_jl_recall before trusting knn_jl."""
     from flink_kafka_filter_transform_spark.operators.vectorprep import jl_project
 
-    proj = emb.select("vec_id", jl_project("embedding").alias("y"))
+    from flink_kafka_filter_transform_spark.operators.vectorprep import jl_dim_ok
+
+    proj = emb.filter(jl_dim_ok("embedding")).select(
+        "vec_id", jl_project("embedding").alias("y")
+    )
     q = proj.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("y").alias("q_y")
     )
@@ -212,12 +213,7 @@ def knn_jl(emb: DataFrame, k: int = params.LSH_TOPK) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cosine_similarity("y", "q_y").alias("cos_sim"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "rank", "cos_sim")
-    )
+    return _topk(scored, k)
 
 
 def knn_jl_recall(emb: DataFrame, k: int = params.LSH_TOPK) -> DataFrame:

@@ -349,11 +349,14 @@ def histogram_quantiles(
     )
     est = F.when(F.col("_mx") == F.col("_mn"), F.col("_mn")).otherwise(est)
     sketch_df = win.select("pct", est.alias("approx"))
+    # ONE array-form percentile aggregate: each separate percentile(p)
+    # call maintains its own buffer of every distinct value — the
+    # array form shares a single buffer across all requested points.
+    p_arr = ", ".join(repr(p) for p in percentiles)
     exact = events.agg(
-        *[
-            F.expr(f"percentile(CAST({col} AS DOUBLE), {p!r})").alias(f"e{i}")
-            for i, p in enumerate(percentiles)
-        ]
+        F.expr(f"percentile(CAST({col} AS DOUBLE), array({p_arr}))").alias("_es")
+    ).select(
+        *[F.element_at(F.col("_es"), i + 1).alias(f"e{i}") for i in range(len(percentiles))]
     ).select(
         F.explode(
             F.array(

@@ -120,6 +120,16 @@ def jl_project(col: Column | str = "embedding") -> Column:
     return F.array(*_jl_components(v))
 
 
+def jl_dim_ok(col: Column | str = "embedding") -> Column:
+    """Guard: the projection matrix is JL_IN_DIM wide; a mismatched
+    vector would zip_with-pad with NULLs and every output would be
+    NULL — and the oracle would null-pad IDENTICALLY, so the
+    differential gate would MATCH on garbage. Filter loudly instead
+    (both engines apply the same predicate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(c) == JL_IN_DIM
+
+
 def jl_projection_distortion(emb: DataFrame) -> DataFrame:
     """Project each embedding 64 -> 16 dims with the +-1 JL matrix and
     report the norm distortion ||y|| / ||x|| (the JL lemma says ~1 +- eps
@@ -134,14 +144,22 @@ def jl_projection_distortion(emb: DataFrame) -> DataFrame:
 
     v = F.col("embedding").cast("array<double>")
     comps = _jl_components(v)
-    # ||y||^2 summed in fixed component order (left-assoc chain)
-    y_sq = comps[0] * comps[0]
-    for c in comps[1:]:
-        y_sq = y_sq + c * c
     x_norm = l2_norm(v)
-    ratio = F.sqrt(y_sq) / x_norm
-    return emb.filter(x_norm > 0).select(
+    # two-phase select: materialize y0..y15 as columns FIRST so each
+    # 64-element fold evaluates exactly once per row (interpreted HOFs
+    # don't reliably get common-subexpression elimination — squaring
+    # the fold expressions inline would re-run them)
+    projected = emb.filter(jl_dim_ok() & (x_norm > 0)).select(
         "vec_id",
-        comps[0].alias("y0"),
-        ratio.alias("norm_ratio"),
+        x_norm.alias("_xn"),
+        *[c.alias(f"_y{i}") for i, c in enumerate(comps)],
+    )
+    # ||y||^2 summed in fixed component order (left-assoc chain)
+    y_sq = F.col("_y0") * F.col("_y0")
+    for i in range(1, JL_OUT_DIM):
+        y_sq = y_sq + F.col(f"_y{i}") * F.col(f"_y{i}")
+    return projected.select(
+        "vec_id",
+        F.col("_y0").alias("y0"),
+        (F.sqrt(y_sq) / F.col("_xn")).alias("norm_ratio"),
     )

@@ -1559,35 +1559,19 @@ FROM qd
 
 def jl_projection_distortion_oracle() -> str:
     from flink_kafka_filter_transform_spark.functions.vectors import norm_sql
-    from flink_kafka_filter_transform_spark.operators.vectorprep import (
-        JL_OUT_DIM,
-        _jl_matrix,
+
+    # sqrt(sum y_i^2): fold with a 0.0-prepend is bit-identical to the
+    # engine's left-assoc chain (0.0 + a == a exactly for a >= 0)
+    y_sq = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(y, t -> t * t)), (acc, t) -> acc + t)"
     )
-
-    rows = _jl_matrix()
-
-    def comp(i: int) -> str:
-        lits = ",".join(f"CAST({x!r} AS DOUBLE)" for x in rows[i])
-        return (
-            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(list_zip(v, [{lits}]), "
-            f"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), "
-            f"(acc, t) -> acc + t) / CAST(4.0 AS DOUBLE)"
-        )
-
-    y_sq = " + ".join(f"(y{i} * y{i})" for i in range(JL_OUT_DIM))
-    ys = ",\n    ".join(f"{comp(i)} AS y{i}" for i in range(JL_OUT_DIM))
     return f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-),
-proj AS (
-  SELECT vec_id, {norm_sql('v')} AS x_norm,
-    {ys}
-  FROM e
-)
-SELECT vec_id, y0, sqrt({y_sq}) / x_norm AS norm_ratio
-FROM proj WHERE x_norm > 0
+WITH {_jl_proj_cte()},
+n AS (SELECT vec_id, {norm_sql('v')} AS x_norm FROM e0)
+SELECT p.vec_id, p.y[1] AS y0, sqrt({y_sq}) / n.x_norm AS norm_ratio
+FROM proj p JOIN n ON p.vec_id = n.vec_id
+WHERE n.x_norm > 0
 """
 
 
@@ -1610,9 +1594,13 @@ def _jl_proj_cte() -> str:
         )
 
     ys = ", ".join(comp(i) for i in range(JL_OUT_DIM))
+    # len(embedding) = JL_IN_DIM mirrors the engine's jl_dim_ok guard:
+    # a mismatched vector would null-pad identically in both engines
+    # and the differential would MATCH on garbage — exclude loudly.
     return f"""
 e0 AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE len(embedding) = {len(rows[0])}
 ),
 proj AS (SELECT vec_id, [{ys}] AS y FROM e0)
 """

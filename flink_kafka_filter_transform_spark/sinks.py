@@ -130,9 +130,11 @@ def write_zordered_parquet(
 
     def norm(c: str, mn: str, mx: str):
         span = (F.col(mx) - F.col(mn)).cast("double")
-        scaled = (
-            (F.col(c) - F.col(mn)).cast("double") / span * float((1 << bits) - 1)
-        )
+        # NULL keys coalesce to the domain minimum (bucket 0): leaving
+        # them NULL would give NULL _z and silently pile every such row
+        # into one unclustered partition spanning both full domains.
+        val = F.coalesce(F.col(c), F.col(mn))
+        scaled = (val - F.col(mn)).cast("double") / span * float((1 << bits) - 1)
         return F.when(span > 0, F.floor(scaled).cast("bigint")).otherwise(F.lit(0))
 
     z = zorder_value("_a_n", "_b_n", bits).alias("_z")
