@@ -181,6 +181,9 @@ def queries() -> dict[str, QueryFn]:
         "histogram_quantiles": lambda s, d: sketch.histogram_quantiles(
             load_table(s, "events", d)
         ),
+        "histogram_quantiles_by_type": lambda s, d: sketch.histogram_quantiles_by_type(
+            load_table(s, "events", d)
+        ),
         "jl_projection_distortion": lambda s, d: vectorprep.jl_projection_distortion(
             _emb(s, d)
         ),
@@ -293,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_rollup_users": oracles.hll_rollup_users_oracle(),
         "mixture_sample_summary": oracles.mixture_sample_summary_oracle(),
         "histogram_quantiles": oracles.histogram_quantiles_oracle(),
+        "histogram_quantiles_by_type": oracles.histogram_quantiles_by_type_oracle(),
         "jl_projection_distortion": oracles.jl_projection_distortion_oracle(),
         "knn_jl": oracles.knn_jl_oracle(),
         "knn_jl_recall": oracles.knn_jl_recall_oracle(),

@@ -275,28 +275,35 @@ HIST_BINS = 64
 
 
 def histogram_quantiles(
-    events: DataFrame, col: str = "value", percentiles: tuple[float, ...] = (0.5, 0.9, 0.99)
+    events: DataFrame,
+    col: str = "value",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group: str | None = None,
 ) -> DataFrame:
     """Approximate percentiles from a fixed-bin histogram, next to the
     exact sort-based answer (the error report a user needs to trust the
-    sketch). Completes the sketch family: HLL (distinct), CMS
-    (frequency), histogram (quantiles).
+    sketch) — globally or per ``group``. Completes the sketch family:
+    HLL (distinct), CMS (frequency), histogram (quantiles), each with a
+    grouped form.
 
     Why this shape at 100 TB: exact percentiles SORT each group; the
     histogram is one map pass + a shuffle of at most HIST_BINS counter
-    rows (map-side combined), and — like the HLL registers — bin counts
-    are MERGEABLE (they add), so per-partition/per-day histograms roll
-    up for free. Unlike t-digest/approx_percentile, fixed bins are
-    deterministic and cross-engine reproducible: the estimate is pure
-    double arithmetic on (min, max, bin counts), replicated exactly by
-    the DuckDB oracle. Estimate: locate the bin where the cumulative
-    count crosses p*n, then interpolate linearly inside it.
+    rows PER GROUP (map-side combined), and — like the HLL registers —
+    bin counts are MERGEABLE (they add), so per-partition/per-day
+    histograms roll up for free. Unlike t-digest/approx_percentile,
+    fixed bins are deterministic and cross-engine reproducible: the
+    estimate is pure double arithmetic on (min, max, bin counts),
+    replicated exactly by the DuckDB oracle. Estimate: locate the bin
+    where the cumulative count crosses p*n, then interpolate linearly
+    inside it. The per-group stats relation is group-cardinality-sized
+    and broadcasts back onto the scan.
     """
     from pyspark.sql.window import Window
 
     v = F.col(col).cast("double")
-    vals = events.filter(v.isNotNull()).select(v.alias("_v"))
-    stats = vals.agg(
+    g = F.col(group) if group else F.lit("all")
+    vals = events.filter(v.isNotNull()).select(g.alias("_g"), v.alias("_v"))
+    stats = vals.groupBy("_g").agg(
         F.min("_v").alias("_mn"), F.max("_v").alias("_mx"), F.count(F.lit(1)).alias("_n")
     )
     width = (F.col("_mx") - F.col("_mn")) / F.lit(float(HIST_BINS))
@@ -304,22 +311,25 @@ def histogram_quantiles(
         F.lit(HIST_BINS - 1),
         F.floor((F.col("_v") - F.col("_mn")) / width).cast("int"),
     )
-    # degenerate all-equal input: width 0 -> everything in bin 0
+    # degenerate all-equal group: width 0 -> everything in bin 0
     idx = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(idx)
     counts = (
-        vals.crossJoin(F.broadcast(stats))
-        .groupBy(idx.alias("idx"))
+        vals.join(F.broadcast(stats), "_g")
+        .groupBy("_g", idx.alias("idx"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     cum = counts.withColumn(
         "cume",
         F.sum("cnt").over(
-            Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy("_g").orderBy("idx").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
         ),
     )
     # labels are PYTHON-built literals, never engine-side float
     # formatting (locale/format rules differ across engines)
     p_rows = stats.select(
+        "_g",
         F.explode(
             F.array(
                 *[
@@ -331,14 +341,14 @@ def histogram_quantiles(
         "_mn",
         "_mx",
         "_n",
-    ).select(F.col("_p.pct").alias("pct"), F.col("_p.p").alias("p"), "_mn", "_mx", "_n")
+    ).select("_g", F.col("_p.pct").alias("pct"), F.col("_p.p").alias("p"), "_mn", "_mx", "_n")
     target = F.col("p") * F.col("_n").cast("double")
     win = (
-        p_rows.crossJoin(cum)
+        p_rows.join(cum, "_g")
         .filter(F.col("cume").cast("double") >= target)
-        .groupBy("pct", "p", "_mn", "_mx", "_n")
+        .groupBy("_g", "pct", "p", "_mn", "_mx", "_n")
         .agg(F.min("idx").alias("idx"))
-        .join(cum, "idx")
+        .join(cum, ["_g", "idx"])
     )
     w_ = (F.col("_mx") - F.col("_mn")) / F.lit(float(HIST_BINS))
     before = (F.col("cume") - F.col("cnt")).cast("double")
@@ -348,26 +358,38 @@ def histogram_quantiles(
         + (target - before) / F.col("cnt").cast("double") * w_
     )
     est = F.when(F.col("_mx") == F.col("_mn"), F.col("_mn")).otherwise(est)
-    sketch_df = win.select("pct", est.alias("approx"))
+    sketch_df = win.select("_g", "pct", est.alias("approx"))
     # ONE array-form percentile aggregate: each separate percentile(p)
     # call maintains its own buffer of every distinct value — the
     # array form shares a single buffer across all requested points.
     p_arr = ", ".join(repr(p) for p in percentiles)
-    exact = events.agg(
-        F.expr(f"percentile(CAST({col} AS DOUBLE), array({p_arr}))").alias("_es")
-    ).select(
-        *[F.element_at(F.col("_es"), i + 1).alias(f"e{i}") for i in range(len(percentiles))]
-    ).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(str(p)).alias("pct"),
-                        F.col(f"e{i}").alias("exact"),
-                    )
-                    for i, p in enumerate(percentiles)
-                ]
-            )
-        ).alias("_s")
-    ).select("_s.pct", "_s.exact")
-    return sketch_df.join(F.broadcast(exact), "pct").select("pct", "approx", "exact")
+    exact = (
+        events.filter(v.isNotNull())
+        .groupBy(g.alias("_g"))
+        .agg(F.expr(f"percentile(CAST({col} AS DOUBLE), array({p_arr}))").alias("_es"))
+        .select(
+            "_g",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(str(p)).alias("pct"),
+                            F.element_at(F.col("_es"), i + 1).alias("exact"),
+                        )
+                        for i, p in enumerate(percentiles)
+                    ]
+                )
+            ).alias("_s"),
+        )
+        .select("_g", "_s.pct", "_s.exact")
+    )
+    out = sketch_df.join(F.broadcast(exact), ["_g", "pct"])
+    if group:
+        return out.select(F.col("_g").alias(group), "pct", "approx", "exact")
+    return out.select("pct", "approx", "exact")
+
+
+def histogram_quantiles_by_type(events: DataFrame) -> DataFrame:
+    """Per-event_type quantile sketch — the grouped form a dashboard
+    actually queries (p50/p90/p99 latency-style rollups per key)."""
+    return histogram_quantiles(events, group="event_type")

@@ -993,55 +993,63 @@ def hll_distinct_users_oracle() -> str:
     return hll_distinct_sql("events", key="user_id", group="event_type")
 
 
-def histogram_quantiles_oracle(percentiles: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
-    """Histogram-sketch twin: identical bin, cumulative, and
-    interpolation arithmetic; exact percentiles via quantile_cont
-    (proven bit-identical to Spark's percentile)."""
+def histogram_quantiles_oracle(
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99), group: str | None = None
+) -> str:
+    """Histogram-sketch twin (global or grouped): identical bin,
+    cumulative, and interpolation arithmetic; exact percentiles via
+    quantile_cont (proven bit-identical to Spark's percentile)."""
     bins = 64
+    g = group if group else "'all'"
+    out_g = f"est.g AS {group}, " if group else ""
     p_values = " UNION ALL ".join(
         f"SELECT '{p}' AS pct, CAST({p!r} AS DOUBLE) AS p" for p in percentiles
     )
+    exact_each = " UNION ALL ".join(
+        f"SELECT {g} AS g, '{p}' AS pct, quantile_cont(CAST(value AS DOUBLE), {p!r}) AS exact "
+        f"FROM events WHERE value IS NOT NULL GROUP BY 1" for p in percentiles
+    )
     return f"""
 WITH v AS (
-  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+  SELECT {g} AS g, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
 ),
-s AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS n FROM v),
+s AS (SELECT g, min(v) AS mn, max(v) AS mx, count(*) AS n FROM v GROUP BY g),
 b AS (
-  SELECT CASE WHEN mx = mn THEN 0
+  SELECT v.g, CASE WHEN mx = mn THEN 0
               ELSE least({bins - 1}, CAST(floor((v - mn) / ((mx - mn) / {float(bins)!r})) AS INT))
          END AS idx
-  FROM v, s
+  FROM v JOIN s ON v.g = s.g
 ),
-c AS (SELECT idx, count(*) AS cnt FROM b GROUP BY idx),
+c AS (SELECT g, idx, count(*) AS cnt FROM b GROUP BY g, idx),
 cum AS (
-  SELECT idx, cnt,
-    CAST(sum(cnt) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume
+  SELECT g, idx, cnt,
+    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume
   FROM c
 ),
 p AS ({p_values}),
 win AS (
-  SELECT p.pct, p.p, s.mn, s.mx, s.n, min(cum.idx) AS idx
-  FROM p, s, cum
+  SELECT s.g, p.pct, p.p, s.mn, s.mx, s.n, min(cum.idx) AS idx
+  FROM p CROSS JOIN s JOIN cum ON cum.g = s.g
   WHERE CAST(cume AS DOUBLE) >= p.p * CAST(n AS DOUBLE)
-  GROUP BY p.pct, p.p, s.mn, s.mx, s.n
+  GROUP BY s.g, p.pct, p.p, s.mn, s.mx, s.n
 ),
 est AS (
-  SELECT w.pct,
+  SELECT w.g, w.pct,
     CASE WHEN w.mx = w.mn THEN w.mn
          ELSE w.mn + CAST(w.idx AS DOUBLE) * ((w.mx - w.mn) / {float(bins)!r})
               + (w.p * CAST(w.n AS DOUBLE) - CAST(cum.cume - cum.cnt AS DOUBLE))
                 / CAST(cum.cnt AS DOUBLE) * ((w.mx - w.mn) / {float(bins)!r})
     END AS approx
-  FROM win w JOIN cum ON w.idx = cum.idx
+  FROM win w JOIN cum ON w.g = cum.g AND w.idx = cum.idx
 ),
-x AS (
-  {" UNION ALL ".join(
-    f"SELECT '{p}' AS pct, quantile_cont(CAST(value AS DOUBLE), {p!r}) AS exact "
-    "FROM events WHERE value IS NOT NULL" for p in percentiles
-  )}
-)
-SELECT est.pct, est.approx, x.exact FROM est JOIN x ON est.pct = x.pct
+x AS ({exact_each})
+SELECT {out_g}est.pct, est.approx, x.exact
+FROM est JOIN x ON est.g = x.g AND est.pct = x.pct
 """
+
+
+def histogram_quantiles_by_type_oracle() -> str:
+    return histogram_quantiles_oracle(group="event_type")
 
 
 def hll_rollup_users_oracle() -> str:
