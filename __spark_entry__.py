@@ -197,6 +197,9 @@ def queries() -> dict[str, QueryFn]:
         "events_sessionized": lambda s, d: relational.events_sessionized(
             load_table(s, "events", d)
         ),
+        "events_sessionized_native": lambda s, d: relational.events_sessionized_native(
+            load_table(s, "events", d)
+        ),
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
         "cdc_route_join": q_cdc_route_join,
         # === TAIL: green in CORRECTNESS_r01 and unchanged since ===
@@ -345,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_split_rows": oracles.sentence_split_rows_oracle(),
         "frame_sample": oracles.frame_sample_oracle(),
         "events_sessionized": oracles.events_sessionized_oracle(),
+        "events_sessionized_native": oracles.events_sessionized_native_oracle(),
         "window_function_showcase": oracles.window_function_showcase_oracle(),
         "events_daily_gapfilled": oracles.events_daily_gapfilled_oracle(),
         "events_pivot": oracles.events_pivot_oracle(),

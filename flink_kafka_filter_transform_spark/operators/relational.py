@@ -542,3 +542,33 @@ def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
     )
+
+
+def events_sessionized_native(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window —
+    the same semantics as events_sessionized's lag + cumulative-sum
+    formulation, expressed through the built-in operator (which also
+    runs incrementally under streaming, see
+    streaming.session_windowed_counts). The DuckDB oracle keeps the
+    MANUAL formulation, so the hash match validates Spark's native
+    session merging against an independent algorithm.
+
+    Boundary note: session_window treats a gap of EXACTLY 30 minutes
+    as a session break (window end is exclusive) while lag-based uses
+    strictly-greater; the corpus has no exact-gap pairs (checked), so
+    the formulations agree here — on data where they might not, pick
+    one convention and encode it in both.
+    """
+    e = events.select(
+        "user_id",
+        F.expr("timestamp_micros(ts div 1000)").alias("tsx"),
+    )
+    return (
+        e.groupBy("user_id", F.session_window(F.col("tsx"), "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )

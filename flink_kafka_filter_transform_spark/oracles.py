@@ -761,6 +761,16 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def events_sessionized_native_oracle(gap_minutes: int = 30) -> str:
+    """Oracle for the NATIVE session_window query — deliberately the
+    MANUAL lag+cumsum formulation: equality validates Spark's built-in
+    session merging against an independent algorithm."""
+    return f"""
+SELECT user_id, session_start_us, n_events
+FROM ({events_sessionized_oracle(gap_minutes)}) s
+"""
+
+
 def q4_order_priority_semi_oracle() -> str:
     return """
 SELECT o_orderpriority, count(*) AS n_orders FROM orders
