@@ -116,6 +116,8 @@ def queries() -> dict[str, QueryFn]:
     head; queries already proven green in a prior CORRECTNESS_r{N}.json
     and unchanged since yield their slots (their old rows stand)."""
     return {
+        # === HEAD: new in round 3 ===
+        "media_decode": lambda s, d: multimodal.media_decode(_docs(s, d)),
         # === HEAD: driver-unchecked in r01 (first-50 cutoff) ===
         "customers_without_orders": lambda s, d: relational.customers_without_orders(
             load_table(s, "customer", d), load_table(s, "orders", d)
@@ -291,6 +293,7 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "media_decode": oracles.media_decode_oracle(),
         "cdc_materialize": oracles.cdc_materialize_oracle(),
         "repetition_ratios": oracles.repetition_ratios_oracle(),
         "pii_redact": oracles.pii_redact_oracle(),

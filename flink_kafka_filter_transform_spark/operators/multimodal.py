@@ -6,18 +6,28 @@ routing / dedup on the metadata (Catalyst, pushdown-able), and cross
 the Python boundary only for per-item decode/feature-extraction —
 as Arrow-batched ``mapInPandas``, never row-at-a-time.
 
-The decode step itself is STUBBED (no image/audio libs in this
-container): ``decode_image``/``decode_audio`` raise NotImplementedError
-behind an import-try, and ``extract_features`` computes deterministic
-byte-level features instead, so the Spark-side plumbing — schema,
-partitioning, Arrow batch shape, UDF signature — is fully real and
-differentially tested (byte features have a SQL oracle).
+Two decode tiers:
+
+- ``decode_image`` / ``decode_audio`` are REAL pure-numpy decoders for
+  two self-describing uncompressed formats — binary PPM (P6) and
+  RIFF/WAVE PCM16. They parse actual headers and payload bytes (magic,
+  dimensions, chunk walk, ``np.frombuffer``), no image/audio libs
+  needed. ``media_decode`` runs them over an Arrow-batched
+  ``mapInPandas`` stage and is differentially tested: the fixture
+  synthesizes real PPM/WAV blobs from a closed-form byte formula, and
+  the DuckDB oracle recomputes the decoded statistics from that formula
+  — a wrong header offset or endianness flips the gate red.
+- Compressed formats (JPEG/FLAC/H.264) need codec libs this container
+  lacks; ``decode_image_compressed`` stays a declared stub rather than
+  a fake.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,16 +62,88 @@ def to_multimodal(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub
-    """STUB: real deployment decodes with PIL/torchvision; this
-    container has neither, and fabricating pixels would hide that."""
+def decode_image(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a binary PPM (P6) image — real decoder, pure numpy.
+
+    Parses the NetPBM header (magic, whitespace/comment-tolerant
+    width/height/maxval tokens) and returns
+    ``(width, height, maxval, pixels)`` with ``pixels`` shaped
+    ``(height, width, 3)`` uint8. Raises ``ValueError`` on a non-P6
+    magic, malformed header, or short payload — corrupt media must
+    fail loudly, not produce garbage pixels.
+    """
+    if content[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic={content[:2]!r})")
+    # header: three ASCII ints separated by whitespace; '#' starts a
+    # comment running to end-of-line; ONE whitespace byte ends the
+    # header and the raster follows immediately.
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        if pos >= len(content):
+            raise ValueError("truncated PPM header")
+        c = content[pos : pos + 1]
+        if c == b"#":
+            pos = content.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(content) and not content[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(content[pos:end]))
+            pos = end
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = width * height * 3
+    raster = content[pos : pos + n]
+    if len(raster) < n:
+        raise ValueError(f"short PPM raster: {len(raster)} < {n}")
+    return width, height, maxval, np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+
+
+def decode_audio(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM16 file — real decoder, struct + numpy.
+
+    Walks the RIFF chunk list (not fixed offsets — real WAVs carry
+    LIST/fact chunks before data), reads the fmt chunk, and returns
+    ``(sample_rate, n_channels, samples)`` with ``samples`` shaped
+    ``(n_frames, n_channels)`` int16. Raises ``ValueError`` on bad
+    magic, non-PCM16 encodings, or a missing fmt/data chunk.
+    """
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file (magic={content[:4]!r})")
+    fmt = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_channels, sample_rate, _brate, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+            fmt = (sample_rate, n_channels)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            sample_rate, n_channels = fmt
+            samples = np.frombuffer(body[: size - size % (2 * n_channels)], dtype="<i2")
+            return sample_rate, n_channels, samples.reshape(-1, n_channels)
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    raise ValueError("no data chunk found")
+
+
+def decode_image_compressed(content: bytes):  # pragma: no cover - stub
+    """STUB: compressed formats (JPEG/PNG) need codec libs this
+    container lacks; fabricating pixels would hide that."""
     if not HAS_PIL:
-        raise NotImplementedError("image decode requires PIL; not available in this container")
+        raise NotImplementedError("compressed image decode requires PIL; not in this container")
     raise NotImplementedError("wire to PIL.Image.open when media libs are present")
-
-
-def decode_audio(content: bytes):  # pragma: no cover - stub
-    raise NotImplementedError("audio decode requires soundfile/librosa; not in this container")
 
 
 def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -132,3 +214,125 @@ def frame_sample(mm: DataFrame) -> DataFrame:
 
 def frame_sample_from_docs(docs: DataFrame) -> DataFrame:
     return frame_sample(to_multimodal(docs))
+
+
+# ---------------------------------------------------------------------------
+# Real media decode path: synthesize genuine PPM/WAV blobs (no codec
+# libs needed for uncompressed formats), decode them for real, and
+# reduce to integer-exact statistics the DuckDB oracle can recompute
+# from the closed-form byte formula. A decoder bug (wrong header
+# offset, endianness, channel layout) changes the stats -> gate reds.
+# ---------------------------------------------------------------------------
+
+# Closed-form synthesis parameters — mirrored verbatim in
+# oracles.media_decode_oracle; change both together.
+PPM_W_BASE, PPM_W_MOD = 4, 5  # width  = 4 + doc_id % 5
+PPM_H_BASE, PPM_H_MOD = 3, 4  # height = 3 + doc_id % 4
+PPM_PIX_A, PPM_PIX_B = 31, 7  # byte i = (doc_id*31 + i*7) % 256
+WAV_N_BASE, WAV_N_MOD = 50, 20  # n_samples = 50 + doc_id % 20
+WAV_RATE = 8000  # 1 sample = 125 us exactly
+WAV_SAMP_A, WAV_SAMP_B = 7919, 104729  # s_i = (id*7919 + i*104729) % 65536 - 32768
+
+
+def _synth_ppm(doc_id: int) -> bytes:
+    w = PPM_W_BASE + doc_id % PPM_W_MOD
+    h = PPM_H_BASE + doc_id % PPM_H_MOD
+    i = np.arange(w * h * 3, dtype=np.int64)
+    raster = ((doc_id * PPM_PIX_A + i * PPM_PIX_B) % 256).astype(np.uint8)
+    return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + raster.tobytes()
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    n = WAV_N_BASE + doc_id % WAV_N_MOD
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * WAV_SAMP_A + i * WAV_SAMP_B) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _synth_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "content": [
+                    _synth_ppm(int(d)) if d % 2 == 0 else _synth_wav(int(d)) for d in ids
+                ],
+            }
+        )
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, content: binary) with real PPM/WAV payloads.
+
+    Map-only (mapInPandas, no shuffle); stands in for reading a media
+    lakehouse table whose blobs were ingested as-is."""
+    return docs.select("doc_id").mapInPandas(
+        _synth_media_batches, "doc_id BIGINT, content BINARY"
+    )
+
+
+MEDIA_SCHEMA = (
+    "doc_id BIGINT, kind STRING, width INT, height INT, n_channels INT, "
+    "sample_rate INT, n_units BIGINT, sum_abs BIGINT, peak INT, duration_us BIGINT"
+)
+
+
+def _decode_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Dispatch on the blob's OWN magic bytes (not trusted metadata) and
+    decode for real; reduce each item to integer-exact stats."""
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "kind", "width", "height", "n_channels",
+            "sample_rate", "n_units", "sum_abs", "peak", "duration_us",
+        )}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            if b[:2] == b"P6":
+                w, h, _maxval, pixels = decode_image(b)
+                flat = pixels.astype(np.int64)
+                row = ("ppm", w, h, 3, None, w * h, int(flat.sum()), int(flat.max()), None)
+            else:
+                rate, nch, samples = decode_audio(b)
+                mag = np.abs(samples.astype(np.int64))
+                row = (
+                    "wav", None, None, nch, rate, samples.shape[0],
+                    int(mag.sum()), int(mag.max()),
+                    samples.shape[0] * 1_000_000 // rate,
+                )
+            out["doc_id"].append(doc_id)
+            for k, v in zip(
+                ("kind", "width", "height", "n_channels", "sample_rate",
+                 "n_units", "sum_abs", "peak", "duration_us"), row,
+            ):
+                out[k].append(v)
+        yield pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "kind": out["kind"],
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "n_channels": pd.array(out["n_channels"], dtype="Int32"),
+                "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                "n_units": pd.array(out["n_units"], dtype="Int64"),
+                "sum_abs": pd.array(out["sum_abs"], dtype="Int64"),
+                "peak": pd.array(out["peak"], dtype="Int32"),
+                "duration_us": pd.array(out["duration_us"], dtype="Int64"),
+            }
+        )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched real decode over (doc_id, content) — map-only; at
+    scale the cost is decode CPU inside executors, exactly where it
+    belongs."""
+    return media.select("doc_id", "content").mapInPandas(_decode_media_batches, MEDIA_SCHEMA)
+
+
+def media_decode(docs: DataFrame) -> DataFrame:
+    """documents -> synthetic real PPM/WAV blobs -> decoded stats."""
+    return decode_media(synth_media(docs))

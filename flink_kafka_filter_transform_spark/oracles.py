@@ -814,6 +814,57 @@ FROM f
 """
 
 
+def media_decode_oracle() -> str:
+    """Twin of multimodal.media_decode: recomputes the decoded stats
+    from the closed-form synthesis formula (operators/multimodal.py
+    PPM_*/WAV_* constants), so the Spark side's REAL header/payload
+    decode is what's under test — a wrong raster offset or endianness
+    diverges from this closed form."""
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    ppm_byte = f"(doc_id*{mm.PPM_PIX_A} + i*{mm.PPM_PIX_B}) % 256"
+    wav_samp = f"((doc_id*{mm.WAV_SAMP_A} + i*{mm.WAV_SAMP_B}) % 65536 - 32768)"
+    us_per_sample = 1_000_000 // mm.WAV_RATE
+    return f"""
+WITH img AS (
+  SELECT doc_id, {mm.PPM_W_BASE} + doc_id % {mm.PPM_W_MOD} AS w,
+         {mm.PPM_H_BASE} + doc_id % {mm.PPM_H_MOD} AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+img_bytes AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w*h*3 - 1)) AS i FROM img
+),
+img_stats AS (
+  SELECT doc_id, 'ppm' AS kind,
+    CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+    3 AS n_channels, CAST(NULL AS INTEGER) AS sample_rate,
+    CAST(w*h AS BIGINT) AS n_units,
+    CAST(SUM({ppm_byte}) AS BIGINT) AS sum_abs,
+    CAST(MAX({ppm_byte}) AS INTEGER) AS peak,
+    CAST(NULL AS BIGINT) AS duration_us
+  FROM img_bytes GROUP BY doc_id, w, h
+),
+wav AS (
+  SELECT doc_id, {mm.WAV_N_BASE} + doc_id % {mm.WAV_N_MOD} AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+wav_samps AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM wav
+),
+wav_stats AS (
+  SELECT doc_id, 'wav' AS kind,
+    CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+    1 AS n_channels, {mm.WAV_RATE} AS sample_rate,
+    CAST(n AS BIGINT) AS n_units,
+    CAST(SUM(ABS({wav_samp})) AS BIGINT) AS sum_abs,
+    CAST(MAX(ABS({wav_samp})) AS INTEGER) AS peak,
+    CAST(n * {us_per_sample} AS BIGINT) AS duration_us
+  FROM wav_samps GROUP BY doc_id, n
+)
+SELECT * FROM img_stats UNION ALL SELECT * FROM wav_stats
+"""
+
+
 # ---------------------------------------------------------------------------
 # tf-idf, IVF vector search, as-of join oracles
 # ---------------------------------------------------------------------------

@@ -1,0 +1,91 @@
+"""Unit tests for the real PPM/WAV decoders (operators.multimodal).
+
+The oracle-parity gate proves decode-vs-closed-form equivalence end to
+end; these tests pin the decoders' contract directly: round-trip
+against independently built reference bytes, header-dialect tolerance,
+and loud failure on corrupt media.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+
+def test_ppm_round_trip():
+    blob = mm._synth_ppm(42)
+    w, h, maxval, pixels = mm.decode_image(blob)
+    assert (w, h, maxval) == (4 + 42 % 5, 3 + 42 % 4, 255)
+    assert pixels.shape == (h, w, 3)
+    i = np.arange(w * h * 3, dtype=np.int64)
+    expected = ((42 * mm.PPM_PIX_A + i * mm.PPM_PIX_B) % 256).astype(np.uint8)
+    assert np.array_equal(pixels.reshape(-1), expected)
+
+
+def test_ppm_header_dialects():
+    # Same raster, different-but-legal headers: multi-comment,
+    # space-separated dims, CRLF-ish whitespace mixes.
+    raster = bytes(range(2 * 2 * 3))
+    for header in (b"P6\n2 2\n255\n", b"P6 # c\n # c2\n 2\t2 255\n", b"P6\n#x\n2\n2\n255\n"):
+        w, h, maxval, pixels = mm.decode_image(header + raster)
+        assert (w, h, maxval) == (2, 2, 255)
+        assert pixels.tobytes() == raster
+
+
+def test_ppm_corrupt_fails_loudly():
+    with pytest.raises(ValueError, match="magic"):
+        mm.decode_image(b"P5\n2 2\n255\n" + b"\x00" * 12)
+    with pytest.raises(ValueError, match="short PPM raster"):
+        mm.decode_image(b"P6\n4 4\n255\n" + b"\x00" * 5)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_image(b"P6\n2 2")
+
+
+def test_wav_round_trip():
+    blob = mm._synth_wav(7)
+    rate, nch, samples = mm.decode_audio(blob)
+    n = mm.WAV_N_BASE + 7 % mm.WAV_N_MOD
+    assert (rate, nch, samples.shape) == (mm.WAV_RATE, 1, (n, 1))
+    i = np.arange(n, dtype=np.int64)
+    expected = (7 * mm.WAV_SAMP_A + i * mm.WAV_SAMP_B) % 65536 - 32768
+    assert np.array_equal(samples.reshape(-1).astype(np.int64), expected)
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    # Real WAVs carry LIST/fact chunks between fmt and data; the
+    # decoder must walk chunks, not assume data at offset 36. Odd-sized
+    # chunks get a pad byte (RIFF word alignment).
+    samples = np.array([100, -32768, 32767], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size -> pad
+    body += b"data" + struct.pack("<I", 6) + samples.tobytes()
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, nch, out = mm.decode_audio(blob)
+    assert rate == 8000 and nch == 1
+    assert np.array_equal(out.reshape(-1), samples)
+
+
+def test_wav_stereo_shape():
+    frames = np.arange(8, dtype="<i2").reshape(4, 2)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 16) + frames.tobytes()
+    rate, nch, out = mm.decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (nch, out.shape) == (2, (4, 2))
+    assert np.array_equal(out, frames)
+
+
+def test_wav_corrupt_fails_loudly():
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_audio(b"RIFX" + b"\x00" * 40)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float32, not PCM16
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    with pytest.raises(ValueError, match="PCM16"):
+        mm.decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))) + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    with pytest.raises(ValueError, match="no data chunk"):
+        mm.decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
