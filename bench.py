@@ -83,6 +83,10 @@ def main() -> None:
         return time.time() - t0
 
     run("cdc_counts_outbound")  # warmup: JVM + codegen + parquet footer cache
+    # warm the Arrow collect path too (route_broadcast_join's rule-table
+    # probe is the only collecting query; its first-use init is a
+    # session cost, not a per-query cost)
+    spark.range(1).limit(1).toArrow()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

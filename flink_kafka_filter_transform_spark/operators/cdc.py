@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_kafka_filter_transform_spark.functions.json import parse_envelope_col
+from flink_kafka_filter_transform_spark.operators import params
 
 # ---------------------------------------------------------------------------
 # O2 — JSON parse / projection (kafka.rs:53-55, structs :119-153)
@@ -98,7 +99,12 @@ def route_when_chain(
     transform.rs:26-38). No join, no shuffle, streams unchanged.
     """
     expr: Column = F.lit(None).cast("string")
-    for rule in sorted(rules, key=lambda r: r["priority"], reverse=True):
+    # NULL priority sorts as int-max ("lowest precedence"), matching the
+    # join path's min_by coalesce and DuckDB's ASC NULLS LAST.
+    def _pri(r: dict) -> int:
+        return r["priority"] if r["priority"] is not None else 2_147_483_647
+
+    for rule in sorted(rules, key=_pri, reverse=True):
         expr = F.when(_rule_cond(rule, topic_col, db_col, table_col), F.lit(rule["target_topic"])).otherwise(expr)
     return df.withColumn("target_topic", expr)
 
@@ -110,9 +116,49 @@ def route_broadcast_join(
     db_col: str = "db",
     table_col: str = "table_name",
 ) -> DataFrame:
-    """Routing as an explicit broadcast join — for large/DYNAMIC rule
-    tables (rules only known at runtime, unlike ``route_when_chain``
-    whose rules are compiled into the plan).
+    """Dynamic-rule routing (rules only known at runtime, as a
+    DataFrame) — ADAPTIVE between two strategies by rule-table size:
+
+    - Config-sized rule tables (<= ``params.ROUTE_COMPILE_MAX_RULES``):
+      collect the rules to the driver — the rule table is
+      broadcast-sized BY DEFINITION, and collecting it at plan time is
+      exactly what Spark's own broadcast join does — and compile the
+      same ordered ``when`` chain as ``route_when_chain``. One scan,
+      ZERO shuffles, regexes become codegen literals. This is the right
+      plan for every realistic deployment of the reference (its config
+      is a YAML file, config.yaml:7-11).
+    - Larger rule tables (a when-chain with thousands of branches blows
+      past codegen limits and falls back to interpreted CASE): the
+      distinct-keys join below — see ``_route_distinct_keys_join``.
+
+    Both paths share first-match semantics (min priority, NULL
+    priority = lowest precedence); ``tests/test_plans.py`` gates each
+    path's plan shape and ``tests/test_oracle_parity.py`` +
+    the path-equivalence test pin the semantics.
+    """
+    # Bounded probe: reads at most MAX+1 rule rows, never the full
+    # table. toArrow (not take/collect-with-limit) — CollectLimitExec's
+    # incremental job scheduling costs ~1-2s per call even on a 7-row
+    # local relation; the Arrow path is a single ~0.3s fetch.
+    head = (
+        rules_df.select("priority", "source_topic", "db", "table_pattern", "target_topic")
+        .limit(params.ROUTE_COMPILE_MAX_RULES + 1)
+        .toArrow()
+    )
+    if head.num_rows <= params.ROUTE_COMPILE_MAX_RULES:
+        routed = route_when_chain(df, head.to_pylist(), topic_col, db_col, table_col)
+        return routed.filter(F.col("target_topic").isNotNull())
+    return _route_distinct_keys_join(df, rules_df, topic_col, db_col, table_col)
+
+
+def _route_distinct_keys_join(
+    df: DataFrame,
+    rules_df: DataFrame,
+    topic_col: str = "topic",
+    db_col: str = "db",
+    table_col: str = "table_name",
+) -> DataFrame:
+    """Routing as an explicit broadcast join — the huge-rule-table path.
 
     The routing decision is a pure function of the key triple
     (topic, db, table_name), whose cardinality is SCHEMA-bounded
@@ -136,11 +182,13 @@ def route_broadcast_join(
        NEVER shuffled.
 
     Cost model: one extra scan+parse of the source (the keys branch) in
-    exchange for eliminating the payload shuffle entirely. At sf0.1 the
-    two shapes are within noise cold (~4.3s either way, codegen-bound);
-    at 100 TB a pruned columnar re-scan is linear and embarrassingly
+    exchange for eliminating the payload shuffle entirely — measured at
+    sf0.1: ~5.3s cold / ~2.5s warm vs the compiled when-chain's ~2.1s /
+    ~1.2s, which is why config-sized tables take the compiled path. At
+    100 TB a pruned columnar re-scan is linear and embarrassingly
     parallel while a matched-payload shuffle+sort is the bottleneck —
-    this is the plan you'd want on 1000 executors.
+    for rule tables too big to compile, this is the plan you'd want on
+    1000 executors.
     """
     r = F.broadcast(rules_df.withColumnRenamed("db", "rule_db"))
     match = F.regexp_like(F.col(table_col), r["table_pattern"])

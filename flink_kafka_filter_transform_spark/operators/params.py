@@ -51,6 +51,13 @@ KNN_K = 10
 LSH_NUM_PLANES = 4  # hyperplanes = embeddings vec_id < 4
 LSH_TOPK = 5
 
+# --- CDC routing -----------------------------------------------------------
+# Rule tables at or below this size are collected at plan time and
+# compiled into the ordered when-chain (one scan, zero shuffles);
+# larger tables take the distinct-keys broadcast-join path. Sized well
+# under Catalyst codegen limits for a 3-predicate CASE branch per rule.
+ROUTE_COMPILE_MAX_RULES = 1000
+
 # --- multimodal ------------------------------------------------------------
 FRAME_BYTES = 256  # fake "frame" granularity for the decode stub
 IVF_NPROBE = 2  # cells probed per query in knn_ivf (shared with the oracle)

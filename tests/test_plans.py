@@ -28,12 +28,27 @@ def test_route_when_chain_is_shuffle_free(spark, sf_dir):
     assert px.codegen_stage_count(df) >= 1
 
 
-def test_route_broadcast_join_broadcasts(spark, sf_dir):
+def test_route_broadcast_join_compiles_small_tables(spark, sf_dir):
+    """Adaptive dynamic routing: a config-sized rules DataFrame is
+    collected and compiled into the when-chain — one scan, ZERO
+    shuffles, no join operator at all."""
     df = cdc.route_broadcast_join(
         cdc.filter_deletes(cdc.parse_envelope(cdc_events_df(spark, sf_dir))), rules_df(spark)
     )
-    assert px.has_broadcast_join(df)
+    assert px.count_shuffles(df) == 0
+    assert not px.has_broadcast_join(df)
     assert px.sortmerge_join_count(df) == 0
+
+
+def test_route_paths_equivalent(spark, sf_dir):
+    """The compiled path and the distinct-keys join path must route
+    identically (same first-match winners, same dropped messages)."""
+    parsed = cdc.filter_deletes(cdc.parse_envelope(cdc_events_df(spark, sf_dir)))
+    cols = ["msg_id", "topic", "db", "table_name", "op", "target_topic"]
+    compiled = cdc.route_broadcast_join(parsed, rules_df(spark)).select(cols)
+    joined = cdc._route_distinct_keys_join(parsed, rules_df(spark)).select(cols)
+    assert compiled.exceptAll(joined).count() == 0
+    assert joined.exceptAll(compiled).count() == 0
 
 
 def test_q1_scan_prunes_and_pushes(spark, sf_dir):
@@ -78,12 +93,13 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
 
 
 def test_route_join_never_shuffles_stream(spark, sf_dir):
-    """Distinct-key routing: the ONLY shuffle carries unique
-    (topic, db, table) triples — the message stream itself reaches the
-    sink through a map-only broadcast hash join. min_by must still
-    partial-aggregate (first-match per key combines map-side), and no
-    Window may appear (a window would shuffle every matched row)."""
-    df = cdc.route_broadcast_join(
+    """Distinct-key routing (the huge-rule-table path): the ONLY
+    shuffle carries unique (topic, db, table) triples — the message
+    stream itself reaches the sink through a map-only broadcast hash
+    join. min_by must still partial-aggregate (first-match per key
+    combines map-side), and no Window may appear (a window would
+    shuffle every matched row)."""
+    df = cdc._route_distinct_keys_join(
         cdc.filter_deletes(cdc.parse_envelope(cdc_events_df(spark, sf_dir))), rules_df(spark)
     )
     plan = px.explain_str(df, "simple")
