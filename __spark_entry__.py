@@ -111,144 +111,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, QueryFn]:
     """Dict ORDER is part of the driver contract: the driver gates only
-    the FIRST 50 entries. Round-robin policy: queries that are new,
-    changed this round, or lacked a driver verdict last round occupy the
-    head; queries already proven green in a prior CORRECTNESS_r{N}.json
-    and unchanged since yield their slots (their old rows stand)."""
+    the FIRST 50 entries. Rotation policy: the head holds queries that
+    are (a) new this round, (b) changed this round — INCLUDING changes
+    that arrive transitively through a shared helper or oracle builder
+    (if a diff since the query's last verdict touches any function in
+    its call graph, it rotates forward), or (c) carrying the oldest
+    driver verdict (the r{N-1} tail). Queries green in the most recent
+    CORRECTNESS_r{N}.json and untouched since yield their slots."""
     return {
         # === HEAD: new in round 3 ===
         "media_decode": lambda s, d: multimodal.media_decode(_docs(s, d)),
-        # === HEAD: driver-unchecked in r01 (first-50 cutoff) ===
-        "customers_without_orders": lambda s, d: relational.customers_without_orders(
+        "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
+            load_table(s, "lineitem", d)
+        ),
+        "q7_volume_shipping": lambda s, d: relational.q7_volume_shipping(
+            load_table(s, "lineitem", d),
+            load_table(s, "orders", d),
+            load_table(s, "customer", d),
+            load_table(s, "supplier", d),
+            load_table(s, "nation", d),
+        ),
+        "q9_product_nation_profit": lambda s, d: relational.q9_product_nation_profit(
+            load_table(s, "lineitem", d),
+            load_table(s, "part", d),
+            load_table(s, "supplier", d),
+            load_table(s, "nation", d),
+        ),
+        "q10_returned_items": lambda s, d: relational.q10_returned_items(
+            load_table(s, "lineitem", d),
+            load_table(s, "orders", d),
+            load_table(s, "customer", d),
+        ),
+        "q13_customer_distribution": lambda s, d: relational.q13_customer_distribution(
             load_table(s, "customer", d), load_table(s, "orders", d)
         ),
-        "revenue_rollup": lambda s, d: relational.revenue_rollup(load_table(s, "lineitem", d)),
-        "revenue_cube": lambda s, d: relational.revenue_cube(load_table(s, "lineitem", d)),
-        "users_purchase_except_error": lambda s, d: relational.users_purchase_except_error(
-            load_table(s, "events", d)
+        "q18_large_volume_orders": lambda s, d: relational.q18_large_volume_orders(
+            load_table(s, "orders", d),
+            load_table(s, "lineitem", d),
+            load_table(s, "customer", d),
         ),
-        "users_purchase_intersect_error": lambda s, d: relational.users_purchase_intersect_error(
-            load_table(s, "events", d)
+        "q22_idle_rich_customers": lambda s, d: relational.q22_idle_rich_customers(
+            load_table(s, "customer", d), load_table(s, "orders", d)
         ),
-        "orders_top10": lambda s, d: relational.orders_top10(load_table(s, "orders", d)),
-        "orders_above_customer_avg": lambda s, d: relational.orders_above_customer_avg(
-            load_table(s, "orders", d)
-        ),
-        "user_value_moving_avg": lambda s, d: relational.user_value_moving_avg(
-            load_table(s, "events", d)
-        ),
-        "salted_event_counts": lambda s, d: relational.salted_event_counts(
-            load_table(s, "events", d)
-        ),
-        "event_value_percentiles": lambda s, d: relational.event_value_percentiles(
-            load_table(s, "events", d)
-        ),
-        "scalar_function_showcase": lambda s, d: relational.scalar_function_showcase(
-            load_table(s, "orders", d)
-        ),
-        "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
-            load_table(s, "lineitem", d), load_table(s, "part", d)
-        ),
-        "revenue_grouping_sets": lambda s, d: relational.revenue_grouping_sets(
-            load_table(s, "lineitem", d)
-        ),
-        "hll_distinct_users": lambda s, d: sketch.hll_distinct_users(
-            load_table(s, "events", d)
-        ),
-        "hll_distinct_orders": lambda s, d: sketch.hll_distinct_orders(
-            load_table(s, "lineitem", d)
-        ),
-        "cms_token_counts": lambda s, d: sketch.cms_token_counts(_docs(s, d)),
-        "documents_split_summary": lambda s, d: sampling.documents_split_summary(_docs(s, d)),
-        "events_stratified_sample": lambda s, d: sampling.events_stratified_sample(
-            load_table(s, "events", d)
-        ),
-        "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
-            load_table(s, "events", d)
-        ),
-        # === HEAD: new in round 2 ===
-        "cdc_materialize": lambda s, d: cdc.materialize_latest(
-            cdc.parse_envelope(_cdc(s, d))
-        ),
-        "repetition_ratios": lambda s, d: text.repetition_ratios(_docs(s, d)),
-        "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
-        "contamination_check": lambda s, d: dedup.contamination_check(_docs(s, d)),
-        "quality_filter_funnel": lambda s, d: text.quality_filter_funnel(_docs(s, d)),
-        "hll_rollup_users": lambda s, d: sketch.hll_rollup_users(
-            load_table(s, "events", d)
-        ),
+        # === HEAD: changed in round 3 ===
+        # cdc_route_join: adaptive compile-vs-join dispatch
+        "cdc_route_join": q_cdc_route_join,
+        # mixture_sample_summary: try_cast weight guard (both engines)
         "mixture_sample_summary": lambda s, d: sampling.mixture_sample_summary(
             _docs(s, d)
         ),
-        "histogram_quantiles": lambda s, d: sketch.histogram_quantiles(
-            load_table(s, "events", d)
+        # scalar_function_showcase: price_sign oracle cast to DOUBLE
+        "scalar_function_showcase": lambda s, d: relational.scalar_function_showcase(
+            load_table(s, "orders", d)
         ),
-        "histogram_quantiles_by_type": lambda s, d: sketch.histogram_quantiles_by_type(
-            load_table(s, "events", d)
-        ),
-        "jl_projection_distortion": lambda s, d: vectorprep.jl_projection_distortion(
-            _emb(s, d)
-        ),
-        "knn_jl": lambda s, d: similarity.knn_jl(_emb(s, d)),
-        "knn_jl_recall": lambda s, d: similarity.knn_jl_recall(_emb(s, d)),
-        # === HEAD: red or changed in r01 -> need a fresh verdict ===
-        "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
-        "array_function_showcase": lambda s, d: relational.array_function_showcase(
-            _docs(s, d)
-        ),
-        "events_sessionized": lambda s, d: relational.events_sessionized(
-            load_table(s, "events", d)
-        ),
-        "events_sessionized_native": lambda s, d: relational.events_sessionized_native(
-            load_table(s, "events", d)
-        ),
-        "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
-        "cdc_route_join": q_cdc_route_join,
-        # === TAIL: green in CORRECTNESS_r01 and unchanged since ===
-        # --- reference parity (SURVEY §2 O2-O10) ---
-        "cdc_parse": q_cdc_parse,
-        "cdc_filter_deletes": q_cdc_filter_deletes,
-        "cdc_route": q_cdc_route,
-        "cdc_counts_inbound": q_cdc_counts_inbound,
-        "cdc_counts_outbound": q_cdc_counts_outbound,
-        "cdc_outgoing": q_cdc_outgoing,
-        # --- text analysis ---
-        "text_stats": lambda s, d: text.text_stats(_docs(s, d)),
-        "lang_id": lambda s, d: text.lang_id(_docs(s, d)),
-        "token_counts": lambda s, d: text.token_counts(_docs(s, d)),
-        "doc_fingerprint": lambda s, d: text.doc_fingerprint(_docs(s, d)),
-        "normalize_text": lambda s, d: text.normalize_text(_docs(s, d)),
-        # --- vector preprocessing ---
-        "embedding_normalized_norms": lambda s, d: vectorprep.embedding_normalized_norms(
-            _emb(s, d)
-        ),
+        # === HEAD: last driver verdict is r01 (sat in the r02 tail) ===
+        # --- similarity search (incl. the _topk-refactor block) ---
+        "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
+        "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
+        "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
+        "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
+        "knn_ivf_recall": lambda s, d: similarity.knn_ivf_recall(_emb(s, d)),
+        "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
+        "kmeans_clusters": lambda s, d: kmeans.kmeans_clusters(_emb(s, d)),
+        "kmeans_cluster_sizes": lambda s, d: kmeans.kmeans_cluster_sizes(_emb(s, d)),
         # --- dedup ---
-        "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
         "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
-        # --- similarity search ---
-        "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
-        "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
-        "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
-        "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
-        "kmeans_clusters": lambda s, d: kmeans.kmeans_clusters(_emb(s, d)),
-        "kmeans_cluster_sizes": lambda s, d: kmeans.kmeans_cluster_sizes(_emb(s, d)),
-        "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
-        "knn_ivf_recall": lambda s, d: similarity.knn_ivf_recall(_emb(s, d)),
-        # --- as-of (point-in-time) join ---
+        # --- as-of join, extensibility, multimodal plumbing ---
         "events_last_purchase": lambda s, d: asof.events_last_purchase(
             load_table(s, "events", d)
         ),
-        # --- extensibility surface (pandas UDAF + Python UDTF) ---
         "weighted_avg_by_type": lambda s, d: extensibility.weighted_avg_by_type(
             load_table(s, "events", d)
         ),
         "sentence_split_rows": lambda s, d: extensibility.sentence_split_rows(_docs(s, d)),
-        # --- multimodal plumbing (mapInPandas path) ---
         "multimodal_features": lambda s, d: multimodal.multimodal_features(_docs(s, d)),
         "frame_sample": lambda s, d: multimodal.frame_sample_from_docs(_docs(s, d)),
         # --- relational surface ---
@@ -288,12 +228,120 @@ def queries() -> dict[str, QueryFn]:
         "q4_order_priority_semi": lambda s, d: relational.q4_order_priority_semi(
             load_table(s, "orders", d), load_table(s, "lineitem", d)
         ),
+        # === TAIL: green in CORRECTNESS_r02 and unchanged since ===
+        # (the first ~14 of these still land inside the driver's 50-slot
+        # gate and pick up bonus fresh verdicts)
+        # --- reference parity (SURVEY §2 O2-O10) ---
+        "cdc_parse": q_cdc_parse,
+        "cdc_filter_deletes": q_cdc_filter_deletes,
+        "cdc_route": q_cdc_route,
+        "cdc_counts_inbound": q_cdc_counts_inbound,
+        "cdc_counts_outbound": q_cdc_counts_outbound,
+        "cdc_outgoing": q_cdc_outgoing,
+        "cdc_materialize": lambda s, d: cdc.materialize_latest(
+            cdc.parse_envelope(_cdc(s, d))
+        ),
+        # --- text analysis + quality ---
+        "text_stats": lambda s, d: text.text_stats(_docs(s, d)),
+        "lang_id": lambda s, d: text.lang_id(_docs(s, d)),
+        "token_counts": lambda s, d: text.token_counts(_docs(s, d)),
+        "doc_fingerprint": lambda s, d: text.doc_fingerprint(_docs(s, d)),
+        "normalize_text": lambda s, d: text.normalize_text(_docs(s, d)),
+        "repetition_ratios": lambda s, d: text.repetition_ratios(_docs(s, d)),
+        "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
+        "quality_filter_funnel": lambda s, d: text.quality_filter_funnel(_docs(s, d)),
+        "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
+        # --- dedup / contamination ---
+        "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "contamination_check": lambda s, d: dedup.contamination_check(_docs(s, d)),
+        # --- vectors ---
+        "embedding_normalized_norms": lambda s, d: vectorprep.embedding_normalized_norms(
+            _emb(s, d)
+        ),
+        "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
+        "jl_projection_distortion": lambda s, d: vectorprep.jl_projection_distortion(
+            _emb(s, d)
+        ),
+        "knn_jl": lambda s, d: similarity.knn_jl(_emb(s, d)),
+        "knn_jl_recall": lambda s, d: similarity.knn_jl_recall(_emb(s, d)),
+        # --- sketches ---
+        "hll_distinct_users": lambda s, d: sketch.hll_distinct_users(
+            load_table(s, "events", d)
+        ),
+        "hll_distinct_orders": lambda s, d: sketch.hll_distinct_orders(
+            load_table(s, "lineitem", d)
+        ),
+        "hll_rollup_users": lambda s, d: sketch.hll_rollup_users(
+            load_table(s, "events", d)
+        ),
+        "cms_token_counts": lambda s, d: sketch.cms_token_counts(_docs(s, d)),
+        "histogram_quantiles": lambda s, d: sketch.histogram_quantiles(
+            load_table(s, "events", d)
+        ),
+        "histogram_quantiles_by_type": lambda s, d: sketch.histogram_quantiles_by_type(
+            load_table(s, "events", d)
+        ),
+        # --- sampling ---
+        "documents_split_summary": lambda s, d: sampling.documents_split_summary(_docs(s, d)),
+        "events_stratified_sample": lambda s, d: sampling.events_stratified_sample(
+            load_table(s, "events", d)
+        ),
+        # --- relational (r02-green remainder) ---
+        "customers_without_orders": lambda s, d: relational.customers_without_orders(
+            load_table(s, "customer", d), load_table(s, "orders", d)
+        ),
+        "revenue_rollup": lambda s, d: relational.revenue_rollup(load_table(s, "lineitem", d)),
+        "revenue_cube": lambda s, d: relational.revenue_cube(load_table(s, "lineitem", d)),
+        "revenue_grouping_sets": lambda s, d: relational.revenue_grouping_sets(
+            load_table(s, "lineitem", d)
+        ),
+        "users_purchase_except_error": lambda s, d: relational.users_purchase_except_error(
+            load_table(s, "events", d)
+        ),
+        "users_purchase_intersect_error": lambda s, d: relational.users_purchase_intersect_error(
+            load_table(s, "events", d)
+        ),
+        "orders_top10": lambda s, d: relational.orders_top10(load_table(s, "orders", d)),
+        "orders_above_customer_avg": lambda s, d: relational.orders_above_customer_avg(
+            load_table(s, "orders", d)
+        ),
+        "user_value_moving_avg": lambda s, d: relational.user_value_moving_avg(
+            load_table(s, "events", d)
+        ),
+        "salted_event_counts": lambda s, d: relational.salted_event_counts(
+            load_table(s, "events", d)
+        ),
+        "event_value_percentiles": lambda s, d: relational.event_value_percentiles(
+            load_table(s, "events", d)
+        ),
+        "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
+            load_table(s, "lineitem", d), load_table(s, "part", d)
+        ),
+        "array_function_showcase": lambda s, d: relational.array_function_showcase(
+            _docs(s, d)
+        ),
+        "events_sessionized": lambda s, d: relational.events_sessionized(
+            load_table(s, "events", d)
+        ),
+        "events_sessionized_native": lambda s, d: relational.events_sessionized_native(
+            load_table(s, "events", d)
+        ),
+        "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
+            load_table(s, "events", d)
+        ),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "media_decode": oracles.media_decode_oracle(),
+        "q6_forecast_revenue": oracles.q6_forecast_revenue_oracle(),
+        "q7_volume_shipping": oracles.q7_volume_shipping_oracle(),
+        "q9_product_nation_profit": oracles.q9_product_nation_profit_oracle(),
+        "q10_returned_items": oracles.q10_returned_items_oracle(),
+        "q13_customer_distribution": oracles.q13_customer_distribution_oracle(),
+        "q18_large_volume_orders": oracles.q18_large_volume_orders_oracle(),
+        "q22_idle_rich_customers": oracles.q22_idle_rich_customers_oracle(),
         "cdc_materialize": oracles.cdc_materialize_oracle(),
         "repetition_ratios": oracles.repetition_ratios_oracle(),
         "pii_redact": oracles.pii_redact_oracle(),

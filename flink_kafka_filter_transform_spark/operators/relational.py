@@ -553,11 +553,11 @@ def events_sessionized_native(events: DataFrame) -> DataFrame:
     MANUAL formulation, so the hash match validates Spark's native
     session merging against an independent algorithm.
 
-    Boundary note: session_window treats a gap of EXACTLY 30 minutes
-    as a session break (window end is exclusive) while lag-based uses
-    strictly-greater; the corpus has no exact-gap pairs (checked), so
-    the formulations agree here — on data where they might not, pick
-    one convention and encode it in both.
+    Boundary note: session_window MERGES a gap of exactly 30 minutes
+    (merge condition is start <= previous end — verified empirically
+    by tests/test_properties.py::test_session_window_merges_exact_gap),
+    matching the oracle's strictly-greater-breaks lag formulation on
+    ALL inputs — including corpora with exact-gap consecutive pairs.
     """
     e = events.select(
         "user_id",
@@ -570,5 +570,168 @@ def events_sessionized_native(events: DataFrame) -> DataFrame:
             "user_id",
             F.unix_micros(F.col("w.start")).alias("session_start_us"),
             "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape breadth (round 3): the join/agg patterns a warehouse
+# workload exercises that the earlier queries don't — filter-only agg,
+# multi-nation join pair, left-join distribution, HAVING on a grouped
+# join, and anti-join + scalar subquery. (The reference has no SQL
+# layer at all — SURVEY §2.2 — this is extension surface; schemas are
+# TPC-H-lite: no partsupp/receiptdate, predicates adapted.)
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 analog: pure filter + single aggregate — the query
+    whose entire cost is scan efficiency. All three predicates reach
+    the parquet reader as pushed filters; no shuffle (single partial
+    agg row per task)."""
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= F.lit(0.02))
+            & (F.col("l_discount") <= F.lit(0.06))
+            & (F.col("l_quantity") < F.lit(24.0))
+        )
+        .agg(_dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q7_volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 analog: revenue flowing between two nations, by
+    (supplier nation, customer nation, ship year). The nation table
+    joins twice under different roles — both broadcast (25 rows);
+    only the fact-side join keys shuffle."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q9_product_nation_profit(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q9 analog (no partsupp table -> revenue, not profit):
+    discounted revenue by supplier nation and ship year for parts whose
+    name matches. The part filter prunes BEFORE the fact join —
+    predicate on the broadcast build side, so the probe discards
+    non-matching rows at the hash lookup."""
+    red_parts = part.filter(F.col("p_name").contains("re")).select("p_partkey")
+    return (
+        lineitem.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q10_returned_items(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """TPC-H Q10 analog: top-20 customers by revenue lost to returns in
+    one quarter. TakeOrderedAndProject caps the result driver-side;
+    ties broken by custkey so the top-20 set is deterministic."""
+    rev = _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 analog: the order-count distribution over customers —
+    LEFT join (zero-order customers must survive with count 0), then a
+    second aggregation over the first's output. The second groupBy runs
+    on a customer-cardinality relation, already tiny relative to the
+    fact table."""
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count(col): NULLs don't count
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q18_large_volume_orders(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame, min_qty: float = 300.0
+) -> DataFrame:
+    """TPC-H Q18 analog: orders whose total quantity exceeds a
+    threshold (HAVING on a grouped join), joined back to their
+    customer. The quantity rollup happens on lineitem ALONE (one
+    groupBy on the fact table, map-side combined) and only qualifying
+    orderkeys — a tiny set — join onward."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(min_qty))
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q22_idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 analog: customers with above-average balance and NO
+    orders, counted per nation. Composes the two decorrelated shapes:
+    a scalar subquery (global positive-balance average -> broadcast
+    1-row cross join) and an anti join (never-ordered)."""
+    avg_bal = customer.filter(F.col("c_acctbal") > F.lit(0.0)).agg(
+        (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )

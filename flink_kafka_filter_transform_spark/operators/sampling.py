@@ -93,8 +93,11 @@ def mixture_sample_summary(docs: DataFrame, target_frac: float = 0.3) -> DataFra
     """
     # weight is a pure function of the grouping key — compute it AFTER
     # the aggregate (no per-group first() state, no apparent order
-    # dependence)
-    w = F.when(F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0, F.lit(3.0)).otherwise(
+    # dependence). try_cast, matching the oracle's TRY_CAST: a source
+    # not shaped like 'srcN' yields NULL -> weight 1.0 IDENTICALLY in
+    # both engines (a plain CAST degrades silently in non-ANSI Spark
+    # but throws in DuckDB — divergent failure modes).
+    w = F.when(F.expr("try_cast(substring(source, 4) AS INT)") % 2 == 0, F.lit(3.0)).otherwise(
         F.lit(1.0)
     )
     counts = (

@@ -321,7 +321,7 @@ def mixture_sample_summary_oracle(target_frac: float = 0.3) -> str:
     return f"""
 WITH c AS (
   SELECT source, count(*) AS n_docs,
-    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+    CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
          THEN CAST(3.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS w
   FROM documents GROUP BY source
 ),
@@ -738,15 +738,21 @@ SELECT doc_a, doc_b, jaccard_ngram FROM (
 """
 
 
-def events_sessionized_oracle(gap_minutes: int = 30) -> str:
+def events_sessionized_oracle(gap_minutes: int = 30, break_on_exact_gap: bool = False) -> str:
+    """Lag+cumsum sessionization. ``break_on_exact_gap`` selects the
+    boundary convention: False = a gap of exactly ``gap_minutes`` stays
+    in-session (strictly-greater breaks — the manual formulation's
+    natural reading); True = an exact gap breaks (Spark
+    ``session_window``'s half-open [start, start+gap) windows)."""
     gap_us = gap_minutes * 60 * 1_000_000
+    cmp = ">=" if break_on_exact_gap else ">"
     return f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
 ),
 g AS (
   SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-                   OR ts_us - lag(ts_us) OVER w > {gap_us}
+                   OR ts_us - lag(ts_us) OVER w {cmp} {gap_us}
              THEN 1 ELSE 0 END AS new_session
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ),
@@ -764,10 +770,16 @@ FROM s GROUP BY user_id, session_id
 def events_sessionized_native_oracle(gap_minutes: int = 30) -> str:
     """Oracle for the NATIVE session_window query — deliberately the
     MANUAL lag+cumsum formulation: equality validates Spark's built-in
-    session merging against an independent algorithm."""
+    session merging against an independent algorithm. Uses the
+    exact-gap-MERGES convention (``>`` breaks): Spark's session merge
+    condition is start <= previous end, so two events exactly
+    ``gap_minutes`` apart share a session — pinned empirically by
+    tests/test_properties.py::test_session_window_merges_exact_gap, so
+    the two formulations agree on ALL inputs, not just corpora without
+    exact-gap pairs."""
     return f"""
 SELECT user_id, session_start_us, n_events
-FROM ({events_sessionized_oracle(gap_minutes)}) s
+FROM ({events_sessionized_oracle(gap_minutes, break_on_exact_gap=False)}) s
 """
 
 
@@ -1167,8 +1179,8 @@ SELECT
   sqrt(o_totalprice) AS sqrt_price,
   CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
   CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
-  CASE WHEN o_totalprice - 100000.0 > 0 THEN 1.0
-       WHEN o_totalprice - 100000.0 < 0 THEN -1.0 ELSE 0.0 END AS price_sign,
+  CAST(CASE WHEN o_totalprice - 100000.0 > 0 THEN 1.0
+       WHEN o_totalprice - 100000.0 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS price_sign,
   greatest(o_totalprice, 50000.0) AS floored_price,
   CAST(least(o_custkey % 100, 50) AS BIGINT) AS capped_mod,
   coalesce(nullif(o_orderpriority, '3-MEDIUM'), '(med)') AS prio_or_med,
@@ -1721,4 +1733,114 @@ FROM orders o
 WHERE o_totalprice > (
   SELECT {_dsum_sql('o3.o_totalprice')} / count(*)
   FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape breadth oracles (round 3)
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue_oracle() -> str:
+    return f"""
+SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24.0
+"""
+
+
+def q7_volume_shipping_oracle() -> str:
+    return f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_dsum_sql('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1.0 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q9_product_nation_profit_oracle() -> str:
+    return f"""
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%re%'
+GROUP BY n_name, l_year
+"""
+
+
+def q10_returned_items_oracle() -> str:
+    return f"""
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+       {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q13_customer_distribution_oracle() -> str:
+    return """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q18_large_volume_orders_oracle(min_qty: float = 300.0) -> str:
+    return f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {_dsum_sql('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+) big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > {min_qty!r}
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q22_idle_rich_customers_oracle() -> str:
+    return f"""
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       {_dsum_sql('c_acctbal')} AS totacctbal
+FROM customer
+CROSS JOIN (
+  SELECT {_dsum_sql('c_acctbal')} / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+) t
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
 """

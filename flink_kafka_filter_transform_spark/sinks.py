@@ -79,13 +79,18 @@ def zorder_value(col_a: str, col_b: str, bits: int = 16):
 
     Inputs must fit in ``bits`` bits — at scale, first map each column
     to its quantile rank (or truncate to the needed resolution); here
-    the testdata ids/values are already small. Pure map expression
+    the testdata ids/values are already small. Each input is masked to
+    the declared bit width first: without the mask, a negative bigint
+    sign-extends through shiftright and silently produces garbage
+    interleavings (callers that normalize, like write_zordered_parquet,
+    are unaffected; direct callers fail safe). Pure map expression
     (shiftright/and/shiftleft chains, whole-stage codegen'd).
     """
     from pyspark.sql import functions as F
 
-    a = F.col(col_a).cast("bigint")
-    b = F.col(col_b).cast("bigint")
+    mask = F.lit((1 << bits) - 1).cast("bigint")
+    a = F.col(col_a).cast("bigint").bitwiseAND(mask)
+    b = F.col(col_b).cast("bigint").bitwiseAND(mask)
     z = F.lit(0).cast("bigint")
     for i in range(bits):
         z = z.bitwiseOR(

@@ -22,6 +22,9 @@ Scale rules encoded here:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -80,17 +83,30 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean, quarantined) split of a PERMISSIVE-parsed frame.
+@contextmanager
+def quarantine_split(df: DataFrame) -> Iterator[tuple[DataFrame, DataFrame]]:
+    """Context manager yielding the (clean, quarantined) split of a
+    PERMISSIVE-parsed frame; the backing cache is released on exit.
 
     Caches the parsed frame first: Spark disallows queries that touch
     ONLY the corrupt-record column of a raw CSV/JSON scan
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the
     documented workaround is exactly this cache), and both halves of
     the split re-read the same parse anyway, so the cache pays for
-    itself. Call ``.unpersist()`` on the input when done at scale.
+    itself. The context-manager shape makes the cache's lifetime
+    explicit — a bare function that caches and hopes the caller
+    remembers to unpersist accumulates storage in long-lived sessions.
+
+    ::
+
+        with quarantine_split(parsed) as (clean, bad):
+            clean.write.parquet(out)
+            bad.write.json(quarantine_dir)
     """
-    df = df.cache()
-    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
-    return clean, bad
+    cached = df.cache()
+    try:
+        clean = cached.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        bad = cached.filter(F.col(CORRUPT_COL).isNotNull())
+        yield clean, bad
+    finally:
+        cached.unpersist()

@@ -47,13 +47,36 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _spark_num_class(dt: str) -> str | None:
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    return None
+
+
+def _arrow_num_class(t) -> str | None:
+    import pyarrow.types as pt
+
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_decimal(t):
+        return "decimal"  # e.g. DuckDB HUGEINT sums surface as decimal128
+    return None
+
+
 def compare_exact(spark_df, sql: str, sf_dir: str) -> None:
     pdf_s = spark_df.toPandas()
     con = duckdb_con(sf_dir)
     try:
-        pdf_d = con.execute(sql).df()
+        tbl_d = con.execute(sql).arrow()
     finally:
         con.close()
+    pdf_d = tbl_d.to_pandas()
 
     cols_s = sorted(c.lower() for c in pdf_s.columns)
     cols_d = sorted(c.lower() for c in pdf_d.columns)
@@ -61,19 +84,20 @@ def compare_exact(spark_df, sql: str, sf_dir: str) -> None:
     assert len(pdf_s) == len(pdf_d), f"row count mismatch: spark={len(pdf_s)} duckdb={len(pdf_d)}"
 
     # Driver-strictness twin: the driver's value-hash is dtype-sensitive
-    # (int64 4 != float64 4.0 even when %.9g canon agrees — this masked
-    # the events_sessionized HUGEINT->float64 divergence in round 1).
-    # Compare numeric dtype KINDS per column; skip columns containing
-    # nulls, where pandas itself coerces ints to float on either side.
-    pdf_d.columns = [c.lower() for c in pdf_d.columns]
-    for c in pdf_s.columns:
-        s, d = pdf_s[c], pdf_d[c.lower()]
-        ks, kd = s.dtype.kind, d.dtype.kind
-        if {ks, kd} <= {"i", "u", "f"} and not (s.isna().any() or d.isna().any()):
-            int_kinds = {"i", "u"}
-            assert (ks in int_kinds) == (kd in int_kinds), (
-                f"dtype-kind mismatch on '{c}': spark={s.dtype} duckdb={d.dtype} "
-                "(driver value-hash would fail — CAST the oracle side)"
+    # (int64 4 != float64 4.0 when %.9g canon differs — this masked the
+    # events_sessionized HUGEINT->float64 divergence in round 1).
+    # Compare LOGICAL numeric classes — Spark schema vs DuckDB's Arrow
+    # schema — which, unlike pandas dtype kinds, survive pandas' null
+    # coercion (int-with-NULL becomes float64 on both sides), so
+    # null-bearing numeric columns are checked too.
+    duck_types = {f.name.lower(): _arrow_num_class(f.type) for f in tbl_d.schema}
+    for f in spark_df.schema.fields:
+        cs = _spark_num_class(f.dataType.simpleString())
+        cd = duck_types.get(f.name.lower())
+        if cs is not None or cd is not None:
+            assert cs == cd, (
+                f"numeric-type mismatch on '{f.name}': spark={f.dataType.simpleString()} "
+                f"duckdb-arrow={cd} (driver value-hash may fail — CAST the oracle side)"
             )
 
     rows_s, rows_d = _canon(pdf_s), _canon(pdf_d)

@@ -28,13 +28,11 @@ def test_csv_roundtrip(spark, sf_dir, tmp_path):
     path = str(tmp_path / "orders_csv")
     src.write.option("header", True).csv(path)
     back = fmt.read_csv(spark, path, src.schema)
-    clean, bad = fmt.quarantine_split(back)
-    try:
+    with fmt.quarantine_split(back) as (clean, bad):
         assert bad.count() == 0
         _assert_same_rows(clean, src)
         assert clean.schema["o_totalprice"].dataType == src.schema["o_totalprice"].dataType
-    finally:
-        back.unpersist()
+    assert back.storageLevel.useMemory is False  # cache released on exit
 
 
 def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
@@ -45,12 +43,9 @@ def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
     with open(f"{path}/part-99999-poison.json", "w") as f:
         f.write('{"o_orderkey": broken\nnot json at all\n')
     back = fmt.read_jsonl(spark, path, src.schema)
-    clean, bad = fmt.quarantine_split(back)
-    try:
+    with fmt.quarantine_split(back) as (clean, bad):
         assert bad.count() == 2  # both malformed lines quarantined, job alive
         _assert_same_rows(clean, src)
-    finally:
-        back.unpersist()
 
 
 def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):

@@ -96,3 +96,98 @@ def test_token_ngrams_equals_naive(spark_prop, toks, n):
     want_all = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
     assert got_all == want_all
     assert got_distinct == list(dict.fromkeys(want_all))  # order-preserving dedup
+
+
+# ---------------------------------------------------------------------------
+# LSH skew guard (deterministic stress): one degenerate band bucket
+# must not blow up candidate volume or hurt recall elsewhere.
+# ---------------------------------------------------------------------------
+
+# 8-token base docs: 6 shingles, a last-token edit shares 5 -> union 7,
+# jaccard 5/7 ~ 0.714 >= JACCARD_THRESHOLD (0.6).
+_PAIR_BASES = [
+    "red green blue yellow purple cyan magenta black",
+    "one two three four five six seven eight",
+    "ant bee cat dog emu fox gnu hen",
+    "north south east west up down left right",
+    "spark flink kafka duck arrow pandas numpy scala",
+]
+
+
+def _skew_corpus(with_degenerate: bool):
+    rows = []
+    for i, base in enumerate(_PAIR_BASES):
+        toks = base.split()
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, " ".join(toks[:-1] + ["variant"])))
+    if with_degenerate:
+        # identical docs -> identical signatures -> every band bucket
+        # holds all of them, far beyond the cap
+        rows += [(1000 + j, "alpha beta gamma delta epsilon") for j in range(150)]
+    return rows
+
+
+def test_lsh_bucket_cap_bounds_skew_and_preserves_recall(spark):
+    """A degenerate bucket > LSH_BUCKET_CAP (operators/params.py) is
+    dropped wholesale: candidate volume stays bounded (no 150^2/2
+    blowup) and pairs living in healthy buckets keep their recall."""
+    from flink_kafka_filter_transform_spark.operators import params
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    n_degenerate = 150
+    assert n_degenerate > params.LSH_BUCKET_CAP  # the stress premise
+
+    def run(with_degenerate):
+        df = spark.createDataFrame(
+            _skew_corpus(with_degenerate), "doc_id BIGINT, text STRING"
+        )
+        cands = lsh_candidates(minhash_signatures(df)).collect()
+        pairs = {
+            (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df).collect()
+        }
+        return cands, pairs
+
+    cands_skew, pairs_skew = run(True)
+    _, pairs_clean = run(False)
+
+    # bounded: the degenerate cluster contributes ZERO candidates (its
+    # buckets exceed the cap), so volume stays at healthy-bucket scale
+    all_pairs_degenerate = n_degenerate * (n_degenerate - 1) // 2
+    assert len(cands_skew) < 100 < all_pairs_degenerate
+    assert not any(a >= 1000 or b >= 1000 for a, b in {(c.doc_a, c.doc_b) for c in cands_skew})
+
+    # recall on non-degenerate pairs unaffected by the skew cluster
+    planted = {(2 * i, 2 * i + 1) for i in range(len(_PAIR_BASES))}
+    assert planted <= pairs_skew
+    assert pairs_skew == pairs_clean
+
+
+def test_session_window_merges_exact_gap(spark):
+    """Pins Spark session_window's boundary convention EMPIRICALLY: a
+    gap of EXACTLY the session timeout stays in the SAME session (the
+    merge condition is start <= previous end, so touching windows
+    merge). oracles.events_sessionized_native_oracle encodes the same
+    strictly-greater-breaks convention — if Spark ever flipped this,
+    the parity gate would red only on corpora with exact-gap pairs;
+    this test fails immediately. A slightly-larger gap must break."""
+    base = 1_700_000_000_000_000  # us
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessions(ts_list):
+        df = spark.createDataFrame([(1, t) for t in ts_list], "user_id INT, ts_us BIGINT")
+        out = (
+            df.select("user_id", F.timestamp_micros(F.col("ts_us")).alias("tsx"))
+            .groupBy("user_id", F.session_window("tsx", "30 minutes"))
+            .count()
+            .collect()
+        )
+        return sorted(r["count"] for r in out)
+
+    # exact gap MERGES: one session of all three events
+    assert sessions([base, base + gap_us, base + gap_us + 1_000_000]) == [3]
+    # one microsecond beyond the gap BREAKS
+    assert sessions([base, base + gap_us + 1, base + gap_us + 1_000_000]) == [1, 2]

@@ -178,3 +178,26 @@ def test_hll_registers_persist_and_merge(spark, sf_dir, tmp_path):
     )
     want = {(r["event_type"], r["hll_estimate"]) for r in direct.collect()}
     assert got == want and len(want) > 0
+
+
+def test_zorder_value_masks_negative_inputs(spark):
+    """zorder_value must mask inputs to the declared bit width: a
+    negative bigint sign-extends through shiftright and would
+    otherwise poison the interleaving with garbage high bits."""
+    from flink_kafka_filter_transform_spark.sinks import zorder_value
+
+    df = spark.createDataFrame(
+        [(-1, 0), (15, 0), (3, 5)], "a BIGINT, b BIGINT"
+    ).select("a", "b", zorder_value("a", "b", bits=4).alias("z"))
+    rows = {(r.a, r.b): r.z for r in df.collect()}
+
+    def morton(a, b, bits=4):
+        a, b = a & ((1 << bits) - 1), b & ((1 << bits) - 1)
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert rows[(-1, 0)] == rows[(15, 0)] == morton(15, 0)  # -1 & 0xF == 15
+    assert rows[(3, 5)] == morton(3, 5)
+    assert all(0 <= z < 2**8 for z in rows.values())  # never sign-poisoned

@@ -147,6 +147,51 @@ def test_materialize_latest_matches_batch(spark, sf_dir, cdc_dir, cdc_schema):
     assert got == want and len(want) > 0
 
 
+def test_materialize_latest_converges_with_late_data(
+    spark, sf_dir, cdc_schema, tmp_path_factory
+):
+    """Out-of-order arrival: the OLDEST half of the changelog lands in
+    files processed AFTER the newest half (maxFilesPerTrigger=1 forces
+    one file per microbatch, file-source ordering by modification
+    time). The complete-mode compaction must still converge to the
+    batch answer — max_by is arrival-order-insensitive, so a late
+    stale change can never overwrite a newer state. This is the
+    upsert-view guarantee a CDC consumer needs when partitions replay
+    or producers lag."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = cdc_events_df(spark, sf_dir)
+    cutoff = src.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    late_dir = str(tmp_path_factory.mktemp("cdc_late"))
+    # newest changes first (2 files), oldest changes last (2 files,
+    # strictly later mtime so the file source orders them after)
+    src.filter(F.unix_micros("ts") >= cutoff).repartition(2).write.mode(
+        "append"
+    ).parquet(late_dir)
+    time.sleep(1.1)
+    src.filter(F.unix_micros("ts") < cutoff).repartition(2).write.mode(
+        "append"
+    ).parquet(late_dir)
+
+    stream = (
+        spark.readStream.schema(cdc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(late_dir)
+    )
+    _run_to_memory(
+        cdc.materialize_latest(cdc.parse_envelope(stream)), "t_mat_late", "complete"
+    )
+    cols = ("db", "table_name", "key", "op", "last_ts_us", "msg_id", "value")
+    got = {tuple(r[c] for c in cols) for r in spark.table("t_mat_late").collect()}
+    want = {
+        tuple(r[c] for c in cols)
+        for r in cdc.materialize_latest(cdc.parse_envelope(src)).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_running_counters_stateful(spark, sf_dir, cdc_dir, cdc_schema):
     stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
     routed = cdc.drop_unrouted(
