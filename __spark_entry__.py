@@ -153,6 +153,13 @@ def queries() -> dict[str, QueryFn]:
         "q22_idle_rich_customers": lambda s, d: relational.q22_idle_rich_customers(
             load_table(s, "customer", d), load_table(s, "orders", d)
         ),
+        "events_group_reservoir": lambda s, d: sampling.events_group_reservoir(
+            load_table(s, "events", d)
+        ),
+        "bigram_top_pairs": lambda s, d: text.bigram_top_pairs(_docs(s, d)),
+        "training_mixture_report": lambda s, d: sampling.training_mixture_report(
+            _docs(s, d)
+        ),
         # === HEAD: changed in round 3 ===
         # cdc_route_join: adaptive compile-vs-join dispatch
         "cdc_route_join": q_cdc_route_join,
@@ -342,6 +349,9 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": oracles.q13_customer_distribution_oracle(),
         "q18_large_volume_orders": oracles.q18_large_volume_orders_oracle(),
         "q22_idle_rich_customers": oracles.q22_idle_rich_customers_oracle(),
+        "events_group_reservoir": oracles.events_group_reservoir_oracle(),
+        "bigram_top_pairs": oracles.bigram_top_pairs_oracle(),
+        "training_mixture_report": oracles.training_mixture_report_oracle(),
         "cdc_materialize": oracles.cdc_materialize_oracle(),
         "repetition_ratios": oracles.repetition_ratios_oracle(),
         "pii_redact": oracles.pii_redact_oracle(),

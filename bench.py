@@ -67,6 +67,10 @@ HEADLINE = [
     "histogram_quantiles",
     # round 3 additions
     "media_decode",
+    "q7_volume_shipping",
+    "q18_large_volume_orders",
+    "bigram_top_pairs",
+    "training_mixture_report",
 ]
 
 

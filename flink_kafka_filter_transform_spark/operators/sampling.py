@@ -148,3 +148,74 @@ def events_stratified_sample(events: DataFrame) -> DataFrame:
         rates={"click": 0.1, "view": 0.1, "purchase": 1.0, "signup": 0.5},
     )
     return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+def group_reservoir(
+    df: DataFrame, key: str, stratum: str, k: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample (a "reservoir") per
+    stratum: the k rows with the smallest content hash of ``key``,
+    ties broken by the key itself. Equivalent in distribution to
+    reservoir sampling but a pure function of the data — reruns,
+    repartitions, and engine changes reproduce the identical sample
+    (hash order is uniform and independent of the stratum, so any
+    k-smallest-hash prefix is a uniform draw).
+
+    Scale shape: project FIRST — the window shuffles only
+    (stratum, key, hash, carry) tuples, never full rows; rejoin the
+    sampled keys to the wide table afterwards if payloads are needed
+    (broadcast-sized: k rows per stratum).
+    """
+    from pyspark.sql.window import Window
+
+    h = portable_hash64(F.col(key).cast("string"))
+    w = Window.partitionBy(stratum).orderBy("_h", key)
+    return (
+        df.select(stratum, key, *carry, h.alias("_h"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(stratum, "rank", key, *carry)
+    )
+
+
+def events_group_reservoir(events: DataFrame, k: int = 5) -> DataFrame:
+    """Fixed-k deterministic sample of events per event_type — the
+    eyeball-a-few-examples-per-class query every dataset audit runs."""
+    return group_reservoir(events, key="event_id", stratum="event_type", k=k, carry=("user_id",))
+
+
+def training_mixture_report(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """The END-TO-END training-data pipeline, composed from the
+    engine's own stages: exact dedup (keep min doc_id per content
+    hash) -> quality gate (shared quality_score expression) ->
+    deterministic train/val/test split -> per (source, split) doc and
+    token counts. One query plan; the report every mixture config
+    review reads.
+
+    Scale shape: dedup shuffles ~16-byte (hash, doc_id) rows with
+    map-side combine; the winner set semi-joins back (AQE broadcasts
+    it when small); quality + split are map-only; the final aggregate
+    is (sources x 3)-row tiny.
+    """
+    from flink_kafka_filter_transform_spark.operators.text import quality_score, tokens
+
+    winners = (
+        docs.select(portable_hash64(F.col("text")).alias("_h"), "doc_id")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(winners, "doc_id", "left_semi")
+    scored = (
+        kept.select("doc_id", "source", tokens().alias("_t"))
+        .filter(F.size("_t") > 0)
+        .filter(quality_score(F.col("_t")) >= F.lit(min_quality))
+    )
+    return (
+        train_val_test(scored, key="doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("_t")).cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -374,3 +374,21 @@ def normalize_text(docs: DataFrame) -> DataFrame:
         F.length(trimmed).cast("bigint").alias("len_clean"),
         F.substring(trimmed, 1, 80).alias("clean_prefix"),
     )
+
+
+def bigram_top_pairs(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k adjacent token pairs — the merge-candidate
+    statistic a BPE-style tokenizer training pass computes each round
+    (over tokens rather than bytes here). O(tokens) pair construction
+    via the shifted-array zip (token_ngrams), map-side combined count,
+    TakeOrderedAndProject for the top-k; ties broken lexically so the
+    result is deterministic."""
+    pairs = docs.select(
+        F.explode(token_ngrams(tokens(), 2, distinct=False)).alias("gram")
+    )
+    return (
+        pairs.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(k)
+    )

@@ -1844,3 +1844,69 @@ WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_nationkey
 """
+
+
+def events_group_reservoir_oracle(k: int = 5) -> str:
+    h = portable_hash64_sql("CAST(event_id AS VARCHAR)")
+    return f"""
+SELECT event_type, rank, event_id, user_id FROM (
+  SELECT event_type, event_id, user_id,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY {h}, event_id) AS INTEGER) AS rank
+  FROM events
+) r WHERE rank <= {k}
+"""
+
+
+def bigram_top_pairs_oracle(k: int = 20) -> str:
+    return f"""
+WITH {_TOKS_CTE},
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> array_to_string(t[i:i + 1], ' '))) AS gram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT gram, count(*) AS n
+FROM pairs GROUP BY gram
+ORDER BY n DESC, gram ASC
+LIMIT {k}
+"""
+
+
+def training_mixture_report_oracle(min_quality: float = 0.5) -> str:
+    from flink_kafka_filter_transform_spark.operators.sampling import BUCKETS
+
+    ht = portable_hash64_sql("text")
+    hb = f"{portable_hash64_sql('CAST(doc_id AS VARCHAR)')} % {BUCKETS}"
+    stop = _sql_list(params.STOPWORDS)
+    test_hi = 10 * BUCKETS // 100
+    val_hi = test_hi + 10 * BUCKETS // 100
+    return rf"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT {ht} AS h, doc_id FROM documents) hashed
+  GROUP BY h
+),
+kept AS (
+  SELECT d.doc_id, d.source, regexp_extract_all(d.text, '[^\s]+') AS t
+  FROM documents d JOIN keep USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, source, t,
+    0.25 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+    + 0.25 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+    + 0.25 * (1.0 - CAST(len(list_filter(t, x -> list_contains({stop}, x))) AS DOUBLE) / len(t))
+    + 0.25 * least((CAST(list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, b) -> a + b) AS DOUBLE) / len(t)) / 8.0, 1.0)
+      AS q
+  FROM kept WHERE len(t) > 0
+),
+s AS (
+  SELECT source,
+    CASE WHEN {hb} < {test_hi} THEN 'test'
+         WHEN {hb} < {val_hi} THEN 'val'
+         ELSE 'train' END AS split,
+    len(t) AS n_toks
+  FROM scored WHERE q >= {min_quality!r}
+)
+SELECT source, split, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM s GROUP BY source, split
+"""
