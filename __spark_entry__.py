@@ -160,6 +160,10 @@ def queries() -> dict[str, QueryFn]:
         "training_mixture_report": lambda s, d: sampling.training_mixture_report(
             _docs(s, d)
         ),
+        "media_resize": lambda s, d: multimodal.media_resize(_docs(s, d)),
+        "cdc_scd2_history": lambda s, d: cdc.scd2_history(
+            cdc.parse_envelope(_cdc(s, d))
+        ),
         # === HEAD: changed in round 3 ===
         # cdc_route_join: adaptive compile-vs-join dispatch
         "cdc_route_join": q_cdc_route_join,
@@ -352,6 +356,8 @@ def oracle_sql() -> dict[str, str]:
         "events_group_reservoir": oracles.events_group_reservoir_oracle(),
         "bigram_top_pairs": oracles.bigram_top_pairs_oracle(),
         "training_mixture_report": oracles.training_mixture_report_oracle(),
+        "media_resize": oracles.media_resize_oracle(),
+        "cdc_scd2_history": oracles.cdc_scd2_history_oracle(),
         "cdc_materialize": oracles.cdc_materialize_oracle(),
         "repetition_ratios": oracles.repetition_ratios_oracle(),
         "pii_redact": oracles.pii_redact_oracle(),

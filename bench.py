@@ -71,6 +71,7 @@ HEADLINE = [
     "q18_large_volume_orders",
     "bigram_top_pairs",
     "training_mixture_report",
+    "cdc_scd2_history",
 ]
 
 

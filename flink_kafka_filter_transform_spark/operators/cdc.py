@@ -303,3 +303,42 @@ def materialize_latest(df: DataFrame) -> DataFrame:
             F.col("_l.value").alias("value"),
         )
     )
+
+
+def scd2_history(df: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a parsed CDC
+    changelog: each non-delete change becomes a validity interval
+    [its ts, next change's ts) per (db, table_name, key); the open
+    interval (valid_to NULL) is the current state. Deletes emit no
+    interval themselves but still CLOSE the previous one — the lead()
+    runs over ALL changes before deletes are dropped.
+
+    This is the other natural endpoint of the reference's Debezium
+    stream next to ``materialize_latest``: compaction answers "what is
+    the state", SCD2 answers "what was the state at time T" (join on
+    valid_from_us <= T < valid_to_us).
+
+    Scale shape: ONE shuffle + sort on the entity key — history
+    construction is inherently ordered, and this is the minimal plan
+    for it; both window functions share the single sort. Equal-ts
+    ties are broken by msg_id, so the history is deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("db", "table_name", "key").orderBy("ts", "msg_id")
+    valid_to = F.lead(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        df.filter(F.col("op").isNotNull())
+        .withColumn("valid_to_us", valid_to)
+        .filter(F.col("op") != "d")
+        .select(
+            "db",
+            "table_name",
+            "key",
+            "op",
+            "msg_id",
+            F.unix_micros(F.col("ts")).alias("valid_from_us"),
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+    )

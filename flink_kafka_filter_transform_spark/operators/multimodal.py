@@ -336,3 +336,56 @@ def decode_media(media: DataFrame) -> DataFrame:
 def media_decode(docs: DataFrame) -> DataFrame:
     """documents -> synthetic real PPM/WAV blobs -> decoded stats."""
     return decode_media(synth_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Resize: decode -> nearest-neighbor downsample -> per-channel stats.
+# Real resize arithmetic on real decoded pixels; the index mapping is
+# closed-form, so the DuckDB oracle can recompute the resized image's
+# statistics without any imaging code.
+# ---------------------------------------------------------------------------
+
+RESIZE_W, RESIZE_H = 4, 3
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, c) uint8 image: output
+    pixel (i, j) samples input (floor(i*h/out_h), floor(j*w/out_w)) —
+    the standard pick-top-left convention. Pure numpy fancy indexing;
+    no interpolation, so the result is integer-exact and
+    formula-checkable."""
+    h, w = pixels.shape[:2]
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return pixels[rows[:, None], cols[None, :]]
+
+
+RESIZE_SCHEMA = (
+    "doc_id BIGINT, out_w INT, out_h INT, r_sum BIGINT, g_sum BIGINT, b_sum BIGINT"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "out_w", "out_h", "r_sum", "g_sum", "b_sum",
+        )}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            _w, _h, _maxval, pixels = decode_image(bytes(content))
+            small = resize_nearest(pixels, RESIZE_W, RESIZE_H)
+            sums = small.astype(np.int64).sum(axis=(0, 1))
+            out["doc_id"].append(doc_id)
+            out["out_w"].append(RESIZE_W)
+            out["out_h"].append(RESIZE_H)
+            out["r_sum"].append(int(sums[0]))
+            out["g_sum"].append(int(sums[1]))
+            out["b_sum"].append(int(sums[2]))
+        yield pd.DataFrame(out)
+
+
+def media_resize(docs: DataFrame) -> DataFrame:
+    """Image half of the media fixture -> real decode -> real
+    nearest-neighbor resize -> integer-exact per-channel sums. Map-only
+    Arrow stage; at scale the cost is resize CPU in executors."""
+    media = synth_media(docs.filter(F.col("doc_id") % 2 == 0))
+    return media.mapInPandas(_resize_batches, RESIZE_SCHEMA)

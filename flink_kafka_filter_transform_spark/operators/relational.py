@@ -735,3 +735,4 @@ def q22_idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame
             _dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+

@@ -1910,3 +1910,55 @@ s AS (
 SELECT source, split, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
 FROM s GROUP BY source, split
 """
+
+
+def media_resize_oracle() -> str:
+    """Twin of multimodal.media_resize: nearest-neighbor index mapping
+    out(i,j) <- in((i*in_h)//out_h, (j*in_w)//out_w) recomputed in SQL
+    over the synthesis formula — a wrong resize index or channel order
+    on the Spark side diverges."""
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    # byte index of resized cell (i, j, ch): ((row*w + col)*3 + ch)
+    # with row = (i*h)//out_h, col = (j*w)//out_w
+    idx = f"((((i.i*h) // {mm.RESIZE_H})*w + ((j.j*w) // {mm.RESIZE_W}))*3 + ch.ch)"
+    return f"""
+WITH img AS (
+  SELECT doc_id, {mm.PPM_W_BASE} + doc_id % {mm.PPM_W_MOD} AS w,
+         {mm.PPM_H_BASE} + doc_id % {mm.PPM_H_MOD} AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+vals AS (
+  SELECT doc_id, ch.ch AS ch,
+         (doc_id*{mm.PPM_PIX_A} + {idx}*{mm.PPM_PIX_B}) % 256 AS v
+  FROM img,
+       generate_series(0, {mm.RESIZE_H} - 1) AS i(i),
+       generate_series(0, {mm.RESIZE_W} - 1) AS j(j),
+       generate_series(0, 2) AS ch(ch)
+)
+SELECT doc_id, {mm.RESIZE_W} AS out_w, {mm.RESIZE_H} AS out_h,
+  CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS r_sum,
+  CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS g_sum,
+  CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS b_sum
+FROM vals GROUP BY doc_id
+"""
+
+
+def cdc_scd2_history_oracle() -> str:
+    """SCD2 twin: same lead-over-all-changes-then-drop-deletes order of
+    operations, expressed as a windowed subquery."""
+    return _with_cdc(
+        """
+SELECT db, table_name, key, op, msg_id, valid_from_us, valid_to_us,
+       valid_to_us IS NULL AS is_current
+FROM (
+  SELECT db, table_name, key, op, msg_id,
+         epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY db, table_name, key ORDER BY ts, msg_id
+         ) AS valid_to_us
+  FROM parsed WHERE op IS NOT NULL
+) iv WHERE op <> 'd'
+"""
+    )
+

@@ -249,3 +249,4 @@ def test_array_showcase_is_single_codegen_map(spark, sf_dir):
     df = relational.array_function_showcase(load_table(spark, "documents", sf_dir))
     assert px.count_shuffles(df) == 0
     assert px.codegen_stage_count(df) >= 1
+

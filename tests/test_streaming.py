@@ -331,3 +331,28 @@ def test_metrics_endpoint(spark, sf_dir, cdc_dir, cdc_schema):
         assert total_served == sum(r["cnt"] for r in counts)
     finally:
         server.shutdown()
+
+
+def test_route_broadcast_join_streams_via_compiled_path(
+    spark, sf_dir, cdc_dir, cdc_schema
+):
+    """The adaptive dynamic-routing API must work on a STREAMING
+    input: the rule-table probe runs on the (batch) rules DataFrame at
+    plan time and the config-sized table compiles to the stateless
+    when-chain — no stateful operator, so the stream runs in plain
+    append mode. Results must equal the batch path."""
+    from flink_kafka_filter_transform_spark.sources.cdc_fixture import rules_df
+
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    routed = cdc.route_broadcast_join(
+        cdc.filter_deletes(cdc.parse_envelope(stream)), rules_df(spark)
+    ).select("msg_id", "target_topic")
+    assert routed.isStreaming
+    _run_to_memory(routed, "t_route_dyn", "append")
+    got = {(r["msg_id"], r["target_topic"]) for r in spark.table("t_route_dyn").collect()}
+    batch = cdc.route_broadcast_join(
+        cdc.filter_deletes(cdc.parse_envelope(cdc_events_df(spark, sf_dir))),
+        rules_df(spark),
+    )
+    want = {(r["msg_id"], r["target_topic"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
