@@ -164,6 +164,8 @@ def queries() -> dict[str, QueryFn]:
         "cdc_scd2_history": lambda s, d: cdc.scd2_history(
             cdc.parse_envelope(_cdc(s, d))
         ),
+        "knn_ivf_probe_sweep": lambda s, d: similarity.knn_ivf_probe_sweep(_emb(s, d)),
+        "doc_chunks": lambda s, d: text.doc_chunks(_docs(s, d)),
         # === HEAD: changed in round 3 ===
         # cdc_route_join: adaptive compile-vs-join dispatch
         "cdc_route_join": q_cdc_route_join,
@@ -358,6 +360,8 @@ def oracle_sql() -> dict[str, str]:
         "training_mixture_report": oracles.training_mixture_report_oracle(),
         "media_resize": oracles.media_resize_oracle(),
         "cdc_scd2_history": oracles.cdc_scd2_history_oracle(),
+        "knn_ivf_probe_sweep": oracles.knn_ivf_probe_sweep_oracle(),
+        "doc_chunks": oracles.doc_chunks_oracle(),
         "cdc_materialize": oracles.cdc_materialize_oracle(),
         "repetition_ratios": oracles.repetition_ratios_oracle(),
         "pii_redact": oracles.pii_redact_oracle(),

@@ -218,3 +218,34 @@ def knn_jl(emb: DataFrame, k: int = params.LSH_TOPK) -> DataFrame:
 
 def knn_jl_recall(emb: DataFrame, k: int = params.LSH_TOPK) -> DataFrame:
     return _recall_vs_brute(knn_jl(emb, k=k), emb, k)
+
+
+def knn_ivf_probe_sweep(
+    emb: DataFrame, k: int = params.LSH_TOPK, probes: tuple[int, ...] = (1, 2, 4)
+) -> DataFrame:
+    """The IVF tuning curve: mean recall@k for increasing nprobe — the
+    accuracy/cost tradeoff a user reads before fixing nprobe (each
+    probe step scans another cells-worth of corpus per query; recall
+    must be monotone non-decreasing in nprobe since probed cell sets
+    nest). One row per setting; hit counts are integer-exact and the
+    mean divides once in double."""
+    parts = []
+    for nprobe in probes:
+        r = _recall_vs_brute(knn_ivf(emb, k=k, nprobe=nprobe), emb, k)
+        parts.append(
+            r.agg(
+                F.sum("n_hits").cast("bigint").alias("total_hits"),
+                F.count(F.lit(1)).alias("n_queries"),
+            ).select(
+                F.lit(nprobe).alias("nprobe"),
+                "total_hits",
+                (
+                    F.col("total_hits").cast("double")
+                    / (F.col("n_queries") * F.lit(k)).cast("double")
+                ).alias("mean_recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -392,3 +392,36 @@ def bigram_top_pairs(docs: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def doc_chunks(docs: DataFrame, chunk: int = 64, stride: int = 32) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    of an LLM data pipeline (chunk size in tokens, stride < chunk gives
+    overlap). Start positions 0, stride, 2*stride, ... < n_tokens; the
+    final chunk may be short. Emits a content hash per chunk so the
+    differential gate verifies the chunk TEXT, not just its shape.
+
+    Map-only: sequence+transform build the windows per doc inside
+    codegen (O(n_tokens * chunk / stride) per doc, linear work per
+    emitted token), explode fans out — no shuffle, no state."""
+    from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64
+
+    toks = tokens()
+    starts = F.sequence(F.lit(0), F.size(F.col("_t")) - 1, F.lit(stride))
+    chunk_toks = F.slice(F.col("_t"), F.col("_s") + 1, chunk)
+    return (
+        docs.select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select("doc_id", "_t", F.explode(starts).alias("_s"))
+        .select(
+            "doc_id",
+            (F.col("_s") / stride).cast("int").alias("chunk_idx"),
+            chunk_toks.alias("_c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("_c").cast("bigint").alias("n_chunk_tokens"),
+            portable_hash64(F.array_join(F.col("_c"), " ")).alias("chunk_hash"),
+        )
+    )

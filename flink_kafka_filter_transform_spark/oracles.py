@@ -1962,3 +1962,35 @@ FROM (
 """
     )
 
+
+
+def knn_ivf_probe_sweep_oracle(
+    k: int = params.LSH_TOPK, probes: tuple[int, ...] = (1, 2, 4)
+) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {n} AS nprobe, CAST(sum(n_hits) AS BIGINT) AS total_hits,
+  CAST(sum(n_hits) AS DOUBLE) / CAST(count(*) * {k} AS DOUBLE) AS mean_recall
+FROM ({_recall_oracle(knn_ivf_oracle(k=k, nprobe=n), k)}) r{n}"""
+        for n in probes
+    )
+    return arms
+
+
+def doc_chunks_oracle(chunk: int = 64, stride: int = 32) -> str:
+    ch = portable_hash64_sql("array_to_string(c, ' ')")
+    return f"""
+WITH {_TOKS_CTE},
+starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, {stride})) AS s
+  FROM toks WHERE len(t) > 0
+),
+chunks AS (
+  SELECT doc_id, CAST(s // {stride} AS INTEGER) AS chunk_idx,
+         t[s + 1 : s + {chunk}] AS c
+  FROM starts
+)
+SELECT doc_id, chunk_idx,
+  CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+  {ch} AS chunk_hash
+FROM chunks
+"""
