@@ -72,6 +72,7 @@ HEADLINE = [
     "bigram_top_pairs",
     "training_mixture_report",
     "cdc_scd2_history",
+    "doc_chunks",
 ]
 
 
