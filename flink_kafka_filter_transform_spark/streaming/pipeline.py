@@ -202,6 +202,53 @@ def stream_stream_interval_join(
     ).select("c_key", "c_msg_id", "u_msg_id", "c_ts", "u_ts")
 
 
+def stream_stream_interval_join_outer(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every create emits,
+    updates attached when one lands inside the window — the
+    "which creates never got an update?" question an inner join cannot
+    answer on a stream.
+
+    Outer semantics need the watermark to PROVE absence: a create row
+    is held in state until the watermark passes the end of its join
+    interval, then emits with NULL update columns if nothing matched.
+    Null-side results therefore arrive delayed by watermark+window —
+    the unavoidable price of a correct negative on out-of-order data.
+    Same O(window) state bound as the inner join; both sides keep
+    their watermark, and the join condition time-bounds the
+    state-eviction horizon.
+    """
+    parsed = cdc.parse_envelope(stream)
+    creates = (
+        parsed.filter(F.col("op") == "c")
+        .select(
+            F.col("key").alias("c_key"),
+            F.col("ts").alias("c_ts"),
+            F.col("msg_id").alias("c_msg_id"),
+        )
+        .withWatermark("c_ts", watermark_delay)
+    )
+    updates = (
+        parsed.filter(F.col("op") == "u")
+        .select(
+            F.col("key").alias("u_key"),
+            F.col("ts").alias("u_ts"),
+            F.col("msg_id").alias("u_msg_id"),
+        )
+        .withWatermark("u_ts", watermark_delay)
+    )
+    return creates.join(
+        updates,
+        F.expr(
+            f"c_key = u_key AND u_ts >= c_ts AND u_ts <= c_ts + INTERVAL {window}"
+        ),
+        "leftOuter",
+    ).select("c_key", "c_msg_id", "u_msg_id", "c_ts", "u_ts")
+
+
 def deduped_stream(
     stream: DataFrame,
     keys: list[str] | None = None,

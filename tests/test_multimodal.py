@@ -89,3 +89,21 @@ def test_wav_corrupt_fails_loudly():
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))) + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
     with pytest.raises(ValueError, match="no data chunk"):
         mm.decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_resize_nearest_known_mapping():
+    """Pin the nearest-neighbor convention directly: out (i, j) samples
+    in ((i*h)//out_h, (j*w)//out_w) — top-left pick, no interpolation."""
+    h, w = 4, 6
+    img = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    small = mm.resize_nearest(img, 3, 2)  # out_w=3, out_h=2
+    assert small.shape == (2, 3, 3)
+    for i in range(2):
+        for j in range(3):
+            src = img[(i * h) // 2, (j * w) // 3]
+            assert np.array_equal(small[i, j], src)
+    # identity resize is a no-op
+    assert np.array_equal(mm.resize_nearest(img, w, h), img)
+    # upscale repeats source pixels, never invents values
+    big = mm.resize_nearest(img, 12, 8)
+    assert set(big.reshape(-1, 3)[:, 0].tolist()) <= set(img.reshape(-1, 3)[:, 0].tolist())

@@ -356,3 +356,58 @@ def test_route_broadcast_join_streams_via_compiled_path(
     )
     want = {(r["msg_id"], r["target_topic"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_outer_join_emits_null_matches(
+    spark, sf_dir, cdc_dir, cdc_schema
+):
+    """LEFT OUTER stream-stream interval join: inner matches emit
+    immediately; null-side rows emit once the watermark proves no
+    update can still arrive in the window. At stream end Spark drops
+    state it could not yet finalize, so the streaming result is
+    sandwiched: every match + every PROVABLY-closed unmatched create
+    must be present; nothing outside the batch left join may appear."""
+    from pyspark.sql import functions as F
+
+    stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
+    _run_to_memory(
+        sp.stream_stream_interval_join_outer(stream), "t_ssj_outer", "append"
+    )
+    got = {
+        (r["c_key"], r["c_msg_id"], r["u_msg_id"])
+        for r in spark.table("t_ssj_outer").collect()
+    }
+
+    batch_parsed = cdc.parse_envelope(cdc_events_df(spark, sf_dir))
+    creates = batch_parsed.filter(F.col("op") == "c").select(
+        F.col("key").alias("c_key"), F.col("ts").alias("c_ts"), F.col("msg_id").alias("c_msg_id")
+    )
+    updates = batch_parsed.filter(F.col("op") == "u").select(
+        F.col("key").alias("u_key"), F.col("ts").alias("u_ts"), F.col("msg_id").alias("u_msg_id")
+    )
+    joined = creates.join(
+        updates,
+        F.expr("c_key = u_key AND u_ts >= c_ts AND u_ts <= c_ts + INTERVAL 1 hour"),
+        "leftOuter",
+    ).select("c_key", "c_msg_id", "u_msg_id", "c_ts")
+    rows = joined.collect()
+    want_all = {(r["c_key"], r["c_msg_id"], r["u_msg_id"]) for r in rows}
+
+    import datetime
+
+    max_c = creates.agg(F.max("c_ts")).collect()[0][0]
+    max_u = updates.agg(F.max("u_ts")).collect()[0][0]
+    wm = min(max_c, max_u) - datetime.timedelta(minutes=10)
+    # provably closed: the join interval ended strictly before the
+    # final watermark, so the null row MUST have been emitted
+    closed_nulls = {
+        (r["c_key"], r["c_msg_id"], None)
+        for r in rows
+        if r["u_msg_id"] is None
+        and r["c_ts"] + datetime.timedelta(hours=1) < wm
+    }
+    matches = {t for t in want_all if t[2] is not None}
+    assert matches <= got, "inner matches must all emit"
+    assert closed_nulls <= got, "closed unmatched creates must emit null rows"
+    assert got <= want_all, "nothing beyond the batch left join"
+    assert len(matches) > 0 and len(closed_nulls) > 0
