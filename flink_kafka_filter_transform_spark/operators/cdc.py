@@ -101,8 +101,12 @@ def route_when_chain(
     expr: Column = F.lit(None).cast("string")
     # NULL priority sorts as int-max ("lowest precedence"), matching the
     # join path's min_by coalesce and DuckDB's ASC NULLS LAST.
-    def _pri(r: dict) -> int:
-        return r["priority"] if r["priority"] is not None else 2_147_483_647
+    # target_topic is the deterministic tie-break for EQUAL priorities —
+    # the same tuple the join path orders min_by on, so crossing
+    # ROUTE_COMPILE_MAX_RULES can never change a routing winner.
+    def _pri(r: dict) -> tuple[int, str]:
+        p = r["priority"] if r["priority"] is not None else 2_147_483_647
+        return (p, r["target_topic"])
 
     for rule in sorted(rules, key=_pri, reverse=True):
         expr = F.when(_rule_cond(rule, topic_col, db_col, table_col), F.lit(rule["target_topic"])).otherwise(expr)
@@ -136,6 +140,13 @@ def route_broadcast_join(
     path's plan shape and ``tests/test_oracle_parity.py`` +
     the path-equivalence test pin the semantics.
     """
+    if rules_df.isStreaming:
+        raise ValueError(
+            "route_broadcast_join requires a BATCH rules DataFrame: the rule "
+            "table is probed eagerly at plan-build time (the broadcast-sized "
+            "assumption), which is undefined for a streaming relation. Route "
+            "a stream of rule updates through foreachBatch and rebuild."
+        )
     # Bounded probe: reads at most MAX+1 rule rows, never the full
     # table. toArrow (not take/collect-with-limit) — CollectLimitExec's
     # incremental job scheduling costs ~1-2s per call even on a 7-row
@@ -203,7 +214,12 @@ def _route_distinct_keys_join(
     # NULL-priority rules would vanish). Coalesce to int-max so NULL
     # priority means "lowest precedence" — the same place DuckDB's
     # default NULLS LAST puts it in the oracle's row_number ordering.
-    pri = F.coalesce(F.col("priority"), F.lit(2_147_483_647))
+    # target_topic in the ordering struct breaks EQUAL-priority ties the
+    # same way the when-chain sort does (struct ordering is field-wise).
+    pri = F.struct(
+        F.coalesce(F.col("priority"), F.lit(2_147_483_647)).alias("p"),
+        F.col("target_topic").alias("t"),
+    )
     routed_keys = matched.groupBy(topic_col, db_col, table_col).agg(
         F.min_by("target_topic", pri).alias("target_topic")
     )

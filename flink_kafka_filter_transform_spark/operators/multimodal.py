@@ -120,8 +120,18 @@ def decode_audio(content: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
         (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        # Declared sizes are untrusted input: a size past end-of-file
+        # would silently truncate the body (short fmt -> struct.error,
+        # short data -> fewer samples than declared). Fail loudly.
+        if pos + 8 + size > len(content):
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {size} bytes, "
+                f"only {len(content) - pos - 8} remain"
+            )
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short: {size} < 16 bytes")
             audio_fmt, n_channels, sample_rate, _brate, _align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )

@@ -717,18 +717,31 @@ def q18_large_volume_orders(
     )
 
 
-def q22_idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """TPC-H Q22 analog: customers with above-average balance and NO
-    orders, counted per nation. Composes the two decorrelated shapes:
-    a scalar subquery (global positive-balance average -> broadcast
-    1-row cross join) and an anti join (never-ordered)."""
+Q22_IDLE_CUTOFF = "2000-01-01"
+
+
+def q22_idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, idle_cutoff: str = Q22_IDLE_CUTOFF
+) -> DataFrame:
+    """TPC-H Q22 analog: customers with above-average balance and no
+    orders SINCE ``idle_cutoff``, counted per nation. Composes the two
+    decorrelated shapes: a scalar subquery (global positive-balance
+    average -> broadcast 1-row cross join) and an anti join against the
+    date-filtered orders (never-ordered-recently). The cutoff exists
+    because this testdata gives every customer at least one lifetime
+    order (0 of 1500 order-less at sf0.01), which made the original
+    "no orders ever" anti join vacuously empty — r3 ADVICE. At the
+    cutoff the gate compares 55 rows / 23 nations at sf0.01. The date
+    filter is pushed below the anti join's build side, so the shape
+    (scalar subquery + anti join) is unchanged."""
     avg_bal = customer.filter(F.col("c_acctbal") > F.lit(0.0)).agg(
         (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
     )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit(idle_cutoff).cast("timestamp"))
     return (
         customer.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),

@@ -46,7 +46,7 @@ def route_case_sql() -> str:
     whens = "\n    ".join(
         f"WHEN topic = '{r['source_topic']}' AND db = '{r['db']}' "
         f"AND regexp_matches(table_name, '{r['table_pattern']}') THEN '{r['target_topic']}'"
-        for r in sorted(RULES, key=lambda r: r["priority"])
+        for r in sorted(RULES, key=lambda r: (r["priority"], r["target_topic"]))
     )
     return f"CASE\n    {whens}\n  END"
 
@@ -81,7 +81,9 @@ def cdc_route_join_oracle() -> str:
         f"""
 SELECT msg_id, topic, db, table_name, op, target_topic FROM (
   SELECT p.msg_id, p.topic, p.db, p.table_name, p.op, r.target_topic,
-         row_number() OVER (PARTITION BY p.msg_id ORDER BY r.priority) AS rn
+         row_number() OVER (
+           PARTITION BY p.msg_id ORDER BY r.priority NULLS LAST, r.target_topic
+         ) AS rn
   FROM (SELECT * FROM parsed WHERE op IS NOT NULL AND op <> 'd') p
   JOIN ({rules_cte_sql()}) r
     ON p.topic = r.source_topic AND p.db = r.db
@@ -1832,6 +1834,8 @@ LIMIT 100
 
 
 def q22_idle_rich_customers_oracle() -> str:
+    from flink_kafka_filter_transform_spark.operators.relational import Q22_IDLE_CUTOFF
+
     return f"""
 SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
        {_dsum_sql('c_acctbal')} AS totacctbal
@@ -1841,7 +1845,9 @@ CROSS JOIN (
   FROM customer WHERE c_acctbal > 0.0
 ) t
 WHERE c_acctbal > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_IDLE_CUTOFF}')
 GROUP BY c_nationkey
 """
 

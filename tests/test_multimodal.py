@@ -91,6 +91,27 @@ def test_wav_corrupt_fails_loudly():
         mm.decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
+def test_wav_truncated_chunks_fail_loudly():
+    """Declared chunk sizes are untrusted: a size past end-of-file must
+    raise ValueError (not struct.error on a short fmt, not silently
+    fewer samples on a short data chunk) — r3 ADVICE."""
+    # fmt chunk declares 16 bytes but only 4 remain
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00"
+    with pytest.raises(ValueError, match="truncated b'fmt '"):
+        mm.decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # data chunk declares 100 bytes but carries 6
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 100) + b"\x00" * 6
+    with pytest.raises(ValueError, match="truncated b'data'"):
+        mm.decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # fmt chunk genuinely 8 bytes long (declared AND present) is too
+    # short to hold the 16-byte PCM header
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        mm.decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
 def test_resize_nearest_known_mapping():
     """Pin the nearest-neighbor convention directly: out (i, j) samples
     in ((i*h)//out_h, (j*w)//out_w) — top-left pick, no interpolation."""

@@ -51,6 +51,47 @@ def test_route_paths_equivalent(spark, sf_dir):
     assert joined.exceptAll(compiled).count() == 0
 
 
+def test_route_equal_priority_tiebreak_matches_across_paths(spark):
+    """Equal-priority rules must pick the SAME winner on both adaptive
+    paths: the when-chain's sort and the join path's min_by both order
+    by (priority, target_topic), so crossing ROUTE_COMPILE_MAX_RULES
+    can never flip a routing decision (r3 ADVICE)."""
+    msgs = spark.createDataFrame(
+        [(1, "t", "d", "tbl_1", "c"), (2, "t", "d", "tbl_2", "c")],
+        "msg_id INT, topic STRING, db STRING, table_name STRING, op STRING",
+    )
+    rules = [
+        {"priority": 5, "source_topic": "t", "db": "d",
+         "table_pattern": "tbl_.*", "target_topic": "zeta"},
+        {"priority": 5, "source_topic": "t", "db": "d",
+         "table_pattern": "tbl_.*", "target_topic": "alpha"},
+        {"priority": None, "source_topic": "t", "db": "d",
+         "table_pattern": "tbl_.*", "target_topic": "fallback"},
+    ]
+    rdf = spark.createDataFrame(
+        [(r["priority"], r["source_topic"], r["db"], r["table_pattern"], r["target_topic"])
+         for r in rules],
+        "priority INT, source_topic STRING, db STRING, table_pattern STRING, target_topic STRING",
+    )
+    chain = cdc.route_when_chain(msgs, rules)
+    joined = cdc._route_distinct_keys_join(msgs, rdf)
+    assert {r["target_topic"] for r in chain.collect()} == {"alpha"}
+    assert {r["target_topic"] for r in joined.collect()} == {"alpha"}
+
+
+def test_route_broadcast_join_rejects_streaming_rules(spark, sf_dir, tmp_path):
+    """The rules probe is an eager batch job; a streaming rules_df must
+    be rejected explicitly, not fail opaquely inside toArrow (r3 ADVICE)."""
+    import pytest
+
+    rdf = rules_df(spark)
+    rdf.write.mode("overwrite").parquet(str(tmp_path / "rules"))
+    streaming_rules = spark.readStream.schema(rdf.schema).parquet(str(tmp_path / "rules"))
+    parsed = cdc.filter_deletes(cdc.parse_envelope(cdc_events_df(spark, sf_dir)))
+    with pytest.raises(ValueError, match="BATCH rules"):
+        cdc.route_broadcast_join(parsed, streaming_rules)
+
+
 def test_q1_scan_prunes_and_pushes(spark, sf_dir):
     df = relational.q1_pricing_summary(load_table(spark, "lineitem", sf_dir))
     needed = {
