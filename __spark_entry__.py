@@ -119,6 +119,8 @@ def queries() -> dict[str, QueryFn]:
     driver verdict (the r{N-1} tail). Queries green in the most recent
     CORRECTNESS_r{N}.json and untouched since yield their slots."""
     return {
+        # === HEAD: new in round 4 ===
+        "png_decode": lambda s, d: multimodal.png_decode(_docs(s, d)),
         # === HEAD: new in round 3 ===
         "media_decode": lambda s, d: multimodal.media_decode(_docs(s, d)),
         "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
@@ -347,6 +349,7 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "png_decode": oracles.png_decode_oracle(),
         "media_decode": oracles.media_decode_oracle(),
         "q6_forecast_revenue": oracles.q6_forecast_revenue_oracle(),
         "q7_volume_shipping": oracles.q7_volume_shipping_oracle(),

@@ -26,6 +26,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# "Idle customer" cutoff shared by q22_idle_rich_customers and
+# customers_without_orders: this testdata gives every customer at least
+# one lifetime order, so anti joins against ALL orders are vacuously
+# empty; "no orders since the cutoff" keeps the gates non-empty.
+Q22_IDLE_CUTOFF = "2000-01-01"
+
 
 def _dsum(col: Column) -> Column:
     """Order-independent exact sum of a double measure -> double."""
@@ -183,11 +189,17 @@ def q4_order_priority_semi(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
-def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """Anti join: customers that never ordered (broadcast the distinct
-    key set at scale, or let AQE pick)."""
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, since: str = Q22_IDLE_CUTOFF
+) -> DataFrame:
+    """Anti join: customers with no orders since ``since`` (broadcast
+    the distinct key set at scale, or let AQE pick). The date filter
+    exists for the same reason as q22's: every customer in this
+    testdata has a lifetime order, so 'never ordered' compared empty
+    results on both engines — a vacuous differential gate."""
+    recent = orders.filter(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
     return customer.join(
-        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
@@ -715,9 +727,6 @@ def q18_large_volume_orders(
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
-
-
-Q22_IDLE_CUTOFF = "2000-01-01"
 
 
 def q22_idle_rich_customers(

@@ -797,9 +797,13 @@ GROUP BY o_orderpriority
 
 
 def customers_without_orders_oracle() -> str:
-    return """
+    from flink_kafka_filter_transform_spark.operators.relational import Q22_IDLE_CUTOFF
+
+    return f"""
 SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_IDLE_CUTOFF}')
 """
 
 
@@ -825,6 +829,36 @@ SELECT doc_id, frame_idx,
   CAST(length(substr(text, frame_idx * {fb} + 1, {fb})) AS BIGINT) AS frame_len,
   md5(substr(text, frame_idx * {fb} + 1, {fb})) AS frame_md5
 FROM f
+"""
+
+
+def png_decode_oracle() -> str:
+    """Twin of multimodal.png_decode: recomputes the decoded statistics
+    from the closed-form pixel formula (PNG_* constants). The Spark
+    side decodes REAL deflate-compressed, filter-cycled PNGs — any slip
+    in the inflate, the Sub/Up/Average/Paeth inverses, or channel order
+    diverges from this closed form."""
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    byte = f"(doc_id*{mm.PNG_PIX_A} + i*{mm.PNG_PIX_B}) % 256"
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         {mm.PNG_W_BASE} + doc_id % {mm.PNG_W_MOD} AS w,
+         {mm.PNG_H_BASE} + doc_id % {mm.PNG_H_MOD} AS h,
+         CASE WHEN doc_id % {mm.PNG_RGBA_MOD} = 0 THEN 4 ELSE 3 END AS c
+  FROM documents
+),
+b AS (
+  SELECT doc_id, w, h, c, unnest(generate_series(0, w*h*c - 1)) AS i FROM g
+)
+SELECT doc_id,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  CAST(c AS INTEGER) AS n_channels,
+  CAST(SUM({byte}) AS BIGINT) AS pix_sum,
+  CAST(MAX({byte}) AS INTEGER) AS pix_max,
+  CAST(SUM(CASE WHEN i % c = 0 THEN {byte} END) AS BIGINT) AS chan0_sum
+FROM b GROUP BY doc_id, w, h, c
 """
 
 

@@ -112,6 +112,68 @@ def test_wav_truncated_chunks_fail_loudly():
         mm.decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
+def test_png_round_trip_all_filters():
+    """Random RGB/RGBA images round-trip through encode_png/decode_png.
+    The encoder cycles filter types per row, so any image with >= 5
+    rows exercises every unfilter branch (None/Sub/Up/Average/Paeth)."""
+    rng = np.random.default_rng(7)
+    for c in (3, 4):
+        img = rng.integers(0, 256, size=(7, 5, c), dtype=np.uint8)
+        w, h, c2, out = mm.decode_png(mm.encode_png(img))
+        assert (w, h, c2) == (5, 7, c)
+        assert np.array_equal(out, img)
+
+
+def test_png_synth_matches_formula():
+    for d in (0, 1, 5, 11):
+        w, h, c, px = mm.decode_png(mm._synth_png(d))
+        assert (w, h) == (mm.PNG_W_BASE + d % mm.PNG_W_MOD, mm.PNG_H_BASE + d % mm.PNG_H_MOD)
+        i = np.arange(w * h * c, dtype=np.int64)
+        expected = (d * mm.PNG_PIX_A + i * mm.PNG_PIX_B) % 256
+        assert np.array_equal(px.reshape(-1).astype(np.int64), expected)
+
+
+def test_png_corrupt_fails_loudly():
+    import zlib
+
+    blob = mm._synth_png(3)
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"\x89PNX" + blob[4:])
+    # flip one IDAT payload byte -> CRC mismatch
+    idat_at = blob.index(b"IDAT")
+    tampered = bytearray(blob)
+    tampered[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        mm.decode_png(bytes(tampered))
+    # declared chunk length past end-of-file
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_png(blob[:20])
+    # unknown filter byte (7), hand-built with correct CRCs
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    raw = b"\x07\x01\x02\x03"  # filter type 7, one RGB pixel
+    bad = mm.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unknown PNG filter"):
+        mm.decode_png(bad)
+    # inflated size disagreeing with header geometry
+    raw = b"\x00\x01\x02\x03\x04"  # one extra byte
+    bad = mm.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflated size"):
+        mm.decode_png(bad)
+
+
+def test_decode_image_compressed_dispatches_png():
+    w, h, c, px = mm.decode_image_compressed(mm._synth_png(4))
+    assert (w, h, c) == (5 + 4 % 4, 4 + 4 % 3, 3)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        mm.decode_image_compressed(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+
 def test_resize_nearest_known_mapping():
     """Pin the nearest-neighbor convention directly: out (i, j) samples
     in ((i*h)//out_h, (j*w)//out_w) — top-left pick, no interpolation."""
