@@ -121,6 +121,15 @@ def queries() -> dict[str, QueryFn]:
     return {
         # === HEAD: new in round 4 ===
         "png_decode": lambda s, d: multimodal.png_decode(_docs(s, d)),
+        "q17_small_quantity": lambda s, d: relational.q17_small_quantity(
+            load_table(s, "lineitem", d), load_table(s, "part", d)
+        ),
+        "q20_potential_promotion": lambda s, d: relational.q20_potential_promotion(
+            load_table(s, "lineitem", d),
+            load_table(s, "part", d),
+            load_table(s, "supplier", d),
+            load_table(s, "nation", d),
+        ),
         # === HEAD: new in round 3 ===
         "media_decode": lambda s, d: multimodal.media_decode(_docs(s, d)),
         "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
@@ -350,6 +359,8 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     return {
         "png_decode": oracles.png_decode_oracle(),
+        "q17_small_quantity": oracles.q17_small_quantity_oracle(),
+        "q20_potential_promotion": oracles.q20_potential_promotion_oracle(),
         "media_decode": oracles.media_decode_oracle(),
         "q6_forecast_revenue": oracles.q6_forecast_revenue_oracle(),
         "q7_volume_shipping": oracles.q7_volume_shipping_oracle(),

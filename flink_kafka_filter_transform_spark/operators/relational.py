@@ -729,6 +729,94 @@ def q18_large_volume_orders(
     )
 
 
+def q17_small_quantity(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#4", frac: float = 0.5
+) -> DataFrame:
+    """TPC-H Q17 analog: average yearly revenue lost if small-quantity
+    orders for one brand's parts went unfilled. The classic correlated
+    scalar subquery — ``l_quantity < frac * (SELECT avg(l_quantity) ...
+    WHERE same part)`` — decorrelated into a per-part aggregate that
+    joins back. (This schema has no p_container, so the inner predicate
+    is brand-only; frac=0.5 instead of TPC-H's 0.2 keeps the gate
+    non-vacuous at test SFs — 671 qualifying lineitems at sf0.01.)
+
+    Scale shape: the brand filter prunes part to O(100) keys ->
+    broadcast to the fact scan; the per-part threshold relation is
+    bounded by the SAME broadcast-sized key set, so it broadcasts back
+    onto the fact rows. ONE fact shuffle total (the per-part groupBy);
+    the final 1-row aggregate is map-side combined."""
+    bp = part.filter(F.col("p_brand") == F.lit(brand)).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = li.groupBy("l_partkey").agg(
+        (
+            F.lit(frac).cast("double")
+            * (_dsum(F.col("l_quantity")) / F.count(F.lit(1)))
+        ).alias("max_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(thresh.withColumnRenamed("l_partkey", "t_partkey")),
+            F.col("l_partkey") == F.col("t_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("max_qty"))
+        .agg((_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q20_potential_promotion(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "red",
+    frac: float = 0.5,
+    min_pairs: int = 11,
+) -> DataFrame:
+    """TPC-H Q20 analog: suppliers who shipped a disproportionate share
+    of their lifetime 'red' part volume during 1998. The original
+    correlates partsupp.availqty against a scalar subquery over
+    lineitem; this schema has no partsupp, so the correlated pair is
+    (1998 shipped qty) vs (frac * lifetime shipped qty) per
+    (supplier, part) — same per-group-scalar-subquery shape — and the
+    supplier qualifies via HAVING >= min_pairs qualifying pairs (at
+    this testdata every supplier has SOME dominating pair, so bare
+    EXISTS would be vacuous).
+
+    Scale shape: name-filtered part keys broadcast to the fact scan;
+    BOTH correlated aggregates compute in ONE fact shuffle (conditional
+    sum inside a single (suppkey, partkey) groupBy — no second scan, no
+    self-join); the qualifying-pair count is a second shuffle over
+    pair-sized rows (map-side combined); supplier and nation broadcast."""
+    rp = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    in_98 = (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    pair = (
+        lineitem.join(F.broadcast(rp), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("q_all"),
+            _dsum(F.when(in_98, F.col("l_quantity"))).alias("q_98"),
+        )
+    )
+    qualifying = pair.filter(
+        F.col("q_98") > F.lit(frac).cast("double") * F.col("q_all")
+    )
+    per_supp = qualifying.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).filter(F.col("n_pairs") >= F.lit(min_pairs))
+    return (
+        per_supp.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "n_pairs")
+        .orderBy("s_suppkey")
+    )
+
+
 def q22_idle_rich_customers(
     customer: DataFrame, orders: DataFrame, idle_cutoff: str = Q22_IDLE_CUTOFF
 ) -> DataFrame:

@@ -1867,6 +1867,60 @@ LIMIT 100
 """
 
 
+def q17_small_quantity_oracle(brand: str = "Brand#4", frac: float = 0.5) -> str:
+    return f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{brand}'),
+li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN bp ON l_partkey = p_partkey
+),
+t AS (
+  SELECT l_partkey AS t_partkey,
+         CAST({frac!r} AS DOUBLE) * ({_dsum_sql('l_quantity')} / count(*)) AS max_qty
+  FROM li GROUP BY l_partkey
+)
+SELECT {_dsum_sql('l_extendedprice')} / CAST(7.0 AS DOUBLE) AS avg_yearly
+FROM li JOIN t ON l_partkey = t_partkey
+WHERE l_quantity < max_qty
+"""
+
+
+def q20_potential_promotion_oracle(
+    name_prefix: str = "red", frac: float = 0.5, min_pairs: int = 11
+) -> str:
+    """Independent formulation: two aggregate CTEs joined on the pair
+    key (vs the engine's single conditional-sum groupBy)."""
+    return f"""
+WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE '{name_prefix}%'),
+li AS (
+  SELECT l_suppkey, l_partkey, l_quantity, l_shipdate
+  FROM lineitem JOIN rp ON l_partkey = p_partkey
+),
+qall AS (
+  SELECT l_suppkey, l_partkey, {_dsum_sql('l_quantity')} AS q_all
+  FROM li GROUP BY l_suppkey, l_partkey
+),
+q98 AS (
+  SELECT l_suppkey, l_partkey, {_dsum_sql('l_quantity')} AS q_98
+  FROM li
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY l_suppkey, l_partkey
+),
+per_supp AS (
+  SELECT q98.l_suppkey AS sk, count(*) AS n_pairs
+  FROM q98 JOIN qall
+    ON q98.l_suppkey = qall.l_suppkey AND q98.l_partkey = qall.l_partkey
+  WHERE q_98 > CAST({frac!r} AS DOUBLE) * q_all
+  GROUP BY q98.l_suppkey
+)
+SELECT s_suppkey, s_name, n_name, CAST(n_pairs AS BIGINT) AS n_pairs
+FROM per_supp
+JOIN supplier ON sk = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_pairs >= {min_pairs}
+"""
+
+
 def q22_idle_rich_customers_oracle() -> str:
     from flink_kafka_filter_transform_spark.operators.relational import Q22_IDLE_CUTOFF
 

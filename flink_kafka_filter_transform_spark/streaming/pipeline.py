@@ -266,6 +266,83 @@ def deduped_stream(
     )
 
 
+SCD2_CHANGE_COLS = ("db", "table_name", "key", "op", "ts", "msg_id")
+
+
+def scd2_incremental_sink(
+    parsed_stream: DataFrame, state_dir: str, checkpoint_dir: str
+) -> DataStreamWriter:
+    """Incremental SCD2 maintenance via foreachBatch merge — the
+    streaming twin of ``cdc.scd2_history``.
+
+    History construction is ordered per entity key, so the retained
+    state must be the raw CHANGELOG, not the current table: a late
+    change has to SPLICE into an existing validity interval (split it
+    and shift valid_to), and deletes — which emit no interval — still
+    close one. Per micro-batch:
+
+    1. append the batch's parsed changes to the changelog store;
+    2. recompute SCD2 for ONLY the entity keys present in the batch
+       (broadcast semi-join of the affected-key set against the
+       changelog — at scale the store is partitioned by key hash, so
+       this prunes to the affected partitions);
+    3. carry every untouched key's intervals over unchanged (broadcast
+       anti-join) and publish the union as a new table version.
+
+    Work per batch is proportional to the affected keys' history, never
+    the table size. Changes are deduped on (key, msg_id) before the
+    recompute, so at-least-once redelivery (a retried batch re-appends)
+    cannot corrupt history — the same idempotence a Delta/Iceberg MERGE
+    target provides; versioned parquet dirs stand in for that table
+    format here, and readers always see a complete published version
+    (``scd2_current``), never a half-written one.
+    """
+    from flink_kafka_filter_transform_spark.operators import cdc as cdc_ops
+
+    changes_dir = f"{state_dir}/changes"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.filter(F.col("op").isNotNull()).select(*SCD2_CHANGE_COLS)
+        batch.write.mode("append").parquet(changes_dir)
+        affected = batch.select("db", "table_name", "key").dropDuplicates()
+        key = ["db", "table_name", "key"]
+        changes = (
+            spark.read.parquet(changes_dir)
+            .join(F.broadcast(affected), key, "left_semi")
+            .dropDuplicates(["db", "table_name", "key", "msg_id"])
+        )
+        recomputed = cdc_ops.scd2_history(changes)
+        prev = scd2_current(spark, state_dir)
+        merged = (
+            recomputed
+            if prev is None
+            else prev.join(F.broadcast(affected), key, "left_anti").unionByName(
+                recomputed
+            )
+        )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/scd2_v{batch_id}")
+        with open(f"{state_dir}/_LATEST", "w") as f:
+            f.write(str(batch_id))
+
+    return parsed_stream.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def scd2_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The latest published SCD2 table version, or None before the
+    first batch commits."""
+    import os
+
+    marker = f"{state_dir}/_LATEST"
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        version = f.read().strip()
+    return spark.read.parquet(f"{state_dir}/scd2_v{version}")
+
+
 def foreach_batch_parquet_sink(
     df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> DataStreamWriter:

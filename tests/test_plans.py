@@ -120,6 +120,44 @@ def test_q5_dimension_joins_broadcast(spark, sf_dir):
     assert px.sortmerge_join_count(df) == 0
 
 
+def test_q17_single_fact_shuffle(spark, sf_dir):
+    """Correlated scalar subquery decorrelated right: the brand part
+    keys AND the per-part threshold relation both broadcast, so the
+    fact table shuffles exactly once (the per-part groupBy); the final
+    1-row aggregate adds its own single-partition exchange."""
+    df = relational.q17_small_quantity(
+        load_table(spark, "lineitem", sf_dir), load_table(spark, "part", sf_dir)
+    )
+    # 3 broadcasts: the brand key set joins on BOTH consumers of li
+    # (threshold branch + probe branch -> lineitem scans twice, each
+    # pruned/pushed) plus the threshold relation joining back. Two
+    # pruned scans beat the alternative — a window over the fact table
+    # would shuffle and sort EVERY brand row instead of shipping
+    # per-part partials.
+    assert px.broadcast_join_count(df) == 3
+    assert px.sortmerge_join_count(df) == 0
+    assert px.count_shuffles(df) <= 2
+    plan = px.explain_str(df, "simple")
+    assert plan.count("Scan parquet") == 4  # lineitem x2 + part x2
+    assert "Window" not in plan
+
+
+def test_q20_broadcasts_dims_and_single_pair_aggregate(spark, sf_dir):
+    """Both correlated aggregates (lifetime qty, 1998 qty) compute in
+    ONE conditional-sum groupBy — no self-join of the fact table, no
+    second scan; part keys, supplier, and nation all broadcast."""
+    df = relational.q20_potential_promotion(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+    assert px.broadcast_join_count(df) == 3
+    assert px.sortmerge_join_count(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert plan.count("Scan parquet") == 4  # lineitem once + 3 dims
+
+
 def test_knn_brute_broadcasts_queries(spark, sf_dir):
     df = similarity.knn_brute(load_table(spark, "embeddings", sf_dir))
     assert px.has_broadcast_join(df)

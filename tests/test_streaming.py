@@ -192,6 +192,57 @@ def test_materialize_latest_converges_with_late_data(
     assert got == want and len(want) > 0
 
 
+def test_scd2_incremental_converges_with_late_data(
+    spark, sf_dir, cdc_schema, tmp_path_factory
+):
+    """Incremental SCD2 via foreachBatch merge must equal the batch
+    scd2_history even when the OLDEST half of the changelog arrives in
+    LATER micro-batches (maxFilesPerTrigger=1): a late change has to
+    splice into an already-published interval — splitting it and
+    re-closing valid_to — and a late delete has to close one. The
+    changelog-as-state design makes this exact, not approximate."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = cdc_events_df(spark, sf_dir)
+    cutoff = src.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    late_dir = str(tmp_path_factory.mktemp("scd2_late"))
+    src.filter(F.unix_micros("ts") >= cutoff).repartition(2).write.mode(
+        "append"
+    ).parquet(late_dir)
+    time.sleep(1.1)
+    src.filter(F.unix_micros("ts") < cutoff).repartition(2).write.mode(
+        "append"
+    ).parquet(late_dir)
+
+    stream = (
+        spark.readStream.schema(cdc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(late_dir)
+    )
+    state_dir = str(tmp_path_factory.mktemp("scd2_state"))
+    ckpt = str(tmp_path_factory.mktemp("scd2_ckpt"))
+    q = (
+        sp.scd2_incremental_sink(cdc.parse_envelope(stream), state_dir, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = ("db", "table_name", "key", "op", "msg_id",
+            "valid_from_us", "valid_to_us", "is_current")
+    got = {
+        tuple(r[c] for c in cols)
+        for r in sp.scd2_current(spark, state_dir).collect()
+    }
+    want = {
+        tuple(r[c] for c in cols)
+        for r in cdc.scd2_history(cdc.parse_envelope(src)).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_running_counters_stateful(spark, sf_dir, cdc_dir, cdc_schema):
     stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
     routed = cdc.drop_unrouted(
