@@ -113,6 +113,55 @@ def route_when_chain(
     return df.withColumn("target_topic", expr)
 
 
+# Rules-probe memo: logical-plan fingerprint (semanticHash — Spark's
+# own canonical plan-equality hash, the mechanism behind sameSemantics)
+# -> collected rule rows, or None for "exceeds ROUTE_COMPILE_MAX_RULES,
+# take the big-table path". The probe is an eager ~0.3-0.9 s Spark job;
+# a rule table is typically routed against once per micro-batch or
+# query, so paying it once per TABLE instead of once per CALL matters.
+# Bounded LRU; keyed on the PLAN, so callers that mutate data behind an
+# identical plan (overwrite the same parquet path) must rebuild the
+# DataFrame or call clear_route_rules_cache().
+_RULES_PROBE_CACHE: "OrderedDict[int, list[dict] | None]" = None  # type: ignore[assignment]
+_RULES_PROBE_CACHE_MAX = 32
+
+
+def clear_route_rules_cache() -> None:
+    """Drop all memoized rule-table probes (e.g. after rewriting the
+    storage behind a rules DataFrame without changing its plan)."""
+    if _RULES_PROBE_CACHE is not None:
+        _RULES_PROBE_CACHE.clear()
+
+
+def _probe_rules(rules_df: DataFrame) -> "list[dict] | None":
+    """Collected rule rows for compile-sized tables, else None."""
+    global _RULES_PROBE_CACHE
+    if _RULES_PROBE_CACHE is None:
+        from collections import OrderedDict
+
+        _RULES_PROBE_CACHE = OrderedDict()
+    fp = rules_df.semanticHash()
+    if fp in _RULES_PROBE_CACHE:
+        _RULES_PROBE_CACHE.move_to_end(fp)
+        return _RULES_PROBE_CACHE[fp]
+    # Bounded probe: reads at most MAX+1 rule rows, never the full
+    # table. toArrow (not take/collect-with-limit) — CollectLimitExec's
+    # incremental job scheduling costs ~1-2s per call even on a 7-row
+    # local relation; the Arrow path is a single ~0.3s fetch.
+    head = (
+        rules_df.select("priority", "source_topic", "db", "table_pattern", "target_topic")
+        .limit(params.ROUTE_COMPILE_MAX_RULES + 1)
+        .toArrow()
+    )
+    result = (
+        head.to_pylist() if head.num_rows <= params.ROUTE_COMPILE_MAX_RULES else None
+    )
+    _RULES_PROBE_CACHE[fp] = result
+    if len(_RULES_PROBE_CACHE) > _RULES_PROBE_CACHE_MAX:
+        _RULES_PROBE_CACHE.popitem(last=False)
+    return result
+
+
 def route_broadcast_join(
     df: DataFrame,
     rules_df: DataFrame,
@@ -130,7 +179,9 @@ def route_broadcast_join(
       same ordered ``when`` chain as ``route_when_chain``. One scan,
       ZERO shuffles, regexes become codegen literals. This is the right
       plan for every realistic deployment of the reference (its config
-      is a YAML file, config.yaml:7-11).
+      is a YAML file, config.yaml:7-11). The probe is memoized on the
+      rules plan's semanticHash (``_probe_rules``), so repeated routing
+      against the same rule table pays the collection job once.
     - Larger rule tables (a when-chain with thousands of branches blows
       past codegen limits and falls back to interpreted CASE): the
       distinct-keys join below — see ``_route_distinct_keys_join``.
@@ -147,17 +198,9 @@ def route_broadcast_join(
             "assumption), which is undefined for a streaming relation. Route "
             "a stream of rule updates through foreachBatch and rebuild."
         )
-    # Bounded probe: reads at most MAX+1 rule rows, never the full
-    # table. toArrow (not take/collect-with-limit) — CollectLimitExec's
-    # incremental job scheduling costs ~1-2s per call even on a 7-row
-    # local relation; the Arrow path is a single ~0.3s fetch.
-    head = (
-        rules_df.select("priority", "source_topic", "db", "table_pattern", "target_topic")
-        .limit(params.ROUTE_COMPILE_MAX_RULES + 1)
-        .toArrow()
-    )
-    if head.num_rows <= params.ROUTE_COMPILE_MAX_RULES:
-        routed = route_when_chain(df, head.to_pylist(), topic_col, db_col, table_col)
+    rules = _probe_rules(rules_df)
+    if rules is not None:
+        routed = route_when_chain(df, rules, topic_col, db_col, table_col)
         return routed.filter(F.col("target_topic").isNotNull())
     return _route_distinct_keys_join(df, rules_df, topic_col, db_col, table_col)
 

@@ -150,12 +150,31 @@ RULES: list[dict] = [
 ]
 
 
+_RULES_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = None  # type: ignore[assignment]
+
+
 def rules_df(spark: SparkSession) -> DataFrame:
-    """Rule table as a tiny DataFrame (broadcast side of the routing join)."""
-    return spark.createDataFrame(
-        [(r["priority"], r["source_topic"], r["db"], r["table_pattern"], r["target_topic"]) for r in RULES],
-        "priority INT, source_topic STRING, db STRING, table_pattern STRING, target_topic STRING",
-    )
+    """Rule table as a tiny DataFrame (broadcast side of the routing
+    join). Memoized per SparkSession: createDataFrame embeds the rows
+    in a fresh LocalRelation whose semanticHash is NOT stable across
+    calls, so returning the same object is what lets downstream
+    plan-fingerprint caches (cdc._probe_rules) hit — the same behavior
+    a real deployment gets by building its rules DataFrame once. File-
+    backed rule tables don't need this (scan plans canonicalize by
+    path)."""
+    global _RULES_DF_CACHE
+    if _RULES_DF_CACHE is None:
+        import weakref
+
+        _RULES_DF_CACHE = weakref.WeakKeyDictionary()
+    df = _RULES_DF_CACHE.get(spark)
+    if df is None:
+        df = spark.createDataFrame(
+            [(r["priority"], r["source_topic"], r["db"], r["table_pattern"], r["target_topic"]) for r in RULES],
+            "priority INT, source_topic STRING, db STRING, table_pattern STRING, target_topic STRING",
+        )
+        _RULES_DF_CACHE[spark] = df
+    return df
 
 
 def rules_cte_sql() -> str:

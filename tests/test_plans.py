@@ -51,6 +51,25 @@ def test_route_paths_equivalent(spark, sf_dir):
     assert joined.exceptAll(compiled).count() == 0
 
 
+def test_route_rules_probe_is_memoized(spark):
+    """Two DataFrames with the SAME logical rules plan share one probe
+    (the eager collection job is paid per rule TABLE, not per call);
+    a different rule table gets its own entry; clear empties it."""
+    cdc.clear_route_rules_cache()
+    r1 = cdc._probe_rules(rules_df(spark))
+    r2 = cdc._probe_rules(rules_df(spark))
+    assert r1 is r2  # cache identity, not just equality
+    assert len(cdc._RULES_PROBE_CACHE) == 1
+    other = spark.createDataFrame(
+        [(1, "t", "d", "x", "y")],
+        "priority INT, source_topic STRING, db STRING, table_pattern STRING, target_topic STRING",
+    )
+    assert cdc._probe_rules(other) is not r1
+    assert len(cdc._RULES_PROBE_CACHE) == 2
+    cdc.clear_route_rules_cache()
+    assert len(cdc._RULES_PROBE_CACHE) == 0
+
+
 def test_route_equal_priority_tiebreak_matches_across_paths(spark):
     """Equal-priority rules must pick the SAME winner on both adaptive
     paths: the when-chain's sort and the join path's min_by both order
