@@ -117,7 +117,17 @@ def queries() -> dict[str, QueryFn]:
     (if a diff since the query's last verdict touches any function in
     its call graph, it rotates forward), or (c) carrying the oldest
     driver verdict (the r{N-1} tail). Queries green in the most recent
-    CORRECTNESS_r{N}.json and untouched since yield their slots."""
+    CORRECTNESS_r{N}.json and untouched since yield their slots.
+
+    Round-4 head = 3 new (png_decode, q17, q20) + 3 r3-verdict queries
+    invalidated by r4 changes (q22 predicate, cdc_route_join
+    memoization+tie-break, media_decode's decode_audio validation) +
+    44 of the 47 r2-verdict tail. That overflows 50 by three: the
+    spilled trio (orders_top10, users_purchase_except_error,
+    users_purchase_intersect_error) was chosen as the simplest
+    single-operator queries in the tail — top-k sort and two set-ops —
+    each unchanged for 2 rounds and re-verified every CI run by
+    tests/test_oracle_parity.py; they rotate first in r5."""
     return {
         # === HEAD: new in round 4 ===
         "png_decode": lambda s, d: multimodal.png_decode(_docs(s, d)),
@@ -130,8 +140,119 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "supplier", d),
             load_table(s, "nation", d),
         ),
-        # === HEAD: new in round 3 ===
+        # === HEAD: r3 verdict invalidated by r4 changes ===
+        # q22: idle-cutoff predicate replaced the vacuous no-orders-ever
+        "q22_idle_rich_customers": lambda s, d: relational.q22_idle_rich_customers(
+            load_table(s, "customer", d), load_table(s, "orders", d)
+        ),
+        # cdc_route_join: rule-probe memoization + priority tie-break
+        "cdc_route_join": q_cdc_route_join,
+        # media_decode: decode_audio chunk-size validation
         "media_decode": lambda s, d: multimodal.media_decode(_docs(s, d)),
+        # === HEAD: rotating the r2-verdict tail forward ===
+        # --- reference parity (SURVEY §2 O2-O10; cdc_route/outgoing/
+        #     counts_outbound also sit in route_when_chain's changed
+        #     call graph this round) ---
+        "cdc_parse": q_cdc_parse,
+        "cdc_filter_deletes": q_cdc_filter_deletes,
+        "cdc_route": q_cdc_route,
+        "cdc_counts_inbound": q_cdc_counts_inbound,
+        "cdc_counts_outbound": q_cdc_counts_outbound,
+        "cdc_outgoing": q_cdc_outgoing,
+        "cdc_materialize": lambda s, d: cdc.materialize_latest(
+            cdc.parse_envelope(_cdc(s, d))
+        ),
+        # --- text analysis + quality ---
+        "text_stats": lambda s, d: text.text_stats(_docs(s, d)),
+        "lang_id": lambda s, d: text.lang_id(_docs(s, d)),
+        "token_counts": lambda s, d: text.token_counts(_docs(s, d)),
+        "doc_fingerprint": lambda s, d: text.doc_fingerprint(_docs(s, d)),
+        "normalize_text": lambda s, d: text.normalize_text(_docs(s, d)),
+        "repetition_ratios": lambda s, d: text.repetition_ratios(_docs(s, d)),
+        "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
+        "quality_filter_funnel": lambda s, d: text.quality_filter_funnel(_docs(s, d)),
+        "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
+        # --- dedup / contamination ---
+        "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "contamination_check": lambda s, d: dedup.contamination_check(_docs(s, d)),
+        # --- vectors ---
+        "embedding_normalized_norms": lambda s, d: vectorprep.embedding_normalized_norms(
+            _emb(s, d)
+        ),
+        "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
+        "jl_projection_distortion": lambda s, d: vectorprep.jl_projection_distortion(
+            _emb(s, d)
+        ),
+        "knn_jl": lambda s, d: similarity.knn_jl(_emb(s, d)),
+        "knn_jl_recall": lambda s, d: similarity.knn_jl_recall(_emb(s, d)),
+        # --- sketches ---
+        "hll_distinct_users": lambda s, d: sketch.hll_distinct_users(
+            load_table(s, "events", d)
+        ),
+        "hll_distinct_orders": lambda s, d: sketch.hll_distinct_orders(
+            load_table(s, "lineitem", d)
+        ),
+        "hll_rollup_users": lambda s, d: sketch.hll_rollup_users(
+            load_table(s, "events", d)
+        ),
+        "cms_token_counts": lambda s, d: sketch.cms_token_counts(_docs(s, d)),
+        "histogram_quantiles": lambda s, d: sketch.histogram_quantiles(
+            load_table(s, "events", d)
+        ),
+        "histogram_quantiles_by_type": lambda s, d: sketch.histogram_quantiles_by_type(
+            load_table(s, "events", d)
+        ),
+        # --- sampling ---
+        "documents_split_summary": lambda s, d: sampling.documents_split_summary(_docs(s, d)),
+        "events_stratified_sample": lambda s, d: sampling.events_stratified_sample(
+            load_table(s, "events", d)
+        ),
+        # --- relational (r02-verdict remainder; customers_without_orders
+        #     also changed this round: idle-cutoff anti join) ---
+        "customers_without_orders": lambda s, d: relational.customers_without_orders(
+            load_table(s, "customer", d), load_table(s, "orders", d)
+        ),
+        "revenue_rollup": lambda s, d: relational.revenue_rollup(load_table(s, "lineitem", d)),
+        "revenue_cube": lambda s, d: relational.revenue_cube(load_table(s, "lineitem", d)),
+        "revenue_grouping_sets": lambda s, d: relational.revenue_grouping_sets(
+            load_table(s, "lineitem", d)
+        ),
+        "orders_above_customer_avg": lambda s, d: relational.orders_above_customer_avg(
+            load_table(s, "orders", d)
+        ),
+        "user_value_moving_avg": lambda s, d: relational.user_value_moving_avg(
+            load_table(s, "events", d)
+        ),
+        "salted_event_counts": lambda s, d: relational.salted_event_counts(
+            load_table(s, "events", d)
+        ),
+        "event_value_percentiles": lambda s, d: relational.event_value_percentiles(
+            load_table(s, "events", d)
+        ),
+        "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
+            load_table(s, "lineitem", d), load_table(s, "part", d)
+        ),
+        "array_function_showcase": lambda s, d: relational.array_function_showcase(
+            _docs(s, d)
+        ),
+        "events_sessionized": lambda s, d: relational.events_sessionized(
+            load_table(s, "events", d)
+        ),
+        "events_sessionized_native": lambda s, d: relational.events_sessionized_native(
+            load_table(s, "events", d)
+        ),
+        "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
+            load_table(s, "events", d)
+        ),
+        # === TAIL (51+): r2-verdict spill trio first — they rotate in r5 ===
+        "orders_top10": lambda s, d: relational.orders_top10(load_table(s, "orders", d)),
+        "users_purchase_except_error": lambda s, d: relational.users_purchase_except_error(
+            load_table(s, "events", d)
+        ),
+        "users_purchase_intersect_error": lambda s, d: relational.users_purchase_intersect_error(
+            load_table(s, "events", d)
+        ),
+        # === TAIL: green in CORRECTNESS_r03 and unchanged since ===
         "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
             load_table(s, "lineitem", d)
         ),
@@ -161,9 +282,6 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "lineitem", d),
             load_table(s, "customer", d),
         ),
-        "q22_idle_rich_customers": lambda s, d: relational.q22_idle_rich_customers(
-            load_table(s, "customer", d), load_table(s, "orders", d)
-        ),
         "events_group_reservoir": lambda s, d: sampling.events_group_reservoir(
             load_table(s, "events", d)
         ),
@@ -177,19 +295,13 @@ def queries() -> dict[str, QueryFn]:
         ),
         "knn_ivf_probe_sweep": lambda s, d: similarity.knn_ivf_probe_sweep(_emb(s, d)),
         "doc_chunks": lambda s, d: text.doc_chunks(_docs(s, d)),
-        # === HEAD: changed in round 3 ===
-        # cdc_route_join: adaptive compile-vs-join dispatch
-        "cdc_route_join": q_cdc_route_join,
-        # mixture_sample_summary: try_cast weight guard (both engines)
         "mixture_sample_summary": lambda s, d: sampling.mixture_sample_summary(
             _docs(s, d)
         ),
-        # scalar_function_showcase: price_sign oracle cast to DOUBLE
         "scalar_function_showcase": lambda s, d: relational.scalar_function_showcase(
             load_table(s, "orders", d)
         ),
-        # === HEAD: last driver verdict is r01 (sat in the r02 tail) ===
-        # --- similarity search (incl. the _topk-refactor block) ---
+        # --- similarity search / clustering ---
         "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
         "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
@@ -251,107 +363,6 @@ def queries() -> dict[str, QueryFn]:
         "events_unpivot": lambda s, d: relational.events_unpivot(load_table(s, "events", d)),
         "q4_order_priority_semi": lambda s, d: relational.q4_order_priority_semi(
             load_table(s, "orders", d), load_table(s, "lineitem", d)
-        ),
-        # === TAIL: green in CORRECTNESS_r02 and unchanged since ===
-        # (the first ~14 of these still land inside the driver's 50-slot
-        # gate and pick up bonus fresh verdicts)
-        # --- reference parity (SURVEY §2 O2-O10) ---
-        "cdc_parse": q_cdc_parse,
-        "cdc_filter_deletes": q_cdc_filter_deletes,
-        "cdc_route": q_cdc_route,
-        "cdc_counts_inbound": q_cdc_counts_inbound,
-        "cdc_counts_outbound": q_cdc_counts_outbound,
-        "cdc_outgoing": q_cdc_outgoing,
-        "cdc_materialize": lambda s, d: cdc.materialize_latest(
-            cdc.parse_envelope(_cdc(s, d))
-        ),
-        # --- text analysis + quality ---
-        "text_stats": lambda s, d: text.text_stats(_docs(s, d)),
-        "lang_id": lambda s, d: text.lang_id(_docs(s, d)),
-        "token_counts": lambda s, d: text.token_counts(_docs(s, d)),
-        "doc_fingerprint": lambda s, d: text.doc_fingerprint(_docs(s, d)),
-        "normalize_text": lambda s, d: text.normalize_text(_docs(s, d)),
-        "repetition_ratios": lambda s, d: text.repetition_ratios(_docs(s, d)),
-        "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
-        "quality_filter_funnel": lambda s, d: text.quality_filter_funnel(_docs(s, d)),
-        "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
-        # --- dedup / contamination ---
-        "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
-        "contamination_check": lambda s, d: dedup.contamination_check(_docs(s, d)),
-        # --- vectors ---
-        "embedding_normalized_norms": lambda s, d: vectorprep.embedding_normalized_norms(
-            _emb(s, d)
-        ),
-        "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
-        "jl_projection_distortion": lambda s, d: vectorprep.jl_projection_distortion(
-            _emb(s, d)
-        ),
-        "knn_jl": lambda s, d: similarity.knn_jl(_emb(s, d)),
-        "knn_jl_recall": lambda s, d: similarity.knn_jl_recall(_emb(s, d)),
-        # --- sketches ---
-        "hll_distinct_users": lambda s, d: sketch.hll_distinct_users(
-            load_table(s, "events", d)
-        ),
-        "hll_distinct_orders": lambda s, d: sketch.hll_distinct_orders(
-            load_table(s, "lineitem", d)
-        ),
-        "hll_rollup_users": lambda s, d: sketch.hll_rollup_users(
-            load_table(s, "events", d)
-        ),
-        "cms_token_counts": lambda s, d: sketch.cms_token_counts(_docs(s, d)),
-        "histogram_quantiles": lambda s, d: sketch.histogram_quantiles(
-            load_table(s, "events", d)
-        ),
-        "histogram_quantiles_by_type": lambda s, d: sketch.histogram_quantiles_by_type(
-            load_table(s, "events", d)
-        ),
-        # --- sampling ---
-        "documents_split_summary": lambda s, d: sampling.documents_split_summary(_docs(s, d)),
-        "events_stratified_sample": lambda s, d: sampling.events_stratified_sample(
-            load_table(s, "events", d)
-        ),
-        # --- relational (r02-green remainder) ---
-        "customers_without_orders": lambda s, d: relational.customers_without_orders(
-            load_table(s, "customer", d), load_table(s, "orders", d)
-        ),
-        "revenue_rollup": lambda s, d: relational.revenue_rollup(load_table(s, "lineitem", d)),
-        "revenue_cube": lambda s, d: relational.revenue_cube(load_table(s, "lineitem", d)),
-        "revenue_grouping_sets": lambda s, d: relational.revenue_grouping_sets(
-            load_table(s, "lineitem", d)
-        ),
-        "users_purchase_except_error": lambda s, d: relational.users_purchase_except_error(
-            load_table(s, "events", d)
-        ),
-        "users_purchase_intersect_error": lambda s, d: relational.users_purchase_intersect_error(
-            load_table(s, "events", d)
-        ),
-        "orders_top10": lambda s, d: relational.orders_top10(load_table(s, "orders", d)),
-        "orders_above_customer_avg": lambda s, d: relational.orders_above_customer_avg(
-            load_table(s, "orders", d)
-        ),
-        "user_value_moving_avg": lambda s, d: relational.user_value_moving_avg(
-            load_table(s, "events", d)
-        ),
-        "salted_event_counts": lambda s, d: relational.salted_event_counts(
-            load_table(s, "events", d)
-        ),
-        "event_value_percentiles": lambda s, d: relational.event_value_percentiles(
-            load_table(s, "events", d)
-        ),
-        "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
-            load_table(s, "lineitem", d), load_table(s, "part", d)
-        ),
-        "array_function_showcase": lambda s, d: relational.array_function_showcase(
-            _docs(s, d)
-        ),
-        "events_sessionized": lambda s, d: relational.events_sessionized(
-            load_table(s, "events", d)
-        ),
-        "events_sessionized_native": lambda s, d: relational.events_sessionized_native(
-            load_table(s, "events", d)
-        ),
-        "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
-            load_table(s, "events", d)
         ),
     }
 
