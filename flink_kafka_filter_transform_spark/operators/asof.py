@@ -90,7 +90,9 @@ def events_last_purchase(events: DataFrame) -> DataFrame:
     """Each event joined with the user's most recent purchase at or
     before the event (point-in-time feature lookup on the events
     table). Purchases deduped to one per (user, ts) via max_by."""
-    ts_us = F.expr("ts DIV 1000")
+    from flink_kafka_filter_transform_spark.sources.parquet import ts_as_micros
+
+    ts_us = ts_as_micros(events)
     evs = events.select("user_id", F.col("event_id"), ts_us.alias("ts_us"), "event_type")
     purchases = (
         events.filter(F.col("event_type") == "purchase")

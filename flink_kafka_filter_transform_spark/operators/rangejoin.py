@@ -60,7 +60,9 @@ def purchases_with_recent_clicks(events: DataFrame, window_us: int = HOUR_US) ->
     """Per purchase event: how many clicks the same user made in the
     preceding hour (exclusive-start, inclusive-end window). Zero-click
     purchases are kept (left semantics via join-back + coalesce)."""
-    ts_us = F.expr("ts DIV 1000")
+    from flink_kafka_filter_transform_spark.sources.parquet import ts_as_micros
+
+    ts_us = ts_as_micros(events)
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("p_event_id"), ts_us.alias("p_ts_us")
     )

@@ -26,6 +26,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flink_kafka_filter_transform_spark.sources.parquet import (
+    ts_as_micros,
+    ts_as_timestamp,
+)
+
 # "Idle customer" cutoff shared by q22_idle_rich_customers and
 # customers_without_orders: this testdata gives every customer at least
 # one lifetime order, so anti joins against ALL orders are vacuously
@@ -118,8 +123,8 @@ def top_customers_per_segment(customer: DataFrame, k: int = 3) -> DataFrame:
 
 def events_daily(events: DataFrame) -> DataFrame:
     """Daily per-type event rollup (the batch twin of a streaming
-    tumbling-window count). ``ts`` arrives as bigint nanos."""
-    day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+    tumbling-window count)."""
+    day = F.date_format(ts_as_timestamp(events), "yyyy-MM-dd")
     return events.groupBy(day.alias("day"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         _dsum(F.col("value")).alias("sum_value"),
@@ -153,12 +158,12 @@ def events_sessionized(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: split each user's event stream at >gap_minutes
     silences (lag + cumulative sum — the classic two-window pattern).
 
-    Timestamps are compared as integer microseconds (``ts`` arrives as
-    bigint nanos), which keeps the whole operator in exact integer
-    arithmetic. Both windows shuffle once on user_id; at scale this is
-    a single hash partitioning reused by both window specs."""
+    Timestamps are compared as integer microseconds, which keeps the
+    whole operator in exact integer arithmetic. Both windows shuffle
+    once on user_id; at scale this is a single hash partitioning reused
+    by both window specs."""
     gap_us = gap_minutes * 60 * 1_000_000
-    ts_us = F.expr("ts DIV 1000")
+    ts_us = ts_as_micros(events)
     order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     with_gap = events.select("user_id", "event_id", ts_us.alias("ts_us")).withColumn(
@@ -226,7 +231,7 @@ def revenue_cube(lineitem: DataFrame) -> DataFrame:
 
 
 def _user_days(events: DataFrame, event_type: str) -> DataFrame:
-    day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+    day = F.date_format(ts_as_timestamp(events), "yyyy-MM-dd")
     return (
         events.filter(F.col("event_type") == event_type)
         .select("user_id", day.alias("day"))
@@ -264,7 +269,7 @@ def user_value_moving_avg(events: DataFrame) -> DataFrame:
     (analytic window frame). The frame sum is DECIMAL — exact and
     order-independent — divided by the frame count in double, so the
     result is bit-identical to the oracle despite float inputs."""
-    ts_us = F.expr("ts DIV 1000")
+    ts_us = ts_as_micros(events)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us", "event_id")
@@ -449,7 +454,7 @@ def events_daily_gapfilled(events: DataFrame) -> DataFrame:
     resample/densify step every time-series rollup needs. The spine is
     sequence+explode over the global min/max (one tiny driver-free
     cross join that broadcasts); the real data joins back left."""
-    day = F.to_date(F.timestamp_micros(F.expr("ts DIV 1000")))
+    day = F.to_date(ts_as_timestamp(events))
     daily = events.groupBy(day.alias("day"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
@@ -479,7 +484,7 @@ def events_pivot(events: DataFrame) -> DataFrame:
     conditional aggregation, identical shape to the oracle's CASE
     sums (and the only sane form at scale: unknown pivot values mean
     an unbounded schema)."""
-    day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+    day = F.date_format(ts_as_timestamp(events), "yyyy-MM-dd")
     return (
         events.groupBy(day.alias("day"))
         .pivot("event_type", list(EVENT_TYPES))
@@ -573,7 +578,7 @@ def events_sessionized_native(events: DataFrame) -> DataFrame:
     """
     e = events.select(
         "user_id",
-        F.expr("timestamp_micros(ts div 1000)").alias("tsx"),
+        ts_as_timestamp(events).alias("tsx"),
     )
     return (
         e.groupBy("user_id", F.session_window(F.col("tsx"), "30 minutes").alias("w"))

@@ -173,9 +173,11 @@ def hll_rollup_users(events: DataFrame) -> DataFrame:
     associative, the merged estimate must equal the direct one; the
     DuckDB oracle computes the DIRECT path, so the hash match IS the
     proof that day-sliced sketches merge losslessly."""
+    from flink_kafka_filter_transform_spark.sources.parquet import ts_as_timestamp
+
     ev = events.filter(F.col("user_id").isNotNull()).select(
         "event_type",
-        F.expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')").alias("_day"),
+        F.date_format(ts_as_timestamp(events), "yyyy-MM-dd").alias("_day"),
         "user_id",
     )
     fine = hll_registers(ev, "user_id", ["event_type", "_day"])

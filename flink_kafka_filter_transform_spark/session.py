@@ -59,8 +59,9 @@ def get_session(
         # --- scan discipline: parquet splits sized for executor memory ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet carries TIMESTAMP(NANOS); Spark reads it as
-        # bigint nanos (sources.cdc_fixture re-derives a timestamp)
+        # older testdata generations carried TIMESTAMP(NANOS) in
+        # events.parquet; nanosAsLong lets those still read (as bigint
+        # nanos — sources.parquet.ts_as_* normalizes either encoding)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- python boundary: Arrow batches, never row-at-a-time pickling ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -77,9 +77,11 @@ FROM (
 def cdc_sql(dialect: str) -> str:
     """The full derivation as a SELECT, in the given dialect."""
     json_get = {"spark": "get_json_object", "duckdb": "json_extract_string"}[dialect]
-    # Spark reads the nanos timestamp as bigint (nanosAsLong); integer
-    # division to micros matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
-    ts_expr = {"spark": "timestamp_micros(ts DIV 1000)", "duckdb": "CAST(ts AS TIMESTAMP)"}[dialect]
+    # Spark sees the events view with ts already normalized to
+    # TIMESTAMP (sources.parquet.ts_as_timestamp handles both physical
+    # encodings the driver has shipped); the cast is then an identity
+    # on both engines, kept so the template stays dialect-shared.
+    ts_expr = "CAST(ts AS TIMESTAMP)"
     base = _CDC_BASE_TEMPLATE.format(json_get=json_get, ts_expr=ts_expr)
     return _CDC_VALUE_TEMPLATE.format(base=base)
 
@@ -90,10 +92,15 @@ def cdc_cte(dialect: str) -> str:
 
 
 def synthesized_cdc_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CDC fixture computed inline (events view auto-registered)."""
-    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    """The CDC fixture computed inline (events view auto-registered,
+    with ts normalized to TIMESTAMP whatever the parquet encoding)."""
+    from flink_kafka_filter_transform_spark.sources.parquet import (
+        load_table,
+        ts_as_timestamp,
+    )
 
-    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    ev = load_table(spark, "events", sf_dir)
+    ev.withColumn("ts", ts_as_timestamp(ev)).createOrReplaceTempView("events")
     return spark.sql(cdc_sql("spark"))
 
 

@@ -30,13 +30,46 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Set runtime confs the engine depends on, for externally-built
-    sessions (the driver passes its own): events.parquet carries
-    TIMESTAMP(NANOS) which Spark only reads with nanosAsLong."""
+    sessions (the driver passes its own): UTC so timestamp values are
+    stable against the naive-timestamp DuckDB oracle, and nanosAsLong
+    so older testdata generations whose events.parquet carried
+    TIMESTAMP(NANOS) still read (as bigint nanos — see ts_as_*)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf locked down — session builder already set it
+
+
+def ts_as_timestamp(df: DataFrame, col: str = "ts"):
+    """``events.ts`` as a TIMESTAMP (LTZ, UTC session) Column, whatever
+    physical type the parquet carried.
+
+    The driver's testdata has shipped two encodings across rounds:
+    TIMESTAMP(NANOS) — which Spark reads as *bigint nanos* under
+    nanosAsLong — and TIMESTAMP(MICROS) without UTC adjustment — which
+    Spark reads as TIMESTAMP_NTZ. Every operator goes through this (or
+    ts_as_micros) instead of assuming one encoding, so a regenerated
+    testdata set can't silently break the events surface again. With
+    the session pinned to UTC the NTZ->LTZ cast is value-preserving and
+    both branches agree with the DuckDB oracle's CAST(ts AS TIMESTAMP).
+    """
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get(col) == "bigint":
+        return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
+    return F.col(col).cast("timestamp")
+
+
+def ts_as_micros(df: DataFrame, col: str = "ts"):
+    """``events.ts`` as bigint epoch-microseconds (exact integer
+    arithmetic for sessionization/range/as-of windows); adaptive over
+    the same two physical encodings as ts_as_timestamp."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get(col) == "bigint":
+        return F.expr(f"{col} DIV 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

@@ -4,7 +4,7 @@ from pyspark.sql import functions as F
 
 from flink_kafka_filter_transform_spark.plans import explain as px
 from flink_kafka_filter_transform_spark.sinks import write_partitioned_parquet
-from flink_kafka_filter_transform_spark.sources.parquet import load_table
+from flink_kafka_filter_transform_spark.sources.parquet import load_table, ts_as_timestamp
 
 
 def test_partitioned_write_round_trip(spark, sf_dir, tmp_path):
@@ -157,7 +157,7 @@ def test_hll_registers_persist_and_merge(spark, sf_dir, tmp_path):
     events = load_table(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
     ev = events.select(
         "event_type",
-        F.expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')").alias("_day"),
+        F.date_format(ts_as_timestamp(events), "yyyy-MM-dd").alias("_day"),
         "user_id",
     )
     regs = sketch.hll_registers(ev, "user_id", ["event_type", "_day"])
