@@ -120,13 +120,21 @@ def queries() -> dict[str, QueryFn]:
     CORRECTNESS_r{N}.json and untouched since yield their slots.
 
     Round-4 head = 3 new (png_decode, q17, q20) + 3 r3-verdict queries
-    invalidated by r4 changes (q22 predicate, cdc_route_join
+    invalidated by early-r4 changes (q22 predicate, cdc_route_join
     memoization+tie-break, media_decode's decode_audio validation) +
-    44 of the 47 r2-verdict tail. That overflows 50 by three: the
-    spilled trio (orders_top10, users_purchase_except_error,
-    users_purchase_intersect_error) was chosen as the simplest
-    single-operator queries in the tail — top-k sort and two set-ops —
-    each unchanged for 2 rounds and re-verified every CI run by
+    the FULL events-ts surface — the driver regenerated testdata with
+    events.ts as TIMESTAMP(us) (previously TIMESTAMP(NANOS)), which
+    rewrote the ts handling in every query whose call graph touches
+    sources.parquet.ts_as_* or the CDC fixture template, invalidating
+    their old verdicts: all cdc_* queries, events_daily(+gapfilled/
+    pivot/unpivot), events_sessionized(+native), events_last_purchase,
+    purchases_with_recent_clicks, users_purchase_except/intersect,
+    user_value_moving_avg, hll_rollup_users, cdc_scd2_history — plus
+    as much of the r2-verdict tail as fits. The 11 spilled r2-tail
+    queries (orders_top10, the vectorprep trio, salted_event_counts,
+    event_value_percentiles, the revenue rollup/cube/grouping-sets
+    trio, and the two set-ops' former slots) are the simplest single-
+    operator queries, each re-verified every CI run by
     tests/test_oracle_parity.py; they rotate first in r5."""
     return {
         # === HEAD: new in round 4 ===
@@ -162,6 +170,25 @@ def queries() -> dict[str, QueryFn]:
         "cdc_materialize": lambda s, d: cdc.materialize_latest(
             cdc.parse_envelope(_cdc(s, d))
         ),
+        "cdc_scd2_history": lambda s, d: cdc.scd2_history(
+            cdc.parse_envelope(_cdc(s, d))
+        ),
+        # --- events-ts surface rewritten by the TIMESTAMP(us) migration ---
+        "events_daily": lambda s, d: relational.events_daily(load_table(s, "events", d)),
+        "events_daily_gapfilled": lambda s, d: relational.events_daily_gapfilled(
+            load_table(s, "events", d)
+        ),
+        "events_pivot": lambda s, d: relational.events_pivot(load_table(s, "events", d)),
+        "events_unpivot": lambda s, d: relational.events_unpivot(load_table(s, "events", d)),
+        "events_last_purchase": lambda s, d: asof.events_last_purchase(
+            load_table(s, "events", d)
+        ),
+        "users_purchase_except_error": lambda s, d: relational.users_purchase_except_error(
+            load_table(s, "events", d)
+        ),
+        "users_purchase_intersect_error": lambda s, d: relational.users_purchase_intersect_error(
+            load_table(s, "events", d)
+        ),
         # --- text analysis + quality ---
         "text_stats": lambda s, d: text.text_stats(_docs(s, d)),
         "lang_id": lambda s, d: text.lang_id(_docs(s, d)),
@@ -176,13 +203,6 @@ def queries() -> dict[str, QueryFn]:
         "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "contamination_check": lambda s, d: dedup.contamination_check(_docs(s, d)),
         # --- vectors ---
-        "embedding_normalized_norms": lambda s, d: vectorprep.embedding_normalized_norms(
-            _emb(s, d)
-        ),
-        "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
-        "jl_projection_distortion": lambda s, d: vectorprep.jl_projection_distortion(
-            _emb(s, d)
-        ),
         "knn_jl": lambda s, d: similarity.knn_jl(_emb(s, d)),
         "knn_jl_recall": lambda s, d: similarity.knn_jl_recall(_emb(s, d)),
         # --- sketches ---
@@ -212,21 +232,10 @@ def queries() -> dict[str, QueryFn]:
         "customers_without_orders": lambda s, d: relational.customers_without_orders(
             load_table(s, "customer", d), load_table(s, "orders", d)
         ),
-        "revenue_rollup": lambda s, d: relational.revenue_rollup(load_table(s, "lineitem", d)),
-        "revenue_cube": lambda s, d: relational.revenue_cube(load_table(s, "lineitem", d)),
-        "revenue_grouping_sets": lambda s, d: relational.revenue_grouping_sets(
-            load_table(s, "lineitem", d)
-        ),
         "orders_above_customer_avg": lambda s, d: relational.orders_above_customer_avg(
             load_table(s, "orders", d)
         ),
         "user_value_moving_avg": lambda s, d: relational.user_value_moving_avg(
-            load_table(s, "events", d)
-        ),
-        "salted_event_counts": lambda s, d: relational.salted_event_counts(
-            load_table(s, "events", d)
-        ),
-        "event_value_percentiles": lambda s, d: relational.event_value_percentiles(
             load_table(s, "events", d)
         ),
         "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
@@ -244,13 +253,25 @@ def queries() -> dict[str, QueryFn]:
         "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
             load_table(s, "events", d)
         ),
-        # === TAIL (51+): r2-verdict spill trio first — they rotate in r5 ===
+        # === TAIL (51+): r2-verdict spill — they rotate first in r5 ===
         "orders_top10": lambda s, d: relational.orders_top10(load_table(s, "orders", d)),
-        "users_purchase_except_error": lambda s, d: relational.users_purchase_except_error(
+        "embedding_normalized_norms": lambda s, d: vectorprep.embedding_normalized_norms(
+            _emb(s, d)
+        ),
+        "embedding_quantize": lambda s, d: vectorprep.embedding_quantize(_emb(s, d)),
+        "jl_projection_distortion": lambda s, d: vectorprep.jl_projection_distortion(
+            _emb(s, d)
+        ),
+        "salted_event_counts": lambda s, d: relational.salted_event_counts(
             load_table(s, "events", d)
         ),
-        "users_purchase_intersect_error": lambda s, d: relational.users_purchase_intersect_error(
+        "event_value_percentiles": lambda s, d: relational.event_value_percentiles(
             load_table(s, "events", d)
+        ),
+        "revenue_rollup": lambda s, d: relational.revenue_rollup(load_table(s, "lineitem", d)),
+        "revenue_cube": lambda s, d: relational.revenue_cube(load_table(s, "lineitem", d)),
+        "revenue_grouping_sets": lambda s, d: relational.revenue_grouping_sets(
+            load_table(s, "lineitem", d)
         ),
         # === TAIL: green in CORRECTNESS_r03 and unchanged since ===
         "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
@@ -290,9 +311,6 @@ def queries() -> dict[str, QueryFn]:
             _docs(s, d)
         ),
         "media_resize": lambda s, d: multimodal.media_resize(_docs(s, d)),
-        "cdc_scd2_history": lambda s, d: cdc.scd2_history(
-            cdc.parse_envelope(_cdc(s, d))
-        ),
         "knn_ivf_probe_sweep": lambda s, d: similarity.knn_ivf_probe_sweep(_emb(s, d)),
         "doc_chunks": lambda s, d: text.doc_chunks(_docs(s, d)),
         "mixture_sample_summary": lambda s, d: sampling.mixture_sample_summary(
@@ -317,10 +335,7 @@ def queries() -> dict[str, QueryFn]:
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
         "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
-        # --- as-of join, extensibility, multimodal plumbing ---
-        "events_last_purchase": lambda s, d: asof.events_last_purchase(
-            load_table(s, "events", d)
-        ),
+        # --- extensibility, multimodal plumbing ---
         "weighted_avg_by_type": lambda s, d: extensibility.weighted_avg_by_type(
             load_table(s, "events", d)
         ),
@@ -343,7 +358,6 @@ def queries() -> dict[str, QueryFn]:
         "top_customers_per_segment": lambda s, d: relational.top_customers_per_segment(
             load_table(s, "customer", d)
         ),
-        "events_daily": lambda s, d: relational.events_daily(load_table(s, "events", d)),
         "events_props_extract": lambda s, d: relational.events_props_extract(
             load_table(s, "events", d)
         ),
@@ -356,11 +370,6 @@ def queries() -> dict[str, QueryFn]:
         "window_function_showcase": lambda s, d: relational.window_function_showcase(
             load_table(s, "orders", d)
         ),
-        "events_daily_gapfilled": lambda s, d: relational.events_daily_gapfilled(
-            load_table(s, "events", d)
-        ),
-        "events_pivot": lambda s, d: relational.events_pivot(load_table(s, "events", d)),
-        "events_unpivot": lambda s, d: relational.events_unpivot(load_table(s, "events", d)),
         "q4_order_priority_semi": lambda s, d: relational.q4_order_priority_semi(
             load_table(s, "orders", d), load_table(s, "lineitem", d)
         ),
