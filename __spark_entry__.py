@@ -119,7 +119,8 @@ def queries() -> dict[str, QueryFn]:
     driver verdict (the r{N-1} tail). Queries green in the most recent
     CORRECTNESS_r{N}.json and untouched since yield their slots.
 
-    Round-4 head = 3 new (png_decode, q17, q20) + 3 r3-verdict queries
+    Round-4 head = 4 new (embedding_neardup_refined, png_decode, q17,
+    q20) + 3 r3-verdict queries
     invalidated by early-r4 changes (q22 predicate, cdc_route_join
     memoization+tie-break, media_decode's decode_audio validation) +
     the FULL events-ts surface — the driver regenerated testdata with
@@ -138,6 +139,9 @@ def queries() -> dict[str, QueryFn]:
     tests/test_oracle_parity.py; they rotate first in r5."""
     return {
         # === HEAD: new in round 4 ===
+        "embedding_neardup_refined": lambda s, d: dedup.embedding_neardup_refined(
+            _emb(s, d)
+        ),
         "png_decode": lambda s, d: multimodal.png_decode(_docs(s, d)),
         "q17_small_quantity": lambda s, d: relational.q17_small_quantity(
             load_table(s, "lineitem", d), load_table(s, "part", d)
@@ -241,9 +245,6 @@ def queries() -> dict[str, QueryFn]:
         "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
             load_table(s, "lineitem", d), load_table(s, "part", d)
         ),
-        "array_function_showcase": lambda s, d: relational.array_function_showcase(
-            _docs(s, d)
-        ),
         "events_sessionized": lambda s, d: relational.events_sessionized(
             load_table(s, "events", d)
         ),
@@ -272,6 +273,9 @@ def queries() -> dict[str, QueryFn]:
         "revenue_cube": lambda s, d: relational.revenue_cube(load_table(s, "lineitem", d)),
         "revenue_grouping_sets": lambda s, d: relational.revenue_grouping_sets(
             load_table(s, "lineitem", d)
+        ),
+        "array_function_showcase": lambda s, d: relational.array_function_showcase(
+            _docs(s, d)
         ),
         # === TAIL: green in CORRECTNESS_r03 and unchanged since ===
         "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
@@ -378,6 +382,7 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "embedding_neardup_refined": oracles.embedding_neardup_refined_oracle(),
         "png_decode": oracles.png_decode_oracle(),
         "q17_small_quantity": oracles.q17_small_quantity_oracle(),
         "q20_potential_promotion": oracles.q20_potential_promotion_oracle(),

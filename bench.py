@@ -91,6 +91,7 @@ HEADLINE = [
     "png_decode",
     "q17_small_quantity",
     "q20_potential_promotion",
+    "embedding_neardup_refined",
 ]
 
 

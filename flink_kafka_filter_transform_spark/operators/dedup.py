@@ -278,6 +278,53 @@ def embedding_neardup(emb: DataFrame) -> DataFrame:
     )
 
 
+def embedding_neardup_refined(
+    emb: DataFrame, n_cells: int = 8, iters: int = 2
+) -> DataFrame:
+    """Embedding near-dup with QUANTIZER-REFINED blocking: candidate
+    pairs must share the label cell AND a learned k-means subcell
+    (operators.kmeans, deterministic seed + fixed iterations, so the
+    DuckDB oracle replays the identical codebook).
+
+    Why this exists: the sf1 scale audit measured ``embedding_neardup``
+    going quadratic — its label blocking has FIXED cardinality, so
+    cells grow linearly with the corpus and within-cell pairs
+    quadratically (102x runtime at 10x data; SCALING.md sf1 audit).
+    The scale-correct design grows the blocking cardinality with the
+    corpus — IVF-style: n_cells tracks N / target_cell_size, keeping
+    per-cell pair counts bounded while the cosine verify stays exact.
+    Recall tradeoff: pairs straddling a subcell border are missed,
+    the same documented tradeoff as knn_ivf's cell borders."""
+    from flink_kafka_filter_transform_spark.functions.vectors import dot, l2_norm
+    from flink_kafka_filter_transform_spark.operators.kmeans import kmeans_clusters
+
+    assign = kmeans_clusters(emb, k=n_cells, iters=iters)
+    normed = emb.join(assign, "vec_id").select(
+        "vec_id", "label", "cluster_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("cluster_id").alias("cell"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label"),
+        F.col("cluster_id").alias("cell"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.when((F.col("na") > 0) & (F.col("nb") > 0), dot("ea", "eb") / (F.col("na") * F.col("nb")))
+    return (
+        a.join(b, ["label", "cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label", "cell", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= params.EMB_NEARDUP_THRESHOLD)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Character n-gram Jaccard (single-minhash blocking)
 # ---------------------------------------------------------------------------

@@ -529,6 +529,24 @@ SELECT vec_a, vec_b, label, cos_sim FROM (
 """
 
 
+def embedding_neardup_refined_oracle(n_cells: int = 8, iters: int = 2) -> str:
+    """Quantizer-refined near-dup: the unrolled-CTE k-means codebook
+    (identical trajectory to operators.kmeans) assigns subcells; pairs
+    must share (label, subcell) before the exact cosine verify."""
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+{_kmeans_ctes(n_cells, iters)}
+SELECT vec_a, vec_b, label, cell, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+    ma.cid AS cell, {cos} AS cos_sim
+  FROM embeddings a
+  JOIN afinal ma ON a.vec_id = ma.vec_id
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  JOIN afinal mb ON b.vec_id = mb.vec_id AND mb.cid = ma.cid
+) p WHERE cos_sim >= {params.EMB_NEARDUP_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity-search oracles (operators.similarity)
 # ---------------------------------------------------------------------------

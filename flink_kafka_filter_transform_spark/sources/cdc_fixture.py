@@ -118,11 +118,14 @@ def cdc_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost concurrent race just reuses the winner's directory."""
     # key covers the FULL directory path, not just its leaf: two sf
     # dirs named alike (e.g. /a/sf0.01 vs /b/sf0.01) must not share a
-    # cache entry.
+    # cache entry. The version tag invalidates caches whose LAYOUT
+    # (not content) predates a change — v2: caches written before the
+    # small-scan rebalance are single-file/single-row-group, which
+    # caps every downstream CDC scan at one core.
     key = "{}_{}".format(
         os.path.basename(os.path.normpath(sf_dir)),
         hashlib.md5(
-            (os.path.abspath(sf_dir) + "\x00" + cdc_sql("spark")).encode()
+            ("v2\x00" + os.path.abspath(sf_dir) + "\x00" + cdc_sql("spark")).encode()
         ).hexdigest()[:10],
     )
     cache = os.path.join(tempfile.gettempdir(), "spark_graft_cdc_cache", key)

@@ -5,6 +5,8 @@ be shuffle-free, dimension joins must broadcast, scans must prune and
 push down. A change that silently degrades the plan fails here even
 when results stay correct."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from flink_kafka_filter_transform_spark.operators import cdc, relational, similarity
@@ -329,6 +331,11 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
         "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
     }
     old = {k: spark.conf.get(k) for k in confs}
+    # InjectRuntimeFilter pattern-matches a scan-shaped application
+    # side; the toy-scale ingest rebalance would sit between scan and
+    # join and block it. At real scale the rebalance never fires (size
+    # guard) and the scan is bare — assert THAT shape.
+    os.environ["SPARK_GRAFT_REBALANCE"] = "0"
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
@@ -339,6 +346,7 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
         assert "bloom_filter_agg" in plan, plan[:2000]
         assert j.count() > 0
     finally:
+        os.environ.pop("SPARK_GRAFT_REBALANCE", None)
         for k, v in old.items():
             spark.conf.set(k, v)
 
