@@ -119,19 +119,21 @@ def cdc_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key covers the FULL directory path, not just its leaf: two sf
     # dirs named alike (e.g. /a/sf0.01 vs /b/sf0.01) must not share a
     # cache entry. The version tag invalidates caches whose LAYOUT
-    # (not content) predates a change — v2: caches written before the
-    # small-scan rebalance are single-file/single-row-group, which
-    # caps every downstream CDC scan at one core.
+    # (not content) predates a change — v3: caches are now written
+    # pre-repartitioned so every downstream CDC scan parallelizes
+    # (single-file caches capped the whole CDC path at one core).
     key = "{}_{}".format(
         os.path.basename(os.path.normpath(sf_dir)),
         hashlib.md5(
-            ("v2\x00" + os.path.abspath(sf_dir) + "\x00" + cdc_sql("spark")).encode()
+            ("v3\x00" + os.path.abspath(sf_dir) + "\x00" + cdc_sql("spark")).encode()
         ).hexdigest()[:10],
     )
     cache = os.path.join(tempfile.gettempdir(), "spark_graft_cdc_cache", key)
     if not os.path.isdir(cache):
         tmp = f"{cache}.tmp-{os.getpid()}"
-        synthesized_cdc_events_df(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        synthesized_cdc_events_df(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, cache)
         except OSError:

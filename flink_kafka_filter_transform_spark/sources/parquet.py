@@ -78,16 +78,33 @@ def ts_as_micros(df: DataFrame, col: str = "ts"):
 # 100 TB table and inject a pointless full-data shuffle).
 _REBALANCE_MAX_BYTES = 256 << 20
 
+# Only the CPU-heavy corpora rebalance. Measured at sf0.1 (BENCH r4
+# iteration): repartitioning EVERY table won big on documents/
+# embeddings consumers (repetition_ratios 2.89->0.53 s, minhash
+# 3.62->1.88 s, embedding_neardup 2.35->0.43 s — regex/HOF/vector-math
+# per row) but cost the cheap agg/join queries a raw-row shuffle for
+# nothing (events_daily 0.44->1.10 s, hll_distinct_orders 1.33->2.67 s
+# — their per-row work is trivial and their first aggregation
+# parallelizes anyway). Every win lives on these two tables; every
+# regression lives off them.
+_REBALANCE_TABLES = frozenset({"documents", "embeddings"})
 
-def _small_scan_row_groups(path: str) -> int | None:
-    """Row-group count of a sub-threshold single parquet file, else
+# Don't shatter a small corpus into single-digit-row partitions: tiny
+# Arrow batches make mapInPandas overhead-dominated (media_decode
+# regressed 3x at sf0.1 under a blanket 32-way split).
+_REBALANCE_MIN_ROWS_PER_PARTITION = 256
+
+
+def _single_file_meta(path: str) -> tuple[int, int] | None:
+    """(row_groups, rows) of a sub-threshold single parquet file, else
     None (multi-file datasets and big files parallelize natively)."""
     try:
         if not os.path.isfile(path) or os.path.getsize(path) > _REBALANCE_MAX_BYTES:
             return None
         import pyarrow.parquet as pq
 
-        return pq.ParquetFile(path).metadata.num_row_groups
+        md = pq.ParquetFile(path).metadata
+        return md.num_row_groups, md.num_rows
     except Exception:
         return None
 
@@ -95,29 +112,38 @@ def _small_scan_row_groups(path: str) -> int | None:
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
-    SMALL-SCAN REBALANCE: a Spark parquet scan parallelizes at row-
-    group granularity, and this testdata ships single-row-group files —
-    so without intervention every scan->map stage runs on ONE core of
-    32 (measured: repetition_ratios at sf1 took 18.4 s as-is, 2.7 s
-    after repartitioning — the whole CPU-heavy text/dedup surface was
-    scan-parallelism-bound, not operator-bound). When a table is a
-    single small file with fewer row groups than cores, repartition it
-    to the default parallelism: filters and column pruning still reach
-    the scan (Catalyst pushes both through a round-robin repartition),
-    and the guard above means real-scale inputs are never touched.
-    plans.explain.count_shuffles excludes this REPARTITION_BY_NUM
-    exchange so the plan gates keep asserting the ALGORITHMIC shuffle
-    inventory. SPARK_GRAFT_REBALANCE=0 disables for A/B runs."""
+    SMALL-SCAN REBALANCE (documents/embeddings only): a Spark parquet
+    scan parallelizes at row-group granularity, and this testdata
+    ships single-row-group files — so without intervention every
+    scan->map stage runs on ONE core of 32 (measured: repetition_ratios
+    at sf1 took 18.4 s as-is, 2.7 s after repartitioning — the whole
+    CPU-heavy text/dedup/vector surface was scan-parallelism-bound,
+    not operator-bound). When such a table is a single small file with
+    fewer row groups than the useful parallelism, repartition it:
+    filters and column pruning still reach the scan (Catalyst pushes
+    both through a round-robin repartition), and the size guard means
+    real-scale inputs are never touched. plans.explain.count_shuffles
+    excludes this REPARTITION_BY_NUM exchange so the plan gates keep
+    asserting the ALGORITHMIC shuffle inventory.
+    SPARK_GRAFT_REBALANCE=0 disables for A/B runs."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if os.environ.get("SPARK_GRAFT_REBALANCE", "1") != "0":
-        parallelism = spark.sparkContext.defaultParallelism
-        groups = _small_scan_row_groups(path)
-        if groups is not None and groups < parallelism:
-            df = df.repartition(parallelism)
+    if (
+        name in _REBALANCE_TABLES
+        and os.environ.get("SPARK_GRAFT_REBALANCE", "1") != "0"
+    ):
+        meta = _single_file_meta(path)
+        if meta is not None:
+            groups, rows = meta
+            target = min(
+                spark.sparkContext.defaultParallelism,
+                max(1, rows // _REBALANCE_MIN_ROWS_PER_PARTITION),
+            )
+            if groups < target:
+                df = df.repartition(target)
     return df
 
 
