@@ -119,7 +119,8 @@ def queries() -> dict[str, QueryFn]:
     driver verdict (the r{N-1} tail). Queries green in the most recent
     CORRECTNESS_r{N}.json and untouched since yield their slots.
 
-    Round-4 head = 4 new (embedding_neardup_refined, png_decode, q17,
+    Round-4 head = 6 new (embedding_neardup_refined,
+    crossdoc_ngram_overlap, token_frequency_score, png_decode, q17,
     q20) + 3 r3-verdict queries
     invalidated by early-r4 changes (q22 predicate, cdc_route_join
     memoization+tie-break, media_decode's decode_audio validation) +
@@ -131,17 +132,21 @@ def queries() -> dict[str, QueryFn]:
     pivot/unpivot), events_sessionized(+native), events_last_purchase,
     purchases_with_recent_clicks, users_purchase_except/intersect,
     user_value_moving_avg, hll_rollup_users, cdc_scd2_history — plus
-    as much of the r2-verdict tail as fits. The 11 spilled r2-tail
-    queries (orders_top10, the vectorprep trio, salted_event_counts,
-    event_value_percentiles, the revenue rollup/cube/grouping-sets
-    trio, and the two set-ops' former slots) are the simplest single-
-    operator queries, each re-verified every CI run by
+    as much of the r2-verdict tail as fits. The spilled r2-tail
+    queries (orders_top10, the vectorprep trio, the knn_jl pair,
+    salted_event_counts, event_value_percentiles, the revenue
+    rollup/cube/grouping-sets trio, array_function_showcase) are the
+    simplest single-operator queries, each re-verified every CI run by
     tests/test_oracle_parity.py; they rotate first in r5."""
     return {
         # === HEAD: new in round 4 ===
         "embedding_neardup_refined": lambda s, d: dedup.embedding_neardup_refined(
             _emb(s, d)
         ),
+        "crossdoc_ngram_overlap": lambda s, d: dedup.crossdoc_ngram_overlap(
+            _docs(s, d)
+        ),
+        "token_frequency_score": lambda s, d: text.token_frequency_score(_docs(s, d)),
         "png_decode": lambda s, d: multimodal.png_decode(_docs(s, d)),
         "q17_small_quantity": lambda s, d: relational.q17_small_quantity(
             load_table(s, "lineitem", d), load_table(s, "part", d)
@@ -206,9 +211,6 @@ def queries() -> dict[str, QueryFn]:
         # --- dedup / contamination ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "contamination_check": lambda s, d: dedup.contamination_check(_docs(s, d)),
-        # --- vectors ---
-        "knn_jl": lambda s, d: similarity.knn_jl(_emb(s, d)),
-        "knn_jl_recall": lambda s, d: similarity.knn_jl_recall(_emb(s, d)),
         # --- sketches ---
         "hll_distinct_users": lambda s, d: sketch.hll_distinct_users(
             load_table(s, "events", d)
@@ -263,6 +265,8 @@ def queries() -> dict[str, QueryFn]:
         "jl_projection_distortion": lambda s, d: vectorprep.jl_projection_distortion(
             _emb(s, d)
         ),
+        "knn_jl": lambda s, d: similarity.knn_jl(_emb(s, d)),
+        "knn_jl_recall": lambda s, d: similarity.knn_jl_recall(_emb(s, d)),
         "salted_event_counts": lambda s, d: relational.salted_event_counts(
             load_table(s, "events", d)
         ),
@@ -383,6 +387,8 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     return {
         "embedding_neardup_refined": oracles.embedding_neardup_refined_oracle(),
+        "crossdoc_ngram_overlap": oracles.crossdoc_ngram_overlap_oracle(),
+        "token_frequency_score": oracles.token_frequency_score_oracle(),
         "png_decode": oracles.png_decode_oracle(),
         "q17_small_quantity": oracles.q17_small_quantity_oracle(),
         "q20_potential_promotion": oracles.q20_potential_promotion_oracle(),

@@ -92,6 +92,8 @@ HEADLINE = [
     "q17_small_quantity",
     "q20_potential_promotion",
     "embedding_neardup_refined",
+    "crossdoc_ngram_overlap",
+    "token_frequency_score",
 ]
 
 

@@ -419,3 +419,47 @@ def contamination_check(docs: DataFrame, n: int = 3, eval_mod: int = 50) -> Data
             "contamination_ratio"
         ),
     )
+
+
+def crossdoc_ngram_overlap(docs: DataFrame, n: int = 4) -> DataFrame:
+    """Memorization-risk profile: for each document, the fraction of
+    its DISTINCT token n-grams that also occur in at least one OTHER
+    document — the corpus-wide repeated-passage signal a training
+    pipeline reads before deciding span-level dedup is warranted
+    (high shared_fraction = boilerplate/templated content that
+    exact-dedup at document granularity cannot remove).
+
+    Scale shape: grams travel as 60-bit portable hashes; per-doc
+    distinct grams explode to (doc_id, gh) rows, the per-gram document
+    count is ONE gh-keyed aggregation with map-side combine, and the
+    join back to (doc_id, gh) reuses the same gh hash partitioning
+    (no second shuffle of the exploded relation under AQE exchange
+    reuse); the final per-doc rollup shuffles fixed-width count rows.
+    No broadcast anywhere — both sides are corpus-sized at 100 TB.
+    """
+    grams = docs.select(
+        "doc_id", token_ngrams(tokens(), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    e = grams.select("doc_id", F.explode("grams").alias("g")).select(
+        "doc_id", portable_hash64("g").alias("gh")
+    )
+    # per-doc grams are distinct, so count(*) per gh == #docs containing
+    counts = e.groupBy("gh").agg(F.count(F.lit(1)).alias("_ndocs"))
+    return (
+        e.join(counts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_grams")).alias(
+                "shared_fraction"
+            ),
+        )
+    )

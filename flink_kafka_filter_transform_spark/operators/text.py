@@ -256,6 +256,50 @@ def repetition_ratios(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_frequency_score(docs: DataFrame, rare_max_count: int = 2) -> DataFrame:
+    """Corpus-frequency quality signals per document: the arithmetic
+    mean corpus probability of its token occurrences and the fraction
+    whose corpus count is <= ``rare_max_count`` — the rare-token-
+    density filter (gibberish/OCR noise scores rare-heavy; boilerplate
+    scores common-heavy) that runs beside length/repetition gates in a
+    training-data pipeline.
+
+    Deliberately TRANSCENDENTAL-FREE: the classic mean-log-prob form
+    would hinge on cross-engine libm parity for ln(), which this repo's
+    float policy forbids (see sketch.py's precomputed ln tables and the
+    functions.vectors fold-order contract). Probabilities are exact
+    double ratios of integers, summed as DECIMAL (order-independent),
+    so the differential stays bit-exact.
+
+    Scale shape: one token-keyed aggregation builds the vocabulary
+    (map-side combine), the exploded corpus joins it back reusing the
+    same token hash partitioning, the 1-row total broadcasts, and the
+    per-doc rollup shuffles fixed-width rows. The vocabulary is NEVER
+    broadcast — it is corpus-sized at 100 TB."""
+    toks = docs.select("doc_id", F.explode(tokens()).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = vocab.agg(F.sum("_c").alias("_total"))
+    prob = F.col("_c").cast("double") / F.col("_total").cast("double")
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (
+                F.sum(prob.cast("decimal(38,28)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_token_prob"),
+            (
+                F.sum(
+                    F.when(F.col("_c") <= rare_max_count, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rare_token_frac"),
+        )
+    )
+
+
 # Dialect-portable PII patterns: explicit [0-9]/[A-Za-z] classes only —
 # identical in Java regex (Spark) and RE2 (DuckDB); no \d/\w shorthands
 # (Unicode semantics differ, see tests/test_regex_dialect.py).

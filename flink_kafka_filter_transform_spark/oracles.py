@@ -205,6 +205,50 @@ FROM train GROUP BY doc_id
 """
 
 
+def crossdoc_ngram_overlap_oracle(n: int = 4) -> str:
+    """Cross-document repeated n-gram fraction: same 60-bit gram
+    hashes, per-gram doc counts via a plain GROUP BY instead of the
+    engine's exchange-reusing join."""
+    gh = portable_hash64_sql("gram")
+    return f"""
+WITH {_TOKS_CTE},
+g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(t) - {n} + 1),
+                                 i -> array_to_string(t[i:i + {n} - 1], ' '))) AS grams
+  FROM toks WHERE len(t) >= {n}
+),
+e AS (SELECT doc_id, {gh} AS gh FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+c AS (SELECT gh, count(*) AS ndocs FROM e GROUP BY gh)
+SELECT doc_id,
+  count(*) AS n_grams,
+  CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS shared_fraction
+FROM e JOIN c USING (gh)
+GROUP BY doc_id
+"""
+
+
+def token_frequency_score_oracle(rare_max_count: int = 2) -> str:
+    """Rare-token-density twin: exact double probability ratios summed
+    as DECIMAL — no transcendentals (see operator docstring)."""
+    return f"""
+WITH {_TOKS_CTE},
+e AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+v AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
+tot AS (SELECT sum(c) AS total FROM v)
+SELECT doc_id,
+  count(*) AS n_tokens,
+  CAST(sum(CAST(CAST(c AS DOUBLE) / CAST(total AS DOUBLE) AS DECIMAL(38,28))) AS DOUBLE)
+    / count(*) AS mean_token_prob,
+  CAST(sum(CASE WHEN c <= {rare_max_count} THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS rare_token_frac
+FROM e JOIN v USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def repetition_ratios_oracle() -> str:
     def grams(n: int) -> str:
         return (

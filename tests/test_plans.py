@@ -221,6 +221,25 @@ def test_tfidf_never_pins_vocabulary_broadcast(spark, sf_dir):
     assert px.broadcast_hint_count(df) == 1  # n_docs only
 
 
+def test_token_frequency_score_never_pins_vocab_broadcast(spark, sf_dir):
+    """Same contract as tfidf: the vocabulary-count relation is
+    corpus-sized at 100 TB, so the only pinned broadcast is the 1-row
+    grand-total aggregate."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.token_frequency_score(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 1  # the 1-row total only
+
+
+def test_crossdoc_overlap_broadcasts_nothing(spark, sf_dir):
+    """Both sides of the gram-count join are corpus-sized; no pinned
+    broadcast may appear anywhere in the plan."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.crossdoc_ngram_overlap(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 0
+
+
 def test_knn_ivf_broadcasts_codebook_and_probes(spark, sf_dir):
     df = similarity.knn_ivf(load_table(spark, "embeddings", sf_dir))
     assert px.broadcast_join_count(df) >= 2
