@@ -94,6 +94,9 @@ HEADLINE = [
     "embedding_neardup_refined",
     "crossdoc_ngram_overlap",
     "token_frequency_score",
+    "token_pack_report",
+    "source_vocab_divergence",
+    "daily_funnel",
 ]
 
 

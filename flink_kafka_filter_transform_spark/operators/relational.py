@@ -182,6 +182,50 @@ def events_sessionized(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def daily_funnel(events: DataFrame) -> DataFrame:
+    """Ordered-event conversion funnel: per day, how many users viewed,
+    how many of those clicked AFTER their first view, and how many
+    completed view -> click -> purchase in timestamp order — the
+    product-analytics staple the event surface lacked.
+
+    Stage order uses each user's FIRST event of each type that day
+    (strict microsecond comparison; ties break conversion, which both
+    engines apply identically). Shape: one (user_id, day) aggregation
+    with conditional mins (map-side combine), then a day rollup of
+    fixed-width flags — two shuffles, no windows, no joins."""
+    from flink_kafka_filter_transform_spark.sources.parquet import ts_as_micros
+
+    day = F.date_format(ts_as_timestamp(events), "yyyy-MM-dd")
+    per_user = (
+        events.select(
+            "user_id",
+            day.alias("day"),
+            "event_type",
+            ts_as_micros(events).alias("_us"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("_us"))).alias("_v"),
+            F.min(F.when(F.col("event_type") == "click", F.col("_us"))).alias("_c"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("_us"))).alias("_p"),
+        )
+    )
+    clicked = F.col("_v").isNotNull() & F.col("_c").isNotNull() & (F.col("_c") > F.col("_v"))
+    converted = clicked & F.col("_p").isNotNull() & (F.col("_p") > F.col("_c"))
+    return (
+        per_user.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("_v").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_viewers"),
+            F.sum(F.when(clicked, 1).otherwise(0)).cast("bigint").alias("n_clickers"),
+            F.sum(F.when(converted, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+    )
+
+
 def q4_order_priority_semi(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q4 analog: left-semi join — orders with at least one
     late-shipped lineitem, counted per priority. Semi joins stop at

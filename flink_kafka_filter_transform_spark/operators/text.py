@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64
 from flink_kafka_filter_transform_spark.operators import params
@@ -297,6 +298,88 @@ def token_frequency_score(docs: DataFrame, rare_max_count: int = 2) -> DataFrame
                 / F.count(F.lit(1))
             ).alias("rare_token_frac"),
         )
+    )
+
+
+def token_pack_report(docs: DataFrame, window: int = 512) -> DataFrame:
+    """Sequence-packing layout report: concatenate each SOURCE's
+    documents into a token stream (deterministic order: content hash,
+    then doc_id) and cut it every ``window`` tokens — the GPT-style
+    pack-and-cut a pretraining loader applies. Reports, per (source,
+    pack), how many documents START in the pack and their token mass —
+    the fill/fragmentation numbers read before choosing a context
+    length.
+
+    Packing is PER SOURCE, not global, and that is the scale design,
+    not a concession: a global token order would need a full-corpus
+    prefix sum (an unpartitioned window — single-task, the exact
+    anti-pattern the plan gates exist to catch), while per-shard
+    packing is what production loaders do anyway. The window
+    partitions by source and each source's cumulative sum runs
+    parallel to every other's."""
+    n = F.size(tokens())
+    base = docs.select(
+        "source",
+        "doc_id",
+        n.alias("_n"),
+        portable_hash64(F.col("text")).alias("_h"),
+    ).filter(F.col("_n") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = base.withColumn(
+        "pack_id", F.floor((F.sum("_n").over(w) - F.col("_n")) / F.lit(window))
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_started"),
+            F.sum("_n").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def source_vocab_divergence(docs: DataFrame) -> DataFrame:
+    """Per-source vocabulary drift: the chi-square statistic of each
+    source's token distribution against the corpus distribution — the
+    domain-mixture audit that flags a shard whose vocabulary stopped
+    looking like the rest (scraper drift, encoding rot, language
+    imbalance) before it contaminates a training mix.
+
+    Chi-square, not KL: the statistic is POLYNOMIAL in the counts, so
+    it stays inside the repo's no-transcendentals float policy —
+    expected counts are exact double ratios of integers and the
+    per-source sum folds as DECIMAL (order-independent).
+
+    Scale shape: one (source, token)-keyed aggregation, one
+    token-keyed aggregation joined back on token (partitioning
+    reuse), per-source totals joined on source, the 1-row grand total
+    broadcast; nothing vocabulary-sized is ever broadcast."""
+    e = docs.select("source", F.explode(tokens()).alias("tok"))
+    st = e.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("_obs"))
+    tok_tot = st.groupBy("tok").agg(F.sum("_obs").alias("_c_tok"))
+    src_tot = st.groupBy("source").agg(F.sum("_obs").alias("_total_s"))
+    grand = tok_tot.agg(F.sum("_c_tok").alias("_total"))
+    exp = (
+        F.col("_total_s").cast("double")
+        * F.col("_c_tok").cast("double")
+        / F.col("_total").cast("double")
+    )
+    term = (F.col("_obs").cast("double") - exp) * (
+        F.col("_obs").cast("double") - exp
+    ) / exp
+    return (
+        st.join(tok_tot, "tok")
+        .join(src_tot, "source")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.max("_total_s").cast("bigint").alias("n_tokens"),
+            F.sum(term.cast("decimal(38,18)")).cast("double").alias("chi2"),
+        )
+        .select("source", "n_tokens", "chi2")
     )
 
 

@@ -249,6 +249,76 @@ GROUP BY doc_id
 """
 
 
+def token_pack_report_oracle(window: int = 512) -> str:
+    """Per-source sequence packing: same deterministic (hash, doc_id)
+    order, cumulative token counts via a SQL window."""
+    h = portable_hash64_sql("text")
+    return f"""
+WITH base AS (
+  SELECT source, doc_id,
+    len(regexp_extract_all(text, '[^\\s]+')) AS n,
+    {h} AS h
+  FROM documents
+  WHERE len(regexp_extract_all(text, '[^\\s]+')) > 0
+),
+packed AS (
+  SELECT source, n,
+    CAST(floor(CAST(SUM(n) OVER (PARTITION BY source ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                    AS DOUBLE) / {window}) AS BIGINT) AS pack_id
+  FROM base
+)
+SELECT source, pack_id,
+  count(*) AS n_docs_started,
+  CAST(sum(n) AS BIGINT) AS n_tokens
+FROM packed GROUP BY source, pack_id
+"""
+
+
+def source_vocab_divergence_oracle() -> str:
+    """Chi-square vocabulary drift twin: expected counts as exact
+    double ratios, per-source sum folded as DECIMAL."""
+    return f"""
+WITH e AS (
+  SELECT d.source, unnest(regexp_extract_all(d.text, '[^\\s]+')) AS tok
+  FROM documents d
+),
+st AS (SELECT source, tok, count(*) AS obs FROM e GROUP BY source, tok),
+tt AS (SELECT tok, sum(obs) AS c_tok FROM st GROUP BY tok),
+stot AS (SELECT source, sum(obs) AS total_s FROM st GROUP BY source),
+g AS (SELECT sum(c_tok) AS total FROM tt)
+SELECT source,
+  CAST(max(total_s) AS BIGINT) AS n_tokens,
+  CAST(sum(CAST(
+    (CAST(obs AS DOUBLE) - CAST(total_s AS DOUBLE) * CAST(c_tok AS DOUBLE) / CAST(total AS DOUBLE))
+    * (CAST(obs AS DOUBLE) - CAST(total_s AS DOUBLE) * CAST(c_tok AS DOUBLE) / CAST(total AS DOUBLE))
+    / (CAST(total_s AS DOUBLE) * CAST(c_tok AS DOUBLE) / CAST(total AS DOUBLE))
+    AS DECIMAL(38,18))) AS DOUBLE) AS chi2
+FROM st JOIN tt USING (tok) JOIN stot USING (source) CROSS JOIN g
+GROUP BY source
+"""
+
+
+def daily_funnel_oracle() -> str:
+    """view -> click -> purchase conversion twin (strict order on
+    epoch-microseconds; same day bucketing as events_daily)."""
+    return """
+WITH per_user AS (
+  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+    min(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
+    min(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS c,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+  FROM events GROUP BY user_id, day
+)
+SELECT day,
+  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewers,
+  CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v THEN 1 ELSE 0 END) AS BIGINT) AS n_clickers,
+  CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                 AND p IS NOT NULL AND p > c THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM per_user GROUP BY day
+"""
+
+
 def repetition_ratios_oracle() -> str:
     def grams(n: int) -> str:
         return (
