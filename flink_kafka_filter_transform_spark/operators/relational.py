@@ -182,21 +182,18 @@ def events_sessionized(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def daily_funnel(events: DataFrame) -> DataFrame:
-    """Ordered-event conversion funnel: per day, how many users viewed,
-    how many of those clicked AFTER their first view, and how many
-    completed view -> click -> purchase in timestamp order — the
-    product-analytics staple the event surface lacked.
-
-    Stage order uses each user's FIRST event of each type that day
-    (strict microsecond comparison; ties break conversion, which both
-    engines apply identically). Shape: one (user_id, day) aggregation
-    with conditional mins (map-side combine), then a day rollup of
-    fixed-width flags — two shuffles, no windows, no joins."""
+def funnel_user_day_state(events: DataFrame) -> DataFrame:
+    """The funnel's stateful core: each user's FIRST view/click/
+    purchase microsecond per day, as conditional mins. min() merges
+    monotonically and order-insensitively, so this exact aggregation
+    also runs INCREMENTALLY under Structured Streaming (the streaming
+    twin feeds a stream through this same function; late or replayed
+    events can only refine a min, never corrupt it — see
+    tests/test_streaming.py::test_funnel_stream_converges_with_late_data)."""
     from flink_kafka_filter_transform_spark.sources.parquet import ts_as_micros
 
     day = F.date_format(ts_as_timestamp(events), "yyyy-MM-dd")
-    per_user = (
+    return (
         events.select(
             "user_id",
             day.alias("day"),
@@ -210,6 +207,12 @@ def daily_funnel(events: DataFrame) -> DataFrame:
             F.min(F.when(F.col("event_type") == "purchase", F.col("_us"))).alias("_p"),
         )
     )
+
+
+def funnel_day_rollup(per_user: DataFrame) -> DataFrame:
+    """Day rollup over the per-(user, day) funnel state: strict
+    v < c < p ordering decides conversion (ties break it, identically
+    on both engines)."""
     clicked = F.col("_v").isNotNull() & F.col("_c").isNotNull() & (F.col("_c") > F.col("_v"))
     converted = clicked & F.col("_p").isNotNull() & (F.col("_p") > F.col("_c"))
     return (
@@ -224,6 +227,19 @@ def daily_funnel(events: DataFrame) -> DataFrame:
             .alias("n_converted"),
         )
     )
+
+
+def daily_funnel(events: DataFrame) -> DataFrame:
+    """Ordered-event conversion funnel: per day, how many users viewed,
+    how many of those clicked AFTER their first view, and how many
+    completed view -> click -> purchase in timestamp order — the
+    product-analytics staple the event surface lacked.
+
+    Shape: one (user_id, day) aggregation with conditional mins
+    (map-side combine), then a day rollup of fixed-width flags — two
+    shuffles, no windows, no joins. The stateful stage is shared with
+    the streaming twin (funnel_user_day_state)."""
+    return funnel_day_rollup(funnel_user_day_state(events))
 
 
 def q4_order_priority_semi(orders: DataFrame, lineitem: DataFrame) -> DataFrame:

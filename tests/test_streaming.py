@@ -243,6 +243,46 @@ def test_scd2_incremental_converges_with_late_data(
     assert got == want and len(want) > 0
 
 
+def test_funnel_stream_converges_with_late_data(spark, sf_dir, tmp_path_factory):
+    """The conversion funnel's stateful core (per-(user, day)
+    conditional first-event mins) runs INCREMENTALLY: feed the events
+    table as a file stream with the OLDEST half arriving in LATER
+    micro-batches, run the same funnel_user_day_state through
+    Structured Streaming in complete mode, roll the sink table up with
+    the shared funnel_day_rollup, and the result must equal the batch
+    daily_funnel exactly — min() merges order-insensitively, so late
+    or replayed events can only refine state, never corrupt it."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from flink_kafka_filter_transform_spark.operators import relational
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    src = load_table(spark, "events", sf_dir)
+    cutoff = src.agg(F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")).collect()[0][0]
+    late_dir = str(tmp_path_factory.mktemp("funnel_late"))
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    src.filter(ts_us >= cutoff).repartition(2).write.mode("append").parquet(late_dir)
+    time.sleep(1.1)
+    src.filter(ts_us < cutoff).repartition(2).write.mode("append").parquet(late_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(late_dir)
+    )
+    _run_to_memory(
+        relational.funnel_user_day_state(stream), "t_funnel_state", "complete"
+    )
+    got = {
+        tuple(r)
+        for r in relational.funnel_day_rollup(spark.table("t_funnel_state")).collect()
+    }
+    want = {tuple(r) for r in relational.daily_funnel(src).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_running_counters_stateful(spark, sf_dir, cdc_dir, cdc_schema):
     stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
     routed = cdc.drop_unrouted(
