@@ -97,6 +97,7 @@ HEADLINE = [
     "token_pack_report",
     "source_vocab_divergence",
     "daily_funnel",
+    "bpe_merges",
 ]
 
 

@@ -383,6 +383,85 @@ def source_vocab_divergence(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE stream encoding: tokens wrapped in \x1f with DOUBLE separators
+# between them (";a;;b;"), so replacing ";a;;b;" with ";a<merge>b;"
+# merges EVERY non-overlapping adjacent occurrence left-to-right —
+# verified to behave identically in Spark's replace() and DuckDB's
+# (adjacent repeats both merge; overlapping triples merge leftmost
+# only), which is exactly the BPE merge rule.
+_BPE_SEP = "\x1f"
+_BPE_MERGE = "\x1e"
+
+
+def bpe_merges(docs: DataFrame, steps: int = 3) -> DataFrame:
+    """The first ``steps`` merges of byte-pair-encoding tokenizer
+    training, computed on the corpus: each step counts all adjacent
+    token pairs under the CURRENT tokenization, picks the most
+    frequent (ties: lexicographically smallest), and rewrites the
+    corpus with that pair fused — the real iterative BPE loop, not
+    just a one-shot pair count (text.bigram_top_pairs is step 1's
+    count only).
+
+    Iterative-algorithm template, same discipline as operators.kmeans:
+    a FIXED number of deterministic iterations, each = one corpus-wide
+    aggregation (map-side combined pair counts), a 1-row top-pair
+    relation broadcast back, and a map-only rewrite. The DuckDB oracle
+    unrolls the identical steps as a CTE chain, so the differential
+    proves the whole trajectory. Token streams travel as
+    \\x1f-delimited strings (tokens are [^\\s]+ from this corpus;
+    control separators cannot collide).
+
+    Returns (step, pair_a, pair_b, n_occurrences) — merged tokens from
+    earlier steps print with spaces between their parts."""
+    s = F.concat(
+        F.lit(_BPE_SEP),
+        F.array_join(tokens(), _BPE_SEP + _BPE_SEP),
+        F.lit(_BPE_SEP),
+    )
+    cur = docs.filter(F.size(tokens()) > 0).select(s.alias("_s"))
+    out: DataFrame | None = None
+    for step in range(1, steps + 1):
+        toks = F.split(
+            F.expr("substring(_s, 2, length(_s) - 2)"), _BPE_SEP + _BPE_SEP
+        )
+        n = F.size(toks)
+        pairs = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top = (
+            cur.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("_a"), F.col("p.b").alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("_a").asc(), F.col("_b").asc())
+            .limit(1)
+        )
+        row = top.select(
+            F.lit(step).cast("int").alias("step"),
+            F.replace(F.col("_a"), F.lit(_BPE_MERGE), F.lit(" ")).alias("pair_a"),
+            F.replace(F.col("_b"), F.lit(_BPE_MERGE), F.lit(" ")).alias("pair_b"),
+            F.col("_n").cast("bigint").alias("n_occurrences"),
+        )
+        out = row if out is None else out.unionByName(row)
+        if step < steps:
+            pat = F.concat(
+                F.lit(_BPE_SEP), F.col("_a"), F.lit(_BPE_SEP + _BPE_SEP),
+                F.col("_b"), F.lit(_BPE_SEP),
+            )
+            rep = F.concat(
+                F.lit(_BPE_SEP), F.col("_a"), F.lit(_BPE_MERGE), F.col("_b"),
+                F.lit(_BPE_SEP),
+            )
+            cur = cur.crossJoin(F.broadcast(top)).select(
+                F.replace(F.col("_s"), pat, rep).alias("_s")
+            )
+    return out
+
+
 # Dialect-portable PII patterns: explicit [0-9]/[A-Za-z] classes only —
 # identical in Java regex (Spark) and RE2 (DuckDB); no \d/\w shorthands
 # (Unicode semantics differ, see tests/test_regex_dialect.py).

@@ -319,6 +319,45 @@ FROM per_user GROUP BY day
 """
 
 
+def bpe_merges_oracle(steps: int = 3) -> str:
+    """BPE training trace twin: the merge loop unrolled as a CTE chain
+    (step i: pair counts from s{i-1}, deterministic top-1, rewrite) —
+    the same discipline as _kmeans_ctes. chr(31)/chr(30) are the
+    \\x1f separator and \\x1e merge marker of operators.text."""
+    sep = "chr(31)"
+    mrg = "chr(30)"
+    parts = [
+        f"""s0 AS (
+  SELECT {sep} || array_to_string(regexp_extract_all(text, '[^\\s]+'), {sep}||{sep}) || {sep} AS s
+  FROM documents WHERE len(regexp_extract_all(text, '[^\\s]+')) > 0
+)"""
+    ]
+    for i in range(1, steps + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+  SELECT list_extract(t, i) AS a, list_extract(t, i + 1) AS b, count(*) AS n
+  FROM (SELECT string_split(substr(s, 2, length(s) - 2), {sep}||{sep}) AS t FROM {prev}) x,
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(f"t{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1)")
+        if i < steps:
+            parts.append(
+                f"""s{i} AS (
+  SELECT replace(s, {sep}||a||{sep}||{sep}||b||{sep}, {sep}||a||{mrg}||b||{sep}) AS s
+  FROM {prev} CROSS JOIN t{i}
+)"""
+            )
+    selects = [
+        f"SELECT {i} AS step, replace(a, {mrg}, ' ') AS pair_a,"
+        f" replace(b, {mrg}, ' ') AS pair_b, CAST(n AS BIGINT) AS n_occurrences FROM t{i}"
+        for i in range(1, steps + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def repetition_ratios_oracle() -> str:
     def grams(n: int) -> str:
         return (
