@@ -351,7 +351,12 @@ def source_vocab_divergence(docs: DataFrame) -> DataFrame:
     Chi-square, not KL: the statistic is POLYNOMIAL in the counts, so
     it stays inside the repo's no-transcendentals float policy —
     expected counts are exact double ratios of integers and the
-    per-source sum folds as DECIMAL (order-independent).
+    per-source sum folds as DECIMAL (order-independent). This is the
+    OBSERVED-CELLS variant: (source, token) cells where the source
+    never uses the token contribute nothing (the textbook statistic
+    adds their expected mass); fine for ranking drift across sources,
+    not for textbook p-values — the oracle computes the identical
+    variant.
 
     Scale shape: one (source, token)-keyed aggregation, one
     token-keyed aggregation joined back on token (partitioning
@@ -408,8 +413,11 @@ def bpe_merges(docs: DataFrame, steps: int = 3) -> DataFrame:
     relation broadcast back, and a map-only rewrite. The DuckDB oracle
     unrolls the identical steps as a CTE chain, so the differential
     proves the whole trajectory. Token streams travel as
-    \\x1f-delimited strings (tokens are [^\\s]+ from this corpus;
-    control separators cannot collide).
+    \\x1f-delimited strings. CAVEAT: [^\\s]+ tokens could in principle
+    contain the \\x1f/\\x1e control bytes (they are not whitespace);
+    such documents are EXCLUDED from the BPE corpus on both engines
+    (identical guard in the oracle), so a hostile byte can skew the
+    counts by at most its own document, never corrupt the encoding.
 
     Returns (step, pair_a, pair_b, n_occurrences) — merged tokens from
     earlier steps print with spaces between their parts."""
@@ -418,7 +426,13 @@ def bpe_merges(docs: DataFrame, steps: int = 3) -> DataFrame:
         F.array_join(tokens(), _BPE_SEP + _BPE_SEP),
         F.lit(_BPE_SEP),
     )
-    cur = docs.filter(F.size(tokens()) > 0).select(s.alias("_s"))
+    cur = (
+        docs.filter(F.size(tokens()) > 0)
+        .filter(
+            ~F.col("text").contains(_BPE_SEP) & ~F.col("text").contains(_BPE_MERGE)
+        )
+        .select(s.alias("_s"))
+    )
     out: DataFrame | None = None
     for step in range(1, steps + 1):
         toks = F.split(

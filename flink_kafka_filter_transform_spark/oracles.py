@@ -329,7 +329,9 @@ def bpe_merges_oracle(steps: int = 3) -> str:
     parts = [
         f"""s0 AS (
   SELECT {sep} || array_to_string(regexp_extract_all(text, '[^\\s]+'), {sep}||{sep}) || {sep} AS s
-  FROM documents WHERE len(regexp_extract_all(text, '[^\\s]+')) > 0
+  FROM documents
+  WHERE len(regexp_extract_all(text, '[^\\s]+')) > 0
+    AND NOT contains(text, {sep}) AND NOT contains(text, {mrg})
 )"""
     ]
     for i in range(1, steps + 1):
