@@ -119,10 +119,11 @@ def queries() -> dict[str, QueryFn]:
     driver verdict (the r{N-1} tail). Queries green in the most recent
     CORRECTNESS_r{N}.json and untouched since yield their slots.
 
-    Round-4 head = 10 new (embedding_neardup_refined,
+    Round-4 head = 11 new (embedding_neardup_refined,
     crossdoc_ngram_overlap, token_frequency_score, token_pack_report,
-    source_vocab_divergence, daily_funnel, bpe_merges, png_decode,
-    q17, q20) + 3 r3-verdict queries
+    source_vocab_divergence, daily_funnel, bpe_merges,
+    daily_reconciliation, png_decode, q17, q20) + 3 r3-verdict
+    queries
     invalidated by early-r4 changes (q22 predicate, cdc_route_join
     memoization+tie-break, media_decode's decode_audio validation) +
     the FULL events-ts surface — the driver regenerated testdata with
@@ -137,9 +138,10 @@ def queries() -> dict[str, QueryFn]:
     queries (orders_top10, the vectorprep trio, the knn_jl pair,
     salted_event_counts, event_value_percentiles, the revenue
     rollup/cube/grouping-sets trio, array_function_showcase, and the
-    lang_id/token_counts/normalize_text/doc_fingerprint map quartet)
-    are the simplest single-operator queries, each re-verified every
-    CI run by tests/test_oracle_parity.py; they rotate first in r5."""
+    lang_id/token_counts/normalize_text/doc_fingerprint/text_stats map
+    block) are the simplest single-operator queries, each re-verified
+    every CI run by tests/test_oracle_parity.py; they rotate first in
+    r5."""
     return {
         # === HEAD: new in round 4 ===
         "embedding_neardup_refined": lambda s, d: dedup.embedding_neardup_refined(
@@ -155,6 +157,9 @@ def queries() -> dict[str, QueryFn]:
         ),
         "daily_funnel": lambda s, d: relational.daily_funnel(load_table(s, "events", d)),
         "bpe_merges": lambda s, d: text.bpe_merges(_docs(s, d)),
+        "daily_reconciliation": lambda s, d: relational.daily_reconciliation(
+            load_table(s, "orders", d), load_table(s, "lineitem", d)
+        ),
         "png_decode": lambda s, d: multimodal.png_decode(_docs(s, d)),
         "q17_small_quantity": lambda s, d: relational.q17_small_quantity(
             load_table(s, "lineitem", d), load_table(s, "part", d)
@@ -207,7 +212,6 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "events", d)
         ),
         # --- text analysis + quality ---
-        "text_stats": lambda s, d: text.text_stats(_docs(s, d)),
         "repetition_ratios": lambda s, d: text.repetition_ratios(_docs(s, d)),
         "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
         "quality_filter_funnel": lambda s, d: text.quality_filter_funnel(_docs(s, d)),
@@ -289,6 +293,7 @@ def queries() -> dict[str, QueryFn]:
         "token_counts": lambda s, d: text.token_counts(_docs(s, d)),
         "normalize_text": lambda s, d: text.normalize_text(_docs(s, d)),
         "doc_fingerprint": lambda s, d: text.doc_fingerprint(_docs(s, d)),
+        "text_stats": lambda s, d: text.text_stats(_docs(s, d)),
         # === TAIL: green in CORRECTNESS_r03 and unchanged since ===
         "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
             load_table(s, "lineitem", d)
@@ -401,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_divergence": oracles.source_vocab_divergence_oracle(),
         "daily_funnel": oracles.daily_funnel_oracle(),
         "bpe_merges": oracles.bpe_merges_oracle(),
+        "daily_reconciliation": oracles.daily_reconciliation_oracle(),
         "png_decode": oracles.png_decode_oracle(),
         "q17_small_quantity": oracles.q17_small_quantity_oracle(),
         "q20_potential_promotion": oracles.q20_potential_promotion_oracle(),

@@ -98,6 +98,7 @@ HEADLINE = [
     "source_vocab_divergence",
     "daily_funnel",
     "bpe_merges",
+    "daily_reconciliation",
 ]
 
 

@@ -242,6 +242,39 @@ def daily_funnel(events: DataFrame) -> DataFrame:
     return funnel_day_rollup(funnel_user_day_state(events))
 
 
+def daily_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """FULL OUTER reconciliation: per-day order placements vs lineitem
+    shipments, keeping days present on EITHER side — the two-ledger
+    audit shape (and the one join type the relational surface didn't
+    exercise). Both inputs aggregate to day cardinality BEFORE the
+    join, so the full-outer side carries ~one row per day regardless
+    of input size; full outer cannot broadcast (both sides must
+    produce unmatched rows), which is why the pre-aggregation, not the
+    join strategy, is what makes this scale."""
+    o = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("sum_order_value"),
+    )
+    l = lineitem.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_shipped"))
+    return (
+        o.join(l, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce("sum_order_value", F.lit(0.0)).alias("sum_order_value"),
+            F.coalesce("n_shipped", F.lit(0)).cast("bigint").alias("n_shipped"),
+            F.when(F.col("n_orders").isNull(), F.lit("shipments_only"))
+            .when(F.col("n_shipped").isNull(), F.lit("orders_only"))
+            .otherwise(F.lit("both"))
+            .alias("side"),
+        )
+    )
+
+
 def q4_order_priority_semi(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q4 analog: left-semi join — orders with at least one
     late-shipped lineitem, counted per priority. Semi joins stop at

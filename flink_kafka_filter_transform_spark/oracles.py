@@ -299,6 +299,30 @@ GROUP BY source
 """
 
 
+def daily_reconciliation_oracle() -> str:
+    """Two-ledger FULL OUTER twin over day-level pre-aggregations."""
+    return """
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+    count(*) AS n_orders,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_order_value
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, count(*) AS n_shipped
+  FROM lineitem GROUP BY 1
+)
+SELECT coalesce(o.day, l.day) AS day,
+  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+  coalesce(sum_order_value, 0.0) AS sum_order_value,
+  CAST(coalesce(n_shipped, 0) AS BIGINT) AS n_shipped,
+  CASE WHEN n_orders IS NULL THEN 'shipments_only'
+       WHEN n_shipped IS NULL THEN 'orders_only'
+       ELSE 'both' END AS side
+FROM o FULL OUTER JOIN l ON o.day = l.day
+"""
+
+
 def daily_funnel_oracle() -> str:
     """view -> click -> purchase conversion twin (strict order on
     epoch-microseconds; same day bucketing as events_daily)."""
