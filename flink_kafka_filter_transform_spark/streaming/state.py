@@ -20,6 +20,10 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 COUNTER_OUTPUT_SCHEMA = "target_topic STRING, op STRING, total BIGINT"
 COUNTER_STATE_SCHEMA = "total BIGINT"
@@ -51,4 +55,100 @@ def running_counters(routed: DataFrame) -> DataFrame:
         stateStructType=COUNTER_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming first-seen dedup: per content hash, keep (first_doc_id,
+# n_copies) in keyed state and emit the revised ledger row each time
+# the key is touched. This is exact corpus dedup running
+# INCREMENTALLY: state is the dedup ledger, shuffled by hash exactly
+# like the batch groupBy, so a 100 TB backfill and the steady-state
+# stream use the same partitioning and the same ledger. The winner is
+# the SMALLEST doc_id (the batch min-survivor convention), so late or
+# replayed micro-batches can only confirm the ledger, never flip it.
+# ---------------------------------------------------------------------------
+
+FIRSTSEEN_OUTPUT_SCHEMA = "content_hash BIGINT, first_doc_id BIGINT, n_suppressed BIGINT"
+FIRSTSEEN_STATE_SCHEMA = "first_doc_id BIGINT, n_copies BIGINT"
+
+
+def _update_first_seen(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    first_doc, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n += 1
+            if first_doc is None or d < first_doc:
+                first_doc = d
+    state.update((first_doc, n))
+    yield pd.DataFrame(
+        {
+            "content_hash": [int(key[0])],
+            "first_doc_id": [first_doc],
+            "n_suppressed": [n - 1],
+        }
+    )
+
+
+def streaming_first_seen(hashed: DataFrame) -> DataFrame:
+    """First-seen dedup ledger over a stream of (content_hash, doc_id)
+    rows: emits, per touched hash, the surviving doc and how many
+    duplicates it has suppressed so far. Output mode 'update' — each
+    micro-batch revises only the touched keys."""
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _update_first_seen,
+        outputStructType=FIRSTSEEN_OUTPUT_SCHEMA,
+        stateStructType=FIRSTSEEN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _FirstSeenProcessor(StatefulProcessor):
+    """The same ledger on Spark 4's transformWithStateInPandas (typed
+    ValueState, the successor API). ENVIRONMENT GATE: the TWS state
+    protocol needs google.protobuf, which this container lacks — the
+    test auto-skips when the import is missing (same pattern as the
+    Kafka broker test); semantics are pinned by the
+    applyInPandasWithState twin above either way."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("firstseen", FIRSTSEEN_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+        first_doc, n = (
+            tuple(self._state.get()) if self._state.exists() else (None, 0)
+        )
+        for pdf in rows:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n += 1
+                if first_doc is None or d < first_doc:
+                    first_doc = d
+        self._state.update((first_doc, n))
+        yield pd.DataFrame(
+            {
+                "content_hash": [int(key[0])],
+                "first_doc_id": [first_doc],
+                "n_suppressed": [n - 1],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_first_seen_tws(hashed: DataFrame) -> DataFrame:
+    """transformWithStateInPandas variant of streaming_first_seen —
+    see _FirstSeenProcessor for the environment gate."""
+    return hashed.groupBy("content_hash").transformWithStateInPandas(
+        _FirstSeenProcessor(),
+        outputStructType=FIRSTSEEN_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
     )

@@ -283,6 +283,101 @@ def test_funnel_stream_converges_with_late_data(spark, sf_dir, tmp_path_factory)
     assert got == want and len(want) > 0
 
 
+def test_streaming_first_seen_matches_batch_dedup(spark, sf_dir, tmp_path_factory):
+    """The streaming first-seen dedup ledger, fed the documents corpus
+    in multiple micro-batches (maxFilesPerTrigger=1), must converge to
+    the batch answer — per content hash, the smallest doc_id survives
+    and the rest count as suppressed. Update-mode memory sink keeps
+    every revision; the LAST revision per key is the ledger state."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming.state import streaming_first_seen
+
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.select(
+        portable_hash64(F.col("text")).alias("content_hash"), "doc_id"
+    )
+    src_dir = str(tmp_path_factory.mktemp("firstseen_src"))
+    hashed.repartition(3).write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("content_hash BIGINT, doc_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    _run_to_memory(streaming_first_seen(stream), "t_firstseen", "update")
+
+    sink = spark.table("t_firstseen")
+    # last revision per key: n_suppressed is monotone, so max() is it
+    got = {
+        (r["content_hash"], r["first_doc_id"], r["n_suppressed"])
+        for r in sink.groupBy("content_hash")
+        .agg(
+            F.min("first_doc_id").alias("first_doc_id"),
+            F.max("n_suppressed").alias("n_suppressed"),
+        )
+        .collect()
+    }
+    want = {
+        (r["content_hash"], r["first_doc_id"], r["n_suppressed"])
+        for r in hashed.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("first_doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_first_seen_tws_variant(spark, sf_dir, tmp_path_factory):
+    """transformWithStateInPandas twin of the first-seen ledger —
+    auto-skips where the TWS state protocol's google.protobuf
+    dependency is absent (this container), same gating pattern as the
+    Kafka broker test."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming.state import (
+        streaming_first_seen_tws,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.select(portable_hash64(F.col("text")).alias("content_hash"), "doc_id")
+    src_dir = str(tmp_path_factory.mktemp("firstseen_tws_src"))
+    hashed.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("content_hash BIGINT, doc_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    _run_to_memory(streaming_first_seen_tws(stream), "t_firstseen_tws", "update")
+    sink = spark.table("t_firstseen_tws")
+    got = {
+        (r["content_hash"], r["first_doc_id"], r["n_suppressed"])
+        for r in sink.groupBy("content_hash")
+        .agg(
+            F.min("first_doc_id").alias("first_doc_id"),
+            F.max("n_suppressed").alias("n_suppressed"),
+        )
+        .collect()
+    }
+    want = {
+        (r["content_hash"], r["first_doc_id"], r["n_suppressed"])
+        for r in hashed.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("first_doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_running_counters_stateful(spark, sf_dir, cdc_dir, cdc_schema):
     stream = sp.file_stream_source(spark, cdc_dir, cdc_schema)
     routed = cdc.drop_unrouted(
