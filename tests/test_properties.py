@@ -191,3 +191,137 @@ def test_session_window_merges_exact_gap(spark):
     assert sessions([base, base + gap_us, base + gap_us + 1_000_000]) == [3]
     # one microsecond beyond the gap BREAKS
     assert sessions([base, base + gap_us + 1, base + gap_us + 1_000_000]) == [1, 2]
+
+
+def _bpe_reference(docs: list[list[str]], steps: int):
+    """Independent pure-Python BPE: count adjacent pairs (overlapping
+    counts), pick (max count, lexicographically smallest) pair, merge
+    left-to-right non-overlapping, repeat."""
+    corpus = [list(d) for d in docs if d]
+    trace = []
+    for _ in range(steps):
+        counts: dict[tuple[str, str], int] = {}
+        for d in corpus:
+            for a, b in zip(d, d[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        trace.append((pair[0], pair[1], counts[pair]))
+        a, b = pair
+        merged = a + "\x1e" + b
+        new_corpus = []
+        for d in corpus:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            new_corpus.append(out)
+        corpus = new_corpus
+    return trace
+
+
+_bpe_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=0, max_size=8),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_bpe_docs, steps=st.integers(1, 3))
+def test_bpe_merges_equals_reference(spark_prop, docs, steps):
+    """The Spark replace()-based merge loop must equal an independent
+    pure-Python BPE on arbitrary tiny corpora — including adjacent
+    repeats ('a a a a') and tokens that look like earlier merges."""
+    from flink_kafka_filter_transform_spark.operators.text import bpe_merges
+
+    df = spark_prop.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "doc_id INT, text STRING"
+    )
+    got = [
+        (r["pair_a"], r["pair_b"], r["n_occurrences"])
+        for r in bpe_merges(df, steps=steps).orderBy("step").collect()
+    ]
+    want = [
+        (a.replace("\x1e", " "), b.replace("\x1e", " "), n)
+        for a, b, n in _bpe_reference(docs, steps)
+    ]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["view", "click", "purchase"]), st.integers(0, 50)),
+        min_size=0,
+        max_size=14,
+    )
+)
+def test_daily_funnel_is_input_order_insensitive(spark_prop, rows):
+    """Conversion flags depend only on per-user first-event times, so
+    any permutation of the input rows yields the identical funnel."""
+    from flink_kafka_filter_transform_spark.operators.relational import daily_funnel
+
+    def build(ordering):
+        return spark_prop.createDataFrame(
+            [
+                (u, t, 1_700_000_000_000_000 + s * 1_000_000)
+                for (u, t, s) in ordering
+            ],
+            "user_id INT, event_type STRING, ts_us LONG",
+        ).selectExpr("user_id", "event_type", "timestamp_micros(ts_us) AS ts")
+
+    fwd = {tuple(r) for r in daily_funnel(build(rows)).collect()}
+    rev = {tuple(r) for r in daily_funnel(build(list(reversed(rows)))).collect()}
+    assert fwd == rev
+
+
+def test_crossdoc_overlap_exact_duplicate_is_fully_shared(spark_prop):
+    """A verbatim duplicate document must report shared_fraction 1.0
+    on both copies; a unique long document reports 0.0."""
+    from flink_kafka_filter_transform_spark.operators.dedup import crossdoc_ngram_overlap
+
+    df = spark_prop.createDataFrame(
+        [
+            (0, "w x y z w x"),
+            (1, "w x y z w x"),
+            (2, "p q r s t u v"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {r["doc_id"]: r["shared_fraction"] for r in crossdoc_ngram_overlap(df, n=4).collect()}
+    assert got[0] == 1.0 and got[1] == 1.0 and got[2] == 0.0
+
+
+def test_token_pack_report_conserves_tokens(spark_prop):
+    """Every token lands in exactly one (source, pack): per-source pack
+    sums must equal the source's raw token totals, and pack 0 must
+    exist for every non-empty source."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_filter_transform_spark.operators.text import token_pack_report, tokens
+
+    df = spark_prop.createDataFrame(
+        [
+            (0, "s0", "a b c d e"),
+            (1, "s0", "f g"),
+            (2, "s1", " ".join(["t"] * 23)),
+            (3, "s1", "u v w"),
+        ],
+        "doc_id INT, source STRING, text STRING",
+    )
+    report = token_pack_report(df, window=8)
+    got = {
+        (r["source"], r["total"]) for r in report.groupBy("source").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    want = {
+        (r["source"], r["total"])
+        for r in df.select("source", F.size(tokens()).alias("n")).groupBy("source").agg(F.sum("n").alias("total")).collect()
+    }
+    assert got == want
+    assert {r["source"] for r in report.filter(F.col("pack_id") == 0).collect()} == {"s0", "s1"}
