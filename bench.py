@@ -135,6 +135,11 @@ def main() -> None:
 
     qs = entrymod.queries()
     qs.update(SPECIAL)
+    # a renamed/removed query must not kill the whole bench run — skip
+    # it loudly (stderr) and keep the series going
+    missing = [n for n in HEADLINE if n not in qs]
+    for n in missing:
+        print(f"bench: skipping unknown query {n!r}", file=sys.stderr)
 
     def run(name: str) -> float:
         t0 = time.time()
@@ -151,6 +156,8 @@ def main() -> None:
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
+        if name in missing:
+            continue
         times = [run(name) for _ in range(REPS)]
         cold[name] = round(times[0], 3)
         warm[name] = round(min(times[1:]), 3)
