@@ -119,11 +119,11 @@ def queries() -> dict[str, QueryFn]:
     driver verdict (the r{N-1} tail). Queries green in the most recent
     CORRECTNESS_r{N}.json and untouched since yield their slots.
 
-    Round-4 head = 11 new (embedding_neardup_refined,
-    crossdoc_ngram_overlap, token_frequency_score, token_pack_report,
-    source_vocab_divergence, daily_funnel, bpe_merges,
-    daily_reconciliation, png_decode, q17, q20) + 3 r3-verdict
-    queries
+    Round-4 head = 12 new (embedding_neardup_refined,
+    embedding_neardup_fps, crossdoc_ngram_overlap,
+    token_frequency_score, token_pack_report, source_vocab_divergence,
+    daily_funnel, bpe_merges, daily_reconciliation, png_decode, q17,
+    q20) + 3 r3-verdict queries
     invalidated by early-r4 changes (q22 predicate, cdc_route_join
     memoization+tie-break, media_decode's decode_audio validation) +
     the FULL events-ts surface — the driver regenerated testdata with
@@ -138,14 +138,17 @@ def queries() -> dict[str, QueryFn]:
     queries (orders_top10, the vectorprep trio, the knn_jl pair,
     salted_event_counts, event_value_percentiles, the revenue
     rollup/cube/grouping-sets trio, array_function_showcase, and the
-    lang_id/token_counts/normalize_text/doc_fingerprint/text_stats map
-    block) are the simplest single-operator queries, each re-verified
-    every CI run by tests/test_oracle_parity.py; they rotate first in
-    r5."""
+    lang_id/token_counts/normalize_text/doc_fingerprint/text_stats/
+    pii_redact map block) are the simplest single-operator queries,
+    each re-verified every CI run by tests/test_oracle_parity.py; they
+    rotate first in r5."""
     return {
         # === HEAD: new in round 4 ===
         "embedding_neardup_refined": lambda s, d: dedup.embedding_neardup_refined(
             _emb(s, d)
+        ),
+        "embedding_neardup_fps": lambda s, d: dedup.embedding_neardup_refined(
+            _emb(s, d), seeding="farthest"
         ),
         "crossdoc_ngram_overlap": lambda s, d: dedup.crossdoc_ngram_overlap(
             _docs(s, d)
@@ -213,7 +216,6 @@ def queries() -> dict[str, QueryFn]:
         ),
         # --- text analysis + quality ---
         "repetition_ratios": lambda s, d: text.repetition_ratios(_docs(s, d)),
-        "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
         "quality_filter_funnel": lambda s, d: text.quality_filter_funnel(_docs(s, d)),
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
         # --- dedup / contamination ---
@@ -294,6 +296,7 @@ def queries() -> dict[str, QueryFn]:
         "normalize_text": lambda s, d: text.normalize_text(_docs(s, d)),
         "doc_fingerprint": lambda s, d: text.doc_fingerprint(_docs(s, d)),
         "text_stats": lambda s, d: text.text_stats(_docs(s, d)),
+        "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
         # === TAIL: green in CORRECTNESS_r03 and unchanged since ===
         "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
             load_table(s, "lineitem", d)
@@ -400,6 +403,9 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     return {
         "embedding_neardup_refined": oracles.embedding_neardup_refined_oracle(),
+        "embedding_neardup_fps": oracles.embedding_neardup_refined_oracle(
+            seeding="farthest"
+        ),
         "crossdoc_ngram_overlap": oracles.crossdoc_ngram_overlap_oracle(),
         "token_frequency_score": oracles.token_frequency_score_oracle(),
         "token_pack_report": oracles.token_pack_report_oracle(),

@@ -99,6 +99,7 @@ HEADLINE = [
     "daily_funnel",
     "bpe_merges",
     "daily_reconciliation",
+    "embedding_neardup_fps",
 ]
 
 

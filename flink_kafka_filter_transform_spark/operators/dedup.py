@@ -279,7 +279,7 @@ def embedding_neardup(emb: DataFrame) -> DataFrame:
 
 
 def embedding_neardup_refined(
-    emb: DataFrame, n_cells: int = 8, iters: int = 2
+    emb: DataFrame, n_cells: int = 8, iters: int = 2, seeding: str = "first"
 ) -> DataFrame:
     """Embedding near-dup with QUANTIZER-REFINED blocking: candidate
     pairs must share the label cell AND a learned k-means subcell
@@ -298,7 +298,7 @@ def embedding_neardup_refined(
     from flink_kafka_filter_transform_spark.functions.vectors import dot, l2_norm
     from flink_kafka_filter_transform_spark.operators.kmeans import kmeans_clusters
 
-    assign = kmeans_clusters(emb, k=n_cells, iters=iters)
+    assign = kmeans_clusters(emb, k=n_cells, iters=iters, seeding=seeding)
     normed = emb.join(assign, "vec_id").select(
         "vec_id", "label", "cluster_id", "embedding", l2_norm("embedding").alias("nrm")
     )

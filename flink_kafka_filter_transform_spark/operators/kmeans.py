@@ -82,15 +82,73 @@ def _update(vecs: DataFrame, assign: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
+def farthest_point_seeds(vecs: DataFrame, k: int) -> DataFrame:
+    """Deterministic farthest-point (greedy kmeans++-style) seeding:
+    seed 0 is the lowest vec_id; each next seed is the vector with the
+    MAXIMUM distance to its nearest chosen seed (ties -> lower
+    vec_id). Each step is one broadcast of the <=k chosen seeds + a
+    full-scan aggregate + a TakeOrdered(1) — k-1 corpus scans total.
+
+    Why it exists: first-k seeding inherits the corpus's ROW ORDER —
+    on a randomly-ordered corpus the first k rows are a de-facto
+    random sample and Lloyd converges to the same codebook either way
+    (measured: identical candidate pair mass at sf3, SCALING.md), but
+    on an ingestion-sorted corpus (by source, by crawl time, by
+    cluster) the first k rows all land in one region and the codebook
+    degenerates. Farthest-point traversal makes seeding order-
+    independent — insurance a production pipeline wants because it
+    cannot assume its parquet arrives shuffled. At 100 TB the
+    traversal runs on a deterministic sample, not the full corpus
+    (sampling.py's content-hash filters compose for that).
+
+    Each round localCheckpoints the (<=k)-row seed set — the same
+    lineage-truncation discipline as graph.py's CC loop. Without it
+    every iteration recomputes the whole traversal so far (O(k^2)
+    corpus scans in one giant plan; measured as a timeout at 60k
+    vectors, k=32); with it the traversal is exactly k-1 scans."""
+    seeds = (
+        vecs.orderBy("vec_id")
+        .limit(1)
+        .select(F.lit(0).alias("cid"), F.col("v").alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(1, k):
+        dists = (
+            vecs.crossJoin(F.broadcast(seeds))
+            .groupBy("vec_id")
+            .agg(
+                F.min(_sq_dist("v", "centroid")).alias("_d"),
+                F.first("v").alias("v"),
+            )
+        )
+        nxt = (
+            dists.orderBy(F.col("_d").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select(F.lit(i).alias("cid"), F.col("v").alias("centroid"))
+        )
+        seeds = seeds.unionByName(nxt).localCheckpoint(eager=True)
+    return seeds
+
+
 def kmeans_clusters(
-    emb: DataFrame, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT
+    emb: DataFrame,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    seeding: str = "first",
 ) -> DataFrame:
     """Final (vec_id, cluster_id) assignment after ``iters`` Lloyd
-    iterations seeded with the first k vectors."""
+    iterations. ``seeding``: "first" (the first k vectors — the
+    original deterministic baseline) or "farthest" (farthest-point
+    traversal; better-spread codebooks on clustered corpora)."""
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
-    )
+    if seeding == "farthest":
+        cents = farthest_point_seeds(vecs, k)
+    elif seeding == "first":
+        cents = vecs.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
+        )
+    else:
+        raise ValueError(f"unknown seeding {seeding!r}: use 'first' or 'farthest'")
     for _ in range(iters):
         assign = _assign(vecs, cents)
         cents = _update(vecs, assign, cents)

@@ -708,13 +708,16 @@ SELECT vec_a, vec_b, label, cos_sim FROM (
 """
 
 
-def embedding_neardup_refined_oracle(n_cells: int = 8, iters: int = 2) -> str:
+def embedding_neardup_refined_oracle(
+    n_cells: int = 8, iters: int = 2, seeding: str = "first"
+) -> str:
     """Quantizer-refined near-dup: the unrolled-CTE k-means codebook
-    (identical trajectory to operators.kmeans) assigns subcells; pairs
-    must share (label, subcell) before the exact cosine verify."""
+    (identical trajectory to operators.kmeans, optional farthest-point
+    seeding) assigns subcells; pairs must share (label, subcell)
+    before the exact cosine verify."""
     cos = cosine_sql("a.embedding", "b.embedding")
     return f"""
-{_kmeans_ctes(n_cells, iters)}
+{_kmeans_ctes(n_cells, iters, seeding)}
 SELECT vec_a, vec_b, label, cell, cos_sim FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
     ma.cid AS cell, {cos} AS cos_sim
@@ -1683,11 +1686,12 @@ GROUP BY event_type
 """
 
 
-def _kmeans_ctes(k: int, iters: int) -> str:
+def _kmeans_ctes(k: int, iters: int, seeding: str = "first") -> str:
     """Lloyd's algorithm unrolled as a CTE chain — iteration i reads
     c{i-1} and emits a{i} (assignments) and c{i} (centroids). The
     distance fold, decimal centroid means, and tie-breaks mirror
-    operators.kmeans exactly."""
+    operators.kmeans exactly; seeding='farthest' prepends the
+    farthest-point traversal (one CTE pair per seed)."""
     dist = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
         " list_transform(list_zip(e.v, c.centroid),"
@@ -1696,8 +1700,33 @@ def _kmeans_ctes(k: int, iters: int) -> str:
     )
     parts = [
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, v AS centroid FROM e WHERE vec_id < {k})",
     ]
+    if seeding == "farthest":
+        parts.append(
+            "fs0 AS (SELECT 0 AS cid, v AS centroid FROM e ORDER BY vec_id LIMIT 1)"
+        )
+        for i in range(1, k):
+            prev = f"fs{i - 1}"
+            # same left-fold distance as the Lloyd steps, min over the
+            # chosen seeds, farthest wins (ties -> lower vec_id)
+            parts.append(
+                f"""fm{i} AS (
+  SELECT e.vec_id, e.v, min({dist}) AS d
+  FROM e CROSS JOIN {prev} c GROUP BY e.vec_id, e.v
+)"""
+            )
+            parts.append(
+                f"""fs{i} AS (
+  SELECT * FROM {prev}
+  UNION ALL
+  (SELECT {i} AS cid, v AS centroid FROM fm{i} ORDER BY d DESC, vec_id ASC LIMIT 1)
+)"""
+            )
+        parts.append(f"c0 AS (SELECT cid, centroid FROM fs{k - 1})")
+    else:
+        parts.append(
+            f"c0 AS (SELECT vec_id AS cid, v AS centroid FROM e WHERE vec_id < {k})"
+        )
     for i in range(1, iters + 1):
         prev = f"c{i - 1}"
         parts.append(
