@@ -119,11 +119,12 @@ def queries() -> dict[str, QueryFn]:
     driver verdict (the r{N-1} tail). Queries green in the most recent
     CORRECTNESS_r{N}.json and untouched since yield their slots.
 
-    Round-4 head = 12 new (embedding_neardup_refined,
+    Round-4 head = 13 new (embedding_neardup_refined,
     embedding_neardup_fps, crossdoc_ngram_overlap,
     token_frequency_score, token_pack_report, source_vocab_divergence,
-    daily_funnel, bpe_merges, daily_reconciliation, png_decode, q17,
-    q20) + 3 r3-verdict queries
+    daily_funnel, bpe_merges, daily_reconciliation,
+    value_outliers_by_type, png_decode, q17, q20) + 3 r3-verdict
+    queries
     invalidated by early-r4 changes (q22 predicate, cdc_route_join
     memoization+tie-break, media_decode's decode_audio validation) +
     the FULL events-ts surface — the driver regenerated testdata with
@@ -139,9 +140,9 @@ def queries() -> dict[str, QueryFn]:
     salted_event_counts, event_value_percentiles, the revenue
     rollup/cube/grouping-sets trio, array_function_showcase, and the
     lang_id/token_counts/normalize_text/doc_fingerprint/text_stats/
-    pii_redact map block) are the simplest single-operator queries,
-    each re-verified every CI run by tests/test_oracle_parity.py; they
-    rotate first in r5."""
+    pii_redact/repetition_ratios map block) are the simplest
+    single-operator queries, each re-verified every CI run by
+    tests/test_oracle_parity.py; they rotate first in r5."""
     return {
         # === HEAD: new in round 4 ===
         "embedding_neardup_refined": lambda s, d: dedup.embedding_neardup_refined(
@@ -162,6 +163,9 @@ def queries() -> dict[str, QueryFn]:
         "bpe_merges": lambda s, d: text.bpe_merges(_docs(s, d)),
         "daily_reconciliation": lambda s, d: relational.daily_reconciliation(
             load_table(s, "orders", d), load_table(s, "lineitem", d)
+        ),
+        "value_outliers_by_type": lambda s, d: relational.value_outliers_by_type(
+            load_table(s, "events", d)
         ),
         "png_decode": lambda s, d: multimodal.png_decode(_docs(s, d)),
         "q17_small_quantity": lambda s, d: relational.q17_small_quantity(
@@ -215,7 +219,6 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "events", d)
         ),
         # --- text analysis + quality ---
-        "repetition_ratios": lambda s, d: text.repetition_ratios(_docs(s, d)),
         "quality_filter_funnel": lambda s, d: text.quality_filter_funnel(_docs(s, d)),
         "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
         # --- dedup / contamination ---
@@ -297,6 +300,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_fingerprint": lambda s, d: text.doc_fingerprint(_docs(s, d)),
         "text_stats": lambda s, d: text.text_stats(_docs(s, d)),
         "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
+        "repetition_ratios": lambda s, d: text.repetition_ratios(_docs(s, d)),
         # === TAIL: green in CORRECTNESS_r03 and unchanged since ===
         "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
             load_table(s, "lineitem", d)
@@ -413,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_funnel": oracles.daily_funnel_oracle(),
         "bpe_merges": oracles.bpe_merges_oracle(),
         "daily_reconciliation": oracles.daily_reconciliation_oracle(),
+        "value_outliers_by_type": oracles.value_outliers_by_type_oracle(),
         "png_decode": oracles.png_decode_oracle(),
         "q17_small_quantity": oracles.q17_small_quantity_oracle(),
         "q20_potential_promotion": oracles.q20_potential_promotion_oracle(),

@@ -100,6 +100,7 @@ HEADLINE = [
     "bpe_merges",
     "daily_reconciliation",
     "embedding_neardup_fps",
+    "value_outliers_by_type",
 ]
 
 

@@ -275,6 +275,56 @@ def daily_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def value_outliers_by_type(events: DataFrame, z: float = 3.0) -> DataFrame:
+    """Per-type z-score outlier profile: mean/population-stddev of
+    ``value`` per event_type, and how many events sit more than ``z``
+    deviations out — the monitoring-style anomaly scan the event
+    surface lacked.
+
+    Float discipline: sums and sums-of-squares fold as DECIMAL
+    (order-independent, exact); mean, variance (E[x^2] - mean^2,
+    clamped at 0), and sqrt are then fixed-order IEEE double ops —
+    sqrt is correctly rounded by the standard, so unlike ln/exp it is
+    bit-identical across engines and stays inside the float policy.
+
+    Scale shape: one aggregation builds the per-type stats (map-side
+    combine, one row per type); the tiny stats relation broadcasts
+    back onto the stream for the outlier count — two passes over the
+    input, zero data-sized shuffles beyond the first aggregation."""
+    sum_v = F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+    sum_sq = F.sum(
+        (F.col("value").cast("decimal(28,6)") * F.col("value").cast("decimal(28,6)"))
+    ).cast("double")
+    n = F.count(F.lit(1))
+    stats = events.groupBy("event_type").agg(
+        n.alias("n_events"),
+        (sum_v / n).alias("mean_value"),
+        (sum_sq / n).alias("_ex2"),
+    )
+    std = F.sqrt(
+        F.greatest(
+            F.col("_ex2") - F.col("mean_value") * F.col("mean_value"), F.lit(0.0)
+        )
+    )
+    stats = stats.select("event_type", "n_events", "mean_value", std.alias("std_value"))
+    flagged = (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("mean_value"))
+            > F.lit(z) * F.col("std_value")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return stats.join(flagged, "event_type", "left").select(
+        "event_type",
+        "n_events",
+        "mean_value",
+        "std_value",
+        F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias("n_outliers"),
+    )
+
+
 def q4_order_priority_semi(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q4 analog: left-semi join — orders with at least one
     late-shipped lineitem, counted per priority. Semi joins stop at

@@ -323,6 +323,34 @@ FROM o FULL OUTER JOIN l ON o.day = l.day
 """
 
 
+def value_outliers_by_type_oracle(z: float = 3.0) -> str:
+    """z-score outlier twin: identical decimal folds and fixed-order
+    double arithmetic (sqrt is correctly rounded per IEEE — safe)."""
+    return f"""
+WITH stats AS (
+  SELECT event_type,
+    count(*) AS n_events,
+    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_value,
+    CAST(sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS ex2
+  FROM events GROUP BY event_type
+),
+s2 AS (
+  SELECT event_type, n_events, mean_value,
+    sqrt(greatest(ex2 - mean_value * mean_value, 0.0)) AS std_value
+  FROM stats
+),
+flagged AS (
+  SELECT e.event_type, count(*) AS n_outliers
+  FROM events e JOIN s2 ON e.event_type = s2.event_type
+  WHERE abs(e.value - s2.mean_value) > {z} * s2.std_value
+  GROUP BY e.event_type
+)
+SELECT s2.event_type, n_events, mean_value, std_value,
+  CAST(coalesce(n_outliers, 0) AS BIGINT) AS n_outliers
+FROM s2 LEFT JOIN flagged ON s2.event_type = flagged.event_type
+"""
+
+
 def daily_funnel_oracle() -> str:
     """view -> click -> purchase conversion twin (strict order on
     epoch-microseconds; same day bucketing as events_daily)."""
