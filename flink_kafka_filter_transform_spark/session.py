@@ -44,6 +44,16 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle discipline ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Always use the sort-based shuffle writer (one spill file per
+        # map task), never the bypass-merge writer (one file PER REDUCE
+        # BUCKET per map task). With <=200 reduce partitions the bypass
+        # writer opens map_tasks x buckets file segments; on mid-
+        # cardinality aggregations that filesystem churn dominated the
+        # whole query (inbound counts at sf0.1: 0.95 s -> 0.32 s with
+        # the sort writer). A real cluster runs >200 shuffle partitions
+        # where the bypass path never fires, so this costs nothing at
+        # scale — it only removes a local small-shuffle pathology.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # runtime bloom-filter join pruning: for shuffle joins with a
         # selective build side, Catalyst injects bloom_filter_agg on the

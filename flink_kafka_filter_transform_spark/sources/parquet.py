@@ -109,7 +109,12 @@ def _single_file_meta(path: str) -> tuple[int, int] | None:
         return None
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    rebalance: bool = True,
+) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
     SMALL-SCAN REBALANCE (documents/embeddings only): a Spark parquet
@@ -125,14 +130,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     real-scale inputs are never touched. plans.explain.count_shuffles
     excludes this REPARTITION_BY_NUM exchange so the plan gates keep
     asserting the ALGORITHMIC shuffle inventory.
-    SPARK_GRAFT_REBALANCE=0 disables for A/B runs."""
+    SPARK_GRAFT_REBALANCE=0 disables for A/B runs.
+
+    ``rebalance=False`` opts a consumer out entirely: agg-first plans
+    (a groupBy directly on the scan, trivial per-row work) get their
+    parallelism from the aggregation's own shuffle, so the rebalance
+    is a full raw-row shuffle bought for nothing (measured r4:
+    exact_dedup 0.36 -> 1.13 s cold as pure collateral)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if (
-        name in _REBALANCE_TABLES
+        rebalance
+        and name in _REBALANCE_TABLES
         and os.environ.get("SPARK_GRAFT_REBALANCE", "1") != "0"
     ):
         meta = _single_file_meta(path)
