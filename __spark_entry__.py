@@ -119,162 +119,22 @@ def queries() -> dict[str, QueryFn]:
     driver verdict (the r{N-1} tail). Queries green in the most recent
     CORRECTNESS_r{N}.json and untouched since yield their slots.
 
-    Round-4 head = 13 new (embedding_neardup_refined,
-    embedding_neardup_fps, crossdoc_ngram_overlap,
-    token_frequency_score, token_pack_report, source_vocab_divergence,
-    daily_funnel, bpe_merges, daily_reconciliation,
-    value_outliers_by_type, png_decode, q17, q20) + 3 r3-verdict
-    queries
-    invalidated by early-r4 changes (q22 predicate, cdc_route_join
-    memoization+tie-break, media_decode's decode_audio validation) +
-    the FULL events-ts surface — the driver regenerated testdata with
-    events.ts as TIMESTAMP(us) (previously TIMESTAMP(NANOS)), which
-    rewrote the ts handling in every query whose call graph touches
-    sources.parquet.ts_as_* or the CDC fixture template, invalidating
-    their old verdicts: all cdc_* queries, events_daily(+gapfilled/
-    pivot/unpivot), events_sessionized(+native), events_last_purchase,
-    purchases_with_recent_clicks, users_purchase_except/intersect,
-    user_value_moving_avg, hll_rollup_users, cdc_scd2_history — plus
-    as much of the r2-verdict tail as fits. The spilled r2-tail
-    queries (orders_top10, the vectorprep trio, the knn_jl pair,
+    Round-5 head = the 19 r2-verdict queries the r4 verdict ordered
+    rotated first (orders_top10, the vectorprep trio, the knn_jl pair,
     salted_event_counts, event_value_percentiles, the revenue
     rollup/cube/grouping-sets trio, array_function_showcase, and the
     lang_id/token_counts/normalize_text/doc_fingerprint/text_stats/
-    pii_redact/repetition_ratios map block) are the simplest
-    single-operator queries, each re-verified every CI run by
-    tests/test_oracle_parity.py; they rotate first in r5."""
+    pii_redact/repetition_ratios map block) + queries changed in r5
+    (token_frequency_score's integer-exact rework;
+    embedding_neardup_refined/_fps's data-adaptive codebook
+    cardinality; exact_dedup's rebalance opt-out; new r5 queries) +
+    r3-verdict queries refreshed ahead of aging out (the dedup/knn/
+    kmeans families and the q6-q18 TPC-H block). The tail is r4-green-
+    and-unchanged plus the r3 remainder that r6 must rotate;
+    tools/rotation_check.py (tests/test_rotation.py) fails CI if any
+    tail query's latest driver verdict would exceed 2 rounds old."""
     return {
-        # === HEAD: new in round 4 ===
-        "embedding_neardup_refined": lambda s, d: dedup.embedding_neardup_refined(
-            _emb(s, d)
-        ),
-        "embedding_neardup_fps": lambda s, d: dedup.embedding_neardup_refined(
-            _emb(s, d), seeding="farthest"
-        ),
-        "crossdoc_ngram_overlap": lambda s, d: dedup.crossdoc_ngram_overlap(
-            _docs(s, d)
-        ),
-        "token_frequency_score": lambda s, d: text.token_frequency_score(_docs(s, d)),
-        "token_pack_report": lambda s, d: text.token_pack_report(_docs(s, d)),
-        "source_vocab_divergence": lambda s, d: text.source_vocab_divergence(
-            _docs(s, d)
-        ),
-        "daily_funnel": lambda s, d: relational.daily_funnel(load_table(s, "events", d)),
-        "bpe_merges": lambda s, d: text.bpe_merges(_docs(s, d)),
-        "daily_reconciliation": lambda s, d: relational.daily_reconciliation(
-            load_table(s, "orders", d), load_table(s, "lineitem", d)
-        ),
-        "value_outliers_by_type": lambda s, d: relational.value_outliers_by_type(
-            load_table(s, "events", d)
-        ),
-        "png_decode": lambda s, d: multimodal.png_decode(_docs(s, d)),
-        "q17_small_quantity": lambda s, d: relational.q17_small_quantity(
-            load_table(s, "lineitem", d), load_table(s, "part", d)
-        ),
-        "q20_potential_promotion": lambda s, d: relational.q20_potential_promotion(
-            load_table(s, "lineitem", d),
-            load_table(s, "part", d),
-            load_table(s, "supplier", d),
-            load_table(s, "nation", d),
-        ),
-        # === HEAD: r3 verdict invalidated by r4 changes ===
-        # q22: idle-cutoff predicate replaced the vacuous no-orders-ever
-        "q22_idle_rich_customers": lambda s, d: relational.q22_idle_rich_customers(
-            load_table(s, "customer", d), load_table(s, "orders", d)
-        ),
-        # cdc_route_join: rule-probe memoization + priority tie-break
-        "cdc_route_join": q_cdc_route_join,
-        # media_decode: decode_audio chunk-size validation
-        "media_decode": lambda s, d: multimodal.media_decode(_docs(s, d)),
-        # === HEAD: rotating the r2-verdict tail forward ===
-        # --- reference parity (SURVEY §2 O2-O10; cdc_route/outgoing/
-        #     counts_outbound also sit in route_when_chain's changed
-        #     call graph this round) ---
-        "cdc_parse": q_cdc_parse,
-        "cdc_filter_deletes": q_cdc_filter_deletes,
-        "cdc_route": q_cdc_route,
-        "cdc_counts_inbound": q_cdc_counts_inbound,
-        "cdc_counts_outbound": q_cdc_counts_outbound,
-        "cdc_outgoing": q_cdc_outgoing,
-        "cdc_materialize": lambda s, d: cdc.materialize_latest(
-            cdc.parse_envelope(_cdc(s, d))
-        ),
-        "cdc_scd2_history": lambda s, d: cdc.scd2_history(
-            cdc.parse_envelope(_cdc(s, d))
-        ),
-        # --- events-ts surface rewritten by the TIMESTAMP(us) migration ---
-        "events_daily": lambda s, d: relational.events_daily(load_table(s, "events", d)),
-        "events_daily_gapfilled": lambda s, d: relational.events_daily_gapfilled(
-            load_table(s, "events", d)
-        ),
-        "events_pivot": lambda s, d: relational.events_pivot(load_table(s, "events", d)),
-        "events_unpivot": lambda s, d: relational.events_unpivot(load_table(s, "events", d)),
-        "events_last_purchase": lambda s, d: asof.events_last_purchase(
-            load_table(s, "events", d)
-        ),
-        "users_purchase_except_error": lambda s, d: relational.users_purchase_except_error(
-            load_table(s, "events", d)
-        ),
-        "users_purchase_intersect_error": lambda s, d: relational.users_purchase_intersect_error(
-            load_table(s, "events", d)
-        ),
-        # --- text analysis + quality ---
-        "quality_filter_funnel": lambda s, d: text.quality_filter_funnel(_docs(s, d)),
-        "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
-        # --- dedup / contamination ---
-        # agg-first plan: its groupBy-on-scan provides the parallelism
-        # the ingest rebalance would otherwise buy with a raw-row
-        # shuffle (r4 collateral: 0.36 -> 1.13 s cold)
-        "exact_dedup": lambda s, d: dedup.exact_dedup(
-            load_table(s, "documents", d, rebalance=False)
-        ),
-        "contamination_check": lambda s, d: dedup.contamination_check(_docs(s, d)),
-        # --- sketches ---
-        "hll_distinct_users": lambda s, d: sketch.hll_distinct_users(
-            load_table(s, "events", d)
-        ),
-        "hll_distinct_orders": lambda s, d: sketch.hll_distinct_orders(
-            load_table(s, "lineitem", d)
-        ),
-        "hll_rollup_users": lambda s, d: sketch.hll_rollup_users(
-            load_table(s, "events", d)
-        ),
-        "cms_token_counts": lambda s, d: sketch.cms_token_counts(_docs(s, d)),
-        "histogram_quantiles": lambda s, d: sketch.histogram_quantiles(
-            load_table(s, "events", d)
-        ),
-        "histogram_quantiles_by_type": lambda s, d: sketch.histogram_quantiles_by_type(
-            load_table(s, "events", d)
-        ),
-        # --- sampling ---
-        "documents_split_summary": lambda s, d: sampling.documents_split_summary(_docs(s, d)),
-        "events_stratified_sample": lambda s, d: sampling.events_stratified_sample(
-            load_table(s, "events", d)
-        ),
-        # --- relational (r02-verdict remainder; customers_without_orders
-        #     also changed this round: idle-cutoff anti join) ---
-        "customers_without_orders": lambda s, d: relational.customers_without_orders(
-            load_table(s, "customer", d), load_table(s, "orders", d)
-        ),
-        "orders_above_customer_avg": lambda s, d: relational.orders_above_customer_avg(
-            load_table(s, "orders", d)
-        ),
-        "user_value_moving_avg": lambda s, d: relational.user_value_moving_avg(
-            load_table(s, "events", d)
-        ),
-        "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
-            load_table(s, "lineitem", d), load_table(s, "part", d)
-        ),
-        "events_sessionized": lambda s, d: relational.events_sessionized(
-            load_table(s, "events", d)
-        ),
-        "events_sessionized_native": lambda s, d: relational.events_sessionized_native(
-            load_table(s, "events", d)
-        ),
-        "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
-            load_table(s, "events", d)
-        ),
-        # === TAIL (51+): r2-verdict spill — they rotate first in r5 ===
+        # === HEAD: the r2-verdict tail, rotating first (VERDICT r4 #1) ===
         "orders_top10": lambda s, d: relational.orders_top10(load_table(s, "orders", d)),
         "embedding_normalized_norms": lambda s, d: vectorprep.embedding_normalized_norms(
             _emb(s, d)
@@ -306,7 +166,40 @@ def queries() -> dict[str, QueryFn]:
         "text_stats": lambda s, d: text.text_stats(_docs(s, d)),
         "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
         "repetition_ratios": lambda s, d: text.repetition_ratios(_docs(s, d)),
-        # === TAIL: green in CORRECTNESS_r03 and unchanged since ===
+        # === HEAD: changed in round 5 ===
+        # integer-exact rework (sum of counts / (total*n), one division)
+        "token_frequency_score": lambda s, d: text.token_frequency_score(_docs(s, d)),
+        # codebook cardinality now data-adaptive: ceil(N/256) on both engines
+        "embedding_neardup_refined": lambda s, d: dedup.embedding_neardup_refined(
+            _emb(s, d)
+        ),
+        "embedding_neardup_fps": lambda s, d: dedup.embedding_neardup_refined(
+            _emb(s, d), seeding="farthest"
+        ),
+        # agg-first plan: its groupBy-on-scan provides the parallelism
+        # the ingest rebalance would otherwise buy with a raw-row
+        # shuffle (r4 collateral: 0.36 -> 1.13 s cold)
+        "exact_dedup": lambda s, d: dedup.exact_dedup(
+            load_table(s, "documents", d, rebalance=False)
+        ),
+        # === HEAD: r3-verdict refresh (would age out at r6) ===
+        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        # LABELED ANTI-PATTERN BASELINE (quadratic at scale; SCALING.md):
+        # kept only as the measured comparator for the _refined variant
+        "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
+        "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
+        "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
+        "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
+        "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
+        "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
+        "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
+        "knn_ivf_recall": lambda s, d: similarity.knn_ivf_recall(_emb(s, d)),
+        "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
+        "knn_ivf_probe_sweep": lambda s, d: similarity.knn_ivf_probe_sweep(_emb(s, d)),
+        "kmeans_clusters": lambda s, d: kmeans.kmeans_clusters(_emb(s, d)),
+        "kmeans_cluster_sizes": lambda s, d: kmeans.kmeans_cluster_sizes(_emb(s, d)),
         "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
             load_table(s, "lineitem", d)
         ),
@@ -344,30 +237,116 @@ def queries() -> dict[str, QueryFn]:
             _docs(s, d)
         ),
         "media_resize": lambda s, d: multimodal.media_resize(_docs(s, d)),
-        "knn_ivf_probe_sweep": lambda s, d: similarity.knn_ivf_probe_sweep(_emb(s, d)),
         "doc_chunks": lambda s, d: text.doc_chunks(_docs(s, d)),
         "mixture_sample_summary": lambda s, d: sampling.mixture_sample_summary(
             _docs(s, d)
         ),
+        # === TAIL (51+): r4-green and unchanged since ===
+        "crossdoc_ngram_overlap": lambda s, d: dedup.crossdoc_ngram_overlap(
+            _docs(s, d)
+        ),
+        "token_pack_report": lambda s, d: text.token_pack_report(_docs(s, d)),
+        "source_vocab_divergence": lambda s, d: text.source_vocab_divergence(
+            _docs(s, d)
+        ),
+        "daily_funnel": lambda s, d: relational.daily_funnel(load_table(s, "events", d)),
+        "bpe_merges": lambda s, d: text.bpe_merges(_docs(s, d)),
+        "daily_reconciliation": lambda s, d: relational.daily_reconciliation(
+            load_table(s, "orders", d), load_table(s, "lineitem", d)
+        ),
+        "value_outliers_by_type": lambda s, d: relational.value_outliers_by_type(
+            load_table(s, "events", d)
+        ),
+        "png_decode": lambda s, d: multimodal.png_decode(_docs(s, d)),
+        "q17_small_quantity": lambda s, d: relational.q17_small_quantity(
+            load_table(s, "lineitem", d), load_table(s, "part", d)
+        ),
+        "q20_potential_promotion": lambda s, d: relational.q20_potential_promotion(
+            load_table(s, "lineitem", d),
+            load_table(s, "part", d),
+            load_table(s, "supplier", d),
+            load_table(s, "nation", d),
+        ),
+        "q22_idle_rich_customers": lambda s, d: relational.q22_idle_rich_customers(
+            load_table(s, "customer", d), load_table(s, "orders", d)
+        ),
+        "cdc_route_join": q_cdc_route_join,
+        "media_decode": lambda s, d: multimodal.media_decode(_docs(s, d)),
+        "cdc_parse": q_cdc_parse,
+        "cdc_filter_deletes": q_cdc_filter_deletes,
+        "cdc_route": q_cdc_route,
+        "cdc_counts_inbound": q_cdc_counts_inbound,
+        "cdc_counts_outbound": q_cdc_counts_outbound,
+        "cdc_outgoing": q_cdc_outgoing,
+        "cdc_materialize": lambda s, d: cdc.materialize_latest(
+            cdc.parse_envelope(_cdc(s, d))
+        ),
+        "cdc_scd2_history": lambda s, d: cdc.scd2_history(
+            cdc.parse_envelope(_cdc(s, d))
+        ),
+        "events_daily": lambda s, d: relational.events_daily(load_table(s, "events", d)),
+        "events_daily_gapfilled": lambda s, d: relational.events_daily_gapfilled(
+            load_table(s, "events", d)
+        ),
+        "events_pivot": lambda s, d: relational.events_pivot(load_table(s, "events", d)),
+        "events_unpivot": lambda s, d: relational.events_unpivot(load_table(s, "events", d)),
+        "events_last_purchase": lambda s, d: asof.events_last_purchase(
+            load_table(s, "events", d)
+        ),
+        "users_purchase_except_error": lambda s, d: relational.users_purchase_except_error(
+            load_table(s, "events", d)
+        ),
+        "users_purchase_intersect_error": lambda s, d: relational.users_purchase_intersect_error(
+            load_table(s, "events", d)
+        ),
+        "quality_filter_funnel": lambda s, d: text.quality_filter_funnel(_docs(s, d)),
+        "tfidf_top_terms": lambda s, d: text.tfidf_top_terms(_docs(s, d)),
+        "contamination_check": lambda s, d: dedup.contamination_check(_docs(s, d)),
+        "hll_distinct_users": lambda s, d: sketch.hll_distinct_users(
+            load_table(s, "events", d)
+        ),
+        "hll_distinct_orders": lambda s, d: sketch.hll_distinct_orders(
+            load_table(s, "lineitem", d)
+        ),
+        "hll_rollup_users": lambda s, d: sketch.hll_rollup_users(
+            load_table(s, "events", d)
+        ),
+        "cms_token_counts": lambda s, d: sketch.cms_token_counts(_docs(s, d)),
+        "histogram_quantiles": lambda s, d: sketch.histogram_quantiles(
+            load_table(s, "events", d)
+        ),
+        "histogram_quantiles_by_type": lambda s, d: sketch.histogram_quantiles_by_type(
+            load_table(s, "events", d)
+        ),
+        "documents_split_summary": lambda s, d: sampling.documents_split_summary(_docs(s, d)),
+        "events_stratified_sample": lambda s, d: sampling.events_stratified_sample(
+            load_table(s, "events", d)
+        ),
+        "customers_without_orders": lambda s, d: relational.customers_without_orders(
+            load_table(s, "customer", d), load_table(s, "orders", d)
+        ),
+        "orders_above_customer_avg": lambda s, d: relational.orders_above_customer_avg(
+            load_table(s, "orders", d)
+        ),
+        "user_value_moving_avg": lambda s, d: relational.user_value_moving_avg(
+            load_table(s, "events", d)
+        ),
+        "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
+            load_table(s, "lineitem", d), load_table(s, "part", d)
+        ),
+        "events_sessionized": lambda s, d: relational.events_sessionized(
+            load_table(s, "events", d)
+        ),
+        "events_sessionized_native": lambda s, d: relational.events_sessionized_native(
+            load_table(s, "events", d)
+        ),
+        "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
+            load_table(s, "events", d)
+        ),
+        # === TAIL: r3-verdict remainder (r6 rotates these) ===
         "scalar_function_showcase": lambda s, d: relational.scalar_function_showcase(
             load_table(s, "orders", d)
         ),
-        # --- similarity search / clustering ---
-        "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
-        "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
-        "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
-        "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
-        "knn_ivf_recall": lambda s, d: similarity.knn_ivf_recall(_emb(s, d)),
-        "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
-        "kmeans_clusters": lambda s, d: kmeans.kmeans_clusters(_emb(s, d)),
-        "kmeans_cluster_sizes": lambda s, d: kmeans.kmeans_cluster_sizes(_emb(s, d)),
-        # --- dedup ---
-        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
-        "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
-        "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
-        "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
-        "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
-        "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
         # --- extensibility, multimodal plumbing ---
         "weighted_avg_by_type": lambda s, d: extensibility.weighted_avg_by_type(
             load_table(s, "events", d)

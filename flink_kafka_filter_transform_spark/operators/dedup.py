@@ -245,11 +245,13 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
 def embedding_neardup(emb: DataFrame) -> DataFrame:
     """Pairs in the same label cell with cosine >= EMB_NEARDUP_THRESHOLD.
 
-    ``label`` plays the role of an IVF coarse-quantizer assignment:
-    the pair join is co-partitioned by cell, so each reducer sees only
-    its cell's vectors — the standard way to keep vector dedup from
-    going quadratic at 100 TB (recall loss at cell borders is the
-    documented tradeoff; multi-probe extends it).
+    ANTI-PATTERN BASELINE — NOT 100 TB-safe. KEPT DELIBERATELY as the
+    measured comparator for ``embedding_neardup_refined``: ``label``
+    has FIXED cardinality (~10 cells), so cells grow linearly with the
+    corpus and within-cell pair work quadratically — the sf1 scale
+    audit measured 27.6x runtime at 10x data (SCALING.md). Use
+    ``embedding_neardup_refined``, whose learned-codebook blocking
+    cardinality tracks the corpus, for anything beyond toy scale.
 
     Norms are precomputed once per VECTOR before the pair join (N norm
     folds instead of 2 x N^2/cells): only the dot product runs per
@@ -278,8 +280,17 @@ def embedding_neardup(emb: DataFrame) -> DataFrame:
     )
 
 
+def adaptive_n_cells(n_vectors: int) -> int:
+    """Codebook cardinality for a corpus of ``n_vectors``:
+    ceil(N / EMB_CELL_TARGET_ROWS), floor 1. The DuckDB oracle computes
+    the SAME formula in SQL (CEIL(count(*)/256.0)), so both engines
+    derive the identical k from the data."""
+    t = params.EMB_CELL_TARGET_ROWS
+    return max(1, -(-n_vectors // t))
+
+
 def embedding_neardup_refined(
-    emb: DataFrame, n_cells: int = 8, iters: int = 2, seeding: str = "first"
+    emb: DataFrame, n_cells: int | None = None, iters: int = 2, seeding: str = "first"
 ) -> DataFrame:
     """Embedding near-dup with QUANTIZER-REFINED blocking: candidate
     pairs must share the label cell AND a learned k-means subcell
@@ -291,13 +302,24 @@ def embedding_neardup_refined(
     cells grow linearly with the corpus and within-cell pairs
     quadratically (102x runtime at 10x data; SCALING.md sf1 audit).
     The scale-correct design grows the blocking cardinality with the
-    corpus — IVF-style: n_cells tracks N / target_cell_size, keeping
-    per-cell pair counts bounded while the cosine verify stays exact.
-    Recall tradeoff: pairs straddling a subcell border are missed,
-    the same documented tradeoff as knn_ivf's cell borders."""
+    corpus — IVF-style: by default n_cells = ceil(N / 256)
+    (adaptive_n_cells; one count() job sizes the codebook, the k-means
+    analog of AQE reading runtime statistics), keeping per-cell pair
+    counts bounded while the cosine verify stays exact. At sf0.01 that
+    is k=2, at sf0.1 k=8, at sf1 k=79 — the sf3 study's k>=64 regime
+    is reached with no code edit. Recall tradeoff: pairs straddling a
+    subcell border are missed, the same documented tradeoff as
+    knn_ivf's cell borders.
+
+    ``seeding="farthest"`` requires an EXPLICIT n_cells (defaults to 8
+    for continuity): the oracle unrolls one CTE pair per farthest-point
+    seed, so its structure — unlike first-k's ``vec_id < k`` filter —
+    cannot depend on a runtime count."""
     from flink_kafka_filter_transform_spark.functions.vectors import dot, l2_norm
     from flink_kafka_filter_transform_spark.operators.kmeans import kmeans_clusters
 
+    if n_cells is None:
+        n_cells = 8 if seeding == "farthest" else adaptive_n_cells(emb.count())
     assign = kmeans_clusters(emb, k=n_cells, iters=iters, seeding=seeding)
     normed = emb.join(assign, "vec_id").select(
         "vec_id", "label", "cluster_id", "embedding", l2_norm("embedding").alias("nrm")

@@ -46,6 +46,11 @@ SIMHASH_MAX_HAMMING = 4
 
 # --- embedding near-dup + similarity search --------------------------------
 EMB_NEARDUP_THRESHOLD = 0.30
+# Quantizer-refined blocking sizes its codebook as ceil(N / this):
+# cardinality tracks the corpus so per-cell pair mass stays bounded
+# (the sf1 audit's lesson — fixed cardinality goes quadratic). 256 is
+# a power of two so the oracle's CEIL(count/256.0) is float-exact.
+EMB_CELL_TARGET_ROWS = 256
 KNN_NUM_QUERIES = 5  # vec_id < 5 are the query set
 KNN_K = 10
 LSH_NUM_PLANES = 4  # hyperplanes = embeddings vec_id < 4

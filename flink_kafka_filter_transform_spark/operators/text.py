@@ -265,12 +265,19 @@ def token_frequency_score(docs: DataFrame, rare_max_count: int = 2) -> DataFrame
     scores common-heavy) that runs beside length/repetition gates in a
     training-data pipeline.
 
-    Deliberately TRANSCENDENTAL-FREE: the classic mean-log-prob form
-    would hinge on cross-engine libm parity for ln(), which this repo's
-    float policy forbids (see sketch.py's precomputed ln tables and the
-    functions.vectors fold-order contract). Probabilities are exact
-    double ratios of integers, summed as DECIMAL (order-independent),
-    so the differential stays bit-exact.
+    Deliberately TRANSCENDENTAL-FREE — and genuinely BIT-EXACT: the
+    classic mean-log-prob form would hinge on cross-engine libm parity
+    for ln(), which this repo's float policy forbids (see sketch.py's
+    precomputed ln tables). Since mean(c_i/total)/n == sum(c_i) /
+    (total*n), everything stays INTEGER until one final double
+    division of two exactly-representable values — correctly rounded
+    per IEEE on both engines, no decimal round-trip whose
+    double->DECIMAL cast semantics differ between them (Spark goes
+    through Java's shortest-string BigDecimal.valueOf, DuckDB scales
+    in double — ~1e-17 relative divergence in the old form).
+    Exactness holds while sum(c) and total*n stay under 2^53; a
+    100 TB corpus crosses that, where the result degrades gracefully
+    to ordinary double rounding.
 
     Scale shape: one token-keyed aggregation builds the vocabulary
     (map-side combine), the exploded corpus joins it back reusing the
@@ -280,24 +287,29 @@ def token_frequency_score(docs: DataFrame, rare_max_count: int = 2) -> DataFrame
     toks = docs.select("doc_id", F.explode(tokens()).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
     total = vocab.agg(F.sum("_c").alias("_total"))
-    prob = F.col("_c").cast("double") / F.col("_total").cast("double")
-    return (
+    agg = (
         toks.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            (
-                F.sum(prob.cast("decimal(38,28)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("mean_token_prob"),
-            (
-                F.sum(
-                    F.when(F.col("_c") <= rare_max_count, 1).otherwise(0)
-                ).cast("double")
-                / F.count(F.lit(1))
-            ).alias("rare_token_frac"),
+            F.sum("_c").alias("_sum_c"),
+            F.max("_total").alias("_t"),
+            F.sum(
+                F.when(F.col("_c") <= rare_max_count, 1).otherwise(0)
+            ).alias("_rare"),
         )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("_sum_c").cast("double")
+            / (F.col("_t") * F.col("n_tokens")).cast("double")
+        ).alias("mean_token_prob"),
+        (F.col("_rare").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "rare_token_frac"
+        ),
     )
 
 

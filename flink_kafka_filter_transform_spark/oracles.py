@@ -231,8 +231,9 @@ GROUP BY doc_id
 
 
 def token_frequency_score_oracle(rare_max_count: int = 2) -> str:
-    """Rare-token-density twin: exact double probability ratios summed
-    as DECIMAL — no transcendentals (see operator docstring)."""
+    """Rare-token-density twin: integer sums until one final double
+    division — bit-exact, no transcendentals, no decimal round-trip
+    (see operator docstring)."""
     return f"""
 WITH {_TOKS_CTE},
 e AS (SELECT doc_id, unnest(t) AS tok FROM toks),
@@ -240,12 +241,11 @@ v AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
 tot AS (SELECT sum(c) AS total FROM v)
 SELECT doc_id,
   count(*) AS n_tokens,
-  CAST(sum(CAST(CAST(c AS DOUBLE) / CAST(total AS DOUBLE) AS DECIMAL(38,28))) AS DOUBLE)
-    / count(*) AS mean_token_prob,
+  CAST(sum(c) AS DOUBLE) / CAST(total * count(*) AS DOUBLE) AS mean_token_prob,
   CAST(sum(CASE WHEN c <= {rare_max_count} THEN 1 ELSE 0 END) AS DOUBLE)
     / count(*) AS rare_token_frac
 FROM e JOIN v USING (tok) CROSS JOIN tot
-GROUP BY doc_id
+GROUP BY doc_id, total
 """
 
 
@@ -737,12 +737,16 @@ SELECT vec_a, vec_b, label, cos_sim FROM (
 
 
 def embedding_neardup_refined_oracle(
-    n_cells: int = 8, iters: int = 2, seeding: str = "first"
+    n_cells: int | None = None, iters: int = 2, seeding: str = "first"
 ) -> str:
     """Quantizer-refined near-dup: the unrolled-CTE k-means codebook
     (identical trajectory to operators.kmeans, optional farthest-point
     seeding) assigns subcells; pairs must share (label, subcell)
-    before the exact cosine verify."""
+    before the exact cosine verify. ``n_cells=None`` (first-k only)
+    derives k from count(*) — operators.dedup.adaptive_n_cells'
+    formula in SQL."""
+    if n_cells is None and seeding == "farthest":
+        n_cells = 8  # mirror the operator's farthest-seeding default
     cos = cosine_sql("a.embedding", "b.embedding")
     return f"""
 {_kmeans_ctes(n_cells, iters, seeding)}
@@ -1714,12 +1718,21 @@ GROUP BY event_type
 """
 
 
-def _kmeans_ctes(k: int, iters: int, seeding: str = "first") -> str:
+def _kmeans_ctes(
+    k: int | None, iters: int, seeding: str = "first"
+) -> str:
     """Lloyd's algorithm unrolled as a CTE chain — iteration i reads
     c{i-1} and emits a{i} (assignments) and c{i} (centroids). The
     distance fold, decimal centroid means, and tie-breaks mirror
     operators.kmeans exactly; seeding='farthest' prepends the
-    farthest-point traversal (one CTE pair per seed)."""
+    farthest-point traversal (one CTE pair per seed).
+
+    ``k=None`` (first-k seeding only) sizes the codebook from the data
+    itself — CEIL(count(*)/EMB_CELL_TARGET_ROWS), the same formula as
+    operators.dedup.adaptive_n_cells — which is expressible here
+    because first-k seeding touches k only in c0's ``vec_id < k``
+    filter; the farthest traversal's structure is one CTE per seed and
+    needs a literal k."""
     dist = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
         " list_transform(list_zip(e.v, c.centroid),"
@@ -1730,6 +1743,8 @@ def _kmeans_ctes(k: int, iters: int, seeding: str = "first") -> str:
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
     ]
     if seeding == "farthest":
+        if k is None:
+            raise ValueError("farthest seeding needs a literal k (one CTE per seed)")
         parts.append(
             "fs0 AS (SELECT 0 AS cid, v AS centroid FROM e ORDER BY vec_id LIMIT 1)"
         )
@@ -1752,8 +1767,16 @@ def _kmeans_ctes(k: int, iters: int, seeding: str = "first") -> str:
             )
         parts.append(f"c0 AS (SELECT cid, centroid FROM fs{k - 1})")
     else:
+        k_sql = (
+            str(k)
+            if k is not None
+            else (
+                "(SELECT GREATEST(1, CAST(CEIL(COUNT(*) / "
+                f"{params.EMB_CELL_TARGET_ROWS}.0) AS BIGINT)) FROM embeddings)"
+            )
+        )
         parts.append(
-            f"c0 AS (SELECT vec_id AS cid, v AS centroid FROM e WHERE vec_id < {k})"
+            f"c0 AS (SELECT vec_id AS cid, v AS centroid FROM e WHERE vec_id < {k_sql})"
         )
     for i in range(1, iters + 1):
         prev = f"c{i - 1}"

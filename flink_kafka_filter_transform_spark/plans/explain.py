@@ -27,18 +27,52 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return qe.explainString(jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
 
 
+_INGEST_SCAN_RE = re.compile(r"(documents|embeddings)\.parquet")
+# Nodes Catalyst may push between the ingest repartition and its scan
+# (projection collapse / filter pushdown travel through a round-robin
+# repartition); anything else under the exchange means it is NOT the
+# ingest rebalance.
+_PASSTHROUGH_RE = re.compile(r"\b(Project|Filter|ColumnarToRow)\b")
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of ALGORITHMIC Exchange operators in the physical plan.
 
-    Excludes the ingest-side REPARTITION_BY_NUM exchange that
+    Excludes ONLY the ingest-side REPARTITION_BY_NUM exchange that
     sources.parquet.load_table injects for sub-threshold single-row-
     group files (a toy-scale scan-parallelism fix that never fires on
-    real-scale inputs) — the plan gates assert the shuffle inventory
-    of the operators themselves, which is what scales to 100 TB."""
+    real-scale inputs): a REPARTITION_BY_NUM exchange whose child
+    chain is pass-through nodes down to a parquet scan of a rebalance
+    table. An operator-level repartition(n) anywhere deeper in the
+    plan (salting an aggregate, coalescing a join result, ...) COUNTS
+    — the gates assert the full algorithmic shuffle inventory, which
+    is what scales to 100 TB. (A repartition(n) applied directly to a
+    corpus scan is plan-identical to the ingest rebalance and remains
+    excluded; that shape IS an ingest rebalance wherever it comes
+    from.)
+
+    On an already-executed frame the simple plan prints Final AND
+    Initial sections; only the Final (what actually ran) is counted."""
     plan = explain_str(df, "simple")
-    total = len(re.findall(r"\bExchange\b", plan))
-    ingest = len(re.findall(r"\bREPARTITION_BY_NUM\b", plan))
-    return total - ingest
+    if "== Final Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    lines = plan.splitlines()
+    total = 0
+    for i, line in enumerate(lines):
+        if not re.search(r"\bExchange\b", line):
+            continue
+        if "REPARTITION_BY_NUM" in line:
+            ingest = False
+            for nxt in lines[i + 1 :]:
+                if "FileScan" in nxt:
+                    ingest = bool(_INGEST_SCAN_RE.search(nxt))
+                    break
+                if not _PASSTHROUGH_RE.search(nxt):
+                    break  # join/agg/exchange below: not the ingest shape
+            if ingest:
+                continue
+        total += 1
+    return total
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
@@ -98,11 +132,15 @@ def codegen_stage_count(df: DataFrame) -> int:
     A plan containing any Exchange (e.g. the ingest rebalance) is
     wrapped in ``AdaptiveSparkPlan isFinalPlan=false``, which hides the
     codegen markers until the plan actually runs — in that case this
-    EXECUTES the frame once to finalize it (plan-audit helper for
-    tests; don't call on production-sized frames)."""
+    EXECUTES the frame once to finalize it, via a JVM-side count over
+    the SAME QueryExecution (a separate noop write would finalize a
+    different QueryExecution and leave this one unfinalized; a collect
+    would materialize the full result on the driver). Nothing crosses
+    to the driver but per-partition counts; still a plan-audit helper
+    for tests — don't call on production-sized frames."""
     plan = explain_str(df, "simple")
     found = set(re.findall(r"\*\((\d+)\)", plan))
     if not found and "AdaptiveSparkPlan" in plan:
-        df.collect()
+        df._jdf.queryExecution().toRdd().count()
         found = set(re.findall(r"\*\((\d+)\)", explain_str(df, "simple")))
     return len(found)

@@ -66,7 +66,11 @@ def running_counters(routed: DataFrame) -> DataFrame:
 # like the batch groupBy, so a 100 TB backfill and the steady-state
 # stream use the same partitioning and the same ledger. The winner is
 # the SMALLEST doc_id (the batch min-survivor convention), so late or
-# replayed micro-batches can only confirm the ledger, never flip it.
+# replayed micro-batches can never flip WHO WON — first_doc_id is a
+# min, idempotent under replay. n_copies/n_suppressed are per-row
+# increments and are replay-idempotent only as far as the source's
+# exactly-once delivery (file-stream checkpointing here); an
+# at-least-once source would double-count suppressions.
 # ---------------------------------------------------------------------------
 
 FIRSTSEEN_OUTPUT_SCHEMA = "content_hash BIGINT, first_doc_id BIGINT, n_suppressed BIGINT"

@@ -156,10 +156,18 @@ def gen(sf: float, out: str) -> None:
     ev = np.arange(n_events)
     jan24 = np.datetime64("2024-01-01").astype("datetime64[us]").astype("int64")
     ts_us = jan24 + rng.integers(0, 30 * DAY_US, n_events)
+    # ~1% NULL user_ids: several operators carry user_id-isNotNull
+    # branches, and an audit corpus with zero nulls never charges that
+    # path. (The driver's current generation happens to ship no nulls;
+    # earlier ones did — keep the branch exercised either way.)
+    user_id = pa.array(
+        rng.integers(0, n_users, n_events),
+        mask=rng.random(n_events) < 0.01,
+    )
     _write(out, "events", pa.table({
         "event_id": ev,
         "ts": _ts_us_array(ts_us),
-        "user_id": rng.integers(0, n_users, n_events),
+        "user_id": user_id,
         "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_events)],
         "value": np.round(rng.exponential(50.0, n_events), 2),
         "props": np.char.add(np.char.add('{"k": ', rng.integers(0, 100, n_events).astype("str")), "}"),

