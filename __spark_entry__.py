@@ -200,9 +200,6 @@ def queries() -> dict[str, QueryFn]:
         "knn_ivf_probe_sweep": lambda s, d: similarity.knn_ivf_probe_sweep(_emb(s, d)),
         "kmeans_clusters": lambda s, d: kmeans.kmeans_clusters(_emb(s, d)),
         "kmeans_cluster_sizes": lambda s, d: kmeans.kmeans_cluster_sizes(_emb(s, d)),
-        "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
-            load_table(s, "lineitem", d)
-        ),
         "q7_volume_shipping": lambda s, d: relational.q7_volume_shipping(
             load_table(s, "lineitem", d),
             load_table(s, "orders", d),
@@ -221,13 +218,57 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "orders", d),
             load_table(s, "customer", d),
         ),
-        "q13_customer_distribution": lambda s, d: relational.q13_customer_distribution(
-            load_table(s, "customer", d), load_table(s, "orders", d)
-        ),
         "q18_large_volume_orders": lambda s, d: relational.q18_large_volume_orders(
             load_table(s, "orders", d),
             load_table(s, "lineitem", d),
             load_table(s, "customer", d),
+        ),
+        # === HEAD: new in round 5 (must debut in the head) ===
+        "q8_market_share": lambda s, d: relational.q8_market_share(
+            load_table(s, "lineitem", d),
+            load_table(s, "orders", d),
+            load_table(s, "customer", d),
+            load_table(s, "supplier", d),
+            load_table(s, "nation", d),
+            load_table(s, "region", d),
+            load_table(s, "part", d),
+        ),
+        "q12_shipping_delay": lambda s, d: relational.q12_shipping_delay(
+            load_table(s, "lineitem", d), load_table(s, "orders", d)
+        ),
+        "q15_top_supplier": lambda s, d: relational.q15_top_supplier(
+            load_table(s, "lineitem", d), load_table(s, "supplier", d)
+        ),
+        "q16_supplier_part_variety": lambda s, d: relational.q16_supplier_part_variety(
+            load_table(s, "lineitem", d),
+            load_table(s, "part", d),
+            load_table(s, "supplier", d),
+        ),
+        "q19_discounted_revenue": lambda s, d: relational.q19_discounted_revenue(
+            load_table(s, "lineitem", d), load_table(s, "part", d)
+        ),
+        "q21_waiting_orders": lambda s, d: relational.q21_waiting_orders(
+            load_table(s, "lineitem", d),
+            load_table(s, "orders", d),
+            load_table(s, "supplier", d),
+            load_table(s, "nation", d),
+        ),
+        "segment_dedup_stats": lambda s, d: dedup.segment_dedup_stats(_docs(s, d)),
+        "trigram_gini_diversity": lambda s, d: text.trigram_gini_diversity(
+            _docs(s, d)
+        ),
+        # === TAIL (51+): r4-green and unchanged since; plus the eight
+        # r3-verdict queries (events_group_reservoir, bigram_top_pairs,
+        # training_mixture_report, media_resize, doc_chunks,
+        # mixture_sample_summary, q6_forecast_revenue,
+        # q13_customer_distribution) displaced by the new r5 queries —
+        # age exactly 2 rounds at r5, so rotation_check passes, and r6
+        # MUST rotate them (tools/rotation_check.py will flag) ===
+        "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
+            load_table(s, "lineitem", d)
+        ),
+        "q13_customer_distribution": lambda s, d: relational.q13_customer_distribution(
+            load_table(s, "customer", d), load_table(s, "orders", d)
         ),
         "events_group_reservoir": lambda s, d: sampling.events_group_reservoir(
             load_table(s, "events", d)
@@ -241,7 +282,6 @@ def queries() -> dict[str, QueryFn]:
         "mixture_sample_summary": lambda s, d: sampling.mixture_sample_summary(
             _docs(s, d)
         ),
-        # === TAIL (51+): r4-green and unchanged since ===
         "crossdoc_ngram_overlap": lambda s, d: dedup.crossdoc_ngram_overlap(
             _docs(s, d)
         ),
@@ -413,6 +453,14 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": oracles.q13_customer_distribution_oracle(),
         "q18_large_volume_orders": oracles.q18_large_volume_orders_oracle(),
         "q22_idle_rich_customers": oracles.q22_idle_rich_customers_oracle(),
+        "q8_market_share": oracles.q8_market_share_oracle(),
+        "q12_shipping_delay": oracles.q12_shipping_delay_oracle(),
+        "q15_top_supplier": oracles.q15_top_supplier_oracle(),
+        "q16_supplier_part_variety": oracles.q16_supplier_part_variety_oracle(),
+        "q19_discounted_revenue": oracles.q19_discounted_revenue_oracle(),
+        "q21_waiting_orders": oracles.q21_waiting_orders_oracle(),
+        "segment_dedup_stats": oracles.segment_dedup_stats_oracle(),
+        "trigram_gini_diversity": oracles.trigram_gini_diversity_oracle(),
         "events_group_reservoir": oracles.events_group_reservoir_oracle(),
         "bigram_top_pairs": oracles.bigram_top_pairs_oracle(),
         "training_mixture_report": oracles.training_mixture_report_oracle(),

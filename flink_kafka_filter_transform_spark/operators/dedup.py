@@ -485,3 +485,75 @@ def crossdoc_ngram_overlap(docs: DataFrame, n: int = 4) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level dedup profile (RefinedWeb-style span dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup_stats(docs: DataFrame, seg_len: int = 16) -> DataFrame:
+    """Per-document duplicated-SEGMENT profile: tokens are cut into
+    non-overlapping ``seg_len``-token segments (the trailing partial
+    segment is dropped) and each segment position counts as duplicated
+    when its content hash occurs in at least one OTHER document. This
+    is the span-level signal behind RefinedWeb/Gopher-style substring
+    dedup — coarser than crossdoc_ngram_overlap's sliding n-grams (one
+    hash per 16 tokens instead of one per token) which is exactly what
+    makes it the variant that scales to substring-dedup duty at 100 TB.
+
+    Cross-doc (not within-doc) duplication: the per-hash statistic is
+    the count of DISTINCT documents containing the segment, so a doc
+    that repeats its own segment is not flagged by itself.
+
+    Scale shape: segments travel as 60-bit hashes (8-byte shuffle
+    rows, corpus text never shuffles); the per-hash distinct-doc count
+    is one gh-keyed aggregate over per-doc-distinct rows (map-side
+    combined); the join back to the per-position relation reuses the
+    gh partitioning; the final per-doc rollup shuffles fixed-width
+    counters. No broadcast — both sides are corpus-sized.
+    """
+    toks = tokens()
+    n_segs = F.floor(F.size(toks) / seg_len).cast("int")
+    seg_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, i * seg_len + 1, seg_len), " "
+    )
+    # sequence(0, n-1) counts DOWN for n <= 0 (token_ngrams' documented
+    # trap) — guard short docs to an empty array before the transform.
+    segs = docs.select(
+        "doc_id",
+        F.when(
+            n_segs >= F.lit(1),
+            F.transform(F.sequence(F.lit(0), n_segs - 1), lambda i: seg_at(i)),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("segs"),
+    ).filter(F.size("segs") > 0)
+    pos = segs.select(
+        "doc_id", F.posexplode("segs").alias("seg_idx", "seg")
+    ).select("doc_id", "seg_idx", portable_hash64("seg").alias("gh"))
+    ndocs = (
+        pos.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+    )
+    return (
+        pos.join(ndocs, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_segments"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_dup_segments",
+            (
+                F.col("n_dup_segments").cast("double")
+                / F.col("n_segments").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

@@ -994,3 +994,256 @@ def q22_idle_rich_customers(
         )
     )
 
+
+def q8_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    share_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    p_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 analog: one nation's share of PROMO-part revenue sold
+    into one region, by order year. (The reference has no joins at all
+    — SURVEY.md §2.2; this is the 7-table join + conditional-share
+    aggregate shape a migrating user needs.)
+
+    Scale shape: part is type-filtered then broadcast to the lineitem
+    scan (the most selective reducer first); lineitem joins orders on
+    the orderkey — the ONE unavoidable fact-fact shuffle; customer
+    joins on custkey (Catalyst/AQE picks broadcast at test SFs, shuffle
+    at scale — both sides already key-partitioned); supplier / nation
+    x2 / region broadcast. The share is a conditional sum inside a
+    single year-grouped aggregate — no second pass, no self-join."""
+    tp = part.filter(F.col("p_type") == F.lit(p_type)).select("p_partkey")
+    rn = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == F.lit(region_name))),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(tp), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(rn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                _dsum(F.when(F.col("supp_nation") == F.lit(share_nation), vol))
+                / _dsum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q12_shipping_delay(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q12 analog: does slow shipping correlate with order
+    priority? This schema has no l_shipmode/commitdate, so the grouping
+    key is the ship-delay bucket (days between order and ship date):
+    fast < 30 <= medium < 90 <= slow. Per bucket, count lines from
+    high-priority (1-URGENT / 2-HIGH) vs lower-priority orders — Q12's
+    signature conditional two-counter aggregate.
+
+    Scale shape: ONE fact-fact shuffle (lineitem x orders on orderkey;
+    only 3 columns survive the scan on each side), then a 3-row
+    map-side-combined aggregate. No windows, no second pass."""
+    delay_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay_days < F.lit(30), F.lit("fast"))
+        .when(delay_days < F.lit(90), F.lit("medium"))
+        .otherwise(F.lit("slow"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, F.lit(1)).otherwise(F.lit(0))).alias("high_line_count"),
+            F.sum(F.when(~high, F.lit(1)).otherwise(F.lit(0))).alias("low_line_count"),
+        )
+    )
+
+
+def q15_top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q15 analog: the supplier(s) with maximum revenue in one
+    quarter. The original defines a revenue VIEW and selects rows equal
+    to its scalar-subquery max; here the view is a per-supplier
+    aggregate and the max is a 1-row broadcast joined back — ties kept,
+    exactly like the spec.
+
+    Scale shape: quarter filter pushes to the lineitem scan; ONE
+    supplier-keyed shuffle builds the revenue view (supplier cardinality
+    — small rows); the global max is a 1-row aggregate broadcast back
+    onto the view (no sort of the view, no window over all suppliers);
+    supplier dimension broadcasts."""
+    in_q = (F.col("l_shipdate") >= F.lit(start).cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit(end).cast("timestamp")
+    )
+    revenue = (
+        lineitem.filter(in_q)
+        .groupBy("l_suppkey")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_part_variety(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 analog: how many distinct suppliers can deliver each
+    (brand, type, size) combination, excluding one brand, one type
+    family, and suppliers flagged by the NOT-IN subquery (negative
+    account balance stands in for the %Complaints% comment filter; this
+    schema has no partsupp, so the supplier-part association is
+    observed shipments in lineitem).
+
+    Scale shape: the excluded-supplier set is tiny -> broadcast ANTI
+    join (never a shuffled NOT IN); part attributes broadcast onto the
+    fact scan; COUNT(DISTINCT) decomposes into two shuffles — dedup on
+    (brand,type,size,suppkey), then count per (brand,type,size) — both
+    map-side combined, both on post-projection short rows."""
+    keep_part = part.filter(
+        (F.col("p_brand") != F.lit("Brand#1"))
+        & (F.col("p_type") != F.lit("PROMO"))
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supplier.filter(F.col("s_acctbal") < F.lit(0.0)).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(keep_part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 analog: revenue from three OR'd (brand, size-range,
+    quantity-range) branches — the disjunctive-predicate pushdown
+    shape. No shipmode/container in this schema, so each branch is
+    brand + p_size BETWEEN + l_quantity BETWEEN.
+
+    Scale shape: the part-side disjunction (brand AND size per branch)
+    is applied BEFORE the join, shrinking part to the union of the
+    three branches -> broadcast; only the quantity residual (the one
+    fact-side conjunct) evaluates per joined row. The fact table is
+    never shuffled; output is one map-side-combined row."""
+    branch1_p = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 5)
+    branch2_p = (F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 10)
+    branch3_p = (F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15)
+    pp = part.filter(branch1_p | branch2_p | branch3_p).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q = F.col("l_quantity")
+    residual = (
+        (branch1_p & q.between(1, 11))
+        | (branch2_p & q.between(10, 20))
+        | (branch3_p & q.between(20, 30))
+    )
+    return (
+        lineitem.join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(residual)
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+def q21_waiting_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    late_days: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 analog: suppliers who single-handedly kept finished
+    multi-supplier orders waiting. The original's EXISTS (another
+    supplier on the order) + NOT EXISTS (another LATE supplier) pair is
+    decorrelated into ONE per-order aggregate — n_supps >= 2 AND
+    n_late_supps == 1 — then joined back to the late lines. 'Late'
+    is l_shipdate > o_orderdate + late_days (no commit/receipt dates
+    in this schema).
+
+    Scale shape: one fact-fact shuffle (lineitem x F-status orders on
+    orderkey) computes the late flag; the per-order supplier/late-
+    supplier distinct counts reuse that SAME orderkey partitioning
+    (no second exchange of the fact rows — Catalyst sees the child
+    partitioning satisfies the groupBy); the qualifying-order set joins
+    back on orderkey, again exchange-free; supplier/nation broadcast;
+    top-k is a driver-side take on supplier-cardinality rows."""
+    lo = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == F.lit("F")).select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("n_supps"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supps") >= F.lit(2)) & (F.col("n_late_supps") == F.lit(1))
+    ).select(F.col("l_orderkey").alias("q_orderkey"))
+    return (
+        lo.filter(F.col("late"))
+        .join(qualifying, F.col("l_orderkey") == F.col("q_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(topk)
+    )

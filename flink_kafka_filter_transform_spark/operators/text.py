@@ -657,3 +657,68 @@ def doc_chunks(docs: DataFrame, chunk: int = 64, stride: int = 32) -> DataFrame:
             portable_hash64(F.array_join(F.col("_c"), " ")).alias("chunk_hash"),
         )
     )
+
+
+def trigram_gini_diversity(docs: DataFrame) -> DataFrame:
+    """Per-document lexical-diversity profile — the polynomial stand-in
+    for token entropy that stays inside the repo's no-transcendentals
+    float policy (like source_vocab_divergence's chi-square):
+
+    - ``distinct_ratio``          : distinct tokens / tokens
+    - ``gini``                    : Gini impurity 1 - sum(c_i^2)/n^2 of
+                                    the doc's token distribution
+                                    (0 = one token repeated, ->1 = all
+                                    distinct); integer-exact numerator
+                                    via a single sorted run-length fold
+    - ``trigram_distinct_ratio``  : distinct / total token trigrams
+                                    (NULL under 3 tokens)
+
+    A low-gini or low-trigram-ratio doc is boilerplate/spam; corpora
+    are gated on these before training (Gopher-style quality rules).
+
+    Scale shape: map-only — one projection per document, no shuffle,
+    no vocabulary state. The run-length fold over the SORTED token
+    array is O(n log n) per doc and purely integer until the final
+    double division, so both engines agree bit-for-bit (DuckDB's
+    oracle computes the same sums relationally).
+    """
+    toks = tokens()
+    n = F.size(toks).cast("bigint")
+    # sum of squared token counts, via run lengths of the sorted array:
+    # fold state (prev token, current run, acc of completed run^2);
+    # finish closes the last run. Tokens are [^\s]+ so the "" sentinel
+    # can never collide with a real token.
+    sum_sq = F.aggregate(
+        F.sort_array(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("acc"),
+        ),
+        lambda s, x: F.struct(
+            x.alias("prev"),
+            F.when(x == s["prev"], s["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.when(x == s["prev"], s["acc"])
+            .otherwise(s["acc"] + s["run"] * s["run"])
+            .alias("acc"),
+        ),
+        lambda s: s["acc"] + s["run"] * s["run"],
+    )
+    tri_total = n - 2
+    tri_distinct = F.size(token_ngrams(toks, 3, distinct=True)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.when(
+            n > 0,
+            F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+        ).alias("distinct_ratio"),
+        F.when(
+            n > 0,
+            F.lit(1.0) - sum_sq.cast("double") / (n * n).cast("double"),
+        ).alias("gini"),
+        F.when(
+            n >= 3, tri_distinct.cast("double") / tri_total.cast("double")
+        ).alias("trigram_distinct_ratio"),
+    )

@@ -2365,3 +2365,170 @@ SELECT doc_id, chunk_idx,
   {ch} AS chunk_hash
 FROM chunks
 """
+
+def q8_market_share_oracle(
+    share_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    p_type: str = "PROMO",
+) -> str:
+    """Independent formulation: plain 7-table join + FILTERed sums (vs
+    the engine's conditional sum in one broadcast-planned aggregate)."""
+    return f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {_dsum_sql(f"CASE WHEN n2.n_name = '{share_nation}' THEN l_extendedprice * (1.0 - l_discount) END")}
+       / {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = '{p_type}'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = '{region_name}'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1
+"""
+
+
+def q12_shipping_delay_oracle() -> str:
+    return """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
+            WHEN datediff('day', o_orderdate, l_shipdate) < 90 THEN 'medium'
+            ELSE 'slow' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q15_top_supplier_oracle(start: str = "1997-01-01", end: str = "1997-04-01") -> str:
+    """Independent formulation: window max over the revenue view (vs
+    the engine's 1-row broadcast max join)."""
+    return f"""
+WITH revenue AS (
+  SELECT l_suppkey, {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{start}' AND l_shipdate < TIMESTAMP '{end}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM (SELECT *, max(total_revenue) OVER () AS max_revenue FROM revenue) r
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = max_revenue
+"""
+
+
+def q16_supplier_part_variety_oracle() -> str:
+    """Independent formulation: NOT IN subquery (vs the engine's
+    broadcast anti join)."""
+    return """
+SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q19_discounted_revenue_oracle() -> str:
+    """Independent formulation: the disjunction evaluated post-join in
+    one WHERE (vs the engine's pre-join part pruning + residual)."""
+    return f"""
+SELECT {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_waiting_orders_oracle(late_days: int = 60, topk: int = 20) -> str:
+    """Independent formulation: correlated EXISTS / NOT EXISTS exactly
+    as TPC-H writes them (vs the engine's per-order decorrelated
+    aggregate)."""
+    return f"""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {late_days} DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_suppkey, s_name, n_name, CAST(numwait AS BIGINT) AS numwait FROM (
+  SELECT l_suppkey, count(*) AS numwait FROM (
+    SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+    FROM lo l1
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+  ) w GROUP BY l_suppkey
+) per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY numwait DESC, s_suppkey
+LIMIT {topk}
+"""
+
+def segment_dedup_stats_oracle(seg_len: int = 16) -> str:
+    h = portable_hash64_sql("seg")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS seg_idx,
+         {portable_hash64_sql(f"array_to_string(t[(i - 1) * {seg_len} + 1 : i * {seg_len}], ' ')")} AS gh
+  FROM toks, unnest(generate_series(1, CAST(floor(len(t) / {seg_len}) AS INTEGER))) AS u(i)
+),
+ndocs AS (
+  SELECT gh, count(DISTINCT doc_id) AS n FROM pos GROUP BY gh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_fraction
+FROM pos JOIN ndocs USING (gh)
+GROUP BY doc_id
+"""
+
+def trigram_gini_diversity_oracle() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^\s]+') AS t FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+sums AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq
+  FROM counts GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       coalesce(n, 0) AS n_tokens,
+       coalesce(n_distinct, 0) AS n_distinct,
+       CASE WHEN n > 0 THEN CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE) END
+         AS distinct_ratio,
+       CASE WHEN n > 0 THEN 1.0 - CAST(sum_sq AS DOUBLE) / CAST(n * n AS DOUBLE) END
+         AS gini,
+       CASE WHEN len(t) >= 3 THEN
+         CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 2),
+              i -> array_to_string(t[i:i + 2], ' ')))) AS DOUBLE)
+           / CAST(len(t) - 2 AS DOUBLE) END AS trigram_distinct_ratio
+FROM toks LEFT JOIN sums ON toks.doc_id = sums.doc_id
+"""

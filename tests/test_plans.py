@@ -375,3 +375,84 @@ def test_array_showcase_is_single_codegen_map(spark, sf_dir):
     assert px.count_shuffles(df) == 0
     assert px.codegen_stage_count(df) >= 1
 
+
+
+def test_q15_max_is_broadcast_not_window(spark, sf_dir):
+    """Q15's scalar-subquery max must be a 1-row broadcast joined back
+    onto the supplier-revenue view — NOT a window max over the view
+    (which would add a full sort) and NOT a sort of the view."""
+    df = relational.q15_top_supplier(
+        load_table(spark, "lineitem", sf_dir), load_table(spark, "supplier", sf_dir)
+    )
+    plan = px.explain_str(df, "simple")
+    assert "Window" not in plan
+    assert px.broadcast_join_count(df) == 2  # 1-row max + supplier dim
+    assert px.sortmerge_join_count(df) == 0
+
+
+def test_q19_part_disjunction_prunes_before_join(spark, sf_dir):
+    """The OR'd (brand, size) branches must shrink part BEFORE the
+    join (broadcast), leaving only the quantity residual per joined
+    row: the fact table is never shuffled — its only exchange is the
+    final 1-row aggregate's."""
+    df = relational.q19_discounted_revenue(
+        load_table(spark, "lineitem", sf_dir), load_table(spark, "part", sf_dir)
+    )
+    assert px.broadcast_join_count(df) == 1
+    assert px.sortmerge_join_count(df) == 0
+    assert px.count_shuffles(df) <= 1  # the single-partition final agg
+    # the part-side filter must reach the part scan as a pushed filter
+    plan = px.explain_str(df, "formatted")
+    assert "PushedFilters" in plan
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark, sf_dir):
+    """The NOT IN supplier exclusion must compile to a broadcast ANTI
+    join (tiny build side), never a shuffled NOT-IN; part attributes
+    broadcast onto the fact scan."""
+    df = relational.q16_supplier_part_variety(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+    )
+    plan = px.explain_str(df, "simple")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert px.sortmerge_join_count(df) == 0
+
+
+def test_q21_decorrelation_never_self_joins_raw_fact(spark, sf_dir):
+    """Q21's EXISTS / NOT-EXISTS pair must be ONE per-order aggregate
+    joined back — not two correlated self-joins of the raw fact table
+    (the plan has no nested-loop join and no window)."""
+    df = relational.q21_waiting_orders(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+    plan = px.explain_str(df, "simple")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_q8_single_fact_fact_shuffle(spark, sf_dir):
+    """Q8's 7-table join: every dimension (type-filtered part, region-
+    restricted nation set, supplier, supplier-nation) broadcasts; the
+    only data-sized joins are lineitem x orders x customer, and the
+    share is a conditional sum in ONE year-grouped aggregate (no
+    second pass, no window)."""
+    df = relational.q8_market_share(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "region", sf_dir),
+        load_table(spark, "part", sf_dir),
+    )
+    plan = px.explain_str(df, "simple")
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 8  # nation scans twice (cust + supp roles)
+    assert px.broadcast_join_count(df) >= 4
+    assert px.sortmerge_join_count(df) == 0
