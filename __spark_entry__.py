@@ -200,29 +200,6 @@ def queries() -> dict[str, QueryFn]:
         "knn_ivf_probe_sweep": lambda s, d: similarity.knn_ivf_probe_sweep(_emb(s, d)),
         "kmeans_clusters": lambda s, d: kmeans.kmeans_clusters(_emb(s, d)),
         "kmeans_cluster_sizes": lambda s, d: kmeans.kmeans_cluster_sizes(_emb(s, d)),
-        "q7_volume_shipping": lambda s, d: relational.q7_volume_shipping(
-            load_table(s, "lineitem", d),
-            load_table(s, "orders", d),
-            load_table(s, "customer", d),
-            load_table(s, "supplier", d),
-            load_table(s, "nation", d),
-        ),
-        "q9_product_nation_profit": lambda s, d: relational.q9_product_nation_profit(
-            load_table(s, "lineitem", d),
-            load_table(s, "part", d),
-            load_table(s, "supplier", d),
-            load_table(s, "nation", d),
-        ),
-        "q10_returned_items": lambda s, d: relational.q10_returned_items(
-            load_table(s, "lineitem", d),
-            load_table(s, "orders", d),
-            load_table(s, "customer", d),
-        ),
-        "q18_large_volume_orders": lambda s, d: relational.q18_large_volume_orders(
-            load_table(s, "orders", d),
-            load_table(s, "lineitem", d),
-            load_table(s, "customer", d),
-        ),
         # === HEAD: new in round 5 (must debut in the head) ===
         "q8_market_share": lambda s, d: relational.q8_market_share(
             load_table(s, "lineitem", d),
@@ -257,6 +234,12 @@ def queries() -> dict[str, QueryFn]:
         "trigram_gini_diversity": lambda s, d: text.trigram_gini_diversity(
             _docs(s, d)
         ),
+        "embedding_label_outliers": lambda s, d: vectorprep.embedding_label_outliers(
+            _emb(s, d)
+        ),
+        "pq_train_report": lambda s, d: kmeans.pq_train_report(_emb(s, d)),
+        "knn_pq_adc": lambda s, d: kmeans.knn_pq_adc(_emb(s, d)),
+        "knn_pq_recall": lambda s, d: kmeans.knn_pq_recall(_emb(s, d)),
         # === TAIL (51+): r4-green and unchanged since; plus the eight
         # r3-verdict queries (events_group_reservoir, bigram_top_pairs,
         # training_mixture_report, media_resize, doc_chunks,
@@ -266,6 +249,29 @@ def queries() -> dict[str, QueryFn]:
         # MUST rotate them (tools/rotation_check.py will flag) ===
         "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
             load_table(s, "lineitem", d)
+        ),
+        "q7_volume_shipping": lambda s, d: relational.q7_volume_shipping(
+            load_table(s, "lineitem", d),
+            load_table(s, "orders", d),
+            load_table(s, "customer", d),
+            load_table(s, "supplier", d),
+            load_table(s, "nation", d),
+        ),
+        "q9_product_nation_profit": lambda s, d: relational.q9_product_nation_profit(
+            load_table(s, "lineitem", d),
+            load_table(s, "part", d),
+            load_table(s, "supplier", d),
+            load_table(s, "nation", d),
+        ),
+        "q10_returned_items": lambda s, d: relational.q10_returned_items(
+            load_table(s, "lineitem", d),
+            load_table(s, "orders", d),
+            load_table(s, "customer", d),
+        ),
+        "q18_large_volume_orders": lambda s, d: relational.q18_large_volume_orders(
+            load_table(s, "orders", d),
+            load_table(s, "lineitem", d),
+            load_table(s, "customer", d),
         ),
         "q13_customer_distribution": lambda s, d: relational.q13_customer_distribution(
             load_table(s, "customer", d), load_table(s, "orders", d)
@@ -461,6 +467,10 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_orders": oracles.q21_waiting_orders_oracle(),
         "segment_dedup_stats": oracles.segment_dedup_stats_oracle(),
         "trigram_gini_diversity": oracles.trigram_gini_diversity_oracle(),
+        "embedding_label_outliers": oracles.embedding_label_outliers_oracle(),
+        "pq_train_report": oracles.pq_train_report_oracle(),
+        "knn_pq_adc": oracles.knn_pq_adc_oracle(),
+        "knn_pq_recall": oracles.knn_pq_recall_oracle(),
         "events_group_reservoir": oracles.events_group_reservoir_oracle(),
         "bigram_top_pairs": oracles.bigram_top_pairs_oracle(),
         "training_mixture_report": oracles.training_mixture_report_oracle(),

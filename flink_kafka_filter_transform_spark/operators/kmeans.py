@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flink_kafka_filter_transform_spark.operators import params
+
 K_DEFAULT = 4
 ITERS_DEFAULT = 2
 
@@ -210,4 +212,197 @@ def knn_ivf_kmeans(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k_neighbors)
         .select("q_id", "vec_id", "rank", "cos_sim")
+    )
+
+
+def pq_train_report(
+    emb: DataFrame, m: int = 4, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT
+) -> DataFrame:
+    """Product-quantization codebook training report: the embedding is
+    split into ``m`` contiguous subvectors and an independent k-means
+    codebook (k cells, first-k seeding, fixed ``iters`` Lloyd rounds —
+    the exact trajectory kmeans_clusters walks) is trained per
+    subspace. Output: one row per (subspace, cluster) with its
+    cardinality and quantization MSE (mean squared distance of member
+    subvectors to their centroid) — the distortion/balance readout an
+    IVF-PQ deployment checks before freezing a codebook.
+
+    Why PQ at 100 TB: storing m 1-byte codes instead of the raw floats
+    compresses 64x4-byte vectors 32x (m=4, k<=256), and ADC search
+    scans codes with per-subspace lookup tables instead of full
+    vectors. Training cost here is m x iters corpus passes; a
+    production run trains on a deterministic content-hash SAMPLE
+    (sampling.hash_sample composes) and then ENCODES the full corpus
+    in one map-only pass against the broadcast codebooks — training
+    size and corpus size are decoupled.
+
+    Float policy: subvector slicing is positional (no arithmetic);
+    distances fold left-to-right in double; centroid means and MSE
+    sums are exact DECIMAL — bit-identical to the oracle's unrolled
+    per-subspace CTE chains.
+    """
+    out: DataFrame | None = None
+    for j, (vecs, cents) in enumerate(_pq_codebooks(emb, m, k, iters)):
+        final = _assign(vecs, cents)
+        rep = (
+            final.join(vecs, "vec_id")
+            .join(F.broadcast(cents), "cid")
+            .select("cid", _sq_dist("v", "centroid").alias("_d2"))
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                (
+                    F.sum(F.col("_d2").cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mse"),
+            )
+            .select(
+                F.lit(j).alias("subspace"),
+                F.col("cid").alias("cluster_id"),
+                "n_vectors",
+                "mse",
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    assert out is not None
+    return out
+
+
+def _pq_codebooks(
+    emb: DataFrame, m: int, k: int, iters: int
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Per-subspace (subvectors, trained codebook) pairs: contiguous
+    slice j of every embedding + the k-cell first-k-seeded codebook
+    after ``iters`` Lloyd rounds (kmeans_clusters' exact trajectory,
+    run independently per subspace)."""
+    full = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("fv")
+    )
+    sub_len = (F.size("fv") / F.lit(m)).cast("int")
+    subs = []
+    for j in range(m):
+        vecs = full.select(
+            "vec_id", F.slice("fv", j * sub_len + 1, sub_len).alias("v")
+        )
+        cents = vecs.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
+        )
+        for _ in range(iters):
+            cents = _update(vecs, _assign(vecs, cents), cents)
+        subs.append((vecs, cents))
+    return subs
+
+
+def knn_pq_adc(
+    emb: DataFrame,
+    topk: int | None = None,
+    m: int = 4,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over the PQ-encoded
+    corpus: every vector is stored as m sub-codebook cell ids; a
+    query's distance to a vector is the SUM over subspaces of the
+    query-to-centroid distance of the vector's cell — computed via a
+    per-query (m x k)-entry lookup table, never the raw vectors.
+
+    This is the memory-bound half of IVF-PQ: the corpus scan touches
+    m smallints per vector instead of dim floats (32x less bandwidth
+    at m=4, 256x-dim float32), which is what makes billion-vector
+    search tractable. Exactness loss is measured by knn_pq_recall.
+
+    Scale shape: codebooks (m x k centroids) and the per-query LUT
+    (queries x m x k rows — queries are a bounded set by contract)
+    BROADCAST; the encoded corpus joins the LUT map-side and the
+    per-(query, vector) ADC sum is one aggregation of m-row groups
+    keyed by (q_id, vec_id) — exact DECIMAL so the m-way sum is
+    addition-order-proof; top-k is a per-query window over
+    queries x corpus candidate rows.
+    """
+    topk = params.KNN_K if topk is None else topk
+    subs = _pq_codebooks(emb, m, k, iters)
+    enc: DataFrame | None = None
+    lut: DataFrame | None = None
+    for j, (vecs, cents) in enumerate(subs):
+        e_j = _assign(vecs, cents).select(
+            F.lit(j).alias("j"), "vec_id", "cid"
+        )
+        q_j = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+        l_j = q_j.crossJoin(F.broadcast(cents)).select(
+            "q_id",
+            F.lit(j).alias("j"),
+            "cid",
+            _sq_dist("qv", "centroid").alias("pd2"),
+        )
+        enc = e_j if enc is None else enc.unionByName(e_j)
+        lut = l_j if lut is None else lut.unionByName(l_j)
+    assert enc is not None and lut is not None
+    adc = (
+        enc.join(F.broadcast(lut), ["j", "cid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum(F.col("pd2").cast("decimal(28,18)"))
+            .cast("double")
+            .alias("adc_d2")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "vec_id", "rank", "adc_d2")
+    )
+
+
+def knn_pq_recall(
+    emb: DataFrame,
+    topk: int | None = None,
+    m: int = 4,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+) -> DataFrame:
+    """Recall@k of PQ-ADC search against EXACT L2 top-k (the same
+    metric the quantized search approximates, so the readout isolates
+    quantization loss from metric mismatch). Queries with zero overlap
+    are kept (left join, coalesce 0)."""
+    topk = params.KNN_K if topk is None else topk
+    approx = knn_pq_adc(emb, topk=topk, m=m, k=k, iters=iters)
+    full = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = full.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_d2").asc(), F.col("vec_id").asc())
+    exact = (
+        full.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _sq_dist("v", "qv").alias("_d2"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= topk)
+        .select("q_id", "vec_id")
+    )
+    hits = (
+        approx.select("q_id", "vec_id")
+        .join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("_n"), F.lit(0)).cast("double")
+                / F.lit(float(topk))
+            ).alias("recall_at_k"),
+        )
     )

@@ -163,3 +163,70 @@ def jl_projection_distortion(emb: DataFrame) -> DataFrame:
         F.col("_y0").alias("y0"),
         (F.sqrt(y_sq) / F.col("_xn")).alias("norm_ratio"),
     )
+
+
+def embedding_label_outliers(emb: DataFrame) -> DataFrame:
+    """Semantic-outlier profile per label: each vector's squared L2
+    distance to its label centroid, flagged when it exceeds 4x the
+    label's mean squared distance (2x the RMS radius). The embedding-
+    space analog of relational.value_outliers_by_type — the quality
+    gate a curation pipeline runs to catch mislabeled / off-topic
+    documents before training.
+
+    Float policy: centroids are exact DECIMAL(28,18) per-dimension
+    means cast to double (order-independent, kmeans._update's rule);
+    distances fold left-to-right in double (functions.vectors
+    contract); per-label distance sums go through DECIMAL(28,6) so the
+    mean is shuffle-order-proof. No sqrt needed — the threshold is
+    squared on both sides.
+
+    Scale shape: label cardinality is tiny vs the corpus, so the
+    centroid relation and the per-label stats BROADCAST back onto the
+    vector scan (two corpus passes, zero corpus shuffles beyond the
+    label-keyed partial aggregates, which are map-side combined).
+    """
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pos = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cent = pos.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cv")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("centroid")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("centroid"), lambda x, c: (x - c) * (x - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = e.join(F.broadcast(carr), "label").select(
+        "label", "vec_id", d2.alias("d2")
+    )
+    stats = d.groupBy("label").agg(
+        (
+            F.sum(F.col("d2").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_dist2")
+    )
+    return (
+        d.join(F.broadcast(stats), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.first("mean_dist2").alias("mean_dist2"),
+            F.sum(
+                F.when(F.col("d2") > F.lit(4.0) * F.col("mean_dist2"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select("label", "n_vectors", "mean_dist2", "n_outliers")
+    )

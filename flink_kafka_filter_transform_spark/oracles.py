@@ -2532,3 +2532,219 @@ SELECT toks.doc_id,
            / CAST(len(t) - 2 AS DOUBLE) END AS trigram_distinct_ratio
 FROM toks LEFT JOIN sums ON toks.doc_id = sums.doc_id
 """
+
+def embedding_label_outliers_oracle() -> str:
+    dist = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(list_zip(e.v, c.centroid),"
+        " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, CAST(SUM(CAST(val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
+  FROM (
+    SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val FROM e
+  ) x GROUP BY label, pos
+),
+carr AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY label),
+d AS (
+  SELECT e.label, e.vec_id, {dist} AS d2
+  FROM e JOIN carr c USING (label)
+),
+stats AS (
+  SELECT label, CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_dist2
+  FROM d GROUP BY label
+)
+SELECT d.label, CAST(count(*) AS BIGINT) AS n_vectors,
+       any_value(mean_dist2) AS mean_dist2,
+       CAST(sum(CASE WHEN d2 > 4.0 * mean_dist2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN stats USING (label)
+GROUP BY d.label
+"""
+
+_PQ_DIST = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(list_zip(e.v, c.centroid),"
+    " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+    " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+)
+
+
+def _pq_chain_parts(m: int, k: int, iters: int) -> list[str]:
+    """Per-subspace Lloyd CTE chains shared by every PQ oracle: for
+    each subspace j emits e{j} (sliced subvectors), c{j}_0..c{j}_iters
+    (codebook trajectory) and af{j} (final assignment)."""
+    dist = _PQ_DIST
+    parts = [
+        "ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    ]
+    for j in range(m):
+        L = f"(len(v) // {m})"
+        parts.append(
+            f"e{j} AS (SELECT vec_id, v[({j} * {L} + 1):(({j} + 1) * {L})] AS v FROM ef)"
+        )
+        parts.append(
+            f"c{j}_0 AS (SELECT vec_id AS cid, v AS centroid FROM e{j} WHERE vec_id < {k})"
+        )
+        for i in range(1, iters + 1):
+            prev = f"c{j}_{i - 1}"
+            parts.append(
+                f"""a{j}_{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM e{j} e CROSS JOIN {prev} c
+  ) r WHERE rn = 1
+)"""
+            )
+            parts.append(
+                f"""s{j}_{i} AS (
+  SELECT cid, pos, CAST(SUM(CAST(val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
+  FROM (
+    SELECT a{j}_{i}.cid,
+      unnest(generate_series(1, len(e.v))) AS pos,
+      unnest(e.v) AS val
+    FROM a{j}_{i} JOIN e{j} e USING (vec_id)
+  ) x GROUP BY cid, pos
+)"""
+            )
+            parts.append(
+                f"""c{j}_{i} AS (
+  SELECT p.cid, coalesce(n.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS centroid FROM s{j}_{i} GROUP BY cid) n
+  USING (cid)
+)"""
+            )
+        parts.append(
+            f"""af{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM e{j} e CROSS JOIN c{j}_{iters} c
+  ) r WHERE rn = 1
+)"""
+        )
+    return parts
+
+
+def pq_train_report_oracle(m: int = 4, k: int | None = None, iters: int | None = None) -> str:
+    """Product quantization: one unrolled Lloyd CTE chain PER SUBSPACE
+    (independent codebooks over contiguous subvector slices), mirroring
+    operators.kmeans.pq_train_report step for step."""
+    from flink_kafka_filter_transform_spark.operators.kmeans import ITERS_DEFAULT, K_DEFAULT
+
+    k = K_DEFAULT if k is None else k
+    iters = ITERS_DEFAULT if iters is None else iters
+    dist = _PQ_DIST
+    parts = _pq_chain_parts(m, k, iters)
+    reps = [
+        f"""SELECT {j} AS subspace, af{j}.cid AS cluster_id,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  CAST(SUM(CAST({dist} AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mse
+FROM af{j} JOIN e{j} e USING (vec_id) JOIN c{j}_{iters} c ON af{j}.cid = c.cid
+GROUP BY af{j}.cid"""
+        for j in range(m)
+    ]
+    union = "\nUNION ALL\n".join(reps)
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def _pq_adc_parts(m: int, k: int, iters: int, nq: int, topk: int) -> list[str]:
+    """CTEs shared by knn_pq_adc / knn_pq_recall: chains + encoded
+    corpus + per-query subspace lookup tables + ADC top-k."""
+    dist = _PQ_DIST
+    parts = _pq_chain_parts(m, k, iters)
+    enc = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, vec_id, cid FROM af{j}" for j in range(m)
+    )
+    parts.append(f"enc AS (\n{enc}\n)")
+    lut = "\nUNION ALL\n".join(
+        f"SELECT e.vec_id AS q_id, {j} AS j, c.cid, {dist} AS pd2\n"
+        f"FROM (SELECT vec_id, v FROM e{j} WHERE vec_id < {nq}) e CROSS JOIN c{j}_{iters} c"
+        for j in range(m)
+    )
+    parts.append(f"lut AS (\n{lut}\n)")
+    parts.append(
+        f"""adc AS (
+  SELECT q_id, vec_id,
+         CAST(SUM(CAST(pd2 AS DECIMAL(28,18))) AS DOUBLE) AS adc_d2
+  FROM enc JOIN lut USING (j, cid)
+  WHERE vec_id <> q_id
+  GROUP BY q_id, vec_id
+)"""
+    )
+    parts.append(
+        f"""pq_topk AS (
+  SELECT q_id, vec_id, adc_d2,
+         CAST(rn AS INTEGER) AS rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+    FROM adc
+  ) r WHERE rn <= {topk}
+)"""
+    )
+    return parts
+
+
+def knn_pq_adc_oracle(
+    m: int = 4, k: int | None = None, iters: int | None = None, topk: int | None = None
+) -> str:
+    from flink_kafka_filter_transform_spark.operators.kmeans import ITERS_DEFAULT, K_DEFAULT
+
+    k = K_DEFAULT if k is None else k
+    iters = ITERS_DEFAULT if iters is None else iters
+    topk = params.KNN_K if topk is None else topk
+    parts = _pq_adc_parts(m, k, iters, params.KNN_NUM_QUERIES, topk)
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT q_id, vec_id, rank, adc_d2 FROM pq_topk"
+    )
+
+
+def knn_pq_recall_oracle(
+    m: int = 4, k: int | None = None, iters: int | None = None, topk: int | None = None
+) -> str:
+    """Recall@k of PQ-ADC against EXACT L2 top-k (same metric as the
+    quantized search, so the readout isolates quantization loss)."""
+    from flink_kafka_filter_transform_spark.operators.kmeans import ITERS_DEFAULT, K_DEFAULT
+
+    k = K_DEFAULT if k is None else k
+    iters = ITERS_DEFAULT if iters is None else iters
+    topk = params.KNN_K if topk is None else topk
+    nq = params.KNN_NUM_QUERIES
+    dist_full = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(list_zip(q.v, e.v),"
+        " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+    parts = _pq_adc_parts(m, k, iters, nq, topk)
+    parts.append(
+        f"""exact_topk AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, e.vec_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist_full} ASC, e.vec_id ASC) AS rn
+    FROM (SELECT vec_id, v FROM ef WHERE vec_id < {nq}) q
+    JOIN ef e ON e.vec_id <> q.vec_id
+  ) r WHERE rn <= {topk}
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT q.q_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n, 0) AS DOUBLE) / {float(topk)} AS recall_at_k
+FROM (SELECT DISTINCT q_id FROM exact_topk) q
+LEFT JOIN (
+  SELECT exact_topk.q_id, count(*) AS n
+  FROM exact_topk JOIN pq_topk USING (q_id, vec_id)
+  GROUP BY exact_topk.q_id
+) h USING (q_id)
+"""
+    )
