@@ -42,19 +42,25 @@ def kafka_stream_source(
     bootstrap_servers: str,
     topics: list[str],
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """O1: the Kafka scan as a streaming DataFrame.
 
     Fixed Kafka source schema (key/value binary, topic, partition,
-    offset, timestamp) — the Spark analog of rdkafka's message view."""
-    return (
+    offset, timestamp) — the Spark analog of rdkafka's message view.
+    ``max_offsets_per_trigger`` paces micro-batches (the broker analog
+    of the file twin's maxFilesPerTrigger; late-data equivalence tests
+    use it to force multi-batch arrival)."""
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", ",".join(topics))
         .option("startingOffsets", starting_offsets)
         .option("kafka.session.timeout.ms", str(CONSUMER_SESSION_TIMEOUT_MS))
-        .load()
     )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
 
 
 def file_stream_source(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
