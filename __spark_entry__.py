@@ -190,7 +190,6 @@ def queries() -> dict[str, QueryFn]:
         # kept only as the measured comparator for the _refined variant
         "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
         "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
-        "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
         "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
         "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
@@ -240,6 +239,7 @@ def queries() -> dict[str, QueryFn]:
         "pq_train_report": lambda s, d: kmeans.pq_train_report(_emb(s, d)),
         "knn_pq_adc": lambda s, d: kmeans.knn_pq_adc(_emb(s, d)),
         "knn_pq_recall": lambda s, d: kmeans.knn_pq_recall(_emb(s, d)),
+        "jpeg_decode": lambda s, d: multimodal.jpeg_decode(_docs(s, d)),
         # === TAIL (51+): r4-green and unchanged since; plus the eight
         # r3-verdict queries (events_group_reservoir, bigram_top_pairs,
         # training_mixture_report, media_resize, doc_chunks,
@@ -250,6 +250,7 @@ def queries() -> dict[str, QueryFn]:
         "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
             load_table(s, "lineitem", d)
         ),
+        "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
         "q7_volume_shipping": lambda s, d: relational.q7_volume_shipping(
             load_table(s, "lineitem", d),
             load_table(s, "orders", d),
@@ -471,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_train_report": oracles.pq_train_report_oracle(),
         "knn_pq_adc": oracles.knn_pq_adc_oracle(),
         "knn_pq_recall": oracles.knn_pq_recall_oracle(),
+        "jpeg_decode": oracles.jpeg_decode_oracle(),
         "events_group_reservoir": oracles.events_group_reservoir_oracle(),
         "bigram_top_pairs": oracles.bigram_top_pairs_oracle(),
         "training_mixture_report": oracles.training_mixture_report_oracle(),

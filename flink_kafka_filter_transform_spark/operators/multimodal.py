@@ -289,14 +289,17 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 def decode_image_compressed(content: bytes):
     """Compressed image decode: PNG is handled for real by
-    ``decode_png`` (stdlib zlib + numpy unfilter); JPEG still needs
-    codec libs this container lacks — fabricating DCT output would
-    hide that, so it stays a declared stub behind the PIL gate."""
+    ``decode_png`` (stdlib zlib + numpy unfilter) and baseline
+    grayscale JPEG by ``decode_jpeg`` (marker walk, canonical Huffman,
+    dequantize, IDCT — stdlib+numpy, r5). JPEG features outside that
+    scope (color/subsampled, progressive, restarts) still raise
+    NotImplementedError — fabricating DCT output would hide the gap."""
     if content[:8] == PNG_SIG:
         return decode_png(content)
-    if not HAS_PIL:  # pragma: no cover - PIL not in this container
-        raise NotImplementedError("JPEG decode requires PIL; not in this container")
-    raise NotImplementedError("wire to PIL.Image.open when media libs are present")
+    if content[:2] == b"\xff\xd8":
+        w, h, img = decode_jpeg(content)
+        return w, h, 1, img.reshape(h, w, 1)
+    raise NotImplementedError("unknown compressed image container")
 
 
 def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -619,3 +622,353 @@ def media_resize(docs: DataFrame) -> DataFrame:
     Arrow stage; at scale the cost is resize CPU in executors."""
     media = synth_media(docs.filter(F.col("doc_id") % 2 == 0))
     return media.mapInPandas(_resize_batches, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: the last compressed codec (VERDICT r4 #9). A real
+# stdlib+numpy decoder — marker parse, canonical Huffman entropy
+# decode (generic DHT), dequantize, zigzag, float IDCT — plus the
+# minimal deterministic encoder the fixture needs. Grayscale baseline
+# (SOF0, one component, no subsampling, no restarts); anything else
+# still raises NotImplementedError via decode_image_compressed.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Annex K.3 luminance Huffman specs: (BITS counts per code
+# length 1..16, HUFFVAL symbols).
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via T.81 canonical code construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _idct_matrix() -> np.ndarray:
+    """M[u, x] = C(u)/2 * cos((2x+1) u pi / 16) — JPEG's FDCT is
+    F = M f M^T, so the decoder computes f = M^T F M."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] /= np.sqrt(2.0)
+    return m
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self._n -= 8
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.write(0x7F, 8 - self._n)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:  # destuff
+                assert self.data[self.pos] == 0x00, "marker inside entropy data"
+                self.pos += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size``-bit amplitude to signed value."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - ((1 << size) - 1)
+
+
+def decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline grayscale JPEG -> (width, height, uint8[h, w]).
+
+    Real decode path: marker walk (DQT/DHT parsed generically, multiple
+    tables supported), canonical Huffman entropy decode with byte
+    destuffing, DC prediction, run-length AC with EOB/ZRL, dequantize,
+    inverse zigzag, float IDCT (separable matrix form), level shift,
+    clamp. Scope gate: SOF0, 8-bit, exactly one component, no restart
+    intervals — everything else raises NotImplementedError."""
+    assert content[:2] == b"\xff\xd8", "not a JPEG (no SOI)"
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = -1
+    comp_q = 0
+    scan: bytes | None = None
+    while pos < len(content):
+        assert content[pos] == 0xFF, "bad marker alignment"
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(content[pos : pos + 2], "big")
+        seg = content[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            s = 0
+            while s < len(seg):
+                prec, tid = seg[s] >> 4, seg[s] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(seg[s + 1 : s + 65], dtype=np.uint8)
+                q = np.zeros(64, dtype=np.int32)
+                q[_ZIGZAG] = zz
+                qtables[tid] = q.reshape(8, 8)
+                s += 65
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                cls, tid = seg[s] >> 4, seg[s] & 0x0F
+                bits = list(seg[s + 1 : s + 17])
+                nvals = sum(bits)
+                vals = list(seg[s + 17 : s + 17 + nvals])
+                huff[(cls, tid)] = {
+                    (code, length): sym
+                    for sym, (code, length) in _huffman_codes(bits, vals).items()
+                }
+                s += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise NotImplementedError("non-8-bit precision")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if ncomp != 1:
+                raise NotImplementedError("only single-component (grayscale)")
+            if seg[7] != 0x11:
+                raise NotImplementedError("subsampling")
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("non-baseline SOF")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:  # SOS: header then entropy data to EOI
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            scan = content[pos + seg_len : content.rfind(b"\xff\xd9")]
+            dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+            break
+        pos += seg_len
+    assert scan is not None and w > 0, "truncated JPEG"
+
+    def read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | r.read_bit()
+            length += 1
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("invalid Huffman code")
+
+    q = qtables[comp_q].astype(np.float64)
+    m = _idct_matrix()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    r = _BitReader(scan)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.float64)
+            size = read_symbol(r, dc_tab)
+            pred += _extend(r.read_bits(size), size)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = read_symbol(r, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                zz[k] = _extend(r.read_bits(size), size)
+                k += 1
+            blk = np.zeros(64, dtype=np.float64)
+            blk[_ZIGZAG] = zz
+            f = m.T @ (blk.reshape(8, 8) * q) @ m + 128.0
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = f
+    out = np.clip(np.floor(img + 0.5), 0, 255).astype(np.uint8)
+    return w, h, out[:h, :w]
+
+
+def encode_jpeg_blocks(
+    w: int,
+    h: int,
+    dc_values: list[int],
+    q: int = 16,
+    ac_extras: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """Minimal deterministic baseline encoder for the fixture: each
+    8x8 block is UNIFORM ``dc_values[b]`` (raster order), so only the
+    DC coefficient is nonzero — quantized as floor(8*(v-128)/q + 0.5),
+    DC-predicted, Annex-K Huffman coded, EOB-terminated. ``ac_extras``
+    optionally injects one already-quantized AC coefficient
+    (zigzag_index, amplitude) per block (index aligned with dc_values)
+    to exercise the decoder's run-length path in unit tests."""
+    assert w % 8 == 0 and h % 8 == 0 and len(dc_values) == (w // 8) * (h // 8)
+    dc_codes = _huffman_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _huffman_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for b, v in enumerate(dc_values):
+        qc = int(np.floor(8.0 * (v - 128) / q + 0.5))
+        diff = qc - pred
+        pred = qc
+        size = int(diff != 0 and abs(diff).bit_length() or 0)
+        code, length = dc_codes[size]
+        bw.write(code, length)
+        if size:
+            amp = diff if diff >= 0 else diff + (1 << size) - 1
+            bw.write(amp, size)
+        extra = ac_extras[b] if ac_extras else None
+        if extra is not None:
+            zz_idx, amp_val = extra
+            run = zz_idx - 1  # ACs before it are zero
+            size = abs(amp_val).bit_length()
+            code, length = ac_codes[(run << 4) | size]
+            bw.write(code, length)
+            bits = amp_val if amp_val >= 0 else amp_val + (1 << size) - 1
+            bw.write(bits, size)
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    zz_q = bytes(q for _ in range(64))
+    dqt = seg(0xDB, bytes([0x00]) + zz_q)
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+JPEG_W, JPEG_H = 16, 16
+JPEG_Q = 16
+JPEG_PIX_A, JPEG_PIX_B = 37, 91
+
+
+def _synth_jpeg(doc_id: int) -> bytes:
+    nblocks = (JPEG_W // 8) * (JPEG_H // 8)
+    vals = [(doc_id * JPEG_PIX_A + b * JPEG_PIX_B) % 256 for b in range(nblocks)]
+    return encode_jpeg_blocks(JPEG_W, JPEG_H, vals, q=JPEG_Q)
+
+
+def _synth_jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        yield pd.DataFrame(
+            {"doc_id": ids, "content": [_synth_jpeg(int(d)) for d in ids]}
+        )
+
+
+JPEG_SCHEMA = "doc_id BIGINT, width INT, height INT, pix_sum BIGINT, pix_max INT, pix_min INT"
+
+
+def _decode_jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in (
+            "doc_id", "width", "height", "pix_sum", "pix_max", "pix_min",
+        )}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            w, h, img = decode_jpeg(bytes(content))
+            flat = img.astype(np.int64)
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["pix_sum"].append(int(flat.sum()))
+            rows["pix_max"].append(int(flat.max()))
+            rows["pix_min"].append(int(flat.min()))
+        yield pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"],
+                "width": pd.array(rows["width"], dtype="Int32"),
+                "height": pd.array(rows["height"], dtype="Int32"),
+                "pix_sum": pd.array(rows["pix_sum"], dtype="Int64"),
+                "pix_max": pd.array(rows["pix_max"], dtype="Int32"),
+                "pix_min": pd.array(rows["pix_min"], dtype="Int32"),
+            }
+        )
+
+
+def jpeg_decode(docs: DataFrame) -> DataFrame:
+    """documents -> real baseline JPEG blobs (Annex-K Huffman entropy
+    coding, DC prediction, byte stuffing) -> REAL decode (generic DHT
+    parse, canonical Huffman, dequantize, zigzag, float IDCT) ->
+    integer-exact stats. Same two map-only Arrow stages as png_decode;
+    no shuffle. The fixture's blocks are uniform, so the decoded pixel
+    values have a CLOSED FORM (clamp(2*floor((v-128)/2 + 0.5) + 128))
+    the DuckDB oracle recomputes — a Huffman slip, a wrong DC
+    prediction, an IDCT scaling bug or a clamp miss reds the gate. The
+    AC run-length path is pinned separately by unit tests against an
+    independently-computed single-coefficient IDCT."""
+    media = docs.select("doc_id").mapInPandas(
+        _synth_jpeg_batches, "doc_id BIGINT, content BINARY"
+    )
+    return media.mapInPandas(_decode_jpeg_batches, JPEG_SCHEMA)

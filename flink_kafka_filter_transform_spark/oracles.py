@@ -2748,3 +2748,30 @@ LEFT JOIN (
 ) h USING (q_id)
 """
     )
+
+def jpeg_decode_oracle() -> str:
+    """Twin of multimodal.jpeg_decode: the fixture's blocks are
+    uniform, so each decoded block value has the closed form
+    clamp(2*floor((v-128)/2 + 0.5) + 128) — the Spark side runs the
+    REAL baseline-JPEG decoder (Huffman, DC prediction, dequantize,
+    IDCT) over real encoded blobs, and any slip diverges from this."""
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    nblocks = (mm.JPEG_W // 8) * (mm.JPEG_H // 8)
+    v = f"(doc_id * {mm.JPEG_PIX_A} + b * {mm.JPEG_PIX_B}) % 256"
+    d = (
+        f"LEAST(255, GREATEST(0, 2 * CAST(floor(({v} - 128) / 2.0 + 0.5) AS BIGINT) + 128))"
+    )
+    return f"""
+WITH blocks AS (
+  SELECT doc_id, unnest(generate_series(0, {nblocks - 1})) AS b FROM documents
+),
+dec AS (SELECT doc_id, {d} AS d FROM blocks)
+SELECT doc_id,
+  CAST({mm.JPEG_W} AS INTEGER) AS width,
+  CAST({mm.JPEG_H} AS INTEGER) AS height,
+  CAST(64 * SUM(d) AS BIGINT) AS pix_sum,
+  CAST(MAX(d) AS INTEGER) AS pix_max,
+  CAST(MIN(d) AS INTEGER) AS pix_min
+FROM dec GROUP BY doc_id
+"""

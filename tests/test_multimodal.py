@@ -170,8 +170,9 @@ def test_png_corrupt_fails_loudly():
 def test_decode_image_compressed_dispatches_png():
     w, h, c, px = mm.decode_image_compressed(mm._synth_png(4))
     assert (w, h, c) == (5 + 4 % 4, 4 + 4 % 3, 3)
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        mm.decode_image_compressed(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    # JPEG now decodes for real (r5); unknown containers still refuse
+    with pytest.raises(NotImplementedError, match="unknown"):
+        mm.decode_image_compressed(b"\x00\x11garbage")
 
 
 def test_resize_nearest_known_mapping():
@@ -190,3 +191,77 @@ def test_resize_nearest_known_mapping():
     # upscale repeats source pixels, never invents values
     big = mm.resize_nearest(img, 12, 8)
     assert set(big.reshape(-1, 3)[:, 0].tolist()) <= set(img.reshape(-1, 3)[:, 0].tolist())
+
+
+def test_jpeg_ac_single_coefficient_matches_independent_idct():
+    """The decoder's AC run-length path and IDCT orientation, pinned
+    against an INDEPENDENTLY computed single-coefficient IDCT (direct
+    cosine formula, no shared code with the decoder)."""
+    import math
+
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    blob = mm.encode_jpeg_blocks(8, 8, [128], q=16, ac_extras=[(5, 3)])
+    w, h, img = mm.decode_jpeg(blob)
+    assert (w, h) == (8, 8)
+    # zigzag index 5 is natural position (row 0, col 2) -> u=0 (rows), v=2
+    F = 3 * 16  # amplitude * quant step
+
+    def pix(x, y):
+        cu, cv = 1 / math.sqrt(2), 1.0
+        val = (
+            0.25 * cu * cv * F
+            * math.cos((2 * y + 1) * 0 * math.pi / 16)
+            * math.cos((2 * x + 1) * 2 * math.pi / 16)
+        )
+        return min(255, max(0, int(math.floor(val + 128 + 0.5))))
+
+    expected = [[pix(x, y) for x in range(8)] for y in range(8)]
+    assert img.tolist() == expected
+
+
+def test_jpeg_dc_prediction_across_blocks():
+    """Multi-block DC differential coding: each block's quantized DC is
+    coded relative to the previous one; decoded blocks must be uniform
+    at the closed-form value."""
+    import numpy as np
+
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    vals = [0, 255, 128, 7]
+    blob = mm.encode_jpeg_blocks(16, 16, vals, q=16)
+    w, h, img = mm.decode_jpeg(blob)
+    for b, v in enumerate(vals):
+        by, bx = divmod(b, 2)
+        blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        exp = min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+        assert (blk == exp).all(), (b, v, exp, blk[0, 0])
+
+
+def test_jpeg_scope_gates_raise():
+    """Out-of-scope JPEG features must fail loudly, never fabricate
+    pixels: progressive SOF2 and multi-component SOF0."""
+    import pytest
+
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    blob = bytearray(mm.encode_jpeg_blocks(8, 8, [100], q=16))
+    sof_at = bytes(blob).find(b"\xff\xc0")
+    progressive = blob.copy()
+    progressive[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(bytes(progressive))
+    color = blob.copy()
+    ncomp_at = sof_at + 2 + 2 + 5  # marker(2) + len(2) + prec(1) + h(2) + w(2)
+    color[ncomp_at] = 3
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(bytes(color))
+
+
+def test_decode_image_compressed_routes_jpeg():
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    blob = mm._synth_jpeg(42)
+    w, h, c, px = mm.decode_image_compressed(blob)
+    assert (w, h, c) == (mm.JPEG_W, mm.JPEG_H, 1)
+    assert px.shape == (h, w, 1)
