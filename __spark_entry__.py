@@ -190,8 +190,8 @@ def queries() -> dict[str, QueryFn]:
         # kept only as the measured comparator for the _refined variant
         "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
         "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
-        "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
-        "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
+        "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
+        "minhash_band_sweep": lambda s, d: dedup.minhash_band_sweep(_docs(s, d)),
         "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
         "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
         "knn_ivf_recall": lambda s, d: similarity.knn_ivf_recall(_emb(s, d)),
@@ -240,17 +240,20 @@ def queries() -> dict[str, QueryFn]:
         "knn_pq_adc": lambda s, d: kmeans.knn_pq_adc(_emb(s, d)),
         "knn_pq_recall": lambda s, d: kmeans.knn_pq_recall(_emb(s, d)),
         "jpeg_decode": lambda s, d: multimodal.jpeg_decode(_docs(s, d)),
-        # === TAIL (51+): r4-green and unchanged since; plus the eight
-        # r3-verdict queries (events_group_reservoir, bigram_top_pairs,
+        # === TAIL (51+): r4-green and unchanged since; plus the r3-
+        # verdict queries displaced by the new r5 head entries
+        # (events_group_reservoir, bigram_top_pairs,
         # training_mixture_report, media_resize, doc_chunks,
-        # mixture_sample_summary, q6_forecast_revenue,
-        # q13_customer_distribution) displaced by the new r5 queries —
-        # age exactly 2 rounds at r5, so rotation_check passes, and r6
-        # MUST rotate them (tools/rotation_check.py will flag) ===
+        # mixture_sample_summary, q6/q7/q9/q10/q13/q18, knn_brute,
+        # knn_lsh) — all with call graphs UNTOUCHED since their r3
+        # verdict and age exactly 2 rounds at r5, so rotation_check
+        # passes; r6 MUST rotate them (tools/rotation_check.py flags)
+        # ===
         "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(
             load_table(s, "lineitem", d)
         ),
-        "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
+        "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
+        "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
         "q7_volume_shipping": lambda s, d: relational.q7_volume_shipping(
             load_table(s, "lineitem", d),
             load_table(s, "orders", d),
@@ -473,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq_adc": oracles.knn_pq_adc_oracle(),
         "knn_pq_recall": oracles.knn_pq_recall_oracle(),
         "jpeg_decode": oracles.jpeg_decode_oracle(),
+        "minhash_band_sweep": oracles.minhash_band_sweep_oracle(),
         "events_group_reservoir": oracles.events_group_reservoir_oracle(),
         "bigram_top_pairs": oracles.bigram_top_pairs_oracle(),
         "training_mixture_report": oracles.training_mixture_report_oracle(),

@@ -117,13 +117,16 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
+def lsh_candidates(sig: DataFrame, n_bands: int | None = None) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs.
 
-    K=8 rows banded 4x2; the self-join key is (band_idx, band_key), so
-    only same-band collisions meet — the classic S-curve selectivity.
-    Buckets above LSH_BUCKET_CAP are dropped (skew guard)."""
-    rows_per_band = params.MINHASH_K // params.MINHASH_BANDS
+    K=8 rows banded 4x2 by default (``n_bands`` overrides — the
+    band-sweep tuner walks the b*r=K configurations); the self-join key
+    is (band_idx, band_key), so only same-band collisions meet — the
+    classic S-curve selectivity. Buckets above LSH_BUCKET_CAP are
+    dropped (skew guard)."""
+    n_bands = params.MINHASH_BANDS if n_bands is None else n_bands
+    rows_per_band = params.MINHASH_K // n_bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -131,7 +134,7 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
                 "_", *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
             ).alias("band_key"),
         )
-        for b in range(params.MINHASH_BANDS)
+        for b in range(n_bands)
     ]
     bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
         "doc_id", "band.band_idx", "band.band_key"
@@ -557,3 +560,65 @@ def segment_dedup_stats(docs: DataFrame, seg_len: int = 16) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-count tuning curve
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_sweep(
+    docs: DataFrame, band_configs: tuple[int, ...] = (8, 4, 2, 1)
+) -> DataFrame:
+    """The banding accuracy/cost curve read BEFORE fixing an LSH
+    configuration (the MinHash analog of knn_ivf_probe_sweep): for
+    each b*r = K banding, the candidate count, true-pair hits,
+    recall and precision against EXHAUSTIVE-Jaccard ground truth.
+    More bands / fewer rows shifts the S-curve left: recall rises,
+    precision falls — this query quantifies that trade on real data.
+
+    Scale: ground truth is all-pairs (O(N^2)) BY DESIGN — a tuning
+    harness runs on a deterministic sample (sampling.hash_sample
+    composes upstream), never the full corpus; the LSH candidate
+    sides themselves stay banded/bucket-capped exactly as production
+    runs them. Each config is one extra pass over the signature
+    relation; counts are 1-row aggregates crossed together.
+    """
+    sig = minhash_signatures(docs)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= params.JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    out: DataFrame | None = None
+    for nb in band_configs:
+        cand = lsh_candidates(sig, n_bands=nb)
+        hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true_pairs")))
+            .select(
+                F.lit(nb).alias("n_bands"),
+                F.lit(params.MINHASH_K // nb).alias("rows_per_band"),
+                "n_candidates",
+                "n_true_pairs",
+                "n_hits",
+                F.when(
+                    F.col("n_true_pairs") > 0,
+                    F.col("n_hits").cast("double") / F.col("n_true_pairs"),
+                ).alias("recall"),
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_hits").cast("double") / F.col("n_candidates"),
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out

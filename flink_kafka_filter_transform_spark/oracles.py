@@ -2775,3 +2775,61 @@ SELECT doc_id,
   CAST(MIN(d) AS INTEGER) AS pix_min
 FROM dec GROUP BY doc_id
 """
+
+def minhash_band_sweep_oracle(band_configs: tuple[int, ...] = (8, 4, 2, 1)) -> str:
+    """Twin of dedup.minhash_band_sweep: one banded candidate CTE per
+    configuration, all measured against the same exhaustive-Jaccard
+    ground truth."""
+    parts = [
+        f"""truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles)))
+      >= {params.JACCARD_THRESHOLD}
+)"""
+    ]
+    selects = []
+    for nb in band_configs:
+        rows = params.MINHASH_K // nb
+        band_selects = "\n  UNION ALL ".join(
+            "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig".format(
+                b=b,
+                key=" || '_' || ".join(
+                    f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows)
+                ),
+            )
+            for b in range(nb)
+        )
+        parts.append(f"bands{nb} AS (\n  {band_selects}\n)")
+        parts.append(
+            f"""capped{nb} AS (
+  SELECT doc_id, band_idx, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS n FROM bands{nb}
+  ) b WHERE n <= {params.LSH_BUCKET_CAP}
+)"""
+        )
+        parts.append(
+            f"""cand{nb} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped{nb} a JOIN capped{nb} b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+        )
+        selects.append(
+            f"""SELECT {nb} AS n_bands, {rows} AS rows_per_band,
+  (SELECT CAST(count(*) AS BIGINT) FROM cand{nb}) AS n_candidates,
+  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+  (SELECT CAST(count(*) AS BIGINT)
+     FROM cand{nb} c JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+    AS n_hits"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {_minhash_sig_ctes()},
+{','.join(parts)}
+SELECT n_bands, rows_per_band, n_candidates, n_true_pairs, n_hits,
+  CASE WHEN n_true_pairs > 0 THEN CAST(n_hits AS DOUBLE) / n_true_pairs END AS recall,
+  CASE WHEN n_candidates > 0 THEN CAST(n_hits AS DOUBLE) / n_candidates END AS precision
+FROM ({union}) s
+"""

@@ -456,3 +456,51 @@ def test_q8_single_fact_fact_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet") == 8  # nation scans twice (cust + supp roles)
     assert px.broadcast_join_count(df) >= 4
     assert px.sortmerge_join_count(df) == 0
+
+
+def test_segment_dedup_broadcasts_nothing(spark, sf_dir):
+    """Segment hashes and their distinct-doc counts are both corpus-
+    sized at 100 TB — no pinned broadcast anywhere; text never joins,
+    only 8-byte hashes."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.segment_dedup_stats(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "Window" not in plan
+
+
+def test_trigram_gini_is_map_only(spark, sf_dir):
+    """Per-doc diversity stats are a pure projection: zero shuffles,
+    no vocabulary state, one codegen stage over the scan."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.trigram_gini_diversity(load_table(spark, "documents", sf_dir, rebalance=False))
+    assert px.count_shuffles(df) == 0
+
+
+def test_label_outliers_broadcasts_stats_both_passes(spark, sf_dir):
+    """Label cardinality is tiny vs corpus: the centroid relation and
+    the per-label stats must BROADCAST back onto the vector scan —
+    never a corpus-side shuffle join."""
+    from flink_kafka_filter_transform_spark.operators import vectorprep
+
+    df = vectorprep.embedding_label_outliers(load_table(spark, "embeddings", sf_dir))
+    # 3 = centroid join on BOTH corpus passes (stats pass + flag pass;
+    # the distance relation is recomputed, not cached) + the stats join
+    assert px.broadcast_join_count(df) == 3
+    assert px.sortmerge_join_count(df) == 0
+
+
+def test_knn_pq_adc_broadcasts_codebook_and_lut(spark, sf_dir):
+    """ADC search scans the ENCODED corpus only: the per-query lookup
+    tables and every codebook/centroid relation broadcast; the raw
+    vectors never join the search side, and there is no nested-loop
+    join over the corpus."""
+    from flink_kafka_filter_transform_spark.operators import kmeans
+
+    df = kmeans.knn_pq_adc(load_table(spark, "embeddings", sf_dir))
+    plan = px.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert px.sortmerge_join_count(df) == 0
+    assert px.broadcast_join_count(df) >= 1
