@@ -229,6 +229,18 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "supplier", d),
             load_table(s, "nation", d),
         ),
+        "q2_min_cost_supplier": lambda s, d: relational.q2_min_cost_supplier(
+            load_table(s, "lineitem", d),
+            load_table(s, "part", d),
+            load_table(s, "supplier", d),
+            load_table(s, "nation", d),
+            load_table(s, "region", d),
+        ),
+        "q11_important_parts": lambda s, d: relational.q11_important_parts(
+            load_table(s, "lineitem", d),
+            load_table(s, "supplier", d),
+            load_table(s, "nation", d),
+        ),
         "segment_dedup_stats": lambda s, d: dedup.segment_dedup_stats(_docs(s, d)),
         "trigram_gini_diversity": lambda s, d: text.trigram_gini_diversity(
             _docs(s, d)
@@ -469,6 +481,8 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_part_variety": oracles.q16_supplier_part_variety_oracle(),
         "q19_discounted_revenue": oracles.q19_discounted_revenue_oracle(),
         "q21_waiting_orders": oracles.q21_waiting_orders_oracle(),
+        "q2_min_cost_supplier": oracles.q2_min_cost_supplier_oracle(),
+        "q11_important_parts": oracles.q11_important_parts_oracle(),
         "segment_dedup_stats": oracles.segment_dedup_stats_oracle(),
         "trigram_gini_diversity": oracles.trigram_gini_diversity_oracle(),
         "embedding_label_outliers": oracles.embedding_label_outliers_oracle(),

@@ -1247,3 +1247,139 @@ def q21_waiting_orders(
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
         .limit(topk)
     )
+
+
+def observed_supply(lineitem: DataFrame) -> DataFrame:
+    """The partsupp stand-in this schema lacks: one row per observed
+    (part, supplier) pair with the minimum unit price ever shipped as
+    the supply-cost analog. Unit price is a per-row double division
+    (IEEE-deterministic); MIN is exact.
+
+    Scale shape: ONE fact shuffle on the composite (partkey, suppkey)
+    key with map-side combine; output is partsupp-cardinality (distinct
+    pairs), far smaller than lineitem."""
+    return (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("_unit").alias("supply_cost"))
+    )
+
+
+def q2_min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    p_type: str = "PROMO",
+    p_size: int = 15,
+    region_name: str = "EUROPE",
+    topk: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 analog: for each qualifying part, the regional
+    supplier(s) offering the minimum supply cost — the correlated
+    scalar-MIN-subquery shape (this schema has no partsupp, so the
+    part-supplier catalog is ``observed_supply`` derived from shipped
+    lines). Ties on the per-part min are kept, exactly like the spec;
+    the final order is Q2's (acctbal DESC, nation, supplier, part) with
+    a deterministic full tie-break before the LIMIT.
+
+    Scale shape: the supply catalog is built with ONE fact shuffle
+    (observed_supply); the 9-part dimension filter and the regional
+    supplier set both broadcast onto it, so the catalog is never
+    re-shuffled; the per-part MIN is a groupBy on the already-joined
+    (part-filtered) catalog — tiny — joined back by equality (no
+    window over the catalog). Completes the TPC-H shape inventory:
+    with q11 this makes all 22 query shapes covered."""
+    fp = part.filter(
+        (F.col("p_type") == F.lit(p_type)) & (F.col("p_size") == F.lit(p_size))
+    ).select("p_partkey")
+    rs = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == F.lit(region_name))
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        observed_supply(lineitem)
+        .join(F.broadcast(fp), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = cand.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        cand.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name"),
+            F.col("s_name"),
+            F.col("p_partkey"),
+        )
+        .limit(topk)
+    )
+
+
+def q11_important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    fraction_bp: int = 10,
+) -> DataFrame:
+    """TPC-H Q11 analog: parts whose inventory value held by one
+    nation's suppliers exceeds a fraction of that nation's total — the
+    global-scalar-subquery HAVING shape. Value per (part) is
+    sum(extendedprice * quantity) over lines shipped by the nation's
+    suppliers; the threshold is ``fraction_bp`` basis points (1/10000)
+    of the grand total. The comparison runs entirely in DECIMAL —
+    value * 10000 > total * fraction_bp — so the gate is exact on both
+    engines (no double rounding at the boundary).
+
+    Scale shape: the nation's supplier set broadcasts onto the fact
+    scan; ONE part-keyed shuffle builds the per-part values; the grand
+    total is a 1-row aggregate broadcast back (never a window over all
+    parts); HAVING filters part-cardinality rows."""
+    ns = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == F.lit(nation_name))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    val_dec = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(28,6)")
+    )
+    per_part = (
+        lineitem.join(F.broadcast(ns), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(val_dec.alias("_value_dec"))
+    )
+    total = per_part.agg(F.sum("_value_dec").alias("_total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_value_dec") * F.lit(10000)
+            > F.col("_total_dec") * F.lit(fraction_bp)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_value_dec").cast("double").alias("part_value"),
+        )
+    )

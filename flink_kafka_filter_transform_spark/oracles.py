@@ -2833,3 +2833,64 @@ SELECT n_bands, rows_per_band, n_candidates, n_true_pairs, n_hits,
   CASE WHEN n_candidates > 0 THEN CAST(n_hits AS DOUBLE) / n_candidates END AS precision
 FROM ({union}) s
 """
+
+
+def q2_min_cost_supplier_oracle(
+    p_type: str = "PROMO",
+    p_size: int = 15,
+    region_name: str = "EUROPE",
+    topk: int = 100,
+) -> str:
+    """Independent formulation: the correlated scalar-MIN subquery
+    exactly as TPC-H writes Q2 (vs the engine's grouped-min + equality
+    join-back)."""
+    return f"""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{region_name}'
+),
+cand AS (
+  SELECT p_partkey, supply_cost, s_suppkey, s_name, s_acctbal, n_name
+  FROM supply
+  JOIN part ON l_partkey = p_partkey
+  JOIN rs ON l_suppkey = s_suppkey
+  WHERE p_type = '{p_type}' AND p_size = {p_size}
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+FROM cand c
+WHERE supply_cost = (SELECT min(supply_cost) FROM cand c2
+                     WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT {topk}
+"""
+
+
+def q11_important_parts_oracle(
+    nation_name: str = "NATION_3", fraction_bp: int = 10
+) -> str:
+    """Independent formulation: scalar subquery in the HAVING, exactly
+    as TPC-H writes Q11 (vs the engine's 1-row broadcast join). The
+    threshold comparison is all-DECIMAL on both engines."""
+    return f"""
+WITH ns AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{nation_name}'
+),
+pv AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS value_dec
+  FROM lineitem JOIN ns ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM pv
+WHERE value_dec * 10000 > (SELECT sum(value_dec) FROM pv) * {fraction_bp}
+"""

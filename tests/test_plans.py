@@ -504,3 +504,40 @@ def test_knn_pq_adc_broadcasts_codebook_and_lut(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert px.sortmerge_join_count(df) == 0
     assert px.broadcast_join_count(df) >= 1
+
+
+def test_q2_catalog_built_once_and_dims_broadcast(spark, sf_dir):
+    """Q2's correlated-min: the observed-supply catalog is built with
+    ONE fact shuffle; the part filter and the regional supplier set
+    broadcast onto it, and the per-part min joins back by broadcast —
+    the catalog is never re-shuffled and never windowed."""
+    df = relational.q2_min_cost_supplier(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "region", sf_dir),
+    )
+    plan = px.explain_str(df, "simple")
+    assert "Window" not in plan
+    assert px.sortmerge_join_count(df) == 0
+    assert px.broadcast_join_count(df) >= 4  # part, rs(nation+region), min-back
+    # fact shuffles: the (partkey,suppkey) catalog agg + the tiny
+    # per-part min agg + the final TakeOrdered exchange
+    assert px.count_shuffles(df) <= 3
+
+
+def test_q11_total_is_broadcast_not_window(spark, sf_dir):
+    """Q11's HAVING-vs-grand-total must be a 1-row broadcast joined
+    back onto the per-part values — never a window over all parts; the
+    nation's supplier set broadcasts onto the fact scan, so the only
+    fact shuffle is the part-keyed aggregate."""
+    df = relational.q11_important_parts(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+    plan = px.explain_str(df, "simple")
+    assert "Window" not in plan
+    assert px.sortmerge_join_count(df) == 0
+    assert px.broadcast_join_count(df) >= 3  # nation, supplier set, 1-row total
