@@ -127,10 +127,16 @@ def queries() -> dict[str, QueryFn]:
     pii_redact/repetition_ratios map block) + queries changed in r5
     (token_frequency_score's integer-exact rework;
     embedding_neardup_refined/_fps's data-adaptive codebook
-    cardinality; exact_dedup's rebalance opt-out; new r5 queries) +
-    r3-verdict queries refreshed ahead of aging out (the dedup/knn/
-    kmeans families and the q6-q18 TPC-H block). The tail is r4-green-
-    and-unchanged plus the r3 remainder that r6 must rotate;
+    cardinality; exact_dedup's rebalance opt-out) + r3-verdict queries
+    whose call graph changed in r5 (lsh_candidates' n_bands knob ->
+    minhash family; kmeans_fit refactor -> kmeans family) + ALL 20
+    new-in-r5 queries (the TPC-H q2/q8/q11/q12/q15/q16/q19/q21 block,
+    segment_dedup_stats, trigram_gini_diversity,
+    embedding_label_outliers, the PQ trio, jpeg_decode,
+    minhash_band_sweep, semdedup_prune, temperature_mixture_report,
+    supply_chain_pagerank, dsir_proxy_weights). The tail is r4-green-
+    and-unchanged plus the r3-green-untouched remainder (simhash/
+    similarity families, age exactly 2 rounds) that r6 MUST rotate;
     tools/rotation_check.py (tests/test_rotation.py) fails CI if any
     tail query's latest driver verdict would exceed 2 rounds old."""
     return {
@@ -182,21 +188,15 @@ def queries() -> dict[str, QueryFn]:
         "exact_dedup": lambda s, d: dedup.exact_dedup(
             load_table(s, "documents", d, rebalance=False)
         ),
-        # === HEAD: r3-verdict refresh (would age out at r6) ===
+        # === HEAD: r3-verdict queries whose CALL GRAPH changed in r5
+        # (lsh_candidates grew the n_bands knob -> minhash family;
+        # kmeans_fit refactor -> kmeans family) ===
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
-        "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
-        # LABELED ANTI-PATTERN BASELINE (quadratic at scale; SCALING.md):
-        # kept only as the measured comparator for the _refined variant
-        "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
         "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
         "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
         "minhash_band_sweep": lambda s, d: dedup.minhash_band_sweep(_docs(s, d)),
-        "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
-        "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
-        "knn_ivf_recall": lambda s, d: similarity.knn_ivf_recall(_emb(s, d)),
         "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
-        "knn_ivf_probe_sweep": lambda s, d: similarity.knn_ivf_probe_sweep(_emb(s, d)),
         "kmeans_clusters": lambda s, d: kmeans.kmeans_clusters(_emb(s, d)),
         "kmeans_cluster_sizes": lambda s, d: kmeans.kmeans_cluster_sizes(_emb(s, d)),
         # === HEAD: new in round 5 (must debut in the head) ===
@@ -242,6 +242,14 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "nation", d),
         ),
         "segment_dedup_stats": lambda s, d: dedup.segment_dedup_stats(_docs(s, d)),
+        "semdedup_prune": lambda s, d: dedup.semdedup_prune(_emb(s, d)),
+        "temperature_mixture_report": lambda s, d: sampling.temperature_mixture_report(
+            _docs(s, d)
+        ),
+        "supply_chain_pagerank": lambda s, d: graph.supply_chain_pagerank(
+            load_table(s, "lineitem", d)
+        ),
+        "dsir_proxy_weights": lambda s, d: sampling.dsir_proxy_weights(_docs(s, d)),
         "trigram_gini_diversity": lambda s, d: text.trigram_gini_diversity(
             _docs(s, d)
         ),
@@ -266,6 +274,17 @@ def queries() -> dict[str, QueryFn]:
         ),
         "knn_brute": lambda s, d: similarity.knn_brute(_emb(s, d)),
         "knn_lsh": lambda s, d: similarity.knn_lsh(_emb(s, d)),
+        # r3-green, call graphs untouched in r5 (similarity.py /
+        # simhash path had no r5 edits); age 2 rounds here -> r6 MUST
+        # rotate them (rotation_check enforces)
+        "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        # LABELED ANTI-PATTERN BASELINE (quadratic at scale; SCALING.md):
+        # kept only as the measured comparator for the _refined variant
+        "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
+        "knn_ivf": lambda s, d: similarity.knn_ivf(_emb(s, d)),
+        "knn_lsh_recall": lambda s, d: similarity.knn_lsh_recall(_emb(s, d)),
+        "knn_ivf_recall": lambda s, d: similarity.knn_ivf_recall(_emb(s, d)),
+        "knn_ivf_probe_sweep": lambda s, d: similarity.knn_ivf_probe_sweep(_emb(s, d)),
         "q7_volume_shipping": lambda s, d: relational.q7_volume_shipping(
             load_table(s, "lineitem", d),
             load_table(s, "orders", d),
@@ -484,6 +503,10 @@ def oracle_sql() -> dict[str, str]:
         "q2_min_cost_supplier": oracles.q2_min_cost_supplier_oracle(),
         "q11_important_parts": oracles.q11_important_parts_oracle(),
         "segment_dedup_stats": oracles.segment_dedup_stats_oracle(),
+        "semdedup_prune": oracles.semdedup_prune_oracle(),
+        "temperature_mixture_report": oracles.temperature_mixture_report_oracle(),
+        "supply_chain_pagerank": oracles.supply_chain_pagerank_oracle(),
+        "dsir_proxy_weights": oracles.dsir_proxy_weights_oracle(),
         "trigram_gini_diversity": oracles.trigram_gini_diversity_oracle(),
         "embedding_label_outliers": oracles.embedding_label_outliers_oracle(),
         "pq_train_report": oracles.pq_train_report_oracle(),

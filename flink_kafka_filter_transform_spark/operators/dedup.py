@@ -350,6 +350,95 @@ def embedding_neardup_refined(
     )
 
 
+def semdedup_prune(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = params.EMB_NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning report (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, find
+    within-cluster pairs above a cosine threshold, and from each such
+    pair KEEP the vector with the LOWER cosine similarity to its
+    cluster centroid (the paper's choice — retaining the more atypical
+    example; ties break to the lower vec_id). Output is the per-cluster
+    prune ledger: n_vectors, n_dropped, keep_rate.
+
+    Semantics note (oracle-exact, not greedy): a vector is dropped iff
+    SOME same-cluster partner above the threshold beats it under
+    (cent_sim ASC, vec_id ASC) — a per-pair rule both engines evaluate
+    identically, rather than the paper's order-dependent greedy sweep.
+
+    100 TB design: identical blocking story to
+    ``embedding_neardup_refined`` — clustering IS the blocking, so k
+    must track the corpus (pass k=adaptive_n_cells(N) in production;
+    the default stays literal so the oracle's CTE chain is static).
+    Centroids broadcast twice (assignment + cent_sim); the pair join is
+    cluster-blocked; norms are precomputed per VECTOR, only the dot
+    runs per pair; the report aggregates to k rows."""
+    from flink_kafka_filter_transform_spark.functions.vectors import dot, l2_norm
+    from flink_kafka_filter_transform_spark.operators.kmeans import kmeans_fit
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    assign, cents = kmeans_fit(vecs, k=k, iters=iters)
+    cent_cos = F.when(
+        (F.col("nrm") > 0) & (F.col("cnrm") > 0),
+        dot("v", "centroid") / (F.col("nrm") * F.col("cnrm")),
+    )
+    members = (
+        assign.join(vecs, "vec_id")
+        .select("vec_id", "cid", "v", l2_norm("v").alias("nrm"))
+        .join(
+            F.broadcast(cents.select("cid", "centroid", l2_norm("centroid").alias("cnrm"))),
+            "cid",
+        )
+        .select("vec_id", "cid", "v", "nrm", cent_cos.alias("cent_sim"))
+    )
+    a = members.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cid"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("cent_sim").alias("sim_a"),
+    )
+    b = members.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cid"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("cent_sim").alias("sim_b"),
+    )
+    pair_cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot("va", "vb") / (F.col("na") * F.col("nb")),
+    )
+    # per-pair loser: keep the LOWER cent_sim side; ties -> keep lower id
+    loser = (
+        F.when(F.col("sim_a") < F.col("sim_b"), F.col("vec_b"))
+        .when(F.col("sim_a") > F.col("sim_b"), F.col("vec_a"))
+        .otherwise(F.col("vec_b"))
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(pair_cos >= F.lit(threshold))
+        .select(loser.alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    n = F.count(F.lit(1))
+    nd = F.sum(F.coalesce(F.col("_dropped"), F.lit(0)))
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            n.alias("n_vectors"),
+            nd.cast("bigint").alias("n_dropped"),
+            ((n - nd).cast("double") / n.cast("double")).alias("keep_rate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Character n-gram Jaccard (single-minhash blocking)
 # ---------------------------------------------------------------------------

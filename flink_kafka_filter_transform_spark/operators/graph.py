@@ -103,3 +103,112 @@ def dedup_survivors(docs: DataFrame) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# PageRank fixed-point scale: total rank mass is ONE unit of 10^15, so
+# per-node ranks stay ~1e15/N and every intermediate (85 * insum) fits
+# a BIGINT at ANY corpus size — the scale does not grow with N.
+PR_SCALE = 10**15
+PR_ITERS = 5
+
+
+def pagerank(
+    vertices: DataFrame, edges: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """Fixed-iteration PageRank (damping 0.85) in INTEGER fixed-point
+    arithmetic: ranks are BIGINT units of 1/PR_SCALE, every step is
+    integer multiply / floor-divide / sum — bit-identical on any
+    engine, any partitioning, any association order (the float policy
+    taken to its logical end: no doubles at all until the final
+    readability cast). Floor division leaks < 1 unit of mass per edge
+    per round — deterministic, and irrelevant at 1e15 scale.
+
+    vertices: (node_id); edges: (src, dst) directed. Returns
+    (node_id, rank_scaled BIGINT, rank DOUBLE).
+
+    rank_i' = (15 * base) DIV 100  +  (85 * sum_in(rank_j DIV deg_j)) DIV 100
+    with base = PR_SCALE DIV N (the uniform init — total mass fixed at
+    PR_SCALE, so nothing overflows however large N grows).
+
+    Scale shape: the edge list is augmented with out-degrees ONCE
+    (one src-keyed shuffle, then localCheckpoint pins it); each
+    iteration is one src-keyed join (reusing that partitioning) + one
+    dst-keyed aggregation — the identical two-exchange pattern every
+    round, AQE-coalesced, with per-round localCheckpoint truncating
+    lineage exactly like connected_components. Iteration count is
+    FIXED (not convergence-tested): the oracle unrolls the same
+    ``iters`` CTE steps."""
+    n = vertices.count()
+    if n == 0:
+        raise ValueError("pagerank needs a non-empty vertex set")
+    base = PR_SCALE // n
+    teleport = (15 * base) // 100
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ewd = (
+        edges.join(deg, "src")
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=True)
+    )
+    ranks = vertices.select("node_id", F.lit(base).cast("bigint").alias("rank_scaled"))
+    for _ in range(iters):
+        insum = (
+            ewd.join(ranks, ewd["src"] == ranks["node_id"])
+            .select("dst", F.expr("rank_scaled DIV deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("insum"))
+        )
+        ranks = (
+            vertices.join(insum, vertices["node_id"] == insum["dst"], "left")
+            .select(
+                "node_id",
+                (
+                    F.lit(teleport)
+                    + F.expr("(85 * coalesce(insum, 0)) DIV 100")
+                ).cast("bigint").alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node_id",
+        "rank_scaled",
+        (F.col("rank_scaled").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
+    )
+
+
+def supply_chain_pagerank(
+    lineitem: DataFrame, iters: int = PR_ITERS, topk: int = 20
+) -> DataFrame:
+    """PageRank centrality over the part<->supplier bipartite graph
+    observed in shipments (nodes: parts and suppliers, one undirected
+    edge per distinct (partkey, suppkey) pair — encoded 2*partkey /
+    2*suppkey+1). The top-k hub report: which parts/suppliers sit at
+    the center of the supply network. This is the engine's iterative-
+    graph-centrality representative (alongside connected_components'
+    fixpoint and k-means'/BPE's fixed-iteration loops).
+
+    Scale shape: ONE fact shuffle builds the distinct edge list; the
+    PageRank loop runs on edge-cardinality rows; top-k is a
+    TakeOrdered on node-cardinality rows with a full deterministic
+    tie-break (rank DESC, node_id ASC)."""
+    e0 = (
+        lineitem.select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    verts = edges.select(F.col("src").alias("node_id")).distinct()
+    pr = pagerank(verts, edges, iters=iters)
+    return (
+        pr.select(
+            F.when(F.col("node_id") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node_id DIV 2").alias("key"),
+            "rank_scaled",
+            "rank",
+        )
+        .orderBy(F.col("rank_scaled").desc(), F.col("node_type"), F.col("key"))
+        .limit(topk)
+    )

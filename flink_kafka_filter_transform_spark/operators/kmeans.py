@@ -132,17 +132,17 @@ def farthest_point_seeds(vecs: DataFrame, k: int) -> DataFrame:
     return seeds
 
 
-def kmeans_clusters(
-    emb: DataFrame,
+def kmeans_fit(
+    vecs: DataFrame,
     k: int = K_DEFAULT,
     iters: int = ITERS_DEFAULT,
     seeding: str = "first",
-) -> DataFrame:
-    """Final (vec_id, cluster_id) assignment after ``iters`` Lloyd
-    iterations. ``seeding``: "first" (the first k vectors — the
-    original deterministic baseline) or "farthest" (farthest-point
-    traversal; better-spread codebooks on clustered corpora)."""
-    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` Lloyd iterations over (vec_id, v) rows and return
+    (final assignment (vec_id, cid), final centroids (cid, centroid)).
+    Deterministic: seeding is first-k or farthest-point, ties to lower
+    cid, decimal-exact centroid means — the DuckDB oracle replays the
+    identical trajectory (_kmeans_ctes)."""
     if seeding == "farthest":
         cents = farthest_point_seeds(vecs, k)
     elif seeding == "first":
@@ -154,9 +154,22 @@ def kmeans_clusters(
     for _ in range(iters):
         assign = _assign(vecs, cents)
         cents = _update(vecs, assign, cents)
-    return _assign(vecs, cents).select(
-        "vec_id", F.col("cid").alias("cluster_id")
-    )
+    return _assign(vecs, cents), cents
+
+
+def kmeans_clusters(
+    emb: DataFrame,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    seeding: str = "first",
+) -> DataFrame:
+    """Final (vec_id, cluster_id) assignment after ``iters`` Lloyd
+    iterations. ``seeding``: "first" (the first k vectors — the
+    original deterministic baseline) or "farthest" (farthest-point
+    traversal; better-spread codebooks on clustered corpora)."""
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    assign, _ = kmeans_fit(vecs, k, iters, seeding)
+    return assign.select("vec_id", F.col("cid").alias("cluster_id"))
 
 
 def kmeans_cluster_sizes(

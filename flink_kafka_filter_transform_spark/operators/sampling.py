@@ -219,3 +219,144 @@ def training_mixture_report(docs: DataFrame, min_quality: float = 0.5) -> DataFr
             F.sum(F.size("_t")).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def temperature_mixture_report(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual-training
+    weighting scheme: sample source i proportional to p_i^T, T=1/2, so
+    small sources are upsampled — XLM-R/mT5-style rebalancing).
+
+    T is pinned to 1/2 because x^0.5 is the ONE temperature the float
+    policy allows: sqrt is correctly rounded per IEEE-754 on both
+    engines, while a general pow(x, T) is a transcendental with
+    library-dependent last digits. Every emitted column is either an
+    exact integer aggregate or a composition of one exact division +
+    one sqrt in a pinned order:
+
+      raw_share       = n_tokens / total_tokens
+      rel_size        = n_tokens / max_tokens
+      temp_weight     = sqrt(rel_size)         (unnormalized p^T, scaled)
+      upsample_factor = temp_weight / rel_size (= how much T=1/2
+                        boosts this source vs proportional sampling)
+
+    Normalized temperature SHARES are deliberately NOT emitted: they
+    would need a sum of irrational doubles, which is association-order-
+    dependent and so not reproducible across engines/partitionings.
+
+    Scale shape: one source-keyed aggregate over per-doc token counts
+    (map-side combined), then a 1-row (total, max) aggregate broadcast
+    back onto the source-cardinality report. The corpus is scanned
+    once, never shuffled."""
+    from flink_kafka_filter_transform_spark.operators.text import tokens
+
+    # localCheckpoint the source-cardinality aggregate: both the report
+    # and the 1-row totals derive from it, and without pinning Spark
+    # would recompute the whole corpus scan for the broadcast side
+    per_src = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("bigint").alias("_total"),
+        F.max("n_tokens").alias("_max"),
+    )
+    rel_size = F.col("n_tokens").cast("double") / F.col("_max").cast("double")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_total").cast("double")).alias(
+            "raw_share"
+        ),
+        F.sqrt(rel_size).alias("temp_weight"),
+        (F.sqrt(rel_size) / rel_size).alias("upsample_factor"),
+    )
+
+
+def dsir_proxy_weights(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    target_mod: int = 50,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169)
+    with a transcendental-free scoring rule: hashed n-gram features
+    (unigrams + bigrams -> ``n_buckets`` via the portable hash),
+    add-1-smoothed bucket distributions for the TARGET sample
+    (doc_id % target_mod == 0 — the same held-out convention as
+    contamination_check) vs the RAW corpus, and a per-doc integer score
+
+        score = sum_b c_b * (ppm_target_b - ppm_raw_b)
+
+    where ppm_X_b = ((count_X_b + 1) * ppm) DIV (total_X + n_buckets)
+    — parts-per-million probabilities in exact integer floor division.
+    This is the first-order surrogate of DSIR's log-likelihood-ratio
+    (positive exactly when the doc leans target-enriched buckets); the
+    true LLR needs log(), which the float policy bans as library-
+    dependent. ``selected`` = score > 0.
+
+    Overflow audit: ppm terms are bounded by ±ppm, so a doc's score is
+    bounded by ppm * (its own feature count) — safe in BIGINT at any
+    corpus size; the (count+1)*ppm products stay under 2^63 until a
+    single bucket holds >9.2e12 features (~half a quadrillion tokens
+    corpus-wide at 64 buckets).
+
+    Scale shape: ONE feature-explode shuffle to (doc, bucket) counts;
+    the bucket table (n_buckets rows, conditional target/raw sums in
+    one pass) and its 1-row totals both broadcast back; the per-doc
+    score reduces (doc,bucket) rows keyed by doc. The corpus text is
+    scanned once."""
+    from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64
+    from flink_kafka_filter_transform_spark.operators.text import tokens
+
+    t = tokens("text")
+    uni = F.transform(t, lambda x: portable_hash64(x) % n_buckets)
+    big = F.transform(
+        F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: portable_hash64(x) % n_buckets,
+    )
+    cnt = (
+        docs.select("doc_id", F.explode(F.concat(uni, big)).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bkt = cnt.groupBy("b").agg(
+        F.sum("c").alias("r"),
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") % target_mod == 0, F.col("c"))), F.lit(0)
+        ).alias("t"),
+    )
+    tots = bkt.agg(F.sum("r").alias("rr"), F.sum("t").alias("tt"))
+    sb = (
+        bkt.crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.expr(
+                f"((t + 1) * {ppm}) DIV (tt + {n_buckets})"
+                f" - ((r + 1) * {ppm}) DIV (rr + {n_buckets})"
+            ).alias("s"),
+        )
+    )
+    sc = (
+        cnt.join(F.broadcast(sb), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("s")).alias("score"))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("score", F.lit(0)).cast("bigint").alias("score"),
+            (F.coalesce("score", F.lit(0)) > 0).alias("selected"),
+        )
+    )

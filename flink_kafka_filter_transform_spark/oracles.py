@@ -2894,3 +2894,156 @@ SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
 FROM pv
 WHERE value_dec * 10000 > (SELECT sum(value_dec) FROM pv) * {fraction_bp}
 """
+
+
+def semdedup_prune_oracle(
+    k: int = 8, iters: int = 2, threshold: float | None = None
+) -> str:
+    """SemDeDup prune ledger: replay the engine's k-means trajectory
+    (_kmeans_ctes), compute centroid similarity per member, apply the
+    SAME per-pair loser rule (keep lower cent_sim; ties keep lower
+    vec_id), aggregate per cluster."""
+    from flink_kafka_filter_transform_spark.functions.vectors import cosine_sql
+
+    thr = params.EMB_NEARDUP_THRESHOLD if threshold is None else threshold
+    return f"""
+{_kmeans_ctes(k, iters)},
+cs AS (
+  SELECT a.vec_id, a.cid, e.v,
+         {cosine_sql('e.v', 'c.centroid')} AS cent_sim
+  FROM afinal a JOIN e USING (vec_id) JOIN c{iters} c ON a.cid = c.cid
+),
+prs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         x.cent_sim AS sim_a, y.cent_sim AS sim_b
+  FROM cs x JOIN cs y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE {cosine_sql('x.v', 'y.v')} >= CAST({thr!r} AS DOUBLE)
+),
+dropped AS (
+  SELECT DISTINCT CASE WHEN sim_a < sim_b THEN vec_b
+                       WHEN sim_a > sim_b THEN vec_a
+                       ELSE vec_b END AS vec_id
+  FROM prs
+)
+SELECT a.cid AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(count(*) - sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_rate
+FROM afinal a LEFT JOIN dropped d USING (vec_id)
+GROUP BY a.cid
+"""
+
+
+def temperature_mixture_report_oracle() -> str:
+    """Mirror of sampling.temperature_mixture_report: same token
+    expression, same one-division-one-sqrt composition order."""
+    return r"""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '[^\s]+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_t, max(n_tokens) AS max_t
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total_t AS DOUBLE) AS raw_share,
+       sqrt(CAST(n_tokens AS DOUBLE) / CAST(max_t AS DOUBLE)) AS temp_weight,
+       sqrt(CAST(n_tokens AS DOUBLE) / CAST(max_t AS DOUBLE))
+         / (CAST(n_tokens AS DOUBLE) / CAST(max_t AS DOUBLE)) AS upsample_factor
+FROM per_src CROSS JOIN tot
+"""
+
+
+def supply_chain_pagerank_oracle(iters: int | None = None, topk: int = 20) -> str:
+    """Unrolled integer fixed-point PageRank: one (insum, rank) CTE
+    pair per iteration, identical floor-divide arithmetic to
+    operators.graph.pagerank (DuckDB `//` == Spark `DIV` for the
+    all-positive values here)."""
+    from flink_kafka_filter_transform_spark.operators.graph import PR_ITERS, PR_SCALE
+
+    iters = PR_ITERS if iters is None else iters
+    parts = [
+        "e0 AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem)",
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "verts AS (SELECT DISTINCT src AS node_id FROM edges)",
+        f"nn AS (SELECT count(*) AS n, {PR_SCALE} // count(*) AS base, (15 * ({PR_SCALE} // count(*))) // 100 AS teleport FROM verts)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT node_id, CAST(base AS BIGINT) AS rank_scaled FROM verts CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT e.dst AS node_id, sum(r.rank_scaled // d.deg) AS insum
+  FROM edges e JOIN r{i - 1} r ON e.src = r.node_id JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{i} AS (
+  SELECT v.node_id,
+         CAST(nn.teleport + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT) AS rank_scaled
+  FROM verts v CROSS JOIN nn LEFT JOIN s{i} s ON v.node_id = s.node_id
+)"""
+        )
+    return f"""
+WITH {','.join(parts)}
+SELECT CASE WHEN node_id % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       node_id // 2 AS key,
+       rank_scaled,
+       CAST(rank_scaled AS DOUBLE) / CAST({PR_SCALE} AS DOUBLE) AS rank
+FROM r{iters}
+ORDER BY rank_scaled DESC,
+         CASE WHEN node_id % 2 = 0 THEN 'part' ELSE 'supplier' END,
+         node_id // 2
+LIMIT {topk}
+"""
+
+
+def dsir_proxy_weights_oracle(
+    n_buckets: int = 64, target_mod: int = 50, ppm: int = 1_000_000
+) -> str:
+    """Mirror of sampling.dsir_proxy_weights: same hashed features,
+    same add-1 ppm floor-division scoring (DuckDB `//` == Spark `DIV`
+    on the all-positive ppm terms)."""
+    h = portable_hash64_sql("u")
+    hb = portable_hash64_sql("bg")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^\s]+') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, {h} % {n_buckets} AS b
+  FROM (SELECT doc_id, unnest(t) AS u FROM toks)
+  UNION ALL
+  SELECT doc_id, {hb} % {n_buckets} AS b
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             list_zip(t[1:len(t) - 1], t[2:len(t)]),
+             z -> z[1] || ' ' || z[2])) AS bg
+    FROM toks
+  )
+),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM feats GROUP BY doc_id, b),
+bkt AS (
+  SELECT b, sum(c) AS r,
+         coalesce(sum(CASE WHEN doc_id % {target_mod} = 0 THEN c END), 0) AS t
+  FROM cnt GROUP BY b
+),
+tots AS (SELECT sum(r) AS rr, sum(t) AS tt FROM bkt),
+sb AS (
+  SELECT b, ((t + 1) * {ppm}) // (tt + {n_buckets})
+           - ((r + 1) * {ppm}) // (rr + {n_buckets}) AS s
+  FROM bkt CROSS JOIN tots
+),
+sc AS (SELECT doc_id, sum(c * s) AS score FROM cnt JOIN sb USING (b) GROUP BY doc_id)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(score, 0) AS BIGINT) AS score,
+       coalesce(score, 0) > 0 AS selected
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""

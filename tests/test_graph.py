@@ -19,3 +19,44 @@ def test_disconnected_components_and_singletons(spark):
     )
     got = {(r.id, r.component) for r in connected_components(verts, edges).collect()}
     assert got == {(0, 0), (1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)}
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    """On a 5-leaf undirected star, the hub must out-rank every leaf,
+    leaves must tie exactly (integer arithmetic — EXACT equality), and
+    total mass must stay under PR_SCALE (floor leaks only)."""
+    from flink_kafka_filter_transform_spark.operators.graph import (
+        PR_SCALE,
+        pagerank,
+    )
+
+    leaves = list(range(1, 6))
+    e = [(0, i) for i in leaves] + [(i, 0) for i in leaves]
+    verts = spark.createDataFrame([(i,) for i in range(6)], "node_id BIGINT")
+    edges = spark.createDataFrame(e, "src BIGINT, dst BIGINT")
+    ranks = {r.node_id: r.rank_scaled for r in pagerank(verts, edges).collect()}
+    assert ranks[0] > ranks[1]
+    assert len({ranks[i] for i in leaves}) == 1  # exact integer tie
+    assert sum(ranks.values()) <= PR_SCALE
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a 4-cycle (2-regular), PageRank is exactly uniform at every
+    iteration: all nodes keep the identical integer rank."""
+    from flink_kafka_filter_transform_spark.operators.graph import pagerank
+
+    e = [(i, (i + 1) % 4) for i in range(4)] + [((i + 1) % 4, i) for i in range(4)]
+    verts = spark.createDataFrame([(i,) for i in range(4)], "node_id BIGINT")
+    edges = spark.createDataFrame(e, "src BIGINT, dst BIGINT")
+    got = {r.rank_scaled for r in pagerank(verts, edges).collect()}
+    assert len(got) == 1
+
+
+def test_pagerank_rejects_empty_graph(spark):
+    from flink_kafka_filter_transform_spark.operators.graph import pagerank
+    import pytest as _pytest
+
+    verts = spark.createDataFrame([], "node_id BIGINT")
+    edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    with _pytest.raises(ValueError):
+        pagerank(verts, edges)

@@ -541,3 +541,61 @@ def test_q11_total_is_broadcast_not_window(spark, sf_dir):
     assert "Window" not in plan
     assert px.sortmerge_join_count(df) == 0
     assert px.broadcast_join_count(df) >= 3  # nation, supplier set, 1-row total
+
+
+def test_semdedup_centroids_broadcast_pairs_cluster_blocked(spark, sf_dir):
+    """SemDeDup: every centroid-sized relation (codebook per Lloyd
+    step, cent_sim join) is a pinned broadcast; the pair join is
+    cluster-blocked (plain equi-join on cid — shuffles, correctly: both
+    sides are corpus-sized at 100 TB); nothing degenerates to a
+    cartesian product."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.semdedup_prune(load_table(spark, "embeddings", sf_dir))
+    plan = px.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    # crossJoin(broadcast(cents)) compiles to BroadcastNestedLoop — the
+    # intended k-row broadcast, not a data-data cartesian
+    assert px.broadcast_hint_count(df) >= 3
+
+
+def test_temperature_mixture_single_corpus_scan(spark, sf_dir):
+    """The corpus is scanned once and never shuffled for the report:
+    one source-keyed aggregate, then the 1-row (total, max) broadcast
+    back onto source-cardinality rows."""
+    from flink_kafka_filter_transform_spark.operators import sampling
+
+    df = sampling.temperature_mixture_report(load_table(spark, "documents", sf_dir))
+    plan = px.explain_str(df, "simple")
+    # the corpus scan happens once, at the pinned per-source aggregate;
+    # the visible plan reads only checkpointed source-cardinality rows
+    assert plan.count("Scan parquet") == 0
+    assert px.broadcast_hint_count(df) == 1  # the 1-row totals only
+    assert "Window" not in plan
+
+
+def test_pagerank_iteration_plan_is_flat(spark, sf_dir):
+    """localCheckpoint must truncate lineage: the FINAL iteration's
+    plan contains exactly one join + one aggregation pair, not iters
+    copies (the O(iters^2) plan-blowup failure mode)."""
+    from flink_kafka_filter_transform_spark.operators import graph
+
+    df = graph.supply_chain_pagerank(load_table(spark, "lineitem", sf_dir), iters=2)
+    plan = px.explain_str(df, "simple")
+    # checkpointed RDD scans replace the per-round subplans
+    assert plan.count("Scan ExistingRDD") >= 1
+    assert plan.count("Scan parquet") == 0  # last round reads checkpoints only
+
+
+def test_dsir_buckets_broadcast_corpus_never_rebucketed(spark, sf_dir):
+    """DSIR scoring: exactly two pinned broadcasts (the 1-row totals
+    into the 64-row bucket table, the bucket table onto the doc-bucket
+    counts); the doc-keyed score join is a plain equi-join (corpus-
+    sized at 100 TB — AQE decides); no windows anywhere."""
+    from flink_kafka_filter_transform_spark.operators import sampling
+
+    df = sampling.dsir_proxy_weights(load_table(spark, "documents", sf_dir))
+    plan = px.explain_str(df, "simple")
+    assert px.broadcast_hint_count(df) == 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -325,3 +325,47 @@ def test_token_pack_report_conserves_tokens(spark_prop):
     }
     assert got == want
     assert {r["source"] for r in report.filter(F.col("pack_id") == 0).collect()} == {"s0", "s1"}
+
+
+def test_semdedup_drops_exactly_one_of_identical_pair(spark):
+    """Two identical vectors land in the same k-means cell with equal
+    centroid similarity; the tie rule keeps the LOWER vec_id. Distinct
+    well-separated vectors survive."""
+    import numpy as np
+
+    from flink_kafka_filter_transform_spark.operators.dedup import semdedup_prune
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(10):
+        v = rng.normal(size=8)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], 0))
+    rows.append((10, rows[9][1], 0))  # exact duplicate of vec 9
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    rep = semdedup_prune(emb, k=2, iters=1, threshold=0.999).collect()
+    total_dropped = sum(r.n_dropped for r in rep)
+    total = sum(r.n_vectors for r in rep)
+    assert total == 11
+    assert total_dropped == 1  # exactly the duplicate, nothing else
+
+
+def test_temperature_mixture_equal_sources_are_neutral(spark):
+    """Equal-size sources: raw_share = 1/k, temp_weight = 1,
+    upsample_factor = 1 for every source (exact doubles)."""
+    from flink_kafka_filter_transform_spark.operators.sampling import (
+        temperature_mixture_report,
+    )
+
+    rows = [(i, "tok tok tok tok", "en", f"src{i % 4}", 15) for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    rep = temperature_mixture_report(docs).collect()
+    assert len(rep) == 4
+    for r in rep:
+        assert r.raw_share == 0.25
+        assert r.temp_weight == 1.0
+        assert r.upsample_factor == 1.0
