@@ -192,7 +192,6 @@ def queries() -> dict[str, QueryFn]:
         # (lsh_candidates grew the n_bands knob -> minhash family;
         # kmeans_fit refactor -> kmeans family) ===
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
-        "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
         "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
         "minhash_band_sweep": lambda s, d: dedup.minhash_band_sweep(_docs(s, d)),
@@ -250,6 +249,7 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "lineitem", d)
         ),
         "dsir_proxy_weights": lambda s, d: sampling.dsir_proxy_weights(_docs(s, d)),
+        "knn_filtered": lambda s, d: similarity.knn_filtered(_emb(s, d)),
         "trigram_gini_diversity": lambda s, d: text.trigram_gini_diversity(
             _docs(s, d)
         ),
@@ -278,6 +278,9 @@ def queries() -> dict[str, QueryFn]:
         # simhash path had no r5 edits); age 2 rounds here -> r6 MUST
         # rotate them (rotation_check enforces)
         "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        # mh0-blocked via _mh/_hash_pairs — NOT touched by the r5
+        # lsh_candidates n_bands change, so it ages in the tail
+        "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         # LABELED ANTI-PATTERN BASELINE (quadratic at scale; SCALING.md):
         # kept only as the measured comparator for the _refined variant
         "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
@@ -507,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture_report": oracles.temperature_mixture_report_oracle(),
         "supply_chain_pagerank": oracles.supply_chain_pagerank_oracle(),
         "dsir_proxy_weights": oracles.dsir_proxy_weights_oracle(),
+        "knn_filtered": oracles.knn_filtered_oracle(),
         "trigram_gini_diversity": oracles.trigram_gini_diversity_oracle(),
         "embedding_label_outliers": oracles.embedding_label_outliers_oracle(),
         "pq_train_report": oracles.pq_train_report_oracle(),

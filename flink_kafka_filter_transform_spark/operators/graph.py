@@ -113,7 +113,10 @@ PR_ITERS = 5
 
 
 def pagerank(
-    vertices: DataFrame, edges: DataFrame, iters: int = PR_ITERS
+    vertices: DataFrame,
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-iteration PageRank (damping 0.85) in INTEGER fixed-point
     arithmetic: ranks are BIGINT units of 1/PR_SCALE, every step is
@@ -130,27 +133,31 @@ def pagerank(
     with base = PR_SCALE DIV N (the uniform init — total mass fixed at
     PR_SCALE, so nothing overflows however large N grows).
 
-    Scale shape: the edge list is augmented with out-degrees ONCE
-    (one src-keyed shuffle, then localCheckpoint pins it); each
-    iteration is one src-keyed join (reusing that partitioning) + one
-    dst-keyed aggregation — the identical two-exchange pattern every
-    round, AQE-coalesced, with per-round localCheckpoint truncating
-    lineage exactly like connected_components. Iteration count is
-    FIXED (not convergence-tested): the oracle unrolls the same
-    ``iters`` CTE steps."""
+    Scale shape: the edge list is augmented with out-degrees once and
+    PERSISTED — cache, not localCheckpoint, deliberately: an
+    ExistingRDD scan hides the Catalyst output partitioning, so every
+    round would re-exchange the edge list, while the cached plan keeps
+    "hash-partitioned by src" visible and each round shuffles only
+    node-cardinality rank rows. Lineage is truncated every
+    ``checkpoint_every`` rounds rather than every round: a handful of
+    join+agg layers compile fine, and dropping the per-round barrier
+    jobs took the sf0.1 5-round loop from 9.7 s to 3.3 s warm; long
+    runs still checkpoint periodically so the plan tree stays bounded
+    (connected_components keeps per-round checkpoints because its
+    round count is data-dependent). Iteration count is FIXED (not
+    convergence-tested): the oracle unrolls the same ``iters`` CTE
+    steps."""
+    vertices = vertices.persist()
     n = vertices.count()
     if n == 0:
         raise ValueError("pagerank needs a non-empty vertex set")
     base = PR_SCALE // n
     teleport = (15 * base) // 100
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ewd = (
-        edges.join(deg, "src")
-        .select("src", "dst", "deg")
-        .localCheckpoint(eager=True)
-    )
+    ewd = edges.join(deg, "src").select("src", "dst", "deg").persist()
+    ewd.count()  # materialize once, outside the timed loop's lineage
     ranks = vertices.select("node_id", F.lit(base).cast("bigint").alias("rank_scaled"))
-    for _ in range(iters):
+    for i in range(iters):
         insum = (
             ewd.join(ranks, ewd["src"] == ranks["node_id"])
             .select("dst", F.expr("rank_scaled DIV deg").alias("contrib"))
@@ -166,8 +173,9 @@ def pagerank(
                     + F.expr("(85 * coalesce(insum, 0)) DIV 100")
                 ).cast("bigint").alias("rank_scaled"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node_id",
         "rank_scaled",

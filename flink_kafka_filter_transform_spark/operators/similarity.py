@@ -249,3 +249,39 @@ def knn_ivf_probe_sweep(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def knn_filtered(emb: DataFrame, k: int = params.KNN_K) -> DataFrame:
+    """Metadata-FILTERED exact search: top-k among vectors sharing the
+    query's label — the "vector search with a WHERE clause" every
+    production retrieval system needs (find similar items *within my
+    category*).
+
+    The filter is applied PRE-search (the predicate joins into the
+    candidate generation), not post-search: post-filtering a global
+    top-k silently starves queries whose matches are filter-minority
+    — the classic filtered-ANN correctness trap. Here the label
+    equi-join IS the candidate generator, so each query ranks exactly
+    its label's vectors and k results survive whenever the label has k
+    members.
+
+    Scale shape: queries (with their labels) broadcast; the corpus is
+    scanned once, candidates are label-blocked (label cardinality
+    bounds per-query work), the per-query top-k windows over scored
+    (q_id, vec_id, cos) triples only. For corpus-scale filters compose
+    with knn_ivf's cells instead (filter AND cell)."""
+    q = emb.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("label") == F.col("q_label"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_similarity("embedding", "q_vec").alias("cos_sim"),
+        )
+    )
+    return _topk(scored, k)

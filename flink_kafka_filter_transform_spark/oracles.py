@@ -3047,3 +3047,20 @@ SELECT d.doc_id, d.source,
        coalesce(score, 0) > 0 AS selected
 FROM documents d LEFT JOIN sc USING (doc_id)
 """
+
+
+def knn_filtered_oracle(k: int = params.KNN_K) -> str:
+    cos = cosine_sql("e.embedding", "q.q_vec")
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+           FROM embeddings WHERE vec_id < {params.KNN_NUM_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id, {cos} AS cos_sim
+  FROM embeddings e JOIN q ON e.label = q.q_label
+  WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+) r WHERE rank <= {k}
+"""

@@ -574,17 +574,23 @@ def test_temperature_mixture_single_corpus_scan(spark, sf_dir):
     assert "Window" not in plan
 
 
-def test_pagerank_iteration_plan_is_flat(spark, sf_dir):
-    """localCheckpoint must truncate lineage: the FINAL iteration's
-    plan contains exactly one join + one aggregation pair, not iters
-    copies (the O(iters^2) plan-blowup failure mode)."""
+def test_pagerank_loop_reads_cached_graph_only(spark, sf_dir):
+    """The edge list and vertex set are persisted (cache keeps the
+    src-hash partitioning visible, unlike a checkpoint's ExistingRDD),
+    so the iteration plan reads in-memory relations and never re-scans
+    parquet; short fixed loops carry no per-round checkpoint barrier."""
     from flink_kafka_filter_transform_spark.operators import graph
 
     df = graph.supply_chain_pagerank(load_table(spark, "lineitem", sf_dir), iters=2)
     plan = px.explain_str(df, "simple")
-    # checkpointed RDD scans replace the per-round subplans
-    assert plan.count("Scan ExistingRDD") >= 1
-    assert plan.count("Scan parquet") == 0  # last round reads checkpoints only
+    # cached graph relations feed every round ("Scan parquet" strings
+    # inside the printed InMemoryRelation DEFINITIONS don't count —
+    # they describe how the cache was built, not per-round work)
+    assert plan.count("InMemoryTableScan") >= 2
+    # per round: one rank exchange for the src join + the insum agg;
+    # the cached edge partitioning is never re-exchanged
+    assert px.count_shuffles(df) <= 2 * 2
+    assert "CartesianProduct" not in plan
 
 
 def test_dsir_buckets_broadcast_corpus_never_rebucketed(spark, sf_dir):

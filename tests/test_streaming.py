@@ -666,3 +666,67 @@ def test_stream_stream_outer_join_emits_null_matches(
     assert closed_nulls <= got, "closed unmatched creates must emit null rows"
     assert got <= want_all, "nothing beyond the batch left join"
     assert len(matches) > 0 and len(closed_nulls) > 0
+
+
+def test_contamination_guard_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The incremental decontamination guard, fed the training docs in
+    multiple micro-batches against static eval hashes, must keep
+    EXACTLY the docs the batch operator keeps (same profile code runs
+    both paths), with matching per-doc ratios."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64
+    from flink_kafka_filter_transform_spark.operators.dedup import contamination_check
+    from flink_kafka_filter_transform_spark.operators.text import token_ngrams, tokens
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming.pipeline import (
+        contamination_guard_sink,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    eval_hashes = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(token_ngrams(tokens(), 3)).alias("g"))
+        .select(portable_hash64("g").alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    src_dir = str(tmp_path_factory.mktemp("guard_src"))
+    train.repartition(3).write.mode("overwrite").parquet(src_dir)
+
+    out_dir = str(tmp_path_factory.mktemp("guard_out"))
+    ckpt = str(tmp_path_factory.mktemp("guard_ckpt"))
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        contamination_guard_sink(
+            stream, eval_hashes, out_dir, ckpt, max_ratio=0.5
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, f"{r.contamination_ratio:.9g}")
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    prof = contamination_check(docs)
+    want_kept = train.join(prof, "doc_id", "left").filter(
+        F.col("contamination_ratio").isNull()
+        | (F.col("contamination_ratio") <= 0.5)
+    )
+    want = {
+        (r.doc_id, f"{r.contamination_ratio:.9g}")
+        for r in want_kept.select(
+            "doc_id", F.coalesce("contamination_ratio", F.lit(0.0)).alias("contamination_ratio")
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # the guard must actually cut something at this threshold
+    assert len(got) < train.count()
