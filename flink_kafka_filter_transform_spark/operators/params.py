@@ -56,6 +56,15 @@ KNN_K = 10
 LSH_NUM_PLANES = 4  # hyperplanes = embeddings vec_id < 4
 LSH_TOPK = 5
 
+# --- Bloom filter membership sketch ----------------------------------------
+# 64 registers x 62 usable bits/register = 3968-bit filter. 62 (not 64)
+# bits per BIGINT register keeps every shiftleft(1, bit) strictly
+# positive on both engines — no sign-bit / overflow edge to reconcile.
+# K=2 probes via double hashing from ONE md5 digest (h1 + j*h2).
+BLOOM_REGS = 64
+BLOOM_REG_BITS = 62
+BLOOM_K = 2
+
 # --- CDC routing -----------------------------------------------------------
 # Rule tables at or below this size are collected at plan time and
 # compiled into the ordered when-chain (one scan, zero shuffles);

@@ -41,8 +41,10 @@ from pyspark.sql import functions as F
 
 from flink_kafka_filter_transform_spark.functions.hashing import (
     portable_hash64,
+    portable_hash64_second,
     portable_hash64_sql,
 )
+from flink_kafka_filter_transform_spark.operators import params
 
 P = 8
 M = 1 << P  # 256 registers
@@ -403,3 +405,130 @@ def histogram_quantiles_by_type(events: DataFrame) -> DataFrame:
     """Per-event_type quantile sketch — the grouped form a dashboard
     actually queries (p50/p90/p99 latency-style rollups per key)."""
     return histogram_quantiles(events, group="event_type")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set-membership sketch
+# ---------------------------------------------------------------------------
+#
+# The third classic sketch family next to HLL (distinct) and CMS
+# (frequency): at 100 TB an exact membership set (e.g. "every n-gram of
+# every benchmark") can be too large to broadcast as raw hashes, but a
+# Bloom filter over it is a FIXED-SIZE bitset — here 64 BIGINT
+# registers = 3968 bits — built with one map-side-combinable bit_or
+# aggregation and broadcast everywhere for a shuffle-free probe.
+# Registers are mergeable (bit_or is associative/commutative), so
+# per-partition / per-day filters roll up for free, the same property
+# hll_rollup_users demonstrates for HLL.
+#
+# Cross-engine determinism: bit positions come from the shared md5
+# double-hash (h1 + j*h2, j = 1..K) mod 64*62; 62 usable bits per
+# register keep every shiftleft strictly positive in both engines.
+
+
+def bloom_build(keys: DataFrame, hash_col: str = "gh") -> DataFrame:
+    """Aggregate a (h1, h2) keyed relation into Bloom registers
+    (reg, bits): for each key and probe j in 1..K, set bit
+    (h1 + j*h2) mod (REGS*REG_BITS). One tiny bit_or aggregation;
+    the result is <= BLOOM_REGS rows regardless of input size."""
+    m = params.BLOOM_REGS * params.BLOOM_REG_BITS
+    probes = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("_h1") + j * F.col("_h2")) % m).alias("p")
+                    for j in range(1, params.BLOOM_K + 1)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        probes.select(
+            F.expr(f"p div {params.BLOOM_REG_BITS}").alias("reg"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {params.BLOOM_REG_BITS} AS INT))").alias("_b"),
+        )
+        .groupBy("reg")
+        .agg(F.expr("bit_or(_b)").alias("bits"))
+    )
+
+
+def bloom_contamination(docs: DataFrame, n: int = 3, eval_mod: int = 50) -> DataFrame:
+    """Decontamination via a Bloom membership sketch, side-by-side with
+    the exact probe: eval-set token n-grams (docs with
+    doc_id % eval_mod == 0, as in dedup.contamination_check) are folded
+    into a 3968-bit Bloom filter; every training doc's distinct grams
+    probe the filter AND the exact hash set, so the report quantifies
+    the sketch's false-positive behavior on real data:
+
+      (doc_id, n_grams, bloom_hits, true_hits, false_positives)
+
+    Plan shape: the filter is <= 64 rows — broadcast-joined twice (one
+    per probe position, both map-side); the exact set broadcasts as in
+    contamination_check; ONE doc-keyed shuffle total. At 100 TB the
+    probe is a map-only pass over the corpus; only the per-doc counters
+    shuffle. The K probe positions are computed IN-ROW (no explode), so
+    the gram relation is never widened.
+
+    Why both numbers: bloom_hits >= true_hits always (no false
+    negatives); the gap IS the measured FP count, the quantity that
+    decides whether the fixed-size sketch can replace the exact
+    broadcast set at a given corpus scale."""
+    from flink_kafka_filter_transform_spark.operators.text import token_ngrams, tokens
+
+    m = params.BLOOM_REGS * params.BLOOM_REG_BITS
+    grams = docs.select(
+        "doc_id", token_ngrams(tokens(), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    eval_keys = (
+        grams.filter(F.col("doc_id") % eval_mod == 0)
+        .select(F.explode("grams").alias("g"))
+        .select(
+            portable_hash64("g").alias("_h1"),
+            portable_hash64_second("g").alias("_h2"),
+        )
+        .distinct()
+    )
+    bloom = bloom_build(eval_keys)
+    exact = eval_keys.select(F.col("_h1").alias("gh")).withColumn("hit", F.lit(1))
+    train = (
+        grams.filter(F.col("doc_id") % eval_mod != 0)
+        .select("doc_id", F.explode("grams").alias("g"))
+        .select(
+            "doc_id",
+            portable_hash64("g").alias("gh"),
+            portable_hash64_second("g").alias("_h2"),
+        )
+    )
+    probe = train
+    for j in range(1, params.BLOOM_K + 1):
+        pos = (F.col("gh") + j * F.col("_h2")) % m
+        probe = probe.withColumn(f"_r{j}", F.expr(
+            f"CAST(((gh + {j} * _h2) % {m}) div {params.BLOOM_REG_BITS} AS BIGINT)"
+        )).withColumn(f"_p{j}", (pos % params.BLOOM_REG_BITS).cast("int"))
+    for j in range(1, params.BLOOM_K + 1):
+        b = bloom.select(
+            F.col("reg").alias(f"_r{j}"), F.col("bits").alias(f"_bits{j}")
+        )
+        probe = probe.join(F.broadcast(b), f"_r{j}", "left")
+    in_bloom = None
+    for j in range(1, params.BLOOM_K + 1):
+        bit_set = (
+            F.coalesce(F.col(f"_bits{j}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), _p{j})")
+            )
+            != 0
+        )
+        in_bloom = bit_set if in_bloom is None else (in_bloom & bit_set)
+    probed = probe.join(F.broadcast(exact), "gh", "left")
+    agg = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(in_bloom.cast("bigint")).alias("bloom_hits"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint")).alias("true_hits"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "bloom_hits",
+        "true_hits",
+        (F.col("bloom_hits") - F.col("true_hits")).alias("false_positives"),
+    )

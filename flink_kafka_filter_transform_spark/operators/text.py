@@ -488,6 +488,134 @@ def bpe_merges(docs: DataFrame, steps: int = 3) -> DataFrame:
     return out
 
 
+def bpe_encode_report(docs: DataFrame, steps: int = 3) -> DataFrame:
+    """ENCODE with the trained tokenizer — the missing half of the BPE
+    loop (``bpe_merges`` trains; this applies). Trains the same
+    ``steps`` merges on the corpus, then applies each merge in rank
+    order to every eligible document: one greedy left-to-right
+    non-overlapping replace pass per merge — exactly the rewrite the
+    training loop itself performs, which is standard BPE encoding
+    semantics (later merges see the fused output of earlier ones).
+
+    Returns per document:
+    - ``n_tokens_base``    : whitespace tokens before any merge
+    - ``n_tokens_bpe``     : tokens after all ``steps`` merges
+    - ``n_merges_applied`` : base - bpe (each application fuses 2 -> 1)
+    - ``compression``      : bpe / base (one double division)
+
+    Scale shape: the training aggregations are shared with
+    ``bpe_merges`` (per step: one map-side-combined pair count -> 1-row
+    broadcast). Encoding itself adds ZERO shuffles — each merge is a
+    broadcast crossJoin of a 1-row relation plus a map-only string
+    rewrite, so at 100 TB the encode pass is embarrassingly parallel
+    and the only cluster-wide cost is the 3 tiny pair-count aggs.
+    Same \\x1f/\\x1e sentinel encoding and hostile-byte guard as
+    ``bpe_merges`` (docs containing the control bytes are excluded on
+    both engines)."""
+    s = F.concat(
+        F.lit(_BPE_SEP),
+        F.array_join(tokens(), _BPE_SEP + _BPE_SEP),
+        F.lit(_BPE_SEP),
+    )
+    cur = (
+        docs.filter(F.size(tokens()) > 0)
+        .filter(
+            ~F.col("text").contains(_BPE_SEP) & ~F.col("text").contains(_BPE_MERGE)
+        )
+        .select(
+            "doc_id",
+            F.size(tokens()).cast("bigint").alias("n_tokens_base"),
+            s.alias("_s"),
+        )
+    )
+    for _step in range(steps):
+        toks = F.split(
+            F.expr("substring(_s, 2, length(_s) - 2)"), _BPE_SEP + _BPE_SEP
+        )
+        n = F.size(toks)
+        pairs = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top = (
+            cur.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("_a"), F.col("p.b").alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("_a").asc(), F.col("_b").asc())
+            .limit(1)
+        )
+        pat = F.concat(
+            F.lit(_BPE_SEP), F.col("_a"), F.lit(_BPE_SEP + _BPE_SEP),
+            F.col("_b"), F.lit(_BPE_SEP),
+        )
+        rep = F.concat(
+            F.lit(_BPE_SEP), F.col("_a"), F.lit(_BPE_MERGE), F.col("_b"),
+            F.lit(_BPE_SEP),
+        )
+        # unlike training, the LAST merge is applied too: encoding uses
+        # the full merge table
+        cur = cur.crossJoin(F.broadcast(top)).select(
+            "doc_id", "n_tokens_base", F.replace(F.col("_s"), pat, rep).alias("_s")
+        )
+    n_bpe = F.size(
+        F.split(F.expr("substring(_s, 2, length(_s) - 2)"), _BPE_SEP + _BPE_SEP)
+    ).cast("bigint")
+    return cur.select(
+        "doc_id",
+        "n_tokens_base",
+        n_bpe.alias("n_tokens_bpe"),
+        (F.col("n_tokens_base") - n_bpe).alias("n_merges_applied"),
+        (n_bpe / F.col("n_tokens_base")).alias("compression"),
+    )
+
+
+def quality_classifier_score(docs: DataFrame) -> DataFrame:
+    """fastText-style hashed linear classifier scoring — the standard
+    cheap quality gate of LLM data pipelines (a linear model over
+    hashed bag-of-words features, cf. CCNet/fastText filtering). Each
+    token maps to a weight through the feature hash:
+
+        w(tok) = (portable_hash64(tok) mod 2001) - 1000   in [-1000, 1000]
+
+    (hash-derived weights stand in for trained ones so both engines
+    agree bit-for-bit; a production deploy swaps in a broadcast weight
+    table of identical shape — the PLAN is what this operator pins).
+    The document score is the mean weight, computed integer-exactly:
+
+        score_raw = sum(w(tok))              (BIGINT, exact)
+        score     = score_raw / (1000 * n)   (ONE double division)
+        keep      = score >= 0
+
+    Scale shape: ZERO shuffles — the fold over the token array runs
+    in-row inside codegen (F.aggregate), so at 100 TB this is a pure
+    map over the corpus: no vocabulary broadcast, no feature explode,
+    no aggregation state. The same no-widening discipline as
+    trigram_gini_diversity."""
+    toks = tokens()
+    weight = lambda x: (  # noqa: E731 — inline fold step
+        F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint") % 2001 - 1000
+    )
+    raw = F.aggregate(
+        F.col("_t"), F.lit(0).cast("bigint"), lambda acc, x: acc + weight(x)
+    )
+    n = F.size("_t").cast("bigint")
+    return (
+        docs.select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            raw.alias("score_raw"),
+            (raw.cast("double") / (n * 1000).cast("double")).alias("score"),
+            (raw >= 0).alias("keep"),
+        )
+    )
+
+
 # Dialect-portable PII patterns: explicit [0-9]/[A-Za-z] classes only —
 # identical in Java regex (Spark) and RE2 (DuckDB); no \d/\w shorthands
 # (Unicode semantics differ, see tests/test_regex_dialect.py).
@@ -622,6 +750,61 @@ def bigram_top_pairs(docs: DataFrame, k: int = 20) -> DataFrame:
         pairs.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+def bigram_lift_top(docs: DataFrame, k: int = 20, min_pair: int = 5) -> DataFrame:
+    """Collocation mining: the top-``k`` adjacent token pairs by LIFT —
+    observed co-occurrence over the independence expectation:
+
+        lift(a,b) = (n_ab / N) / ((c_a / T) * (c_b / T))
+
+    with n_ab = pair occurrences, N = total pairs, c_x = unigram
+    occurrences, T = total tokens. This is the association statistic
+    behind phrase detection (word2vec-style phrase merging, PMI-based
+    collocation tables) kept inside the repo's no-transcendentals float
+    policy: PMI = log(lift), and log is monotone, so ranking by lift IS
+    ranking by PMI without either engine evaluating a transcendental.
+    Pairs below ``min_pair`` occurrences are dropped (1-count pairs
+    produce unstable top ranks). All counts are exact BIGINTs; lift is
+    one double expression with an identical tree on both engines.
+
+    Scale shape — the vocabulary is NEVER broadcast (same discipline as
+    token_frequency_score): pair counts aggregate on the pair key,
+    unigram counts on the token key (both map-side combined, count
+    relations are far smaller than the corpus), then the pair relation
+    joins the unigram relation twice (on a, then b) as ordinary
+    shuffle joins; the global (T, N) scalars ride in via a 1-row
+    broadcast. TakeOrderedAndProject caps the output at k."""
+    toks = tokens()
+    pairs = docs.select(F.explode(token_ngrams(toks, 2, distinct=False)).alias("gram"))
+    pair_counts = (
+        pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+        .select(
+            "gram",
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("_a"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("_b"),
+            "n_pair",
+        )
+    )
+    unis = docs.select(F.explode(toks).alias("tok"))
+    uni_counts = unis.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    totals = unis.agg(F.count(F.lit(1)).alias("_t")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).alias("_n"))
+    )
+    joined = (
+        pair_counts.join(uni_counts.select(F.col("tok").alias("_a"), F.col("_c").alias("c_a")), "_a")
+        .join(uni_counts.select(F.col("tok").alias("_b"), F.col("_c").alias("c_b")), "_b")
+        .crossJoin(F.broadcast(totals))
+    )
+    lift = (F.col("n_pair") * F.col("_t")).cast("double") * F.col("_t").cast(
+        "double"
+    ) / ((F.col("_n")).cast("double") * (F.col("c_a") * F.col("c_b")).cast("double"))
+    return (
+        joined.select("gram", "n_pair", "c_a", "c_b", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("gram").asc())
         .limit(k)
     )
 

@@ -10,7 +10,10 @@ at sf0.01 (CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
-from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64_sql
+from flink_kafka_filter_transform_spark.functions.hashing import (
+    portable_hash64_second_sql,
+    portable_hash64_sql,
+)
 from flink_kafka_filter_transform_spark.functions.vectors import cosine_sql, dot_sql
 from flink_kafka_filter_transform_spark.operators import params
 from flink_kafka_filter_transform_spark.sources.cdc_fixture import RULES, cdc_sql, rules_cte_sql
@@ -202,6 +205,66 @@ SELECT doc_id,
   CAST(sum(CASE WHEN gh IN (SELECT gh FROM eval_g) THEN 1 ELSE 0 END) AS DOUBLE)
     / count(*) AS contamination_ratio
 FROM train GROUP BY doc_id
+"""
+
+
+def bloom_contamination_oracle(n: int = 3, eval_mod: int = 50) -> str:
+    """Bloom membership twin: identical double-hash bit positions
+    ((h1 + j*h2) mod REGS*REG_BITS), identical bit_or register build,
+    relational joins instead of broadcasts."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    gh1 = portable_hash64_sql("gram")
+    gh2 = portable_hash64_second_sql("gram")
+    m = params.BLOOM_REGS * params.BLOOM_REG_BITS
+    rb = params.BLOOM_REG_BITS
+    probes = ", ".join(str(j) for j in range(1, params.BLOOM_K + 1))
+    in_bloom = " AND ".join(
+        f"(COALESCE(b{j}.bits, 0) & (CAST(1 AS BIGINT) << CAST(((t.gh + {j} * t.h2) % {m}) % {rb} AS INT))) <> 0"
+        for j in range(1, params.BLOOM_K + 1)
+    )
+    joins = "\n  ".join(
+        f"LEFT JOIN bloom b{j} ON b{j}.reg = ((t.gh + {j} * t.h2) % {m}) // {rb}"
+        for j in range(1, params.BLOOM_K + 1)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(t) - {n} + 1),
+                                 i -> array_to_string(t[i:i + {n} - 1], ' '))) AS grams
+  FROM toks WHERE len(t) >= {n}
+),
+eval_g AS (
+  SELECT DISTINCT {gh1} AS h1, {gh2} AS h2
+  FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % {eval_mod} = 0)
+),
+bloom AS (
+  SELECT p // {rb} AS reg,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % {rb} AS INT)) AS bits
+  FROM (SELECT (h1 + j * h2) % {m} AS p
+        FROM eval_g, unnest([{probes}]) AS u(j))
+  GROUP BY 1
+),
+train AS (
+  SELECT doc_id, {gh1} AS gh, {gh2} AS h2
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {eval_mod} <> 0)
+),
+probe AS (
+  SELECT t.doc_id, t.gh,
+    ({in_bloom}) AS in_bloom
+  FROM train t
+  {joins}
+)
+SELECT doc_id,
+  count(*) AS n_grams,
+  CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+  CAST(sum(CASE WHEN gh IN (SELECT h1 FROM eval_g) THEN 1 ELSE 0 END) AS BIGINT)
+    AS true_hits,
+  CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS BIGINT)
+    - CAST(sum(CASE WHEN gh IN (SELECT h1 FROM eval_g) THEN 1 ELSE 0 END) AS BIGINT)
+    AS false_positives
+FROM probe GROUP BY doc_id
 """
 
 
@@ -410,6 +473,107 @@ def bpe_merges_oracle(steps: int = 3) -> str:
         for i in range(1, steps + 1)
     ]
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_encode_report_oracle(steps: int = 3) -> str:
+    """BPE ENCODE twin: the training chain of ``bpe_merges_oracle``
+    with doc_id carried through every rewrite stage, plus the final
+    merge applied (encoding uses the full merge table) and per-doc
+    token accounting instead of the merge trace."""
+    sep = "chr(31)"
+    mrg = "chr(30)"
+    parts = [
+        f"""s0 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '[^\\s]+')) AS BIGINT) AS n_base,
+    {sep} || array_to_string(regexp_extract_all(text, '[^\\s]+'), {sep}||{sep}) || {sep} AS s
+  FROM documents
+  WHERE len(regexp_extract_all(text, '[^\\s]+')) > 0
+    AND NOT contains(text, {sep}) AND NOT contains(text, {mrg})
+)"""
+    ]
+    for i in range(1, steps + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+  SELECT list_extract(t, i) AS a, list_extract(t, i + 1) AS b, count(*) AS n
+  FROM (SELECT string_split(substr(s, 2, length(s) - 2), {sep}||{sep}) AS t FROM {prev}) x,
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(f"t{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1)")
+        parts.append(
+            f"""s{i} AS (
+  SELECT doc_id, n_base,
+    replace(s, {sep}||a||{sep}||{sep}||b||{sep}, {sep}||a||{mrg}||b||{sep}) AS s
+  FROM {prev} CROSS JOIN t{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id, n_base AS n_tokens_base,
+  CAST(len(string_split(substr(s, 2, length(s) - 2), {sep}||{sep})) AS BIGINT) AS n_tokens_bpe,
+  n_base - CAST(len(string_split(substr(s, 2, length(s) - 2), {sep}||{sep})) AS BIGINT) AS n_merges_applied,
+  CAST(len(string_split(substr(s, 2, length(s) - 2), {sep}||{sep})) AS DOUBLE) / n_base AS compression
+FROM s{steps}
+"""
+    )
+
+
+def bigram_lift_top_oracle(k: int = 20, min_pair: int = 5) -> str:
+    """Collocation-lift twin: same exact integer counts, same double
+    expression tree (n_pair*T as double) * T / (N as double * c_a*c_b)."""
+    return f"""
+WITH {_TOKS_CTE},
+pairs AS (
+  SELECT list_extract(t, i) || ' ' || list_extract(t, i + 1) AS gram,
+         list_extract(t, i) AS a, list_extract(t, i + 1) AS b
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+pair_counts AS (
+  SELECT gram, any_value(a) AS a, any_value(b) AS b, count(*) AS n_pair
+  FROM pairs GROUP BY gram HAVING count(*) >= {min_pair}
+),
+unis AS (SELECT unnest(t) AS tok FROM toks),
+uni_counts AS (SELECT tok, count(*) AS _c FROM unis GROUP BY tok),
+totals AS (
+  SELECT (SELECT count(*) FROM unis) AS t_total,
+         (SELECT count(*) FROM pairs) AS n_total
+)
+SELECT p.gram, p.n_pair, ua._c AS c_a, ub._c AS c_b,
+  CAST(p.n_pair * tt.t_total AS DOUBLE) * CAST(tt.t_total AS DOUBLE)
+    / (CAST(tt.n_total AS DOUBLE) * CAST(ua._c * ub._c AS DOUBLE)) AS lift
+FROM pair_counts p
+JOIN uni_counts ua ON ua.tok = p.a
+JOIN uni_counts ub ON ub.tok = p.b
+CROSS JOIN totals tt
+ORDER BY lift DESC, p.gram ASC
+LIMIT {k}
+"""
+
+
+def quality_classifier_score_oracle() -> str:
+    """Hashed-linear-classifier twin: same md5 feature hash, same
+    integer weight range, list_transform+list_sum instead of the
+    engine's in-row fold."""
+    w = "(" + portable_hash64_sql("x") + " % 2001) - 1000"
+    return f"""
+WITH {_TOKS_CTE},
+scored AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(t, x -> {w})) AS BIGINT) AS score_raw
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, n_tokens, score_raw,
+  CAST(score_raw AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE) AS score,
+  score_raw >= 0 AS keep
+FROM scored
+"""
 
 
 def repetition_ratios_oracle() -> str:

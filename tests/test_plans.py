@@ -605,3 +605,55 @@ def test_dsir_buckets_broadcast_corpus_never_rebucketed(spark, sf_dir):
     assert px.broadcast_hint_count(df) == 2
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_adds_zero_shuffles_over_training(spark, sf_dir):
+    """ENCODE = the trained merge table applied map-only: every shuffle
+    in bpe_encode_report's plan belongs to the shared TRAINING
+    aggregations (pair counts + top-1 per step) — the per-document
+    rewrite passes are broadcast crossJoins of 1-row relations and must
+    add no exchange of corpus rows."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    docs = load_table(spark, "documents", sf_dir, rebalance=False)
+    enc = text.bpe_encode_report(docs)
+    mrg = text.bpe_merges(docs)
+    assert px.count_shuffles(enc) == px.count_shuffles(mrg)
+    assert px.sortmerge_join_count(enc) == 0
+
+
+def test_bloom_probe_is_broadcast_only(spark, sf_dir):
+    """The Bloom filter is a fixed <=64-row relation: both probe-
+    position joins AND the exact comparison set must broadcast — the
+    corpus-side gram stream never shuffles until the per-doc counter
+    aggregation. Shuffle budget: eval-gram distinct x2 (the sketch and
+    the exact set are independent small-side subtrees), the register
+    bit_or, and the final doc-keyed agg."""
+    from flink_kafka_filter_transform_spark.operators import sketch
+
+    df = sketch.bloom_contamination(load_table(spark, "documents", sf_dir, rebalance=False))
+    assert px.broadcast_join_count(df) == 3
+    assert px.sortmerge_join_count(df) == 0
+    assert px.count_shuffles(df) <= 6
+
+
+def test_quality_classifier_is_zero_shuffle(spark, sf_dir):
+    """The hashed linear classifier folds weights in-row: a pure map
+    over the corpus — no vocabulary state, no explode, no exchange."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.quality_classifier_score(load_table(spark, "documents", sf_dir, rebalance=False))
+    assert px.count_shuffles(df) == 0
+
+
+def test_bigram_lift_never_pins_vocabulary_broadcast(spark, sf_dir):
+    """Lift joins the pair-count relation to the unigram VOCABULARY
+    twice — corpus-vocabulary-sized at 100 TB, so no explicit broadcast
+    is allowed there (AQE may still elect one at small SF from real
+    sizes; that is runtime's call, not a pinned hint). The only pinned
+    broadcast is the 1-row (T, N) totals relation."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.bigram_lift_top(load_table(spark, "documents", sf_dir, rebalance=False))
+    assert px.broadcast_hint_count(df) == 1
+    assert "Window" not in px.explain_str(df, "simple")
