@@ -138,8 +138,9 @@ def queries() -> dict[str, QueryFn]:
     embedding_label_outliers, the PQ trio, jpeg_decode,
     minhash_band_sweep, semdedup_prune, temperature_mixture_report,
     supply_chain_pagerank, dsir_proxy_weights) and the second batch
-    of 4 (bpe_encode_report, bloom_contamination,
-    quality_classifier_score, bigram_lift_top). The tail is r4-green-
+    of 5 (bpe_encode_report, bloom_contamination,
+    quality_classifier_score, bigram_lift_top,
+    dedup_survivors_quality). The tail is r4-green-
     and-unchanged plus the r3-green-untouched remainder (simhash/
     similarity families, age exactly 2 rounds) that r6 MUST rotate;
     tools/rotation_check.py (tests/test_rotation.py) fails CI if any
@@ -204,7 +205,11 @@ def queries() -> dict[str, QueryFn]:
         # second r5 batch of NEW queries — they are CI-differential-
         # verified this round and age exactly 2 at r5, so
         # rotation_check holds and r6 MUST gate them. ===
-        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        # (minhash_lsh_pairs itself was displaced to the tail when the
+        # third r5 batch landed: minhash_band_sweep exercises the
+        # changed lsh_candidates helper across the WHOLE n_bands range
+        # including the default, and dedup_survivors_quality below runs
+        # the full minhash->CC path transitively under a value hash)
         "minhash_band_sweep": lambda s, d: dedup.minhash_band_sweep(_docs(s, d)),
         "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
         # === HEAD: new in round 5, second batch (must debut in the
@@ -216,6 +221,9 @@ def queries() -> dict[str, QueryFn]:
             _docs(s, d)
         ),
         "bigram_lift_top": lambda s, d: text.bigram_lift_top(_docs(s, d)),
+        "dedup_survivors_quality": lambda s, d: graph.dedup_survivors_quality(
+            _docs(s, d)
+        ),
         # === HEAD: new in round 5 (must debut in the head) ===
         "q8_market_share": lambda s, d: relational.q8_market_share(
             load_table(s, "lineitem", d),
@@ -290,6 +298,7 @@ def queries() -> dict[str, QueryFn]:
         # displaced r3-call-graph family members (see head comment):
         # same helpers as their gated representatives, CI-verified,
         # age 2 at r5 -> r6 must gate them
+        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
         "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
         "kmeans_clusters": lambda s, d: kmeans.kmeans_clusters(_emb(s, d)),
@@ -505,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crossdoc_ngram_overlap": oracles.crossdoc_ngram_overlap_oracle(),
         "bpe_encode_report": oracles.bpe_encode_report_oracle(),
+        "dedup_survivors_quality": oracles.dedup_survivors_quality_oracle(),
         "bloom_contamination": oracles.bloom_contamination_oracle(),
         "quality_classifier_score": oracles.quality_classifier_score_oracle(),
         "bigram_lift_top": oracles.bigram_lift_top_oracle(),

@@ -129,6 +129,12 @@ HEADLINE = [
     "supply_chain_pagerank",
     "temperature_mixture_report",
     "dsir_proxy_weights",
+    # round 5 additions, second batch
+    "bpe_encode_report",
+    "bloom_contamination",
+    "quality_classifier_score",
+    "bigram_lift_top",
+    "dedup_survivors_quality",
 ]
 
 
@@ -153,6 +159,17 @@ REPS = 2  # frozen r4 methodology; see module docstring
 
 
 def main() -> None:
+    # The driver parses bench stdout's TAIL; the JVM's unified logging
+    # prints warnings (e.g. GCLocker retry under memory pressure) to
+    # STDOUT asynchronously, and one landing after the final JSON line
+    # corrupts the driver artifact the same way r4's oversized line
+    # did. JVM options must ride the gateway LAUNCH (builder configs
+    # arrive after the driver JVM is already up in local mode), so
+    # disable unified-logging output via PYSPARK_SUBMIT_ARGS before the
+    # first session is built.
+    os.environ["PYSPARK_SUBMIT_ARGS"] = (
+        "--conf spark.driver.extraJavaOptions=-Xlog:disable pyspark-shell"
+    )
     from flink_kafka_filter_transform_spark import get_session
 
     spark = get_session(

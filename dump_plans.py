@@ -51,6 +51,10 @@ SHOWCASE = [
     ("semdedup_prune", "SemDeDup: codebook broadcasts per Lloyd step; pair join cluster-blocked; report aggregates to k rows"),
     ("supply_chain_pagerank", "integer fixed-point PageRank: checkpointed edge list, the same two-exchange pattern per round, flat final plan"),
     ("temperature_mixture_report", "one corpus scan pinned at the per-source aggregate; 1-row (total, max) broadcast back"),
+    ("bpe_encode_report", "BPE encode: the trained merges ride in as broadcast 1-row relations; the per-doc rewrite adds ZERO exchanges over training"),
+    ("bloom_contamination", "Bloom membership: ≤64-row register relation broadcast to in-row probes; one doc-keyed aggregate is the only corpus shuffle"),
+    ("quality_classifier_score", "hashed linear classifier: weights derived in-row from the feature hash — a zero-shuffle scoring pass"),
+    ("bigram_lift_top", "collocation lift: count-relation aggregations + vocabulary joins with NO pinned broadcast; only the 1-row totals ride a hint"),
 ]
 
 

@@ -105,6 +105,46 @@ def dedup_survivors(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_survivors_quality(docs: DataFrame) -> DataFrame:
+    """Quality-aware canonical selection — the production refinement of
+    ``dedup_survivors``: instead of keeping the min-doc_id member of
+    each near-dup family, keep the member the hashed linear classifier
+    (text.quality_classifier_score) scores HIGHEST, with min doc_id as
+    the deterministic tie-break. Real pipelines dedup this way round:
+    the duplicate you keep should be the best-written copy, not the
+    first-crawled one.
+
+    Output: one row per cluster — (cluster_id, cluster_size,
+    kept_doc_id, kept_score_raw).
+
+    Scale shape: clusters come from the CC loop (already inventoried);
+    the classifier is a zero-shuffle map; their doc_id equi-join is a
+    corpus-sized shuffle join (neither side broadcastable), and the
+    winner per cluster is ONE cluster-keyed aggregation using an
+    integer-exact struct max (score_raw BIGINT, then -doc_id), so both
+    engines agree without float comparisons."""
+    from flink_kafka_filter_transform_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    clusters = neardup_clusters(docs)
+    quality = quality_classifier_score(docs).select("doc_id", "score_raw")
+    joined = clusters.join(quality, "doc_id")
+    best = F.max(
+        F.struct(F.col("score_raw"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("_w")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), best)
+        .select(
+            "cluster_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (-F.col("_w.neg_id")).alias("kept_doc_id"),
+            F.col("_w.score_raw").alias("kept_score_raw"),
+        )
+    )
+
+
 # PageRank fixed-point scale: total rank mass is ONE unit of 10^15, so
 # per-node ranks stay ~1e15/N and every intermediate (85 * insum) fits
 # a BIGINT at ANY corpus size — the scale does not grow with N.

@@ -1691,6 +1691,45 @@ FROM comp JOIN sized ON comp.cluster_id = sized.cluster_id
 """
 
 
+def dedup_survivors_quality_oracle() -> str:
+    """Quality-aware survivor twin: the clusters recursive CTE joined
+    to the classifier score, winner = arg_max on the same integer
+    (score_raw, -doc_id) key."""
+    w = "(" + portable_hash64_sql("x") + " % 2001) - 1000"
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_oracle()}) p),
+verts AS (SELECT DISTINCT doc_id FROM documents),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+r(doc, root) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT e.b, r.root FROM r JOIN e ON e.a = r.doc
+),
+comp AS (SELECT doc, min(root) AS cluster_id FROM r GROUP BY doc),
+q AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(regexp_extract_all(text, '[^\\s]+'), x -> {w})) AS BIGINT)
+      AS score_raw
+  FROM documents WHERE len(regexp_extract_all(text, '[^\\s]+')) > 0
+),
+ranked AS (
+  SELECT comp.cluster_id, q.doc_id, q.score_raw,
+    row_number() OVER (PARTITION BY comp.cluster_id
+                       ORDER BY q.score_raw DESC, q.doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY comp.cluster_id) AS n
+  FROM comp JOIN q ON q.doc_id = comp.doc
+)
+SELECT cluster_id, CAST(n AS BIGINT) AS cluster_size,
+  doc_id AS kept_doc_id, score_raw AS kept_score_raw
+FROM ranked WHERE rn = 1
+"""
+
+
 def weighted_avg_by_type_oracle() -> str:
     """Twin of the pandas grouped-agg UDF: the same sequential left
     fold over event_id-ordered rows, as list_reduce."""

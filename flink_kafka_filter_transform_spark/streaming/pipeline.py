@@ -429,3 +429,60 @@ def contamination_guard_sink(
     return stream_docs.writeStream.foreachBatch(guard).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def hll_merge_sink(
+    stream: DataFrame, key: str, group: str, state_dir: str, checkpoint_dir: str
+) -> DataStreamWriter:
+    """Incremental distinct-count sketching: maintain the HLL register
+    relation (operators.sketch.hll_registers) across micro-batches via
+    foreachBatch merge — the streaming face of sketch MERGEABILITY.
+
+    Per batch: build the batch's registers (<= m rows per group however
+    large the batch), union with the current state, max(_r) per
+    (group, register), publish a new version (versioned parquet +
+    _LATEST pointer, same effectively-once publication discipline as
+    scd2_incremental_sink). State size is bounded at m rows per group
+    FOREVER — the property that lets a 100 TB ingest stream keep
+    running distinct-user counts without ever storing a key set.
+
+    Replay semantics — strictly stronger than counter state: max is
+    idempotent as well as associative/commutative, so an at-least-once
+    redelivery that re-merges the same registers is a NO-OP; the
+    estimate cannot drift under replay (contrast streaming.state's
+    first-seen ledger, where only the min-winner column carries that
+    guarantee). tests/test_streaming.py proves batch-vs-streaming
+    equivalence and replay idempotence."""
+    from flink_kafka_filter_transform_spark.operators.sketch import hll_registers
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, key, [group])
+        prev = hll_current(spark, state_dir)
+        merged = (
+            regs
+            if prev is None
+            else prev.unionByName(regs)
+            .groupBy(group, "_idx")
+            .agg(F.max("_r").alias("_r"))
+        )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/regs_v{batch_id}")
+        with open(f"{state_dir}/_LATEST", "w") as f:
+            f.write(str(batch_id))
+
+    return stream.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def hll_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Latest published HLL register state, or None before the first
+    batch (readers never see a half-written version)."""
+    import os
+
+    latest = f"{state_dir}/_LATEST"
+    if not os.path.exists(latest):
+        return None
+    with open(latest) as f:
+        v = f.read().strip()
+    return spark.read.parquet(f"{state_dir}/regs_v{v}")

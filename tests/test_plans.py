@@ -657,3 +657,17 @@ def test_bigram_lift_never_pins_vocabulary_broadcast(spark, sf_dir):
     df = text.bigram_lift_top(load_table(spark, "documents", sf_dir, rebalance=False))
     assert px.broadcast_hint_count(df) == 1
     assert "Window" not in px.explain_str(df, "simple")
+
+
+def test_survivors_quality_adds_no_pinned_broadcast(spark, sf_dir):
+    """Quality-aware survivor selection composes the CC clusters with
+    the zero-shuffle classifier: the composition must not pin any NEW
+    broadcast (the doc_id join is corpus-sized on both sides) and the
+    winner is one integer struct-max aggregation — no window."""
+    from flink_kafka_filter_transform_spark.operators import graph
+
+    docs = load_table(spark, "documents", sf_dir, rebalance=False)
+    dq = graph.dedup_survivors_quality(docs)
+    base = graph.neardup_clusters(docs)
+    assert px.broadcast_hint_count(dq) == px.broadcast_hint_count(base)
+    assert "Window" not in px.explain_str(dq, "simple")

@@ -730,3 +730,67 @@ def test_contamination_guard_stream_matches_batch(spark, sf_dir, tmp_path_factor
     assert len(got) > 0
     # the guard must actually cut something at this threshold
     assert len(got) < train.count()
+
+
+def test_hll_merge_sink_matches_batch_and_is_replay_idempotent(
+    spark, sf_dir, tmp_path_factory
+):
+    """Streaming HLL register maintenance must converge to EXACTLY the
+    batch sketch (same registers -> same estimate) after the stream
+    drains, and re-merging a batch (at-least-once replay) must leave
+    the registers untouched — max-merge is idempotent."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_filter_transform_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming.pipeline import (
+        hll_current,
+        hll_merge_sink,
+    )
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    src_dir = str(tmp_path_factory.mktemp("hll_src"))
+    events.repartition(4).write.mode("overwrite").parquet(src_dir)
+    state = str(tmp_path_factory.mktemp("hll_state"))
+    ckpt = str(tmp_path_factory.mktemp("hll_ckpt"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        hll_merge_sink(stream, "user_id", "event_type", state, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    regs_stream = hll_current(spark, state)
+    assert regs_stream is not None
+    got = {
+        (r.event_type, f"{r.hll_estimate:.9g}")
+        for r in hll_estimate_from_registers(regs_stream, ["event_type"]).collect()
+    }
+    want = {
+        (r.event_type, f"{r.hll_estimate:.9g}")
+        for r in hll_estimate_from_registers(
+            hll_registers(events, "user_id", ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # replay: merge the FULL input once more against the final state —
+    # at-least-once redelivery of any prefix is a subset of this
+    replayed = (
+        regs_stream.unionByName(hll_registers(events, "user_id", ["event_type"]))
+        .groupBy("event_type", "_idx")
+        .agg(F.max("_r").alias("_r"))
+    )
+    before = {(r.event_type, r._idx, r._r) for r in regs_stream.collect()}
+    after = {(r.event_type, r._idx, r._r) for r in replayed.collect()}
+    assert before == after
