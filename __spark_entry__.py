@@ -138,9 +138,10 @@ def queries() -> dict[str, QueryFn]:
     embedding_label_outliers, the PQ trio, jpeg_decode,
     minhash_band_sweep, semdedup_prune, temperature_mixture_report,
     supply_chain_pagerank, dsir_proxy_weights) and the second batch
-    of 5 (bpe_encode_report, bloom_contamination,
+    of 6 (bpe_encode_report, bloom_contamination,
     quality_classifier_score, bigram_lift_top,
-    dedup_survivors_quality). The tail is r4-green-
+    dedup_survivors_quality, adaptive_length_filter). The tail is
+    r4-green-
     and-unchanged plus the r3-green-untouched remainder (simhash/
     similarity families, age exactly 2 rounds) that r6 MUST rotate;
     tools/rotation_check.py (tests/test_rotation.py) fails CI if any
@@ -210,8 +211,10 @@ def queries() -> dict[str, QueryFn]:
         # changed lsh_candidates helper across the WHOLE n_bands range
         # including the default, and dedup_survivors_quality below runs
         # the full minhash->CC path transitively under a value hash)
+        # (knn_ivf_kmeans was likewise displaced by the fourth r5
+        # batch: the gated PQ trio trains per-subspace codebooks
+        # through the same refactored kmeans_fit under value hashes)
         "minhash_band_sweep": lambda s, d: dedup.minhash_band_sweep(_docs(s, d)),
-        "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
         # === HEAD: new in round 5, second batch (must debut in the
         # head): the BPE ENCODE pass, the Bloom membership sketch, the
         # hashed linear quality classifier, collocation lift ===
@@ -222,6 +225,9 @@ def queries() -> dict[str, QueryFn]:
         ),
         "bigram_lift_top": lambda s, d: text.bigram_lift_top(_docs(s, d)),
         "dedup_survivors_quality": lambda s, d: graph.dedup_survivors_quality(
+            _docs(s, d)
+        ),
+        "adaptive_length_filter": lambda s, d: text.adaptive_length_filter(
             _docs(s, d)
         ),
         # === HEAD: new in round 5 (must debut in the head) ===
@@ -299,6 +305,7 @@ def queries() -> dict[str, QueryFn]:
         # same helpers as their gated representatives, CI-verified,
         # age 2 at r5 -> r6 must gate them
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
         "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
         "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
         "kmeans_clusters": lambda s, d: kmeans.kmeans_clusters(_emb(s, d)),
@@ -515,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "crossdoc_ngram_overlap": oracles.crossdoc_ngram_overlap_oracle(),
         "bpe_encode_report": oracles.bpe_encode_report_oracle(),
         "dedup_survivors_quality": oracles.dedup_survivors_quality_oracle(),
+        "adaptive_length_filter": oracles.adaptive_length_filter_oracle(),
         "bloom_contamination": oracles.bloom_contamination_oracle(),
         "quality_classifier_score": oracles.quality_classifier_score_oracle(),
         "bigram_lift_top": oracles.bigram_lift_top_oracle(),

@@ -135,6 +135,7 @@ HEADLINE = [
     "quality_classifier_score",
     "bigram_lift_top",
     "dedup_survivors_quality",
+    "adaptive_length_filter",
 ]
 
 
@@ -167,7 +168,13 @@ def main() -> None:
     # arrive after the driver JVM is already up in local mode), so
     # disable unified-logging output via PYSPARK_SUBMIT_ARGS before the
     # first session is built.
+    # Local mode runs ALL executor threads inside the driver JVM; the
+    # spark-submit default of 1g for 32 cores was at the GC edge (the
+    # r4 run's GCLocker warnings) and tipped into
+    # notEnoughMemoryToBuildAndBroadcastTable when the r5 queries
+    # landed. Size the heap for the machine (local[32], 128 GiB box).
     os.environ["PYSPARK_SUBMIT_ARGS"] = (
+        "--driver-memory 24g "
         "--conf spark.driver.extraJavaOptions=-Xlog:disable pyspark-shell"
     )
     from flink_kafka_filter_transform_spark import get_session

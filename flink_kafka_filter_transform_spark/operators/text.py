@@ -556,10 +556,20 @@ def bpe_encode_report(docs: DataFrame, steps: int = 3) -> DataFrame:
             F.lit(_BPE_SEP), F.col("_a"), F.lit(_BPE_MERGE), F.col("_b"),
             F.lit(_BPE_SEP),
         )
+        # Re-aggregate the (<=1-row) top relation: an ungrouped agg
+        # yields EXACTLY one row even on empty input, so a corpus with
+        # no adjacent pairs (all single-token docs) flows through as
+        # identity instead of being annihilated by a crossJoin against
+        # an empty relation (caught by the property test's ['a'] case).
+        top1 = top.agg(F.max("_a").alias("_a"), F.max("_b").alias("_b"))
         # unlike training, the LAST merge is applied too: encoding uses
         # the full merge table
-        cur = cur.crossJoin(F.broadcast(top)).select(
-            "doc_id", "n_tokens_base", F.replace(F.col("_s"), pat, rep).alias("_s")
+        cur = cur.crossJoin(F.broadcast(top1)).select(
+            "doc_id",
+            "n_tokens_base",
+            F.when(
+                F.col("_a").isNotNull(), F.replace(F.col("_s"), pat, rep)
+            ).otherwise(F.col("_s")).alias("_s"),
         )
     n_bpe = F.size(
         F.split(F.expr("substring(_s, 2, length(_s) - 2)"), _BPE_SEP + _BPE_SEP)
@@ -751,6 +761,70 @@ def bigram_top_pairs(docs: DataFrame, k: int = 20) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("gram").asc())
         .limit(k)
+    )
+
+
+def adaptive_length_filter(
+    docs: DataFrame, lo_pct: int = 5, hi_pct: int = 95
+) -> DataFrame:
+    """Per-source ADAPTIVE length gates — the C4/Gopher fixed length
+    filter made source-aware: each source keeps documents whose
+    n_chars lies within its own [p05, p95] (cutoffs are EXACT order
+    statistics of that source's length distribution, so a long-form
+    source is not gutted by thresholds tuned for a short-form one).
+
+    Cutoff semantics: cut = min length whose cumulative count reaches
+    pct% of the source (ceiling convention, 100*cume >= pct*n in pure
+    integers — no float percentile on either engine). Kept iff
+    cut_low <= n_chars <= cut_high.
+
+    Output per source: (source, n_docs, cut_low, cut_high, n_kept,
+    n_short, n_long), all exact BIGINTs.
+
+    Why this shape at 100 TB: exact per-source quantiles normally sort
+    the corpus — instead lengths are aggregated to a (source, n_chars)
+    VALUE-COUNT grid first (integer domain, bounded distinct values:
+    the same trick as the histogram sketch but lossless), the
+    cumulative scan runs over that grid (thousands of rows, not the
+    corpus), and the per-source cutoff relation broadcasts back onto
+    the scan. Shuffles: one grid aggregation + one per-source report
+    aggregation; the corpus itself is never sorted or widened."""
+    grid = (
+        docs.filter(F.col("n_chars").isNotNull())
+        .groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "source", "n_chars", F.sum("_c").over(w).alias("_cume")
+    )
+    totals = grid.groupBy("source").agg(F.sum("_c").alias("_n"))
+    j = cum.join(F.broadcast(totals), "source")
+    cuts = j.groupBy("source").agg(
+        F.min(
+            F.when(100 * F.col("_cume") >= lo_pct * F.col("_n"), F.col("n_chars"))
+        ).alias("cut_low"),
+        F.min(
+            F.when(100 * F.col("_cume") >= hi_pct * F.col("_n"), F.col("n_chars"))
+        ).alias("cut_high"),
+    )
+    gated = docs.filter(F.col("n_chars").isNotNull()).join(
+        F.broadcast(cuts), "source"
+    )
+    kept = (F.col("n_chars") >= F.col("cut_low")) & (
+        F.col("n_chars") <= F.col("cut_high")
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.first("cut_low").alias("cut_low"),
+        F.first("cut_high").alias("cut_high"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum((F.col("n_chars") < F.col("cut_low")).cast("bigint")).alias("n_short"),
+        F.sum((F.col("n_chars") > F.col("cut_high")).cast("bigint")).alias("n_long"),
     )
 
 

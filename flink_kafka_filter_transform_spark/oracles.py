@@ -506,8 +506,10 @@ def bpe_encode_report_oracle(steps: int = 3) -> str:
         parts.append(
             f"""s{i} AS (
   SELECT doc_id, n_base,
-    replace(s, {sep}||a||{sep}||{sep}||b||{sep}, {sep}||a||{mrg}||b||{sep}) AS s
-  FROM {prev} CROSS JOIN t{i}
+    CASE WHEN t.a IS NULL THEN s
+         ELSE replace(s, {sep}||t.a||{sep}||{sep}||t.b||{sep}, {sep}||t.a||{mrg}||t.b||{sep})
+    END AS s
+  FROM {prev} CROSS JOIN (SELECT max(a) AS a, max(b) AS b FROM t{i}) t
 )"""
         )
     return (
@@ -521,6 +523,42 @@ SELECT doc_id, n_base AS n_tokens_base,
 FROM s{steps}
 """
     )
+
+
+def adaptive_length_filter_oracle(lo_pct: int = 5, hi_pct: int = 95) -> str:
+    """Adaptive length gate twin: identical integer ceiling convention
+    (100*cume >= pct*n), window cumsum over the same value-count grid."""
+    return f"""
+WITH grid AS (
+  SELECT source, n_chars, count(*) AS c
+  FROM documents WHERE n_chars IS NOT NULL
+  GROUP BY source, n_chars
+),
+cum AS (
+  SELECT source, n_chars,
+    sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+  FROM grid
+),
+tot AS (SELECT source, sum(c) AS n FROM grid GROUP BY source),
+cuts AS (
+  SELECT c.source,
+    min(CASE WHEN 100 * c.cume >= {lo_pct} * t.n THEN c.n_chars END) AS cut_low,
+    min(CASE WHEN 100 * c.cume >= {hi_pct} * t.n THEN c.n_chars END) AS cut_high
+  FROM cum c JOIN tot t ON t.source = c.source
+  GROUP BY c.source
+)
+SELECT d.source,
+  count(*) AS n_docs,
+  any_value(k.cut_low) AS cut_low,
+  any_value(k.cut_high) AS cut_high,
+  CAST(sum(CASE WHEN d.n_chars BETWEEN k.cut_low AND k.cut_high THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN d.n_chars < k.cut_low THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+  CAST(sum(CASE WHEN d.n_chars > k.cut_high THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+FROM documents d JOIN cuts k ON k.source = d.source
+WHERE d.n_chars IS NOT NULL
+GROUP BY d.source
+"""
 
 
 def bigram_lift_top_oracle(k: int = 20, min_pair: int = 5) -> str:

@@ -671,3 +671,19 @@ def test_survivors_quality_adds_no_pinned_broadcast(spark, sf_dir):
     base = graph.neardup_clusters(docs)
     assert px.broadcast_hint_count(dq) == px.broadcast_hint_count(base)
     assert "Window" not in px.explain_str(dq, "simple")
+
+
+def test_adaptive_length_filter_never_sorts_corpus(spark, sf_dir):
+    """Exact per-source length quantiles must come from the value-count
+    grid: the only Sort/Window in the plan runs over grid rows (post-
+    aggregation), never over corpus rows — i.e. every Sort sits above
+    an aggregation, and the cutoff relation joins back via broadcast."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.adaptive_length_filter(load_table(spark, "documents", sf_dir, rebalance=False))
+    plan = px.explain_str(df, "simple")
+    # the corpus side must reach its aggregations without a sort: the
+    # single window (grid cumsum) implies exactly one Sort in the plan
+    assert plan.count("Sort ") <= 1
+    assert px.broadcast_join_count(df) >= 2  # totals + cutoffs ride broadcast
+    assert px.sortmerge_join_count(df) == 0

@@ -225,6 +225,35 @@ def _bpe_reference(docs: list[list[str]], steps: int):
     return trace
 
 
+def _bpe_reference_encode(docs: list[list[str]], steps: int) -> list[list[str]]:
+    """The reference ENCODER: run _bpe_reference's loop and return the
+    final rewritten corpus (all ``steps`` merges applied), one entry
+    per non-empty input doc in order."""
+    corpus = [list(d) for d in docs if d]
+    for _ in range(steps):
+        counts: dict[tuple[str, str], int] = {}
+        for d in corpus:
+            for a, b in zip(d, d[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        a, b = min(counts, key=lambda p: (-counts[p], p))
+        merged = a + "\x1e" + b
+        new_corpus = []
+        for d in corpus:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            new_corpus.append(out)
+        corpus = new_corpus
+    return corpus
+
+
 _bpe_docs = st.lists(
     st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=0, max_size=8),
     min_size=1,
@@ -369,3 +398,55 @@ def test_temperature_mixture_equal_sources_are_neutral(spark):
         assert r.raw_share == 0.25
         assert r.temp_weight == 1.0
         assert r.upsample_factor == 1.0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_bpe_docs, steps=st.integers(1, 3))
+def test_bpe_encode_report_equals_reference_encoder(spark_prop, docs, steps):
+    """Per-document encoded token counts must equal an independent
+    pure-Python encoder applying the same trained merges — including
+    the overlap case ('a a a' -> 2 tokens, greedy left-to-right) and
+    docs that contain tokens equal to earlier merge outputs."""
+    from flink_kafka_filter_transform_spark.operators.text import bpe_encode_report
+
+    df = spark_prop.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "doc_id INT, text STRING"
+    )
+    got = {
+        r.doc_id: (r.n_tokens_base, r.n_tokens_bpe)
+        for r in bpe_encode_report(df, steps=steps).collect()
+    }
+    nonempty = [(i, d) for i, d in enumerate(docs) if d]
+    encoded = _bpe_reference_encode(docs, steps)
+    want = {
+        i: (len(d), len(enc)) for (i, d), enc in zip(nonempty, encoded)
+    }
+    assert got == want
+    for base, bpe in got.values():
+        assert 1 <= bpe <= base  # merges only ever shrink
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w", "v"]), min_size=3, max_size=10),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_bloom_has_no_false_negatives(spark_prop, docs):
+    """The Bloom guarantee: every exact hit must also be a Bloom hit
+    (bloom_hits >= true_hits per document, false_positives >= 0) — on
+    arbitrary corpora, whatever the eval/train split contents."""
+    from flink_kafka_filter_transform_spark.operators.sketch import (
+        bloom_contamination,
+    )
+
+    df = spark_prop.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "doc_id INT, text STRING"
+    )
+    rows = bloom_contamination(df, n=3, eval_mod=2).collect()
+    for r in rows:
+        assert r.bloom_hits >= r.true_hits
+        assert r.false_positives >= 0
+        assert r.n_grams >= r.bloom_hits
