@@ -55,6 +55,8 @@ SHOWCASE = [
     ("bloom_contamination", "Bloom membership: ≤64-row register relation broadcast to in-row probes; one doc-keyed aggregate is the only corpus shuffle"),
     ("quality_classifier_score", "hashed linear classifier: weights derived in-row from the feature hash — a zero-shuffle scoring pass"),
     ("bigram_lift_top", "collocation lift: count-relation aggregations + vocabulary joins with NO pinned broadcast; only the 1-row totals ride a hint"),
+    ("dedup_survivors_quality", "quality-aware survivors: zero-shuffle classifier joined to CC clusters, winner via one integer struct-max aggregation"),
+    ("adaptive_length_filter", "exact per-source length quantiles from the value-count grid — the corpus is never sorted; cutoffs broadcast back"),
 ]
 
 

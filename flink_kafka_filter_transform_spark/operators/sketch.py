@@ -208,19 +208,14 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
-def cms_token_counts(docs: DataFrame, top_n: int = 20) -> DataFrame:
-    """Count-Min Sketch frequency estimates for the corpus's top tokens.
-
-    The CMS grid is DEPTH x WIDTH integer counters — the mergeable,
-    fixed-size structure that replaces exact per-token counts when the
-    vocabulary doesn't fit (estimate >= true count, off by collision
-    mass only). Everything is exact integer arithmetic on the shared
-    portable hash, so Spark and DuckDB build bit-identical grids —
-    a sketch whose error is REPRODUCIBLE, not just bounded.
-
-    Plan: one explode + one (row,bucket) count (map-combined, grid is
-    DEPTH*WIDTH rows total) + a broadcast of the top-N probe set onto
-    the tiny grid. Output: token, exact count, CMS estimate."""
+def cms_grid(docs: DataFrame) -> DataFrame:
+    """The CMS counter grid (row, bucket, cell) over the corpus's
+    tokens — factored out so the batch estimator (cms_token_counts)
+    and the streaming maintainer (streaming.pipeline.cms_merge_sink)
+    build the IDENTICAL structure. Grids are integer counters, so two
+    grids merge by adding cells — the additive counterpart of the HLL
+    registers' max-merge. One explode + one map-side-combined count;
+    at most DEPTH*WIDTH rows out regardless of input size."""
     from flink_kafka_filter_transform_spark.operators.text import tokens
 
     ex = docs.select(F.explode(tokens()).alias("tok"))
@@ -240,7 +235,26 @@ def cms_token_counts(docs: DataFrame, top_n: int = 20) -> DataFrame:
             )
         ).alias("rb")
     ).select("rb.row", "rb.bucket")
-    grid = salted.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    return salted.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+
+
+def cms_token_counts(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Count-Min Sketch frequency estimates for the corpus's top tokens.
+
+    The CMS grid is DEPTH x WIDTH integer counters — the mergeable,
+    fixed-size structure that replaces exact per-token counts when the
+    vocabulary doesn't fit (estimate >= true count, off by collision
+    mass only). Everything is exact integer arithmetic on the shared
+    portable hash, so Spark and DuckDB build bit-identical grids —
+    a sketch whose error is REPRODUCIBLE, not just bounded.
+
+    Plan: one explode + one (row,bucket) count (map-combined, grid is
+    DEPTH*WIDTH rows total) + a broadcast of the top-N probe set onto
+    the tiny grid. Output: token, exact count, CMS estimate."""
+    from flink_kafka_filter_transform_spark.operators.text import tokens
+
+    ex = docs.select(F.explode(tokens()).alias("tok"))
+    grid = cms_grid(docs)
 
     top = (
         ex.groupBy("tok")

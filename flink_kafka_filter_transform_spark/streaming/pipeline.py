@@ -486,3 +486,60 @@ def hll_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
     with open(latest) as f:
         v = f.read().strip()
     return spark.read.parquet(f"{state_dir}/regs_v{v}")
+
+
+def cms_merge_sink(
+    stream_docs: DataFrame, state_dir: str, checkpoint_dir: str
+) -> DataStreamWriter:
+    """Incremental Count-Min maintenance — the ADDITIVE counterpart of
+    hll_merge_sink, completing incremental upkeep for all three sketch
+    families (HLL distinct / CMS frequency / Bloom membership, whose
+    bit_or registers merge exactly like the HLL max).
+
+    Per batch: build the batch's CMS grid (operators.sketch.cms_grid,
+    the IDENTICAL structure the batch estimator uses), SUM-merge it
+    into state, publish a new version. State stays <= DEPTH*WIDTH rows
+    forever.
+
+    Replay semantics — deliberately contrasted with the HLL sink: sum
+    is associative and commutative but NOT idempotent, so an
+    at-least-once redelivery would double-count the replayed batch.
+    Correctness here rides on the source's exactly-once replay (the
+    checkpointed file/Kafka offsets) plus the versioned publication
+    (a re-run batch OVERWRITES its own regs_v{batch_id} rather than
+    appending). Even under a true duplicate delivery the CMS failure
+    mode is benign for its contract: estimates are upper bounds and
+    only inflate — the documented asymmetry between max-merge and
+    sum-merge sketches."""
+    from flink_kafka_filter_transform_spark.operators.sketch import cms_grid
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grid = cms_grid(batch_df)
+        prev = cms_current(spark, state_dir)
+        merged = (
+            grid
+            if prev is None
+            else prev.unionByName(grid)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cell").alias("cell"))
+        )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/grid_v{batch_id}")
+        with open(f"{state_dir}/_LATEST", "w") as f:
+            f.write(str(batch_id))
+
+    return stream_docs.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def cms_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Latest published CMS grid, or None before the first batch."""
+    import os
+
+    latest = f"{state_dir}/_LATEST"
+    if not os.path.exists(latest):
+        return None
+    with open(latest) as f:
+        v = f.read().strip()
+    return spark.read.parquet(f"{state_dir}/grid_v{v}")

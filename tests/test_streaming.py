@@ -794,3 +794,34 @@ def test_hll_merge_sink_matches_batch_and_is_replay_idempotent(
     before = {(r.event_type, r._idx, r._r) for r in regs_stream.collect()}
     after = {(r.event_type, r._idx, r._r) for r in replayed.collect()}
     assert before == after
+
+
+def test_cms_merge_sink_matches_batch_grid(spark, sf_dir, tmp_path_factory):
+    """Streaming CMS maintenance must converge to EXACTLY the batch
+    grid (integer cells, sum-merge) after the stream drains — so any
+    estimate read from streaming state equals the batch estimate."""
+    from flink_kafka_filter_transform_spark.operators.sketch import cms_grid
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming.pipeline import (
+        cms_current,
+        cms_merge_sink,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    src_dir = str(tmp_path_factory.mktemp("cms_src"))
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    state = str(tmp_path_factory.mktemp("cms_state"))
+    ckpt = str(tmp_path_factory.mktemp("cms_ckpt"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = cms_merge_sink(stream, state, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {
+        (r.row, r.bucket, r.cell) for r in cms_current(spark, state).collect()
+    }
+    want = {(r.row, r.bucket, r.cell) for r in cms_grid(docs).collect()}
+    assert got == want and len(got) > 0

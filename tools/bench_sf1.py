@@ -105,6 +105,20 @@ def main() -> None:
     ratios = {
         n: round(timings[n] / ref[n], 2) for n in timings if n in ref and ref[n] > 0
     }
+    # CONFIRM outliers before reporting them: a 76-query shared-JVM
+    # session accumulates GC/code-cache noise that can inflate an
+    # individual query 3-8x over its fresh-JVM time (r5: doc_chunks
+    # measured 8.4s in-session vs 3.1s isolated). A flagged query gets
+    # ONE re-run; keep the min — a true algorithmic superlinearity
+    # reproduces, session noise does not.
+    suspects = [n for n, x in ratios.items() if x > SUPERLINEAR_X]
+    for n in suspects:
+        t2 = run(n)
+        if t2 < timings[n]:
+            timings[n] = round(t2, 3)
+            ratios[n] = round(t2 / ref[n], 2)
+            print(f"{n}: retry {t2:.2f}s ({ratios[n]}x) — first run was noise",
+                  flush=True)
     outliers = sorted(
         (n for n, x in ratios.items() if x > SUPERLINEAR_X),
         key=lambda n: -ratios[n],
