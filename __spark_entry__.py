@@ -137,11 +137,16 @@ def queries() -> dict[str, QueryFn]:
     segment_dedup_stats, trigram_gini_diversity,
     embedding_label_outliers, the PQ trio, jpeg_decode,
     minhash_band_sweep, semdedup_prune, temperature_mixture_report,
-    supply_chain_pagerank, dsir_proxy_weights) and the second batch
-    of 6 (bpe_encode_report, bloom_contamination,
+    supply_chain_pagerank, dsir_proxy_weights) and the later batches
+    of 8 (bpe_encode_report, bloom_contamination,
     quality_classifier_score, bigram_lift_top,
-    dedup_survivors_quality, adaptive_length_filter). The tail is
-    r4-green-
+    dedup_survivors_quality, adaptive_length_filter,
+    event_path_report, neardup_triangles). Head pressure: with 28 new
+    queries + 19 rotation obligations the 50 slots ran out, so five
+    age-1/age-2 family members whose changed helpers remain gated
+    through representatives sit at tail-top (each carries an in-place
+    comment naming its representative); rotation_check enforces the
+    resulting ages. The tail is r4-green-
     and-unchanged plus the r3-green-untouched remainder (simhash/
     similarity families, age exactly 2 rounds) that r6 MUST rotate;
     tools/rotation_check.py (tests/test_rotation.py) fails CI if any
@@ -186,15 +191,11 @@ def queries() -> dict[str, QueryFn]:
         "embedding_neardup_refined": lambda s, d: dedup.embedding_neardup_refined(
             _emb(s, d)
         ),
-        "embedding_neardup_fps": lambda s, d: dedup.embedding_neardup_refined(
-            _emb(s, d), seeding="farthest"
-        ),
-        # agg-first plan: its groupBy-on-scan provides the parallelism
-        # the ingest rebalance would otherwise buy with a raw-row
-        # shuffle (r4 collateral: 0.36 -> 1.13 s cold)
-        "exact_dedup": lambda s, d: dedup.exact_dedup(
-            load_table(s, "documents", d, rebalance=False)
-        ),
+        # (embedding_neardup_fps and exact_dedup moved to tail-top when
+        # the fifth r5 batch landed: fps shares _refined's entire call
+        # graph — same function, seeding param only — and exact_dedup's
+        # r5 change was plan-level (rebalance opt-out) with identical
+        # values and an r4-green driver verdict; both age 1 at r5)
         # === HEAD: r3-verdict queries whose CALL GRAPH changed in r5
         # (lsh_candidates grew the n_bands knob -> minhash family;
         # kmeans_fit refactor -> kmeans family). One gated
@@ -230,6 +231,10 @@ def queries() -> dict[str, QueryFn]:
         "adaptive_length_filter": lambda s, d: text.adaptive_length_filter(
             _docs(s, d)
         ),
+        "event_path_report": lambda s, d: relational.event_path_report(
+            load_table(s, "events", d)
+        ),
+        "neardup_triangles": lambda s, d: graph.neardup_triangles(_docs(s, d)),
         # === HEAD: new in round 5 (must debut in the head) ===
         "q8_market_share": lambda s, d: relational.q8_market_share(
             load_table(s, "lineitem", d),
@@ -306,6 +311,16 @@ def queries() -> dict[str, QueryFn]:
         # age 2 at r5 -> r6 must gate them
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
+        # displaced age-1 entries (see head comment at their old slots)
+        "embedding_neardup_fps": lambda s, d: dedup.embedding_neardup_refined(
+            _emb(s, d), seeding="farthest"
+        ),
+        # agg-first plan: its groupBy-on-scan provides the parallelism
+        # the ingest rebalance would otherwise buy with a raw-row
+        # shuffle (r4 collateral: 0.36 -> 1.13 s cold)
+        "exact_dedup": lambda s, d: dedup.exact_dedup(
+            load_table(s, "documents", d, rebalance=False)
+        ),
         "neardup_clusters": lambda s, d: graph.neardup_clusters(_docs(s, d)),
         "dedup_survivors": lambda s, d: graph.dedup_survivors(_docs(s, d)),
         "kmeans_clusters": lambda s, d: kmeans.kmeans_clusters(_emb(s, d)),
@@ -523,6 +538,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_report": oracles.bpe_encode_report_oracle(),
         "dedup_survivors_quality": oracles.dedup_survivors_quality_oracle(),
         "adaptive_length_filter": oracles.adaptive_length_filter_oracle(),
+        "event_path_report": oracles.event_path_report_oracle(),
+        "neardup_triangles": oracles.neardup_triangles_oracle(),
         "bloom_contamination": oracles.bloom_contamination_oracle(),
         "quality_classifier_score": oracles.quality_classifier_score_oracle(),
         "bigram_lift_top": oracles.bigram_lift_top_oracle(),

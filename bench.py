@@ -136,6 +136,8 @@ HEADLINE = [
     "bigram_lift_top",
     "dedup_survivors_quality",
     "adaptive_length_filter",
+    "event_path_report",
+    "neardup_triangles",
 ]
 
 

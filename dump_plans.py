@@ -57,6 +57,8 @@ SHOWCASE = [
     ("bigram_lift_top", "collocation lift: count-relation aggregations + vocabulary joins with NO pinned broadcast; only the 1-row totals ride a hint"),
     ("dedup_survivors_quality", "quality-aware survivors: zero-shuffle classifier joined to CC clusters, winner via one integer struct-max aggregation"),
     ("adaptive_length_filter", "exact per-source length quantiles from the value-count grid — the corpus is never sorted; cutoffs broadcast back"),
+    ("event_path_report", "session transition mining: both windows + the collect ride one user_id partitioning; path counts are |types|^n rows"),
+    ("neardup_triangles", "oriented triangle enumeration: wedge join on the middle vertex, closure semi-join reuses edge partitioning, zero data broadcasts"),
 ]
 
 

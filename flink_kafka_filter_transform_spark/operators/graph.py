@@ -145,6 +145,60 @@ def dedup_survivors_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def neardup_triangles(docs: DataFrame) -> DataFrame:
+    """Triangle census of the near-dup graph — the density signal that
+    separates genuine duplicate FAMILIES (template spam is clique-ish:
+    every copy pairs with every other, triangles abound) from fragile
+    CHAINS of borderline pairs (A~B~C where A!~C: zero triangles), the
+    diagnostic for whether transitive-closure clustering is safe to
+    apply at a given similarity threshold.
+
+    Output: one row — (n_vertices, n_edges, n_triangles,
+    triangles_per_edge), exact integers + one double division.
+
+    Scale shape — the canonical distributed triangle enumeration:
+    edges stored ORIENTED (doc_a < doc_b, as minhash_lsh_pairs emits
+    them), so each triangle a<b<c is counted exactly once: the wedge
+    join E(a,b) x E(b,c) partitions on the middle vertex b, the
+    closing check is a semi-join of (a,c) against E reusing E's hash
+    partitioning, and nothing is ever broadcast (the edge relation is
+    corpus-pair-sized). Per-vertex wedge fan-out is degree^2 — bounded
+    here because LSH_BUCKET_CAP already caps degrees upstream; the
+    production refinement at extreme skew is degree-orientation
+    (point edges low->high DEGREE instead of low->high id), which
+    bounds fan-out by sqrt(|E|) without changing this plan's shape."""
+    from flink_kafka_filter_transform_spark.operators.dedup import minhash_lsh_pairs
+
+    e = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    closing = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tris = wedges.join(closing, ["a", "c"], "left_semi")
+    n_vert = docs.agg(F.count_distinct("doc_id").alias("n_vertices"))
+    n_edge = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        n_vert.crossJoin(F.broadcast(n_edge))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_triangles",
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("n_triangles").cast("double") / F.col("n_edges"),
+            ).alias("triangles_per_edge"),
+        )
+    )
+
+
 # PageRank fixed-point scale: total rank mass is ONE unit of 10^15, so
 # per-node ranks stay ~1e15/N and every intermediate (85 * insum) fits
 # a BIGINT at ANY corpus size — the scale does not grow with N.

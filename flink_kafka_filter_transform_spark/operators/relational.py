@@ -182,6 +182,64 @@ def events_sessionized(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def event_path_report(
+    events: DataFrame, k: int = 20, gap_minutes: int = 30, n: int = 2
+) -> DataFrame:
+    """Behavioral path mining: the corpus-wide top-``k`` length-``n``
+    event-type sequences taken WITHIN a session — n=2 is the session
+    TRANSITION MATRIX's top cells (the Markov-chain view of user
+    behavior); larger n gives "what do users do in n steps" funnel
+    candidates — sequence-mining lite,
+    built from parts the engine already pins: the lag+cumsum session
+    assignment of ``events_sessionized`` and the shifted-array n-gram
+    builder of text.token_ngrams (paths are space-joined type windows,
+    e.g. 'view click purchase').
+
+    Determinism: events order by (ts_us, event_id) — event_id is
+    unique, so per-session sequences are total-ordered and both
+    engines agree; ties in path counts break lexically.
+
+    Scale shape: the two session windows and the per-session
+    collect_list all shuffle ONCE on user_id (same hash partitioning
+    reused); per-session arrays are session-sized (bounded by the gap
+    rule), path extraction is the O(events) shifted-array zip, and the
+    path-count aggregation carries path-cardinality rows (<=
+    |event_types|^n — tiny) with map-side combine into a
+    TakeOrderedAndProject."""
+    from flink_kafka_filter_transform_spark.operators.text import token_ngrams
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = ts_as_micros(events)
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_gap = events.select(
+        "user_id", "event_id", "event_type", ts_us.alias("ts_us")
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(order).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(order)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = with_gap.withColumn("session_id", F.sum("new_session").over(running))
+    seqs = sessions.groupBy("user_id", "session_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+        ).alias("_s")
+    )
+    types = F.transform(F.col("_s"), lambda s: s["event_type"])
+    paths = seqs.select(
+        F.explode(token_ngrams(types, n, distinct=False)).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
 def funnel_user_day_state(events: DataFrame) -> DataFrame:
     """The funnel's stateful core: each user's FIRST view/click/
     purchase microsecond per day, as conditional mins. min() merges

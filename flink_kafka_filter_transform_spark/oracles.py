@@ -1203,6 +1203,45 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def event_path_report_oracle(k: int = 20, gap_minutes: int = 30, n: int = 2) -> str:
+    """Path-mining twin: the same lag+cumsum session assignment as
+    events_sessionized_oracle, per-session ordered type lists, list
+    slicing for the n-windows."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+g AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {gap_us}
+             THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_id FROM g
+),
+seq AS (
+  SELECT user_id, session_id,
+         list(event_type ORDER BY ts_us, event_id) AS t
+  FROM s GROUP BY user_id, session_id
+),
+paths AS (
+  SELECT array_to_string(t[i:i + {n} - 1], ' ') AS path
+  FROM seq, unnest(generate_series(1, len(t) - {n} + 1)) AS u(i)
+  WHERE len(t) >= {n}
+)
+SELECT path, count(*) AS n_paths
+FROM paths GROUP BY path
+ORDER BY n_paths DESC, path ASC
+LIMIT {k}
+"""
+
+
 def events_sessionized_native_oracle(gap_minutes: int = 30) -> str:
     """Oracle for the NATIVE session_window query — deliberately the
     MANUAL lag+cumsum formulation: equality validates Spark's built-in
@@ -1726,6 +1765,28 @@ SELECT comp.doc AS doc_id, comp.cluster_id,
   CAST(sized.cluster_size AS BIGINT) AS cluster_size,
   comp.doc = comp.cluster_id AS is_kept
 FROM comp JOIN sized ON comp.cluster_id = sized.cluster_id
+"""
+
+
+def neardup_triangles_oracle() -> str:
+    """Triangle census twin: the same oriented wedge+closure joins over
+    the minhash pairs CTE."""
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_oracle()}) p),
+tris AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  WHERE EXISTS (SELECT 1 FROM pairs e3
+                WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+),
+v AS (SELECT count(DISTINCT doc_id) AS n_vertices FROM documents),
+e AS (SELECT count(*) AS n_edges FROM pairs),
+t AS (SELECT count(*) AS n_triangles FROM tris)
+SELECT v.n_vertices, e.n_edges, t.n_triangles,
+  CASE WHEN e.n_edges > 0
+       THEN CAST(t.n_triangles AS DOUBLE) / e.n_edges END AS triangles_per_edge
+FROM v, e, t
 """
 
 

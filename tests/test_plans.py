@@ -687,3 +687,26 @@ def test_adaptive_length_filter_never_sorts_corpus(spark, sf_dir):
     assert plan.count("Sort ") <= 1
     assert px.broadcast_join_count(df) >= 2  # totals + cutoffs ride broadcast
     assert px.sortmerge_join_count(df) == 0
+
+
+def test_event_path_single_user_partitioning(spark, sf_dir):
+    """Both session windows and the per-session collect must ride ONE
+    user_id hash partitioning — sessionization plus path extraction
+    may not re-shuffle the event stream per step. Budget: the user
+    exchange, the per-session group (same key prefix, AQE-reusable),
+    and the tiny path-count aggregation."""
+    from flink_kafka_filter_transform_spark.operators import relational
+
+    df = relational.event_path_report(load_table(spark, "events", sf_dir))
+    assert px.count_shuffles(df) <= 3
+    assert px.sortmerge_join_count(df) == 0
+
+
+def test_triangle_census_broadcasts_only_counters(spark, sf_dir):
+    """The edge relation is corpus-pair-sized: wedge and closure joins
+    must be shuffle joins on the edge keys; the only broadcasts are
+    the three 1-row counter relations."""
+    from flink_kafka_filter_transform_spark.operators import graph
+
+    df = graph.neardup_triangles(load_table(spark, "documents", sf_dir, rebalance=False))
+    assert px.broadcast_hint_count(df) == 2  # the two pinned 1-row counters
