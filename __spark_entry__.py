@@ -309,6 +309,19 @@ def queries() -> dict[str, QueryFn]:
         # displaced r3-call-graph family members (see head comment):
         # same helpers as their gated representatives, CI-verified,
         # age 2 at r5 -> r6 must gate them
+        # PENDING DEBUT (tools/rotation_check.py ALLOWED_PENDING_DEBUTS):
+        # the r5 head is saturated — 29 debuts + 19 rotation
+        # obligations + 2 changed-semantics queries fill all 50 slots —
+        # so this LAST r5 addition defers its driver debut to the r6
+        # head. Its building blocks are all gated elsewhere this round:
+        # the funnel flag expressions (quality_filter_funnel, r4-green,
+        # shared code), the classifier fold (quality_classifier_score,
+        # r5 head, same hashed_score_raw), and the per-source
+        # aggregation pattern (temperature_mixture_report, r5 head);
+        # CI parity verifies it differentially at sf0.001 now.
+        "source_quality_matrix": lambda s, d: text.source_quality_matrix(
+            _docs(s, d)
+        ),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
         # displaced age-1 entries (see head comment at their old slots)
@@ -540,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_length_filter": oracles.adaptive_length_filter_oracle(),
         "event_path_report": oracles.event_path_report_oracle(),
         "neardup_triangles": oracles.neardup_triangles_oracle(),
+        "source_quality_matrix": oracles.source_quality_matrix_oracle(),
         "bloom_contamination": oracles.bloom_contamination_oracle(),
         "quality_classifier_score": oracles.quality_classifier_score_oracle(),
         "bigram_lift_top": oracles.bigram_lift_top_oracle(),

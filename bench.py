@@ -138,6 +138,7 @@ HEADLINE = [
     "adaptive_length_filter",
     "event_path_report",
     "neardup_triangles",
+    "source_quality_matrix",
 ]
 
 

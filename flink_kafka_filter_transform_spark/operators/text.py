@@ -606,12 +606,7 @@ def quality_classifier_score(docs: DataFrame) -> DataFrame:
     no aggregation state. The same no-widening discipline as
     trigram_gini_diversity."""
     toks = tokens()
-    weight = lambda x: (  # noqa: E731 — inline fold step
-        F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint") % 2001 - 1000
-    )
-    raw = F.aggregate(
-        F.col("_t"), F.lit(0).cast("bigint"), lambda acc, x: acc + weight(x)
-    )
+    raw = hashed_score_raw(F.col("_t"))
     n = F.size("_t").cast("bigint")
     return (
         docs.select("doc_id", toks.alias("_t"))
@@ -623,6 +618,18 @@ def quality_classifier_score(docs: DataFrame) -> DataFrame:
             (raw.cast("double") / (n * 1000).cast("double")).alias("score"),
             (raw >= 0).alias("keep"),
         )
+    )
+
+
+def hashed_score_raw(toks_col: Column) -> Column:
+    """The classifier's integer-exact in-row fold: sum of hash-derived
+    token weights in [-1000, 1000] — shared by the per-doc scorer and
+    the per-source rollup so the feature hash cannot drift."""
+    weight = lambda x: (  # noqa: E731 — inline fold step
+        F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint") % 2001 - 1000
+    )
+    return F.aggregate(
+        toks_col, F.lit(0).cast("bigint"), lambda acc, x: acc + weight(x)
     )
 
 
@@ -724,6 +731,53 @@ def quality_filter_funnel(docs: DataFrame) -> DataFrame:
             "stack(5, 0, 'all', n0, 1, 'min_tokens', n1, 2, 'quality', n2, "
             "3, 'repetition', n3, 4, 'top_token', n4) AS (stage_no, stage, n_pass)"
         )
+    )
+
+
+def source_quality_matrix(docs: DataFrame) -> DataFrame:
+    """Per-source curation dashboard — the table that sets per-source
+    mixture weights: the quality funnel's cumulative gate counts BY
+    SOURCE (same shared flag expressions as quality_filter_funnel, so
+    the two reports cannot drift) plus the hashed classifier's
+    token-weighted mean score, computed integer-exactly
+    (sum_score_raw / (1000 * sum_tokens), ONE double division).
+
+    Columns: (source, n_docs, n_min_tokens, n_quality, n_repetition,
+    n_top_token, sum_score_raw, sum_tokens, mean_token_weight).
+
+    Scale shape: ONE map pass computes every flag and the classifier
+    fold per document; one source-keyed aggregation (map-side combined,
+    source-cardinality output) emits the matrix. No joins, no second
+    corpus scan."""
+    toks = tokens()
+    n = F.size(toks)
+    dup2 = ngram_dup_ratio(toks, 2)
+    top_ratio = top_token_run_count(toks).cast("double") / n
+    c1 = n >= 20
+    c2 = c1 & (quality_score(toks) >= 0.62)
+    c3 = c2 & F.coalesce(dup2 < 0.05, F.lit(False))
+    c4 = c3 & (top_ratio <= 0.12)
+    flagged = docs.filter(n > 0).select(
+        "source",
+        c1.alias("c1"),
+        c2.alias("c2"),
+        c3.alias("c3"),
+        c4.alias("c4"),
+        hashed_score_raw(toks).alias("_raw"),
+        n.cast("bigint").alias("_nt"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("c1").cast("bigint")).alias("n_min_tokens"),
+        F.sum(F.col("c2").cast("bigint")).alias("n_quality"),
+        F.sum(F.col("c3").cast("bigint")).alias("n_repetition"),
+        F.sum(F.col("c4").cast("bigint")).alias("n_top_token"),
+        F.sum("_raw").alias("sum_score_raw"),
+        F.sum("_nt").alias("sum_tokens"),
+        (
+            F.sum("_raw").cast("double")
+            / (F.sum("_nt") * 1000).cast("double")
+        ).alias("mean_token_weight"),
     )
 
 

@@ -725,6 +725,61 @@ UNION ALL SELECT 4, 'top_token', n4 FROM c
 """
 
 
+def source_quality_matrix_oracle() -> str:
+    """Per-source funnel+classifier twin: the funnel oracle's flag SQL
+    with source carried through, plus the classifier's integer weight
+    sum, grouped by source."""
+    stop = _sql_list(params.STOPWORDS)
+    bigrams = (
+        "list_transform(generate_series(1, len(t) - 1), "
+        "i -> array_to_string(t[i:i + 1], ' '))"
+    )
+    counts = "list_transform(list_distinct(t), d -> len(list_filter(t, x -> x = d)))"
+    w = "(" + portable_hash64_sql("x") + " % 2001) - 1000"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(text, '[^\\s]+') AS t FROM documents
+),
+f AS (
+  SELECT source,
+    len(t) AS n,
+    CAST(0.25 AS DOUBLE) * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+      + CAST(0.25 AS DOUBLE) * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+      + CAST(0.25 AS DOUBLE) * (1.0 - CAST(len(list_filter(t, x -> list_contains({stop}, x))) AS DOUBLE) / len(t))
+      + CAST(0.25 AS DOUBLE) * least(
+          (CAST(list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, b) -> a + b) AS DOUBLE) / len(t)) / 8.0,
+          1.0) AS quality,
+    CASE WHEN len(t) >= 2
+         THEN 1.0 - CAST(len(list_distinct({bigrams})) AS DOUBLE) / len({bigrams}) END AS dup2,
+    CAST(list_reduce(list_prepend(0, {counts}), (a, b) -> greatest(a, b)) AS DOUBLE)
+      / len(t) AS top_ratio,
+    CAST(list_sum(list_transform(t, x -> {w})) AS BIGINT) AS raw
+  FROM toks WHERE len(t) > 0
+),
+flags AS (
+  SELECT source, raw, CAST(n AS BIGINT) AS nt,
+    n >= 20 AS c1,
+    (n >= 20) AND quality >= CAST(0.62 AS DOUBLE) AS c2,
+    (n >= 20) AND quality >= CAST(0.62 AS DOUBLE)
+      AND coalesce(dup2 < CAST(0.05 AS DOUBLE), false) AS c3,
+    (n >= 20) AND quality >= CAST(0.62 AS DOUBLE)
+      AND coalesce(dup2 < CAST(0.05 AS DOUBLE), false)
+      AND top_ratio <= CAST(0.12 AS DOUBLE) AS c4
+  FROM f
+)
+SELECT source,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_min_tokens,
+  CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+  CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_token,
+  CAST(sum(raw) AS BIGINT) AS sum_score_raw,
+  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+  CAST(sum(raw) AS DOUBLE) / CAST(sum(nt) * 1000 AS DOUBLE) AS mean_token_weight
+FROM flags GROUP BY source
+"""
+
+
 def mixture_sample_summary_oracle(target_frac: float = 0.3) -> str:
     from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64_sql
 

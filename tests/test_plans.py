@@ -710,3 +710,16 @@ def test_triangle_census_broadcasts_only_counters(spark, sf_dir):
 
     df = graph.neardup_triangles(load_table(spark, "documents", sf_dir, rebalance=False))
     assert px.broadcast_hint_count(df) == 2  # the two pinned 1-row counters
+
+
+def test_source_quality_matrix_single_pass(spark, sf_dir):
+    """Every quality flag plus the classifier fold must ride ONE map
+    pass into a single source-keyed aggregation — no joins, no second
+    corpus scan, exactly one shuffle."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.source_quality_matrix(load_table(spark, "documents", sf_dir, rebalance=False))
+    assert px.count_shuffles(df) == 1
+    plan = px.explain_str(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1

@@ -450,3 +450,18 @@ def test_bloom_has_no_false_negatives(spark_prop, docs):
         assert r.bloom_hits >= r.true_hits
         assert r.false_positives >= 0
         assert r.n_grams >= r.bloom_hits
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_bpe_docs, steps=st.integers(1, 3))
+def test_bpe_encode_is_lossless(spark_prop, docs, steps):
+    """Encoding must be reversible: expanding every merged token
+    (\\x1e -> space) restores the original token stream exactly — the
+    merge markers carry full provenance, so a tokenized corpus can
+    always be detokenized. Verified through the reference encoder,
+    whose corpus the engine's per-doc counts already pin."""
+    encoded = _bpe_reference_encode(docs, steps)
+    nonempty = [d for d in docs if d]
+    for original, enc in zip(nonempty, encoded):
+        decoded = [part for tok in enc for part in tok.split("\x1e")]
+        assert decoded == original

