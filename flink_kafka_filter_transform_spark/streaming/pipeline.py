@@ -543,3 +543,71 @@ def cms_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
     with open(latest) as f:
         v = f.read().strip()
     return spark.read.parquet(f"{state_dir}/grid_v{v}")
+
+
+def ivf_assign_sink(
+    stream_vecs: DataFrame,
+    centroids: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> DataStreamWriter:
+    """Incremental IVF index maintenance — the ingest half of a vector
+    database: each arriving vector is assigned to its nearest coarse
+    centroid (operators.kmeans._assign against the BROADCAST codebook;
+    the quantizer is frozen while the stream runs, as in production
+    IVF where re-training is an offline event) and appended to the
+    cell-partitioned posting-list store that knn_ivf-style searches
+    scan per probed cell. Per-cell occupancy counts are sum-merged as
+    versioned state (same publication discipline as cms_merge_sink):
+    the signal that tells the operator a cell has outgrown its target
+    size and the codebook needs offline re-training — the maintenance
+    loop behind `embedding_neardup_refined`'s adaptive-cardinality
+    lesson, run incrementally.
+
+    Scale shape per batch: one broadcast crossJoin (k x dim codebook)
+    + the per-vector argmin window over k candidate rows + a
+    cell-partitioned append; the only aggregation is cell-cardinality
+    counters. tests/test_streaming.py proves assignment equivalence
+    with the batch operator and count-state correctness."""
+    from flink_kafka_filter_transform_spark.operators.kmeans import _assign
+
+    def assign(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        a = _assign(batch_df.select("vec_id", F.col("embedding").alias("v")), centroids)
+        (
+            batch_df.join(a, "vec_id")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cid", "_batch_id")
+            .parquet(out_dir)
+        )
+        counts = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+        prev = ivf_cell_counts(spark, state_dir)
+        merged = (
+            counts
+            if prev is None
+            else prev.unionByName(counts)
+            .groupBy("cid")
+            .agg(F.sum("n_vectors").alias("n_vectors"))
+        )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/cells_v{batch_id}")
+        with open(f"{state_dir}/_LATEST", "w") as f:
+            f.write(str(batch_id))
+
+    return stream_vecs.writeStream.foreachBatch(assign).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def ivf_cell_counts(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Latest published per-cell occupancy, or None before batch 0."""
+    import os
+
+    latest = f"{state_dir}/_LATEST"
+    if not os.path.exists(latest):
+        return None
+    with open(latest) as f:
+        v = f.read().strip()
+    return spark.read.parquet(f"{state_dir}/cells_v{v}")

@@ -825,3 +825,47 @@ def test_cms_merge_sink_matches_batch_grid(spark, sf_dir, tmp_path_factory):
     }
     want = {(r.row, r.bucket, r.cell) for r in cms_grid(docs).collect()}
     assert got == want and len(got) > 0
+
+
+def test_ivf_assign_sink_matches_batch_assignment(spark, sf_dir, tmp_path_factory):
+    """Streamed IVF ingest must assign every vector to the SAME cell
+    the batch operator picks (frozen broadcast codebook), and the
+    maintained per-cell occupancy must equal the batch cell sizes."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_filter_transform_spark.operators.kmeans import _assign, kmeans_fit
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming.pipeline import (
+        ivf_assign_sink,
+        ivf_cell_counts,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    _, cents = kmeans_fit(
+        emb.select("vec_id", F.col("embedding").alias("v")), k=4, iters=2
+    )
+    src_dir = str(tmp_path_factory.mktemp("ivf_src"))
+    emb.repartition(3).write.mode("overwrite").parquet(src_dir)
+    out = str(tmp_path_factory.mktemp("ivf_out"))
+    state = str(tmp_path_factory.mktemp("ivf_state"))
+    ckpt = str(tmp_path_factory.mktemp("ivf_ckpt"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = ivf_assign_sink(stream, cents, out, state, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {(r.vec_id, r.cid) for r in spark.read.parquet(out).select("vec_id", "cid").collect()}
+    want = {
+        (r.vec_id, r.cid)
+        for r in _assign(emb.select("vec_id", F.col("embedding").alias("v")), cents).collect()
+    }
+    assert got == want and len(got) > 0
+
+    counts = {(r.cid, r.n_vectors) for r in ivf_cell_counts(spark, state).collect()}
+    want_counts = {}
+    for _, cid in want:
+        want_counts[cid] = want_counts.get(cid, 0) + 1
+    assert counts == set(want_counts.items())
