@@ -32,3 +32,12 @@ def test_artifacts_parse_and_cover_queries():
     names = set(entry.queries())
     vanished = [n for n in latest if n not in names and n != "cdc_route_join_distinct"]
     assert not vanished, f"verdict rows for queries no longer registered: {vanished}"
+
+
+def test_docs_cover_every_query_and_refs_resolve():
+    """SURVEY/README <-> code consistency: every registered query is
+    documented; every module.function doc reference resolves."""
+    from tools.coverage_check import dangling_doc_refs, undocumented_queries
+
+    assert undocumented_queries() == []
+    assert dangling_doc_refs() == []
