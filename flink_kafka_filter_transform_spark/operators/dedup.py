@@ -117,14 +117,11 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidates(sig: DataFrame, n_bands: int | None = None) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become candidate pairs.
-
-    K=8 rows banded 4x2 by default (``n_bands`` overrides — the
-    band-sweep tuner walks the b*r=K configurations); the self-join key
-    is (band_idx, band_key), so only same-band collisions meet — the
-    classic S-curve selectivity. Buckets above LSH_BUCKET_CAP are
-    dropped (skew guard)."""
+def band_relation(sig: DataFrame, n_bands: int | None = None) -> DataFrame:
+    """(doc_id, band_idx, band_key) — the LSH index rows of a signature
+    relation. Factored out of lsh_candidates so the STREAMING index
+    maintainer (streaming.pipeline.lsh_index_sink) probes and appends
+    the IDENTICAL band keys the batch self-join uses."""
     n_bands = params.MINHASH_BANDS if n_bands is None else n_bands
     rows_per_band = params.MINHASH_K // n_bands
     band_structs = [
@@ -136,9 +133,20 @@ def lsh_candidates(sig: DataFrame, n_bands: int | None = None) -> DataFrame:
         )
         for b in range(n_bands)
     ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
         "doc_id", "band.band_idx", "band.band_key"
     )
+
+
+def lsh_candidates(sig: DataFrame, n_bands: int | None = None) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    K=8 rows banded 4x2 by default (``n_bands`` overrides — the
+    band-sweep tuner walks the b*r=K configurations); the self-join key
+    is (band_idx, band_key), so only same-band collisions meet — the
+    classic S-curve selectivity. Buckets above LSH_BUCKET_CAP are
+    dropped (skew guard)."""
+    bands = band_relation(sig, n_bands)
     capped = bands.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_key"))
     ).filter(F.col("n") <= params.LSH_BUCKET_CAP)

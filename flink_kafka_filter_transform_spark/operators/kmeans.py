@@ -287,16 +287,26 @@ def _pq_codebooks(
     """Per-subspace (subvectors, trained codebook) pairs: contiguous
     slice j of every embedding + the k-cell first-k-seeded codebook
     after ``iters`` Lloyd rounds (kmeans_clusters' exact trajectory,
-    run independently per subspace)."""
+    run independently per subspace).
+
+    The casted full vectors and each subspace slice are materialized
+    ONCE (localCheckpoint): without it every one of the m x iters
+    assign/update rounds re-derives its input from the parquet scan
+    inside one enormous nested plan — measured 11.8 s cold / 5.5 s
+    warm at sf0.1 vs 4.2 s / 4.2 s checkpointed. Safe at scale
+    because PQ training runs on a bounded deterministic SAMPLE (see
+    pq_train_report's docstring) — what is materialized is
+    sample-sized, never the corpus; the full-corpus ENCODE pass stays
+    map-only against the broadcast codebooks."""
     full = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("fv")
-    )
+    ).localCheckpoint(eager=True)
     sub_len = (F.size("fv") / F.lit(m)).cast("int")
     subs = []
     for j in range(m):
         vecs = full.select(
             "vec_id", F.slice("fv", j * sub_len + 1, sub_len).alias("v")
-        )
+        ).localCheckpoint(eager=True)
         cents = vecs.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
         )

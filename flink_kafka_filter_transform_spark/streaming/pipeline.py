@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.window import Window
 from pyspark.sql.types import StructType
 
 from flink_kafka_filter_transform_spark.operators import cdc
@@ -611,3 +612,107 @@ def ivf_cell_counts(spark: SparkSession, state_dir: str) -> DataFrame | None:
     with open(latest) as f:
         v = f.read().strip()
     return spark.read.parquet(f"{state_dir}/cells_v{v}")
+
+
+def lsh_index_sink(
+    stream_docs: DataFrame, state_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataStreamWriter:
+    """Incremental near-duplicate detection — the LSH band-bucket index
+    maintained across micro-batches, the streaming face of
+    operators.dedup.minhash_lsh_pairs:
+
+    per batch: (1) MinHash signatures for arriving docs (the IDENTICAL
+    minhash_signatures the batch path uses); (2) candidate pairs =
+    within-batch LSH self-join UNION batch-vs-INDEX probes (the batch's
+    band keys equi-join the accumulated index — each pair is emitted in
+    exactly one batch, the one its LATER member arrives in, so no
+    cross-batch dedup state is needed); (3) exact-Jaccard verification
+    against the stored shingle sets; (4) verified pairs append to the
+    pair log, the batch's signatures+bands append to the index.
+
+    After the stream drains, the pair log equals the batch operator's
+    output — tests/test_streaming.py proves it — PROVIDED no band
+    bucket crosses LSH_BUCKET_CAP mid-stream: the batch operator drops
+    an over-cap bucket wholesale, while the incremental index stopped
+    probing it only once its ACCUMULATED size crossed the cap (earlier
+    emissions stand). That divergence is one-sided (the stream may
+    emit a superset near the cap boundary) and bounded by the cap
+    itself; exact batch parity near degenerate buckets requires a
+    batch re-run, the same answer every incremental index gives.
+
+    Scale shape per batch: signature construction is the same map-only
+    pass as batch; the index probe is an equi-join on (band_idx,
+    band_key) — at 100 TB the index store is partitioned by band key
+    hash so the probe prunes to matching partitions; the verification
+    joins carry 60-bit shingle hashes, never text."""
+    from flink_kafka_filter_transform_spark.operators import params
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        band_relation,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sig = minhash_signatures(batch_df)
+        bands = band_relation(sig)
+        within = lsh_candidates(sig)
+        try:
+            idx_bands = spark.read.parquet(f"{state_dir}/bands")
+            idx_sigs = spark.read.parquet(f"{state_dir}/sigs")
+        except Exception:
+            idx_bands, idx_sigs = None, None
+        if idx_bands is not None:
+            bucket_n = F.count(F.lit(1)).over(
+                Window.partitionBy("band_idx", "band_key")
+            )
+            # cap on the ACCUMULATED bucket (index + batch contributions)
+            combined = idx_bands.unionByName(bands).withColumn("_n", bucket_n)
+            capped = combined.filter(F.col("_n") <= params.LSH_BUCKET_CAP)
+            old = capped.join(
+                idx_bands.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+            new = capped.join(
+                bands.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+            cross = (
+                old.alias("a")
+                .join(
+                    new.alias("b"),
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+                .select(
+                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+            cand = within.unionByName(cross).distinct()
+            all_sigs = idx_sigs.unionByName(sig)
+        else:
+            cand = within
+            all_sigs = sig
+        s1 = all_sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+        s2 = all_sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+        verified = (
+            cand.join(s1, "doc_a")
+            .join(s2, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= params.JACCARD_THRESHOLD)
+        )
+        verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "_batch_id"
+        ).parquet(out_dir)
+        bands.write.mode("append").parquet(f"{state_dir}/bands")
+        sig.write.mode("append").parquet(f"{state_dir}/sigs")
+
+    return stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )

@@ -869,3 +869,38 @@ def test_ivf_assign_sink_matches_batch_assignment(spark, sf_dir, tmp_path_factor
     for _, cid in want:
         want_counts[cid] = want_counts.get(cid, 0) + 1
     assert counts == set(want_counts.items())
+
+
+def test_lsh_index_sink_matches_batch_pairs(spark, sf_dir, tmp_path_factory):
+    """Draining documents through the incremental LSH index must emit
+    exactly the batch operator's verified near-dup pairs (no bucket
+    crosses the cap on this corpus, so equivalence is exact), with
+    every pair appearing exactly once across batches."""
+    from flink_kafka_filter_transform_spark.operators.dedup import minhash_lsh_pairs
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming.pipeline import lsh_index_sink
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    src_dir = str(tmp_path_factory.mktemp("lsh_src"))
+    docs.repartition(3).write.mode("overwrite").parquet(src_dir)
+    state = str(tmp_path_factory.mktemp("lsh_state"))
+    out = str(tmp_path_factory.mktemp("lsh_out"))
+    ckpt = str(tmp_path_factory.mktemp("lsh_ckpt"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = lsh_index_sink(stream, state, out, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    emitted = [
+        (r.doc_a, r.doc_b, f"{r.jaccard:.9g}")
+        for r in spark.read.parquet(out).select("doc_a", "doc_b", "jaccard").collect()
+    ]
+    want = {
+        (r.doc_a, r.doc_b, f"{r.jaccard:.9g}")
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert len(emitted) == len(set(emitted))  # exactly-once per pair
+    assert set(emitted) == want and len(want) > 0
