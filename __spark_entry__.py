@@ -322,6 +322,12 @@ def queries() -> dict[str, QueryFn]:
         "source_quality_matrix": lambda s, d: text.source_quality_matrix(
             _docs(s, d)
         ),
+        # PENDING DEBUT (same saturation rationale): the IVF-PQ
+        # composition — both halves are independently driver-gated
+        # THIS round (knn_pq_adc/knn_pq_recall in the head now;
+        # knn_ivf_kmeans r3-green with its coarse chain unchanged),
+        # and CI parity runs the composed oracle differentially.
+        "knn_ivf_pq": lambda s, d: kmeans.knn_ivf_pq(_emb(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
         # displaced age-1 entries (see head comment at their old slots)
@@ -554,6 +560,7 @@ def oracle_sql() -> dict[str, str]:
         "event_path_report": oracles.event_path_report_oracle(),
         "neardup_triangles": oracles.neardup_triangles_oracle(),
         "source_quality_matrix": oracles.source_quality_matrix_oracle(),
+        "knn_ivf_pq": oracles.knn_ivf_pq_oracle(),
         "bloom_contamination": oracles.bloom_contamination_oracle(),
         "quality_classifier_score": oracles.quality_classifier_score_oracle(),
         "bigram_lift_top": oracles.bigram_lift_top_oracle(),

@@ -139,6 +139,7 @@ HEADLINE = [
     "event_path_report",
     "neardup_triangles",
     "source_quality_matrix",
+    "knn_ivf_pq",
 ]
 
 

@@ -382,6 +382,92 @@ def knn_pq_adc(
     )
 
 
+def knn_ivf_pq(
+    emb: DataFrame,
+    topk: int | None = None,
+    m: int = 4,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    n_cells: int = K_DEFAULT,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ — the two-level index every billion-vector deployment
+    actually runs (Jegou et al., the FAISS default): the coarse IVF
+    quantizer restricts candidates to the ``nprobe`` nearest cells,
+    and PQ-ADC scores ONLY those candidates through the per-query
+    lookup tables. knn_ivf_kmeans scans probed cells at full
+    precision; knn_pq_adc scans the whole corpus at PQ precision; this
+    operator composes both reductions — candidate COUNT shrinks by
+    ~nprobe/n_cells and candidate WIDTH shrinks to m code bytes, which
+    multiply.
+
+    Probing uses L2 centroid distance (consistent with ADC's L2
+    metric, unlike the cosine-ranked knn_ivf_kmeans — mixing metrics
+    between the coarse and fine stage is a classic recall bug).
+
+    Scale shape: coarse codebook + probe set + sub-codebooks + LUTs
+    all broadcast; the encoded corpus joins candidates on vec_id and
+    the LUT map-side; the only wide relation is the candidate set
+    (queries x probed-cell members), aggregated by exact DECIMAL m-way
+    sums then per-query top-k."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    topk = params.KNN_K if topk is None else topk
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    coarse = vecs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
+    )
+    for _ in range(iters):
+        coarse = _update(vecs, _assign(vecs, coarse), coarse)
+    member = _assign(vecs, coarse)
+
+    q = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("_d2").asc(), F.col("cid").asc())
+    probed = (
+        q.crossJoin(F.broadcast(coarse))
+        .select("q_id", "cid", _sq_dist("qv", "centroid").alias("_d2"))
+        .withColumn("_cr", F.row_number().over(wp))
+        .filter(F.col("_cr") <= nprobe)
+        .select("q_id", "cid")
+    )
+    cand = (
+        member.join(F.broadcast(probed), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+
+    subs = _pq_codebooks(emb, m, k, iters)
+    enc: DataFrame | None = None
+    lut: DataFrame | None = None
+    for j, (svecs, cents) in enumerate(subs):
+        e_j = _assign(svecs, cents).select(F.lit(j).alias("j"), "vec_id", "cid")
+        q_j = svecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+        l_j = q_j.crossJoin(F.broadcast(cents)).select(
+            "q_id", F.lit(j).alias("j"), "cid", _sq_dist("qv", "centroid").alias("pd2")
+        )
+        enc = e_j if enc is None else enc.unionByName(e_j)
+        lut = l_j if lut is None else lut.unionByName(l_j)
+    assert enc is not None and lut is not None
+    adc = (
+        cand.join(enc, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "j", "cid"])
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum(F.col("pd2").cast("decimal(28,18)")).cast("double").alias("adc_d2")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "vec_id", "rank", "adc_d2")
+    )
+
+
 def knn_pq_recall(
     emb: DataFrame,
     topk: int | None = None,

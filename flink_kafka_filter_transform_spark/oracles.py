@@ -3063,6 +3063,67 @@ def knn_pq_adc_oracle(
     )
 
 
+def knn_ivf_pq_oracle(
+    topk: int | None = None,
+    m: int = 4,
+    k: int | None = None,
+    iters: int | None = None,
+    n_cells: int | None = None,
+    nprobe: int = 2,
+) -> str:
+    """IVF-PQ twin: the coarse Lloyd chain (_kmeans_ctes: e, c{iters},
+    afinal) + the per-subspace PQ chains/enc/lut (_pq_adc_parts —
+    whose full-corpus adc/pq_topk CTEs stay unreferenced dead code),
+    with candidates restricted to the nprobe L2-nearest cells before
+    the ADC sum."""
+    from flink_kafka_filter_transform_spark.operators.kmeans import ITERS_DEFAULT, K_DEFAULT
+
+    k = K_DEFAULT if k is None else k
+    iters = ITERS_DEFAULT if iters is None else iters
+    n_cells = K_DEFAULT if n_cells is None else n_cells
+    topk = params.KNN_K if topk is None else topk
+    nq = params.KNN_NUM_QUERIES
+    qdist = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(list_zip(q.qv, c.centroid),"
+        " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+    pq_parts = _pq_adc_parts(m, k, iters, nq, topk)
+    return (
+        _kmeans_ctes(n_cells, iters)
+        + ",\n"
+        + ",\n".join(pq_parts)
+        + f""",
+qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {nq}),
+probed2 AS (
+  SELECT q_id, cid FROM (
+    SELECT q.q_id, c.cid,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY {qdist} ASC, c.cid ASC) AS cr
+    FROM qv q CROSS JOIN c{iters} c
+  ) pr WHERE cr <= {nprobe}
+),
+cand2 AS (
+  SELECT p.q_id, a.vec_id
+  FROM afinal a JOIN probed2 p ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id
+),
+adc2 AS (
+  SELECT c.q_id, c.vec_id,
+         CAST(SUM(CAST(l.pd2 AS DECIMAL(28,18))) AS DOUBLE) AS adc_d2
+  FROM cand2 c
+  JOIN enc n ON n.vec_id = c.vec_id
+  JOIN lut l ON l.q_id = c.q_id AND l.j = n.j AND l.cid = n.cid
+  GROUP BY c.q_id, c.vec_id
+)
+SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rank, adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+  FROM adc2
+) r WHERE rn <= {topk}
+"""
+    )
+
+
 def knn_pq_recall_oracle(
     m: int = 4, k: int | None = None, iters: int | None = None, topk: int | None = None
 ) -> str:

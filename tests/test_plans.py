@@ -723,3 +723,16 @@ def test_source_quality_matrix_single_pass(spark, sf_dir):
     plan = px.explain_str(df, "simple")
     assert "Join" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_knn_ivf_pq_candidates_before_adc(spark, sf_dir):
+    """IVF-PQ must restrict candidates BEFORE scoring: coarse codebook,
+    probe set, sub-codebooks, and LUTs all ride broadcasts; the ONLY
+    permissible sort-merge join is candidates x encoded-corpus on
+    vec_id — both sides corpus-sized, so broadcasting either would be
+    the scale bug."""
+    from flink_kafka_filter_transform_spark.operators import kmeans
+
+    df = kmeans.knn_ivf_pq(load_table(spark, "embeddings", sf_dir))
+    assert px.sortmerge_join_count(df) <= 1
+    assert px.broadcast_hint_count(df) >= 3  # probe set + LUTs + codebooks

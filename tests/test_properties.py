@@ -465,3 +465,62 @@ def test_bpe_encode_is_lossless(spark_prop, docs, steps):
     for original, enc in zip(nonempty, encoded):
         decoded = [part for tok in enc for part in tok.split("\x1e")]
         assert decoded == original
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 40)),  # (source, n_chars)
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_adaptive_length_filter_equals_naive(spark_prop, rows):
+    """Cutoffs must equal the naive integer ceiling-convention order
+    statistic on arbitrary tiny inputs (duplicated lengths, single-doc
+    sources, all-equal sources), and the kept/short/long partition must
+    cover every doc exactly once."""
+    from flink_kafka_filter_transform_spark.operators.text import (
+        adaptive_length_filter,
+    )
+
+    df = spark_prop.createDataFrame(
+        [(f"s{s}", i, n) for i, (s, n) in enumerate(rows)],
+        "source STRING, doc_id INT, n_chars INT",
+    )
+    got = {
+        r.source: (r.n_docs, r.cut_low, r.cut_high, r.n_kept, r.n_short, r.n_long)
+        for r in adaptive_length_filter(df).collect()
+    }
+
+    by_src: dict[str, list[int]] = {}
+    for s, n in rows:
+        by_src.setdefault(f"s{s}", []).append(n)
+    for src, lens in by_src.items():
+        lens.sort()
+        total = len(lens)
+
+        def cut(pct):
+            cume = 0
+            seen = []
+            for v in lens:
+                cume += 1
+                seen.append((v, cume))
+            # min length whose FINAL cumulative count reaches pct% —
+            # cumulate per distinct value, ceiling convention
+            cum_by_val: dict[int, int] = {}
+            c = 0
+            for v in lens:
+                c += 1
+                cum_by_val[v] = c
+            for v in sorted(cum_by_val):
+                if 100 * cum_by_val[v] >= pct * total:
+                    return v
+            return None
+
+        lo, hi = cut(5), cut(95)
+        kept = sum(1 for v in lens if lo <= v <= hi)
+        short = sum(1 for v in lens if v < lo)
+        long_ = sum(1 for v in lens if v > hi)
+        assert got[src] == (total, lo, hi, kept, short, long_)
+        assert kept + short + long_ == total
