@@ -141,11 +141,15 @@ def queries() -> dict[str, QueryFn]:
     of 8 (bpe_encode_report, bloom_contamination,
     quality_classifier_score, bigram_lift_top,
     dedup_survivors_quality, adaptive_length_filter,
-    event_path_report, neardup_triangles). Head pressure: with 28 new
+    event_path_report, neardup_triangles). Head pressure: with 31 new
     queries + 19 rotation obligations the 50 slots ran out, so five
     age-1/age-2 family members whose changed helpers remain gated
     through representatives sit at tail-top (each carries an in-place
-    comment naming its representative); rotation_check enforces the
+    comment naming its representative), and the LAST three r5
+    additions (source_quality_matrix, knn_ivf_pq, knn_ivf_pq_recall)
+    carry explicit one-round debut deferrals
+    (tools/rotation_check.py ALLOWED_PENDING_DEBUTS — the check fails
+    r6 unless its head gates them); rotation_check enforces the
     resulting ages. The tail is r4-green-
     and-unchanged plus the r3-green-untouched remainder (simhash/
     similarity families, age exactly 2 rounds) that r6 MUST rotate;
@@ -328,6 +332,7 @@ def queries() -> dict[str, QueryFn]:
         # knn_ivf_kmeans r3-green with its coarse chain unchanged),
         # and CI parity runs the composed oracle differentially.
         "knn_ivf_pq": lambda s, d: kmeans.knn_ivf_pq(_emb(s, d)),
+        "knn_ivf_pq_recall": lambda s, d: kmeans.knn_ivf_pq_recall(_emb(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
         # displaced age-1 entries (see head comment at their old slots)
@@ -561,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_triangles": oracles.neardup_triangles_oracle(),
         "source_quality_matrix": oracles.source_quality_matrix_oracle(),
         "knn_ivf_pq": oracles.knn_ivf_pq_oracle(),
+        "knn_ivf_pq_recall": oracles.knn_ivf_pq_recall_oracle(),
         "bloom_contamination": oracles.bloom_contamination_oracle(),
         "quality_classifier_score": oracles.quality_classifier_score_oracle(),
         "bigram_lift_top": oracles.bigram_lift_top_oracle(),

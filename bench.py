@@ -140,6 +140,7 @@ HEADLINE = [
     "neardup_triangles",
     "source_quality_matrix",
     "knn_ivf_pq",
+    "knn_ivf_pq_recall",
 ]
 
 

@@ -468,6 +468,60 @@ def knn_ivf_pq(
     )
 
 
+def knn_ivf_pq_recall(
+    emb: DataFrame,
+    topk: int | None = None,
+    m: int = 4,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    n_cells: int = K_DEFAULT,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall@k of the composed IVF-PQ search against EXACT L2 top-k —
+    the number a deployment tunes nprobe against. Compared with
+    knn_pq_recall (PQ loss alone), the delta isolates the COARSE
+    stage's loss (true neighbors living in unprobed cells), the
+    quantity that decides whether to spend more nprobe or more k."""
+    topk = params.KNN_K if topk is None else topk
+    approx = knn_ivf_pq(
+        emb, topk=topk, m=m, k=k, iters=iters, n_cells=n_cells, nprobe=nprobe
+    )
+    full = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = full.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_d2").asc(), F.col("vec_id").asc())
+    exact = (
+        full.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _sq_dist("v", "qv").alias("_d2"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= topk)
+        .select("q_id", "vec_id")
+    )
+    hits = (
+        approx.select("q_id", "vec_id")
+        .join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("_n"), F.lit(0)).cast("double")
+                / F.lit(float(topk))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def knn_pq_recall(
     emb: DataFrame,
     topk: int | None = None,

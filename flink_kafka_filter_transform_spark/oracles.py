@@ -3124,6 +3124,50 @@ SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rank, adc_d2 FROM (
     )
 
 
+def knn_ivf_pq_recall_oracle(
+    topk: int | None = None,
+    m: int = 4,
+    k: int | None = None,
+    iters: int | None = None,
+    n_cells: int | None = None,
+    nprobe: int = 2,
+) -> str:
+    """Recall twin for the composed IVF-PQ search: wraps
+    knn_ivf_pq_oracle's result as a CTE next to the exact L2 top-k."""
+    topk = params.KNN_K if topk is None else topk
+    nq = params.KNN_NUM_QUERIES
+    dist_full = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(list_zip(q.v, e.v),"
+        " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+    inner = knn_ivf_pq_oracle(
+        topk=topk, m=m, k=k, iters=iters, n_cells=n_cells, nprobe=nprobe
+    )
+    return f"""
+WITH ivfpq AS ({inner}),
+ebase AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+exact_topk2 AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, e.vec_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist_full} ASC, e.vec_id ASC) AS rn
+    FROM (SELECT vec_id, v FROM ebase WHERE vec_id < {nq}) q
+    JOIN ebase e ON e.vec_id <> q.vec_id
+  ) r WHERE rn <= {topk}
+)
+SELECT q.q_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n, 0) AS DOUBLE) / {float(topk)} AS recall_at_k
+FROM (SELECT DISTINCT q_id FROM exact_topk2) q
+LEFT JOIN (
+  SELECT exact_topk2.q_id, count(*) AS n
+  FROM exact_topk2 JOIN ivfpq USING (q_id, vec_id)
+  GROUP BY exact_topk2.q_id
+) h USING (q_id)
+"""
+
+
 def knn_pq_recall_oracle(
     m: int = 4, k: int | None = None, iters: int | None = None, topk: int | None = None
 ) -> str:

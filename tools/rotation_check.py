@@ -35,7 +35,11 @@ MAX_VERDICT_AGE = 2  # rounds; the entry-point docstring's promise
 # building blocks are gated via quality_filter_funnel /
 # quality_classifier_score / temperature_mixture_report, and CI
 # parity covers it differentially meanwhile.)
-ALLOWED_PENDING_DEBUTS = {"source_quality_matrix": 5, "knn_ivf_pq": 5}
+ALLOWED_PENDING_DEBUTS = {
+    "source_quality_matrix": 5,
+    "knn_ivf_pq": 5,
+    "knn_ivf_pq_recall": 5,
+}
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
