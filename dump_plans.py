@@ -59,6 +59,8 @@ SHOWCASE = [
     ("adaptive_length_filter", "exact per-source length quantiles from the value-count grid — the corpus is never sorted; cutoffs broadcast back"),
     ("event_path_report", "session transition mining: both windows + the collect ride one user_id partitioning; path counts are |types|^n rows"),
     ("neardup_triangles", "oriented triangle enumeration: wedge join on the middle vertex, closure semi-join reuses edge partitioning, zero data broadcasts"),
+    ("source_quality_matrix", "per-source curation dashboard: every flag + the classifier fold in ONE map pass, one source-keyed aggregation"),
+    ("knn_ivf_pq", "two-level ANN: codebooks/probes/LUTs broadcast; the single corpus-sized join (candidates x codes) deliberately shuffles"),
 ]
 
 

@@ -211,6 +211,7 @@ def pagerank(
     edges: DataFrame,
     iters: int = PR_ITERS,
     checkpoint_every: int = 8,
+    release_caches: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank (damping 0.85) in INTEGER fixed-point
     arithmetic: ranks are BIGINT units of 1/PR_SCALE, every step is
@@ -270,6 +271,20 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint(eager=True)
+    # Materialize the final ranks (node-cardinality rows) and RELEASE
+    # the loop's caches: without the unpersist every invocation leaked
+    # two cached relations for the session's lifetime, and the
+    # accumulated storage blocks squeezed execution memory for every
+    # LATER query (measured as systematic mid-suite slowdowns in the
+    # 80-query bench). The eager checkpoint decouples the returned
+    # frame from the caches so releasing them cannot trigger a
+    # recompute. ``release_caches=False`` keeps the raw loop plan
+    # inspectable (the plan gate asserts the InMemoryTableScan
+    # structure that the checkpoint would truncate).
+    if release_caches:
+        ranks = ranks.localCheckpoint(eager=True)
+        vertices.unpersist()
+        ewd.unpersist()
     return ranks.select(
         "node_id",
         "rank_scaled",
@@ -278,7 +293,10 @@ def pagerank(
 
 
 def supply_chain_pagerank(
-    lineitem: DataFrame, iters: int = PR_ITERS, topk: int = 20
+    lineitem: DataFrame,
+    iters: int = PR_ITERS,
+    topk: int = 20,
+    release_caches: bool = True,
 ) -> DataFrame:
     """PageRank centrality over the part<->supplier bipartite graph
     observed in shipments (nodes: parts and suppliers, one undirected
@@ -301,7 +319,7 @@ def supply_chain_pagerank(
     )
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     verts = edges.select(F.col("src").alias("node_id")).distinct()
-    pr = pagerank(verts, edges, iters=iters)
+    pr = pagerank(verts, edges, iters=iters, release_caches=release_caches)
     return (
         pr.select(
             F.when(F.col("node_id") % 2 == 0, F.lit("part"))

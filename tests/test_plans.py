@@ -581,7 +581,12 @@ def test_pagerank_loop_reads_cached_graph_only(spark, sf_dir):
     parquet; short fixed loops carry no per-round checkpoint barrier."""
     from flink_kafka_filter_transform_spark.operators import graph
 
-    df = graph.supply_chain_pagerank(load_table(spark, "lineitem", sf_dir), iters=2)
+    # release_caches=False keeps the loop plan visible (the default
+    # eagerly checkpoints the result and unpersists the graph so a
+    # long session cannot accumulate storage blocks)
+    df = graph.supply_chain_pagerank(
+        load_table(spark, "lineitem", sf_dir), iters=2, release_caches=False
+    )
     plan = px.explain_str(df, "simple")
     # cached graph relations feed every round ("Scan parquet" strings
     # inside the printed InMemoryRelation DEFINITIONS don't count —
