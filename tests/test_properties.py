@@ -524,3 +524,97 @@ def test_adaptive_length_filter_equals_naive(spark_prop, rows):
         long_ = sum(1 for v in lens if v > hi)
         assert got[src] == (total, lo, hi, kept, short, long_)
         assert kept + short + long_ == total
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # user
+            st.sampled_from(["a", "b", "c"]),       # event type
+            st.integers(0, 100),                    # minutes offset
+        ),
+        min_size=0,
+        max_size=14,
+    )
+)
+def test_event_path_report_equals_naive(spark_prop, rows):
+    """Transition counts must equal a naive Python sessionizer+counter
+    on arbitrary tiny event streams — exact-gap boundaries, ties in
+    timestamps (broken by event_id), empty input."""
+    from flink_kafka_filter_transform_spark.operators.relational import (
+        event_path_report,
+    )
+
+    base = 1_700_000_000_000_000
+    data = [
+        (i, u, t, base + m * 60_000_000) for i, (u, t, m) in enumerate(rows)
+    ]
+    df = spark_prop.createDataFrame(
+        [(i, u, t, us) for (i, u, t, us) in data],
+        "event_id INT, user_id INT, event_type STRING, ts_us BIGINT",
+    ).selectExpr("event_id", "user_id", "event_type", "timestamp_micros(ts_us) AS ts")
+    got = {
+        (r.path, r.n_paths)
+        for r in event_path_report(df, k=100, gap_minutes=30, n=2).collect()
+    }
+
+    gap_us = 30 * 60 * 1_000_000
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for i, u, t, us in data:
+        by_user.setdefault(u, []).append((us, i, t))
+    counts: dict[str, int] = {}
+    for evs in by_user.values():
+        evs.sort()
+        session: list[str] = []
+        prev = None
+        for us, _i, t in evs + [(None, None, None)]:
+            if t is None or (prev is not None and us - prev > gap_us):
+                for a, b in zip(session, session[1:]):
+                    counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + 1
+                session = []
+            if t is not None:
+                session.append(t)
+                prev = us
+    want = set(counts.items())
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bigram_lift_equals_naive(spark_prop, docs):
+    """Lift values and the min_pair gate must equal the naive count
+    formulation (min_pair=1 so tiny corpora produce rows)."""
+    from flink_kafka_filter_transform_spark.operators.text import bigram_lift_top
+
+    df = spark_prop.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "doc_id INT, text STRING"
+    )
+    got = {
+        (r.gram, r.n_pair, r.c_a, r.c_b, f"{r.lift:.9g}")
+        for r in bigram_lift_top(df, k=1000, min_pair=1).collect()
+    }
+    pairs: dict[tuple[str, str], int] = {}
+    unis: dict[str, int] = {}
+    n_total = 0
+    t_total = 0
+    for d in docs:
+        for tok in d:
+            unis[tok] = unis.get(tok, 0) + 1
+            t_total += 1
+        for a, b in zip(d, d[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+            n_total += 1
+    want = set()
+    for (a, b), n in pairs.items():
+        lift = float(n * t_total) * float(t_total) / (
+            float(n_total) * float(unis[a] * unis[b])
+        )
+        want.add((f"{a} {b}", n, unis[a], unis[b], f"{lift:.9g}"))
+    assert got == want
