@@ -618,3 +618,46 @@ def test_bigram_lift_equals_naive(spark_prop, docs):
         )
         want.add((f"{a} {b}", n, unis[a], unis[b], f"{lift:.9g}"))
     assert got == want
+
+
+def test_triangle_census_counts_each_triangle_once(spark):
+    """Deterministic structural check: a planted 4-clique of
+    near-identical docs plus a planted 3-chain must yield exactly
+    C(4,3)=4 triangles — each counted once despite the symmetric
+    wedge possibilities — and the chain contributes none."""
+    from flink_kafka_filter_transform_spark.operators.dedup import minhash_lsh_pairs
+    from flink_kafka_filter_transform_spark.operators.graph import neardup_triangles
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    toks = base.split()
+    rows = []
+    # 4-clique: identical docs 0..3 (jaccard 1.0 pairwise)
+    for i in range(4):
+        rows.append((i, base))
+    # 3-chain over a DISJOINT vocabulary (sharing the clique's tokens
+    # would connect the chain to every clique member): 10-11 and 11-12
+    # similar, 10-12 below threshold
+    chain = "one two three four five six seven eight".split()
+    rows.append((10, " ".join(chain)))
+    rows.append((11, " ".join(chain[:-1] + ["varA"])))
+    rows.append((12, " ".join(chain[:-2] + ["varA", "varB"])))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df).collect()}
+    clique = {(a, b) for a in range(4) for b in range(4) if a < b}
+    assert clique <= pairs
+    assert (10, 12) not in pairs
+
+    out = neardup_triangles(df).collect()[0]
+    # naive count over whatever pairs LSH actually emitted
+    import itertools
+
+    adj = set(pairs)
+    nodes = sorted({x for p in pairs for x in p})
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    assert out.n_triangles == want == 4
+    assert out.n_edges == len(pairs)
