@@ -360,9 +360,10 @@ def embedding_neardup_refined(
 
 def semdedup_prune(
     emb: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     threshold: float = params.EMB_NEARDUP_THRESHOLD,
+    train_denom: int = params.SEMDEDUP_TRAIN_DENOM,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning report (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, find
@@ -377,18 +378,41 @@ def semdedup_prune(
     (cent_sim ASC, vec_id ASC) — a per-pair rule both engines evaluate
     identically, rather than the paper's order-dependent greedy sweep.
 
-    100 TB design: identical blocking story to
-    ``embedding_neardup_refined`` — clustering IS the blocking, so k
-    must track the corpus (pass k=adaptive_n_cells(N) in production;
-    the default stays literal so the oracle's CTE chain is static).
-    Centroids broadcast twice (assignment + cent_sim); the pair join is
-    cluster-blocked; norms are precomputed per VECTOR, only the dot
-    runs per pair; the report aggregates to k rows."""
+    100 TB design, revised after the r5 sf1 audit measured the
+    original literal k=8 default going quadratic (60-93 s at sf1,
+    15.5x — fixed cells mean within-cell pairs grow as (N/8)², the
+    exact embedding_neardup anti-pattern this repo documents):
+
+    - clustering IS the blocking, so cells TRACK the corpus by
+      default: k=None -> adaptive_n_cells(count) = ceil(N/256), the
+      embedding_neardup_refined formula — per-cell membership stays
+      ~256 and the pair join is LINEAR in N;
+    - the codebook trains on a deterministic 1/``train_denom``
+      vec_id-hash SAMPLE (plus the first-k seed ids so seeding never
+      starves): per-round cost is (N/denom) x cells, and the full
+      corpus meets the centroids exactly ONCE in the final
+      assignment — the IVF list-building pass every vector deployment
+      pays, and the only N x cells term left.
+
+    Centroids broadcast twice (assignment + cent_sim); norms are
+    precomputed per VECTOR, only the dot runs per pair; the report
+    aggregates to k rows."""
     from flink_kafka_filter_transform_spark.functions.vectors import dot, l2_norm
-    from flink_kafka_filter_transform_spark.operators.kmeans import kmeans_fit
+    from flink_kafka_filter_transform_spark.operators.kmeans import _assign, _update
 
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    assign, cents = kmeans_fit(vecs, k=k, iters=iters)
+    if k is None:
+        k = adaptive_n_cells(vecs.count())
+    in_sample = (
+        portable_hash64(F.col("vec_id").cast("string")) % train_denom == 0
+    ) | (F.col("vec_id") < k)
+    smp = vecs.filter(in_sample).localCheckpoint(eager=True)
+    cents = smp.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
+    )
+    for _ in range(iters):
+        cents = _update(smp, _assign(smp, cents), cents)
+    assign = _assign(vecs, cents)
     cent_cos = F.when(
         (F.col("nrm") > 0) & (F.col("cnrm") > 0),
         dot("v", "centroid") / (F.col("nrm") * F.col("cnrm")),

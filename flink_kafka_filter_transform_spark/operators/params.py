@@ -56,6 +56,14 @@ KNN_K = 10
 LSH_NUM_PLANES = 4  # hyperplanes = embeddings vec_id < 4
 LSH_TOPK = 5
 
+# --- SemDeDup ---------------------------------------------------------------
+# Codebook training sample: 1/SEMDEDUP_TRAIN_DENOM of the corpus by
+# vec_id hash (plus the first-k seed ids, so seeding never starves).
+# Training cost becomes iters * (N/denom) * cells instead of
+# iters * N * cells; the single full-corpus assignment that remains is
+# the IVF list-building pass every deployment pays once.
+SEMDEDUP_TRAIN_DENOM = 16
+
 # --- Bloom filter membership sketch ----------------------------------------
 # 64 registers x 62 usable bits/register = 3968-bit filter. 62 (not 64)
 # bits per BIGINT register keeps every shiftleft(1, bit) strictly

@@ -3359,17 +3359,80 @@ WHERE value_dec * 10000 > (SELECT sum(value_dec) FROM pv) * {fraction_bp}
 
 
 def semdedup_prune_oracle(
-    k: int = 8, iters: int = 2, threshold: float | None = None
+    k: int | None = None,
+    iters: int = 2,
+    threshold: float | None = None,
+    train_denom: int | None = None,
 ) -> str:
-    """SemDeDup prune ledger: replay the engine's k-means trajectory
-    (_kmeans_ctes), compute centroid similarity per member, apply the
-    SAME per-pair loser rule (keep lower cent_sim; ties keep lower
-    vec_id), aggregate per cluster."""
+    """SemDeDup prune ledger: replay the engine's SAMPLE-TRAINED
+    k-means trajectory (adaptive cell count from the full corpus,
+    Lloyd rounds over the 1/denom hash-sample + first-k seeds, ONE
+    full-corpus assignment), compute centroid similarity per member,
+    apply the SAME per-pair loser rule (keep lower cent_sim; ties keep
+    lower vec_id), aggregate per cluster."""
     from flink_kafka_filter_transform_spark.functions.vectors import cosine_sql
 
     thr = params.EMB_NEARDUP_THRESHOLD if threshold is None else threshold
-    return f"""
-{_kmeans_ctes(k, iters)},
+    denom = params.SEMDEDUP_TRAIN_DENOM if train_denom is None else train_denom
+    k_sql = (
+        str(k)
+        if k is not None
+        else (
+            "(SELECT GREATEST(1, CAST(CEIL(COUNT(*) / "
+            f"{params.EMB_CELL_TARGET_ROWS}.0) AS BIGINT)) FROM embeddings)"
+        )
+    )
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)")
+    dist = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(list_zip(e.v, c.centroid),"
+        " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"smp AS (SELECT * FROM e WHERE {h} % {denom} = 0 OR vec_id < {k_sql})",
+        f"c0 AS (SELECT vec_id AS cid, v AS centroid FROM e WHERE vec_id < {k_sql})",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM smp e CROSS JOIN {prev} c
+  ) r WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""s{i} AS (
+  SELECT cid, pos, CAST(SUM(CAST(val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
+  FROM (
+    SELECT a{i}.cid,
+      unnest(generate_series(1, len(e.v))) AS pos,
+      unnest(e.v) AS val
+    FROM a{i} JOIN smp e USING (vec_id)
+  ) x GROUP BY cid, pos
+)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT p.cid, coalesce(n.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS centroid FROM s{i} GROUP BY cid) n
+  USING (cid)
+)"""
+        )
+    parts.append(
+        f"""afinal AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN c{iters} c
+  ) r WHERE rn = 1
+)"""
+    )
+    return "WITH " + ",\n".join(parts) + f""",
 cs AS (
   SELECT a.vec_id, a.cid, e.v,
          {cosine_sql('e.v', 'c.centroid')} AS cent_sim
