@@ -261,6 +261,13 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": kept,
+            # per-methodology-section totals IN the final line, so the
+            # driver artifact's parsed JSON carries non-null cold AND
+            # warm even if the tail window clips the full per-query
+            # cold/warm lines above (VERDICT r4 item 2); the complete
+            # breakdown is the committed BENCH_full.json
+            "cold_sec": round(sum(cold.values()), 3),
+            "warm_sec": round(sum(warm.values()), 3),
             "sf": sf,
             "reps": REPS,
             "detail": "BENCH_full.json",
