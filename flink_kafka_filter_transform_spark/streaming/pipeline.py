@@ -304,37 +304,86 @@ def scd2_incremental_sink(
     format here, and readers always see a complete published version
     (``scd2_current``), never a half-written one.
     """
-    from flink_kafka_filter_transform_spark.operators import cdc as cdc_ops
-
-    changes_dir = f"{state_dir}/changes"
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = batch_df.filter(F.col("op").isNotNull()).select(*SCD2_CHANGE_COLS)
-        batch.write.mode("append").parquet(changes_dir)
-        affected = batch.select("db", "table_name", "key").dropDuplicates()
-        key = ["db", "table_name", "key"]
-        changes = (
-            spark.read.parquet(changes_dir)
-            .join(F.broadcast(affected), key, "left_semi")
-            .dropDuplicates(["db", "table_name", "key", "msg_id"])
-        )
-        recomputed = cdc_ops.scd2_history(changes)
-        prev = scd2_current(spark, state_dir)
-        merged = (
-            recomputed
-            if prev is None
-            else prev.join(F.broadcast(affected), key, "left_anti").unionByName(
-                recomputed
-            )
-        )
-        merged.write.mode("overwrite").parquet(f"{state_dir}/scd2_v{batch_id}")
-        with open(f"{state_dir}/_LATEST", "w") as f:
-            f.write(str(batch_id))
+        _scd2_merge_batch(batch_df, batch_id, state_dir)
 
     return parsed_stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def _scd2_merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
+    """One scd2_incremental_sink micro-batch, module-level so replay
+    tests can re-drive a batch id directly. ``prev`` comes from
+    ``_latest_state_version(..., before=batch_id)`` — STRICTLY
+    pre-batch — so a replayed batch never reads the version it is
+    about to overwrite (the read-the-write-target wedge, r5 ADVICE)
+    and recomputes scd2_v{batch_id} to identical content (the
+    changelog is deduped on (key, msg_id), so the re-appended changes
+    collapse)."""
+    from flink_kafka_filter_transform_spark.operators import cdc as cdc_ops
+
+    changes_dir = f"{state_dir}/changes"
+    spark = batch_df.sparkSession
+    batch = batch_df.filter(F.col("op").isNotNull()).select(*SCD2_CHANGE_COLS)
+    batch.write.mode("append").parquet(changes_dir)
+    affected = batch.select("db", "table_name", "key").dropDuplicates()
+    key = ["db", "table_name", "key"]
+    changes = (
+        spark.read.parquet(changes_dir)
+        .join(F.broadcast(affected), key, "left_semi")
+        .dropDuplicates(["db", "table_name", "key", "msg_id"])
+    )
+    recomputed = cdc_ops.scd2_history(changes)
+    v = _latest_state_version(state_dir, "scd2", before=batch_id)
+    prev = spark.read.parquet(f"{state_dir}/scd2_v{v}") if v is not None else None
+    merged = (
+        recomputed
+        if prev is None
+        else prev.join(F.broadcast(affected), key, "left_anti").unionByName(
+            recomputed
+        )
+    )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/scd2_v{batch_id}")
+    with open(f"{state_dir}/_LATEST", "w") as f:
+        f.write(str(batch_id))
+
+
+def _latest_state_version(
+    state_dir: str, prefix: str, before: int | None = None
+) -> int | None:
+    """Largest PUBLISHED version of ``{state_dir}/{prefix}_v*`` —
+    only directories whose parquet write completed (``_SUCCESS``
+    marker) count — optionally restricted to versions strictly below
+    ``before``.
+
+    This is the replay-safe way for a foreachBatch sink to load its
+    previous state: reading via the ``_LATEST`` pointer breaks when a
+    batch crashed after publishing but before the streaming checkpoint
+    committed — the replayed batch would read v{batch_id}, the very
+    path it then overwrites (Spark rejects overwriting a path being
+    read), and for sum-merged state would double-count the batch even
+    if the write went through. ``before=batch_id`` makes prev strictly
+    pre-batch, so replays recompute v{batch_id} from the same inputs
+    and are idempotent. ``_LATEST`` remains a reader-side convenience
+    only. Old versions accumulate by design (bounded: one small state
+    relation per micro-batch); production deploys prune versions below
+    the checkpointed watermark offline."""
+    import glob as _glob
+    import os
+    import re as _re
+
+    best: int | None = None
+    for p in _glob.glob(os.path.join(state_dir, f"{prefix}_v*")):
+        m = _re.search(rf"{_re.escape(prefix)}_v(\d+)$", p)
+        if m is None or not os.path.exists(os.path.join(p, "_SUCCESS")):
+            continue
+        v = int(m.group(1))
+        if before is not None and v >= before:
+            continue
+        if best is None or v > best:
+            best = v
+    return best
 
 
 def scd2_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
@@ -447,33 +496,46 @@ def hll_merge_sink(
     FOREVER — the property that lets a 100 TB ingest stream keep
     running distinct-user counts without ever storing a key set.
 
-    Replay semantics — strictly stronger than counter state: max is
-    idempotent as well as associative/commutative, so an at-least-once
-    redelivery that re-merges the same registers is a NO-OP; the
-    estimate cannot drift under replay (contrast streaming.state's
-    first-seen ledger, where only the min-winner column carries that
-    guarantee). tests/test_streaming.py proves batch-vs-streaming
-    equivalence and replay idempotence."""
-    from flink_kafka_filter_transform_spark.operators.sketch import hll_registers
+    Replay semantics — doubly safe: prev is loaded strictly pre-batch
+    (``_latest_state_version(..., before=batch_id)``), so a replayed
+    batch recomputes regs_v{batch_id} from the same inputs rather than
+    reading its own write target; and max is idempotent as well as
+    associative/commutative, so even a true duplicate DELIVERY that
+    re-merges the same registers is a NO-OP — the estimate cannot
+    drift under replay (contrast streaming.state's first-seen ledger,
+    where only the min-winner column carries that guarantee).
+    tests/test_streaming.py proves batch-vs-streaming equivalence and
+    replay idempotence."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        regs = hll_registers(batch_df, key, [group])
-        prev = hll_current(spark, state_dir)
-        merged = (
-            regs
-            if prev is None
-            else prev.unionByName(regs)
-            .groupBy(group, "_idx")
-            .agg(F.max("_r").alias("_r"))
-        )
-        merged.write.mode("overwrite").parquet(f"{state_dir}/regs_v{batch_id}")
-        with open(f"{state_dir}/_LATEST", "w") as f:
-            f.write(str(batch_id))
+        _hll_merge_batch(batch_df, batch_id, key, group, state_dir)
 
     return stream.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def _hll_merge_batch(
+    batch_df: DataFrame, batch_id: int, key: str, group: str, state_dir: str
+) -> None:
+    """One hll_merge_sink micro-batch (module-level for replay tests);
+    see _latest_state_version for the strictly-pre-batch prev rule."""
+    from flink_kafka_filter_transform_spark.operators.sketch import hll_registers
+
+    spark = batch_df.sparkSession
+    regs = hll_registers(batch_df, key, [group])
+    v = _latest_state_version(state_dir, "regs", before=batch_id)
+    prev = spark.read.parquet(f"{state_dir}/regs_v{v}") if v is not None else None
+    merged = (
+        regs
+        if prev is None
+        else prev.unionByName(regs)
+        .groupBy(group, "_idx")
+        .agg(F.max("_r").alias("_r"))
+    )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/regs_v{batch_id}")
+    with open(f"{state_dir}/_LATEST", "w") as f:
+        f.write(str(batch_id))
 
 
 def hll_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
@@ -503,35 +565,46 @@ def cms_merge_sink(
     forever.
 
     Replay semantics — deliberately contrasted with the HLL sink: sum
-    is associative and commutative but NOT idempotent, so an
-    at-least-once redelivery would double-count the replayed batch.
-    Correctness here rides on the source's exactly-once replay (the
-    checkpointed file/Kafka offsets) plus the versioned publication
-    (a re-run batch OVERWRITES its own regs_v{batch_id} rather than
-    appending). Even under a true duplicate delivery the CMS failure
-    mode is benign for its contract: estimates are upper bounds and
-    only inflate — the documented asymmetry between max-merge and
-    sum-merge sketches."""
-    from flink_kafka_filter_transform_spark.operators.sketch import cms_grid
+    is associative and commutative but NOT idempotent, so replay
+    safety cannot come from the merge operator itself. It comes from
+    the state protocol: prev is loaded STRICTLY pre-batch
+    (``_latest_state_version(..., before=batch_id)``), so a replayed
+    batch id recomputes grid_v{batch_id} = grid_v{<batch_id} + batch —
+    identical content, never reading its own write target (r5 ADVICE:
+    the _LATEST-based prev both double-counted and wedged the restart
+    on Spark's read/overwrite conflict check). What remains
+    non-idempotent is a true duplicate DELIVERY (same rows under a NEW
+    batch id), where the CMS failure mode is benign for its contract:
+    estimates are upper bounds and only inflate — the documented
+    asymmetry between max-merge and sum-merge sketches."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        grid = cms_grid(batch_df)
-        prev = cms_current(spark, state_dir)
-        merged = (
-            grid
-            if prev is None
-            else prev.unionByName(grid)
-            .groupBy("row", "bucket")
-            .agg(F.sum("cell").alias("cell"))
-        )
-        merged.write.mode("overwrite").parquet(f"{state_dir}/grid_v{batch_id}")
-        with open(f"{state_dir}/_LATEST", "w") as f:
-            f.write(str(batch_id))
+        _cms_merge_batch(batch_df, batch_id, state_dir)
 
     return stream_docs.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def _cms_merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
+    """One cms_merge_sink micro-batch (module-level for replay tests);
+    see _latest_state_version for the strictly-pre-batch prev rule."""
+    from flink_kafka_filter_transform_spark.operators.sketch import cms_grid
+
+    spark = batch_df.sparkSession
+    grid = cms_grid(batch_df)
+    v = _latest_state_version(state_dir, "grid", before=batch_id)
+    prev = spark.read.parquet(f"{state_dir}/grid_v{v}") if v is not None else None
+    merged = (
+        grid
+        if prev is None
+        else prev.unionByName(grid)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/grid_v{batch_id}")
+    with open(f"{state_dir}/_LATEST", "w") as f:
+        f.write(str(batch_id))
 
 
 def cms_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
@@ -571,35 +644,51 @@ def ivf_assign_sink(
     cell-partitioned append; the only aggregation is cell-cardinality
     counters. tests/test_streaming.py proves assignment equivalence
     with the batch operator and count-state correctness."""
-    from flink_kafka_filter_transform_spark.operators.kmeans import _assign
-
     def assign(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        a = _assign(batch_df.select("vec_id", F.col("embedding").alias("v")), centroids)
-        (
-            batch_df.join(a, "vec_id")
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cid", "_batch_id")
-            .parquet(out_dir)
-        )
-        counts = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
-        prev = ivf_cell_counts(spark, state_dir)
-        merged = (
-            counts
-            if prev is None
-            else prev.unionByName(counts)
-            .groupBy("cid")
-            .agg(F.sum("n_vectors").alias("n_vectors"))
-        )
-        merged.write.mode("overwrite").parquet(f"{state_dir}/cells_v{batch_id}")
-        with open(f"{state_dir}/_LATEST", "w") as f:
-            f.write(str(batch_id))
+        _ivf_assign_batch(batch_df, batch_id, centroids, out_dir, state_dir)
 
     return stream_vecs.writeStream.foreachBatch(assign).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def _ivf_assign_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    centroids: DataFrame,
+    out_dir: str,
+    state_dir: str,
+) -> None:
+    """One ivf_assign_sink micro-batch (module-level for replay
+    tests). The posting-list append is replay-safe via dynamic
+    partition overwrite on (cid, _batch_id); the sum-merged cell
+    counters are replay-safe via the strictly-pre-batch prev rule
+    (_latest_state_version) — same protocol as _cms_merge_batch."""
+    from flink_kafka_filter_transform_spark.operators.kmeans import _assign
+
+    spark = batch_df.sparkSession
+    a = _assign(batch_df.select("vec_id", F.col("embedding").alias("v")), centroids)
+    (
+        batch_df.join(a, "vec_id")
+        .withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid", "_batch_id")
+        .parquet(out_dir)
+    )
+    counts = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    v = _latest_state_version(state_dir, "cells", before=batch_id)
+    prev = spark.read.parquet(f"{state_dir}/cells_v{v}") if v is not None else None
+    merged = (
+        counts
+        if prev is None
+        else prev.unionByName(counts)
+        .groupBy("cid")
+        .agg(F.sum("n_vectors").alias("n_vectors"))
+    )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/cells_v{batch_id}")
+    with open(f"{state_dir}/_LATEST", "w") as f:
+        f.write(str(batch_id))
 
 
 def ivf_cell_counts(spark: SparkSession, state_dir: str) -> DataFrame | None:
@@ -640,11 +729,38 @@ def lsh_index_sink(
     itself; exact batch parity near degenerate buckets requires a
     batch re-run, the same answer every incremental index gives.
 
+    Replay discipline (r5 ADVICE): the index state is published the
+    same way as the pair log — parquet partitioned by ``_batch_id``
+    with DYNAMIC partition overwrite — so an at-least-once replay
+    overwrites its own band/signature partitions instead of
+    re-appending them (duplicate sigs rows would fan out the
+    verification join and re-emit pairs; duplicate band rows would
+    inflate accumulated bucket sizes toward LSH_BUCKET_CAP, silently
+    dropping future pairs). The prev index read filters
+    ``_batch_id < batch_id``, so a replayed batch never sees its own
+    earlier partial write.
+
     Scale shape per batch: signature construction is the same map-only
     pass as batch; the index probe is an equi-join on (band_idx,
     band_key) — at 100 TB the index store is partitioned by band key
     hash so the probe prunes to matching partitions; the verification
     joins carry 60-bit shingle hashes, never text."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _lsh_index_batch(batch_df, batch_id, state_dir, out_dir)
+
+    return stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def _lsh_index_batch(
+    batch_df: DataFrame, batch_id: int, state_dir: str, out_dir: str
+) -> None:
+    """One lsh_index_sink micro-batch (module-level for replay tests);
+    see the sink docstring for the partition-overwrite replay rule."""
+    import os
+
     from flink_kafka_filter_transform_spark.operators import params
     from flink_kafka_filter_transform_spark.operators.dedup import (
         band_relation,
@@ -652,67 +768,192 @@ def lsh_index_sink(
         minhash_signatures,
     )
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        sig = minhash_signatures(batch_df)
-        bands = band_relation(sig)
-        within = lsh_candidates(sig)
-        try:
-            idx_bands = spark.read.parquet(f"{state_dir}/bands")
-            idx_sigs = spark.read.parquet(f"{state_dir}/sigs")
-        except Exception:
-            idx_bands, idx_sigs = None, None
-        if idx_bands is not None:
-            bucket_n = F.count(F.lit(1)).over(
-                Window.partitionBy("band_idx", "band_key")
-            )
-            # cap on the ACCUMULATED bucket (index + batch contributions)
-            combined = idx_bands.unionByName(bands).withColumn("_n", bucket_n)
-            capped = combined.filter(F.col("_n") <= params.LSH_BUCKET_CAP)
-            old = capped.join(
-                idx_bands.select("doc_id").distinct(), "doc_id", "left_semi"
-            )
-            new = capped.join(
-                bands.select("doc_id").distinct(), "doc_id", "left_semi"
-            )
-            cross = (
-                old.alias("a")
-                .join(
-                    new.alias("b"),
-                    (F.col("a.band_idx") == F.col("b.band_idx"))
-                    & (F.col("a.band_key") == F.col("b.band_key"))
-                    & (F.col("a.doc_id") != F.col("b.doc_id")),
-                )
-                .select(
-                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-                )
-                .distinct()
-            )
-            cand = within.unionByName(cross).distinct()
-            all_sigs = idx_sigs.unionByName(sig)
-        else:
-            cand = within
-            all_sigs = sig
-        s1 = all_sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-        s2 = all_sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-        jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-            F.array_union("sh_a", "sh_b")
+    spark = batch_df.sparkSession
+    sig = minhash_signatures(batch_df)
+    bands = band_relation(sig)
+    within = lsh_candidates(sig)
+    # no bare except: before the first published batch the state dirs
+    # simply don't exist (an actual read failure should surface, not
+    # silently reset the index to empty — r5 ADVICE)
+    if os.path.isdir(f"{state_dir}/bands") and os.path.isdir(f"{state_dir}/sigs"):
+        idx_bands = (
+            spark.read.parquet(f"{state_dir}/bands")
+            .filter(F.col("_batch_id") < batch_id)
+            .drop("_batch_id")
         )
-        verified = (
-            cand.join(s1, "doc_a")
-            .join(s2, "doc_b")
-            .select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= params.JACCARD_THRESHOLD)
+        idx_sigs = (
+            spark.read.parquet(f"{state_dir}/sigs")
+            .filter(F.col("_batch_id") < batch_id)
+            .drop("_batch_id")
         )
-        verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "dynamic").partitionBy(
-            "_batch_id"
-        ).parquet(out_dir)
-        bands.write.mode("append").parquet(f"{state_dir}/bands")
-        sig.write.mode("append").parquet(f"{state_dir}/sigs")
-
-    return stream_docs.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
+    else:
+        idx_bands, idx_sigs = None, None
+    if idx_bands is not None:
+        bucket_n = F.count(F.lit(1)).over(
+            Window.partitionBy("band_idx", "band_key")
+        )
+        # cap on the ACCUMULATED bucket (index + batch contributions)
+        combined = idx_bands.unionByName(bands).withColumn("_n", bucket_n)
+        capped = combined.filter(F.col("_n") <= params.LSH_BUCKET_CAP)
+        old = capped.join(
+            idx_bands.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+        new = capped.join(
+            bands.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+        cross = (
+            old.alias("a")
+            .join(
+                new.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        cand = within.unionByName(cross).distinct()
+        all_sigs = idx_sigs.unionByName(sig)
+    else:
+        cand = within
+        all_sigs = sig
+    s1 = all_sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    s2 = all_sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
     )
+    verified = (
+        cand.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= params.JACCARD_THRESHOLD)
+    )
+    verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(out_dir)
+    for rel, sub in ((bands, "bands"), (sig, "sigs")):
+        (
+            rel.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_dir}/{sub}")
+        )
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable batch faces for the maintenance sinks
+# ---------------------------------------------------------------------------
+#
+# The merge sinks above are pytest-proven equivalent to their batch
+# operators, but equivalence tests live outside the driver's DuckDB
+# gate. These query-shaped faces close that gap: each stages the
+# sf-dir table as a real file stream, drains it through the ACTUAL
+# sink (availableNow + maxFilesPerTrigger=1, so the state is built
+# across several genuine micro-batch merges, not one), then returns
+# the final published state as a DataFrame. Because every maintained
+# state is a commutative monoid fold (register max / counter sum)
+# over disjoint row partitions, the drained state is micro-batch-split
+# INVARIANT — equal to the one-shot batch sketch — which is exactly
+# what a plain DuckDB oracle over the same table computes. Scratch
+# dirs live under the OS temp root and are not cleaned here: the
+# returned DataFrame lazily reads the published state parquet.
+
+
+def _drain_through_sink(df: DataFrame, scratch: str, sink_fn) -> None:
+    """Stage ``df`` as a 4-file parquet stream and drain it through
+    ``sink_fn(stream, checkpoint_dir)`` with an availableNow trigger."""
+    src = f"{scratch}/src"
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        df.sparkSession.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sink_fn(stream, f"{scratch}/ckpt").trigger(availableNow=True).start()
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming sink did not drain within 600s")
+
+
+def hll_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the events table drained through
+    hll_merge_sink (distinct user_id per event_type), returning the
+    final HLL register relation (event_type, _idx, _r). The oracle
+    computes the registers directly in SQL — max-merge across
+    micro-batches is lossless, so streamed state == batch sketch."""
+    import tempfile
+
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    events = load_table(spark, "events", sf_dir).select("event_type", "user_id")
+    scratch = tempfile.mkdtemp(prefix="sgraft_hll_stream_")
+    state = f"{scratch}/state"
+    _drain_through_sink(
+        events,
+        scratch,
+        lambda stream, ckpt: hll_merge_sink(
+            stream, "user_id", "event_type", state, ckpt
+        ).option("checkpointLocation", ckpt),
+    )
+    return hll_current(spark, state)
+
+
+def cms_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the documents table drained through
+    cms_merge_sink, returning the final Count-Min grid (row, bucket,
+    cell). Sum-merge over disjoint micro-batches equals the one-shot
+    grid, which the oracle builds in SQL."""
+    import tempfile
+
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    scratch = tempfile.mkdtemp(prefix="sgraft_cms_stream_")
+    state = f"{scratch}/state"
+    _drain_through_sink(
+        docs,
+        scratch,
+        lambda stream, ckpt: cms_merge_sink(stream, state, ckpt).option(
+            "checkpointLocation", ckpt
+        ),
+    )
+    return cms_current(spark, state)
+
+
+def ivf_stream_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the embeddings table drained through
+    ivf_assign_sink against the frozen kmeans_fit codebook (the same
+    deterministic Lloyd chain the gated kmeans family uses), returning
+    the final per-cell occupancy (cid, n_vectors). The incremental
+    counters must sum to the batch assignment's cell sizes — the
+    oracle recomputes the full Lloyd chain + final assignment in SQL
+    and counts per cell."""
+    import tempfile
+
+    from flink_kafka_filter_transform_spark.operators.kmeans import kmeans_fit
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    # cast to double BEFORE staging: the sink assigns whatever element
+    # type arrives, and the oracle's distance math is all-double (the
+    # same cast kmeans_clusters applies before kmeans_fit)
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    _, cents = kmeans_fit(emb.select("vec_id", F.col("embedding").alias("v")))
+    scratch = tempfile.mkdtemp(prefix="sgraft_ivf_stream_")
+    state = f"{scratch}/state"
+    out = f"{scratch}/postings"
+    _drain_through_sink(
+        emb,
+        scratch,
+        lambda stream, ckpt: ivf_assign_sink(stream, cents, out, state, ckpt).option(
+            "checkpointLocation", ckpt
+        ),
+    )
+    return ivf_cell_counts(spark, state)

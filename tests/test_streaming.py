@@ -904,3 +904,100 @@ def test_lsh_index_sink_matches_batch_pairs(spark, sf_dir, tmp_path_factory):
     }
     assert len(emitted) == len(set(emitted))  # exactly-once per pair
     assert set(emitted) == want and len(want) > 0
+
+
+def _state_files(d):
+    out = []
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def test_merge_sinks_replay_same_batch_id_idempotent(
+    spark, sf_dir, tmp_path_factory
+):
+    """At-least-once replay simulation (r5 ADVICE): re-driving the SAME
+    batch id through each merge sink's per-batch function must (a) not
+    raise Spark's read-the-write-target conflict — prev state is
+    strictly pre-batch — and (b) leave the published state content
+    IDENTICAL, including for the sum-merged CMS/IVF state where the
+    merge operator itself is not idempotent."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_filter_transform_spark.operators.kmeans import kmeans_fit
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+
+    # --- HLL: two batches, then replay batch 1 ---
+    state = str(tmp_path_factory.mktemp("hll_replay_state"))
+    sp._hll_merge_batch(events.limit(200), 0, "user_id", "event_type", state)
+    sp._hll_merge_batch(events, 1, "user_id", "event_type", state)
+    before = {(r.event_type, r._idx, r._r) for r in sp.hll_current(spark, state).collect()}
+    sp._hll_merge_batch(events, 1, "user_id", "event_type", state)  # replay
+    after = {(r.event_type, r._idx, r._r) for r in sp.hll_current(spark, state).collect()}
+    assert before == after and len(after) > 0
+
+    # --- CMS (sum-merge): replay must NOT double-count ---
+    state = str(tmp_path_factory.mktemp("cms_replay_state"))
+    sp._cms_merge_batch(half, 0, state)
+    sp._cms_merge_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, state)
+    before = {(r.row, r.bucket, r.cell) for r in sp.cms_current(spark, state).collect()}
+    sp._cms_merge_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, state)  # replay
+    after = {(r.row, r.bucket, r.cell) for r in sp.cms_current(spark, state).collect()}
+    assert before == after and len(after) > 0
+
+    # --- IVF cell counters (sum-merge) + posting lists ---
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    _, cents = kmeans_fit(
+        emb.select("vec_id", SF.col("embedding").alias("v")), k=4, iters=2
+    )
+    out = str(tmp_path_factory.mktemp("ivf_replay_out"))
+    state = str(tmp_path_factory.mktemp("ivf_replay_state"))
+    e0 = emb.filter(SF.col("vec_id") % 2 == 0)
+    e1 = emb.filter(SF.col("vec_id") % 2 == 1)
+    sp._ivf_assign_batch(e0, 0, cents, out, state)
+    sp._ivf_assign_batch(e1, 1, cents, out, state)
+    before = {(r.cid, r.n_vectors) for r in sp.ivf_cell_counts(spark, state).collect()}
+    rows_before = spark.read.parquet(out).count()
+    sp._ivf_assign_batch(e1, 1, cents, out, state)  # replay
+    after = {(r.cid, r.n_vectors) for r in sp.ivf_cell_counts(spark, state).collect()}
+    assert before == after and len(after) > 0
+    assert spark.read.parquet(out).count() == rows_before  # partition overwrite
+
+
+def test_lsh_index_sink_replay_same_batch_id_idempotent(
+    spark, sf_dir, tmp_path_factory
+):
+    """Replaying an LSH index batch must overwrite its own band/sig
+    partitions (not re-append — r5 ADVICE: duplicate sigs fan out the
+    verification join; duplicate bands push buckets toward the cap)
+    and re-emit the identical pair partition."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    b0 = docs.filter(SF.col("doc_id") % 2 == 0)
+    b1 = docs.filter(SF.col("doc_id") % 2 == 1)
+    state = str(tmp_path_factory.mktemp("lsh_replay_state"))
+    out = str(tmp_path_factory.mktemp("lsh_replay_out"))
+    sp._lsh_index_batch(b0, 0, state, out)
+    sp._lsh_index_batch(b1, 1, state, out)
+    sigs_before = spark.read.parquet(f"{state}/sigs").count()
+    bands_before = spark.read.parquet(f"{state}/bands").count()
+    pairs_before = {
+        (r.doc_a, r.doc_b, f"{r.jaccard:.9g}")
+        for r in spark.read.parquet(out).collect()
+    }
+    sp._lsh_index_batch(b1, 1, state, out)  # replay
+    assert spark.read.parquet(f"{state}/sigs").count() == sigs_before
+    assert spark.read.parquet(f"{state}/bands").count() == bands_before
+    pairs_after = {
+        (r.doc_a, r.doc_b, f"{r.jaccard:.9g}")
+        for r in spark.read.parquet(out).collect()
+    }
+    assert pairs_after == pairs_before and len(pairs_before) > 0
