@@ -503,7 +503,15 @@ def bloom_contamination(docs: DataFrame, n: int = 3, eval_mod: int = 50) -> Data
         .distinct()
     )
     bloom = bloom_build(eval_keys)
-    exact = eval_keys.select(F.col("_h1").alias("gh")).withColumn("hit", F.lit(1))
+    # Dedupe on gh ALONE (eval_keys is distinct on the (h1, h2) PAIR):
+    # an h1 collision between two distinct eval grams would otherwise
+    # leave duplicate gh rows that fan out the left join, while the
+    # oracle's `gh IN (...)` has semi-join semantics (r5 ADVICE).
+    exact = (
+        eval_keys.select(F.col("_h1").alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
     train = (
         grams.filter(F.col("doc_id") % eval_mod != 0)
         .select("doc_id", F.explode("grams").alias("g"))

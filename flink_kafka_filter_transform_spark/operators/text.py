@@ -927,9 +927,19 @@ def bigram_lift_top(docs: DataFrame, k: int = 20, min_pair: int = 5) -> DataFram
         .join(uni_counts.select(F.col("tok").alias("_b"), F.col("_c").alias("c_b")), "_b")
         .crossJoin(F.broadcast(totals))
     )
-    lift = (F.col("n_pair") * F.col("_t")).cast("double") * F.col("_t").cast(
-        "double"
-    ) / ((F.col("_n")).cast("double") * (F.col("c_a") * F.col("c_b")).cast("double"))
+    # Each factor is cast to double BEFORE multiplying: n_pair*T and
+    # c_a*c_b in BIGINT overflow int64 past ~3e9 tokens — DuckDB would
+    # raise while Spark silently wraps (r5 ADVICE). lift is a float
+    # output, so no exactness is lost; the oracle mirrors the same
+    # expression tree.
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("_t").cast("double")
+        * F.col("_t").cast("double")
+    ) / (
+        F.col("_n").cast("double")
+        * (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
     return (
         joined.select("gram", "n_pair", "c_a", "c_b", lift.alias("lift"))
         .orderBy(F.col("lift").desc(), F.col("gram").asc())

@@ -563,7 +563,8 @@ GROUP BY d.source
 
 def bigram_lift_top_oracle(k: int = 20, min_pair: int = 5) -> str:
     """Collocation-lift twin: same exact integer counts, same double
-    expression tree (n_pair*T as double) * T / (N as double * c_a*c_b)."""
+    expression tree — every factor cast to double BEFORE multiplying
+    (BIGINT products overflow int64 past ~3e9 tokens; r5 ADVICE)."""
     return f"""
 WITH {_TOKS_CTE},
 pairs AS (
@@ -583,8 +584,8 @@ totals AS (
          (SELECT count(*) FROM pairs) AS n_total
 )
 SELECT p.gram, p.n_pair, ua._c AS c_a, ub._c AS c_b,
-  CAST(p.n_pair * tt.t_total AS DOUBLE) * CAST(tt.t_total AS DOUBLE)
-    / (CAST(tt.n_total AS DOUBLE) * CAST(ua._c * ub._c AS DOUBLE)) AS lift
+  (CAST(p.n_pair AS DOUBLE) * CAST(tt.t_total AS DOUBLE) * CAST(tt.t_total AS DOUBLE))
+    / (CAST(tt.n_total AS DOUBLE) * (CAST(ua._c AS DOUBLE) * CAST(ub._c AS DOUBLE))) AS lift
 FROM pair_counts p
 JOIN uni_counts ua ON ua.tok = p.a
 JOIN uni_counts ub ON ub.tok = p.b
