@@ -34,6 +34,7 @@ from flink_kafka_filter_transform_spark.operators import (
 )
 from flink_kafka_filter_transform_spark.sources.cdc_fixture import RULES, cdc_events_df, rules_df
 from flink_kafka_filter_transform_spark.sources.parquet import load_table
+from flink_kafka_filter_transform_spark.streaming import pipeline as streaming_pipeline
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -109,54 +110,98 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_counts_outbound(spark, "/root/testdata/sf0.001")
 
 
+# Driver-facing ordering: the driver gates only the FIRST 50 queries()
+# entries each round, so HEAD_ORDER — not registration order — IS the
+# rotation decision. Rotation policy (enforced by
+# tools/rotation_check.py via tests/test_rotation.py): the head holds
+# queries that are (a) new this round, (b) changed this round —
+# including changes arriving transitively through a shared helper or
+# oracle builder, or (c) carrying the oldest driver verdict. Queries
+# green in the most recent CORRECTNESS_r{N}.json and untouched since
+# yield their slots; no tail query's latest green verdict may age past
+# 2 rounds.
+HEAD_ORDER: list[str] = [
+    # --- r6 debut of the three r5 ALLOWED_PENDING_DEBUTS deferrals
+    # (their one-round allowance expires this round; the entries were
+    # deleted from tools/rotation_check.py with this head) ---
+    "source_quality_matrix",
+    "knn_ivf_pq",
+    "knn_ivf_pq_recall",
+    # --- changed semantics in r6 (r5 ADVICE fixes), so re-gated:
+    # bigram_lift_top's lift factors now cast to double BEFORE
+    # multiplying (int64-overflow-safe past ~3e9 tokens);
+    # bloom_contamination's exact probe side deduped on gh alone ---
+    "bigram_lift_top",
+    "bloom_contamination",
+    # --- new in r6: driver-checkable faces of the streaming
+    # maintenance sinks (streaming.pipeline) — each stages the table as
+    # a real file stream, drains it through the actual foreachBatch
+    # sink across several micro-batches, and returns the final
+    # published state, which the DuckDB oracle recomputes directly ---
+    "hll_stream_state",
+    "cms_stream_state",
+    "ivf_stream_cell_counts",
+    # --- the 41 r3-verdict tail queries rotation_check flagged for r6
+    # (age would hit 3); call graphs untouched since their r3 verdict —
+    # this block is the re-verification bulk of the r6 head ---
+    "minhash_lsh_pairs",
+    "knn_ivf_kmeans",
+    "neardup_clusters",
+    "dedup_survivors",
+    "kmeans_clusters",
+    "kmeans_cluster_sizes",
+    "q6_forecast_revenue",
+    "knn_brute",
+    "knn_lsh",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_neardup",
+    "knn_ivf",
+    "knn_lsh_recall",
+    "knn_ivf_recall",
+    "knn_ivf_probe_sweep",
+    "q7_volume_shipping",
+    "q9_product_nation_profit",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "q13_customer_distribution",
+    "events_group_reservoir",
+    "bigram_top_pairs",
+    "training_mixture_report",
+    "media_resize",
+    "doc_chunks",
+    "mixture_sample_summary",
+    "scalar_function_showcase",
+    "weighted_avg_by_type",
+    "sentence_split_rows",
+    "multimodal_features",
+    "frame_sample",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers_per_segment",
+    "events_props_extract",
+    "events_props_map_explode",
+    "order_priority_stats",
+    "window_function_showcase",
+    "q4_order_priority_semi",
+]
+
+
 def queries() -> dict[str, QueryFn]:
     """Dict ORDER is part of the driver contract: the driver gates only
-    the FIRST 50 entries. Rotation policy: the head holds queries that
-    are (a) new this round, (b) changed this round — INCLUDING changes
-    that arrive transitively through a shared helper or oracle builder
-    (if a diff since the query's last verdict touches any function in
-    its call graph, it rotates forward), or (c) carrying the oldest
-    driver verdict (the r{N-1} tail). Queries green in the most recent
-    CORRECTNESS_r{N}.json and untouched since yield their slots.
+    the FIRST 50 entries. The returned order is HEAD_ORDER (above, with
+    per-group provenance comments) followed by every other registered
+    query in registry order — so rotating the head each round is an
+    edit to ONE list, and tools/rotation_check.py fails CI if the
+    chosen head would let any tail query's latest green driver verdict
+    age past 2 rounds.
 
-    Round-5 head = the 19 r2-verdict queries the r4 verdict ordered
-    rotated first (orders_top10, the vectorprep trio, the knn_jl pair,
-    salted_event_counts, event_value_percentiles, the revenue
-    rollup/cube/grouping-sets trio, array_function_showcase, and the
-    lang_id/token_counts/normalize_text/doc_fingerprint/text_stats/
-    pii_redact/repetition_ratios map block) + queries changed in r5
-    (token_frequency_score's integer-exact rework;
-    embedding_neardup_refined/_fps's data-adaptive codebook
-    cardinality; exact_dedup's rebalance opt-out) + r3-verdict queries
-    whose call graph changed in r5 (lsh_candidates' n_bands knob ->
-    minhash family; kmeans_fit refactor -> kmeans family — one gated
-    representative per changed helper, family members sharing the
-    call graph verbatim displaced to the tail at age 2) + ALL
-    new-in-r5 queries: the first batch of 20 (the TPC-H
-    q2/q8/q11/q12/q15/q16/q19/q21 block,
-    segment_dedup_stats, trigram_gini_diversity,
-    embedding_label_outliers, the PQ trio, jpeg_decode,
-    minhash_band_sweep, semdedup_prune, temperature_mixture_report,
-    supply_chain_pagerank, dsir_proxy_weights) and the later batches
-    of 8 (bpe_encode_report, bloom_contamination,
-    quality_classifier_score, bigram_lift_top,
-    dedup_survivors_quality, adaptive_length_filter,
-    event_path_report, neardup_triangles). Head pressure: with 31 new
-    queries + 19 rotation obligations the 50 slots ran out, so five
-    age-1/age-2 family members whose changed helpers remain gated
-    through representatives sit at tail-top (each carries an in-place
-    comment naming its representative), and the LAST three r5
-    additions (source_quality_matrix, knn_ivf_pq, knn_ivf_pq_recall)
-    carry explicit one-round debut deferrals
-    (tools/rotation_check.py ALLOWED_PENDING_DEBUTS — the check fails
-    r6 unless its head gates them); rotation_check enforces the
-    resulting ages. The tail is r4-green-
-    and-unchanged plus the r3-green-untouched remainder (simhash/
-    similarity families, age exactly 2 rounds) that r6 MUST rotate;
-    tools/rotation_check.py (tests/test_rotation.py) fails CI if any
-    tail query's latest driver verdict would exceed 2 rounds old."""
-    return {
-        # === HEAD: the r2-verdict tail, rotating first (VERDICT r4 #1) ===
+    The registry literal below keeps its r5 grouping comments as
+    HISTORY (they described r5's head when registration order was the
+    contract); the driver-facing order no longer depends on them."""
+    reg = {
+        # === (r5 history) HEAD: the r2-verdict tail, rotating first (VERDICT r4 #1) ===
         "orders_top10": lambda s, d: relational.orders_top10(load_table(s, "orders", d)),
         "embedding_normalized_norms": lambda s, d: vectorprep.embedding_normalized_norms(
             _emb(s, d)
@@ -188,7 +233,7 @@ def queries() -> dict[str, QueryFn]:
         "text_stats": lambda s, d: text.text_stats(_docs(s, d)),
         "pii_redact": lambda s, d: text.pii_redact(_docs(s, d)),
         "repetition_ratios": lambda s, d: text.repetition_ratios(_docs(s, d)),
-        # === HEAD: changed in round 5 ===
+        # === (r5 history) HEAD: changed in round 5 ===
         # integer-exact rework (sum of counts / (total*n), one division)
         "token_frequency_score": lambda s, d: text.token_frequency_score(_docs(s, d)),
         # codebook cardinality now data-adaptive: ceil(N/256) on both engines
@@ -200,7 +245,7 @@ def queries() -> dict[str, QueryFn]:
         # graph — same function, seeding param only — and exact_dedup's
         # r5 change was plan-level (rebalance opt-out) with identical
         # values and an r4-green driver verdict; both age 1 at r5)
-        # === HEAD: r3-verdict queries whose CALL GRAPH changed in r5
+        # === (r5 history) HEAD: r3-verdict queries whose CALL GRAPH changed in r5
         # (lsh_candidates grew the n_bands knob -> minhash family;
         # kmeans_fit refactor -> kmeans family). One gated
         # REPRESENTATIVE per changed helper (minhash_lsh_pairs sits
@@ -220,7 +265,7 @@ def queries() -> dict[str, QueryFn]:
         # batch: the gated PQ trio trains per-subspace codebooks
         # through the same refactored kmeans_fit under value hashes)
         "minhash_band_sweep": lambda s, d: dedup.minhash_band_sweep(_docs(s, d)),
-        # === HEAD: new in round 5, second batch (must debut in the
+        # === (r5 history) HEAD: new in round 5, second batch (must debut in the
         # head): the BPE ENCODE pass, the Bloom membership sketch, the
         # hashed linear quality classifier, collocation lift ===
         "bpe_encode_report": lambda s, d: text.bpe_encode_report(_docs(s, d)),
@@ -239,7 +284,7 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "events", d)
         ),
         "neardup_triangles": lambda s, d: graph.neardup_triangles(_docs(s, d)),
-        # === HEAD: new in round 5 (must debut in the head) ===
+        # === (r5 history) HEAD: new in round 5 (must debut in the head) ===
         "q8_market_share": lambda s, d: relational.q8_market_share(
             load_table(s, "lineitem", d),
             load_table(s, "orders", d),
@@ -301,7 +346,7 @@ def queries() -> dict[str, QueryFn]:
         "knn_pq_adc": lambda s, d: kmeans.knn_pq_adc(_emb(s, d)),
         "knn_pq_recall": lambda s, d: kmeans.knn_pq_recall(_emb(s, d)),
         "jpeg_decode": lambda s, d: multimodal.jpeg_decode(_docs(s, d)),
-        # === TAIL (51+): r4-green and unchanged since; plus the r3-
+        # === (r5 history) TAIL (51+): r4-green and unchanged since; plus the r3-
         # verdict queries displaced by the new r5 head entries
         # (events_group_reservoir, bigram_top_pairs,
         # training_mixture_report, media_resize, doc_chunks,
@@ -313,24 +358,12 @@ def queries() -> dict[str, QueryFn]:
         # displaced r3-call-graph family members (see head comment):
         # same helpers as their gated representatives, CI-verified,
         # age 2 at r5 -> r6 must gate them
-        # PENDING DEBUT (tools/rotation_check.py ALLOWED_PENDING_DEBUTS):
-        # the r5 head is saturated — 29 debuts + 19 rotation
-        # obligations + 2 changed-semantics queries fill all 50 slots —
-        # so this LAST r5 addition defers its driver debut to the r6
-        # head. Its building blocks are all gated elsewhere this round:
-        # the funnel flag expressions (quality_filter_funnel, r4-green,
-        # shared code), the classifier fold (quality_classifier_score,
-        # r5 head, same hashed_score_raw), and the per-source
-        # aggregation pattern (temperature_mixture_report, r5 head);
-        # CI parity verifies it differentially at sf0.001 now.
+        # (r5 history: carried a one-round ALLOWED_PENDING_DEBUTS
+        # deferral; debuts in the r6 head via HEAD_ORDER)
         "source_quality_matrix": lambda s, d: text.source_quality_matrix(
             _docs(s, d)
         ),
-        # PENDING DEBUT (same saturation rationale): the IVF-PQ
-        # composition — both halves are independently driver-gated
-        # THIS round (knn_pq_adc/knn_pq_recall in the head now;
-        # knn_ivf_kmeans r3-green with its coarse chain unchanged),
-        # and CI parity runs the composed oracle differentially.
+        # (r5 history: deferred debut, same rationale; r6 head)
         "knn_ivf_pq": lambda s, d: kmeans.knn_ivf_pq(_emb(s, d)),
         "knn_ivf_pq_recall": lambda s, d: kmeans.knn_ivf_pq_recall(_emb(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
@@ -507,7 +540,7 @@ def queries() -> dict[str, QueryFn]:
         "purchases_with_recent_clicks": lambda s, d: rangejoin.purchases_with_recent_clicks(
             load_table(s, "events", d)
         ),
-        # === TAIL: r3-verdict remainder (r6 rotates these) ===
+        # === (r5 history) TAIL: r3-verdict remainder (now rotated via HEAD_ORDER) ===
         "scalar_function_showcase": lambda s, d: relational.scalar_function_showcase(
             load_table(s, "orders", d)
         ),
@@ -549,6 +582,19 @@ def queries() -> dict[str, QueryFn]:
         "q4_order_priority_semi": lambda s, d: relational.q4_order_priority_semi(
             load_table(s, "orders", d), load_table(s, "lineitem", d)
         ),
+        # === new in r6: streaming maintenance sink state readers —
+        # real file-stream drain through the foreachBatch sinks, final
+        # published state returned (streaming.pipeline docstrings) ===
+        "hll_stream_state": streaming_pipeline.hll_stream_state,
+        "cms_stream_state": streaming_pipeline.cms_stream_state,
+        "ivf_stream_cell_counts": streaming_pipeline.ivf_stream_cell_counts,
+    }
+    head = set(HEAD_ORDER)
+    assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
+    missing = head - set(reg)
+    assert not missing, f"HEAD_ORDER names not registered: {sorted(missing)}"
+    return {n: reg[n] for n in HEAD_ORDER} | {
+        n: fn for n, fn in reg.items() if n not in head
     }
 
 
@@ -698,4 +744,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_split_summary": oracles.documents_split_summary_oracle(),
         "events_stratified_sample": oracles.events_stratified_sample_oracle(),
         "purchases_with_recent_clicks": oracles.purchases_with_recent_clicks_oracle(),
+        "hll_stream_state": oracles.hll_stream_state_oracle(),
+        "cms_stream_state": oracles.cms_stream_state_oracle(),
+        "ivf_stream_cell_counts": oracles.ivf_stream_cell_counts_oracle(),
     }

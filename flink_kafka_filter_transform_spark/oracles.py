@@ -3590,3 +3590,60 @@ SELECT q_id, vec_id, rank, cos_sim FROM (
   FROM scored
 ) r WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance sinks: post-drain state twins
+# ---------------------------------------------------------------------------
+# Every maintained state is a commutative monoid fold (register max /
+# counter sum) over disjoint micro-batch partitions, so the drained
+# streaming state must BIT-EQUAL the one-shot batch sketch — these
+# oracles therefore compute the batch structure directly in SQL.
+
+
+def hll_stream_state_oracle() -> str:
+    """Final hll_merge_sink registers == the direct batch register
+    relation (same hash, same rho, max per (group, register))."""
+    from flink_kafka_filter_transform_spark.operators.sketch import M, RHO_MAX
+
+    h = portable_hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH h AS (SELECT event_type AS g, {h} AS h FROM events WHERE user_id IS NOT NULL),
+b AS (SELECT g, h % {M} AS idx, h // {M} AS rest FROM h)
+SELECT g AS event_type, idx AS _idx,
+  CAST(max(CASE WHEN rest = 0 THEN {RHO_MAX} ELSE {RHO_MAX} - length(bin(rest)) END) AS INT) AS _r
+FROM b GROUP BY g, idx
+"""
+
+
+def cms_stream_state_oracle() -> str:
+    """Final cms_merge_sink grid == the one-shot batch CMS grid (sum
+    over disjoint batches; same per-row salted hash buckets)."""
+    from flink_kafka_filter_transform_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    hashes = {j: portable_hash64_sql(f"'{j}:' || tok") for j in range(CMS_DEPTH)}
+    grid_rows = "\n  UNION ALL ".join(
+        f"SELECT {j} AS row, {hashes[j]} % {CMS_WIDTH} AS bucket FROM ex"
+        for j in range(CMS_DEPTH)
+    )
+    return rf"""
+WITH ex AS (
+  SELECT unnest(regexp_extract_all(text, '[^\s]+')) AS tok FROM documents
+)
+SELECT row, bucket, count(*) AS cell FROM (
+  {grid_rows}
+) rb GROUP BY row, bucket
+"""
+
+
+def ivf_stream_cell_counts_oracle(k: int | None = None, iters: int | None = None) -> str:
+    """Final ivf_assign_sink occupancy == per-cell cardinality of the
+    batch assignment under the same deterministic Lloyd codebook."""
+    from flink_kafka_filter_transform_spark.operators.kmeans import ITERS_DEFAULT, K_DEFAULT
+
+    k = K_DEFAULT if k is None else k
+    iters = ITERS_DEFAULT if iters is None else iters
+    return f"""
+{_kmeans_ctes(k, iters)}
+SELECT cid, count(*) AS n_vectors FROM afinal GROUP BY cid
+"""

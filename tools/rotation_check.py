@@ -30,16 +30,10 @@ MAX_VERDICT_AGE = 2  # rounds; the entry-point docstring's promise
 # obligations + changed-semantics re-gates may wait at tail-top for
 # exactly one round. Each entry names the round it was granted; the
 # check FAILS if the allowance outlives that round — the next head
-# MUST gate it and delete the entry. (r5: 29 debuts + 19 obligations
-# + 2 changed-semantics saturated the head; source_quality_matrix's
-# building blocks are gated via quality_filter_funnel /
-# quality_classifier_score / temperature_mixture_report, and CI
-# parity covers it differentially meanwhile.)
-ALLOWED_PENDING_DEBUTS = {
-    "source_quality_matrix": 5,
-    "knn_ivf_pq": 5,
-    "knn_ivf_pq_recall": 5,
-}
+# MUST gate it and delete the entry. (r5 granted three:
+# source_quality_matrix / knn_ivf_pq / knn_ivf_pq_recall; all debuted
+# in the r6 head and the entries were deleted per the contract.)
+ALLOWED_PENDING_DEBUTS: dict[str, int] = {}
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
