@@ -994,7 +994,8 @@ def q20_potential_promotion(
     BOTH correlated aggregates compute in ONE fact shuffle (conditional
     sum inside a single (suppkey, partkey) groupBy — no second scan, no
     self-join); the qualifying-pair count is a second shuffle over
-    pair-sized rows (map-side combined); supplier and nation broadcast."""
+    pair-sized rows (map-side combined); nation (fixed 25 rows) is
+    broadcast-hinted, supplier (SF-proportional) is left to AQE."""
     rp = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
     in_98 = (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")) & (
         F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")
@@ -1014,9 +1015,10 @@ def q20_potential_promotion(
         F.count(F.lit(1)).alias("n_pairs")
     ).filter(F.col("n_pairs") >= F.lit(min_pairs))
     return (
-        per_supp.join(
-            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
-        )
+        # supplier is SF-proportional: no pinned broadcast hint — the
+        # planner/AQE re-decides per run (a pin is an OOM at 100 TB SF;
+        # plans/explain.broadcast_hint_count docstring)
+        per_supp.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name", "n_pairs")
         .orderBy("s_suppkey")
@@ -1094,7 +1096,8 @@ def q8_market_share(
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(rn), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is SF-proportional: unpinned, AQE decides (see q20 note)
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -1171,7 +1174,8 @@ def q15_top_supplier(
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is SF-proportional: unpinned, AQE decides (see q20 note)
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -1299,7 +1303,8 @@ def q21_waiting_orders(
         .distinct()
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is SF-proportional: unpinned, AQE decides (see q20 note)
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))

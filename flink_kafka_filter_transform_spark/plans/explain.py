@@ -144,3 +144,60 @@ def codegen_stage_count(df: DataFrame) -> int:
         df._jdf.queryExecution().toRdd().count()
         found = set(re.findall(r"\*\((\d+)\)", explain_str(df, "simple")))
     return len(found)
+
+
+# First column prefix -> SF-proportional table it identifies in an
+# analyzed-plan Relation line (nation/region are fixed-size and exempt).
+_BIG_TABLE_PREFIXES = {
+    "s_": "supplier",
+    "c_": "customer",
+    "p_": "part",
+    "o_": "orders",
+    "l_": "lineitem",
+}
+# Logical nodes that REDUCE rows between a hint and a scan — a
+# broadcast hint above one of these pins a filtered/aggregated
+# projection, not the raw table.
+_ROW_REDUCING_RE = re.compile(
+    r"\b(Filter|Aggregate|Join|GlobalLimit|LocalLimit|Deduplicate|Window|Intersect|Except)\b"
+)
+_RELATION_RE = re.compile(r"\bRelation\b[^\[]*\[([a-zA-Z_]+)")
+
+
+def unreduced_big_table_broadcast_hints(df: DataFrame) -> list[str]:
+    """SF-proportional tables pinned by an explicit broadcast hint with
+    NO row-reducing node between the hint and the scan.
+
+    This is the 100 TB hazard class the r5 verdict flagged on four
+    TPC-H analogs: ``F.broadcast(supplier)`` is correct at sf0.1 and a
+    multi-GB forced broadcast at a 100 TB scale factor. A hint over a
+    Filter/Aggregate/... subtree is fine (it pins a reduced relation);
+    broadcasting nation/region (fixed 25/5 rows) is fine; size-based
+    planner/AQE broadcasts are fine (they re-decide per run). Returns
+    the offending table names (with duplicates) for assertion messages.
+    """
+    text = df._jdf.queryExecution().analyzed().toString()
+    lines = text.splitlines()
+
+    def content_offset(line: str) -> int:
+        return len(line) - len(line.lstrip(":+- |"))
+
+    offenders: list[str] = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint (strategy=broadcast)" not in line:
+            continue
+        depth = content_offset(line)
+        reduced = False
+        for sub in lines[i + 1 :]:
+            if content_offset(sub) <= depth:
+                break  # end of the hint's subtree
+            if _ROW_REDUCING_RE.search(sub):
+                reduced = True
+                break
+            m = _RELATION_RE.search(sub)
+            if m:
+                table = _BIG_TABLE_PREFIXES.get(m.group(1)[:2])
+                if table and not reduced:
+                    offenders.append(table)
+                break  # a Relation ends this root-to-leaf spine
+    return offenders

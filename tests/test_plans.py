@@ -741,3 +741,39 @@ def test_knn_ivf_pq_candidates_before_adc(spark, sf_dir):
     df = kmeans.knn_ivf_pq(load_table(spark, "embeddings", sf_dir))
     assert px.sortmerge_join_count(df) <= 1
     assert px.broadcast_hint_count(df) >= 3  # probe set + LUTs + codebooks
+
+
+def test_no_unreduced_big_table_broadcast_hints(spark, sf_dir):
+    """100 TB hazard gate (VERDICT r5 item 3): no registered relational
+    query may pin an SF-proportional table (supplier/customer/part/
+    orders/lineitem) with an explicit broadcast hint unless a
+    row-reducing node (Filter/Aggregate/...) sits between the hint and
+    the scan. nation/region (fixed 25/5 rows) and size-based AQE
+    broadcasts are exempt — those either can't grow or re-decide per
+    run. Covers the whole lazy relational/asof/rangejoin surface, which
+    is where the r5 offenders (q8/q15/q20/q21 pinning full supplier)
+    lived."""
+    import __spark_entry__ as entry
+
+    lazy_relational = [
+        n
+        for n in entry.queries()
+        if n.startswith(("q", "events_", "orders_", "users_", "customers_",
+                         "daily_", "revenue_", "cdc_"))
+        or n in {
+            "salted_event_counts", "value_outliers_by_type",
+            "top_customers_per_segment", "window_function_showcase",
+            "scalar_function_showcase", "order_priority_stats",
+            "weighted_avg_by_type", "purchases_with_recent_clicks",
+            "user_value_moving_avg", "event_path_report", "orders_top10",
+            "event_value_percentiles",
+        }
+    ]
+    assert len(lazy_relational) >= 40  # the net must actually cover the family
+    qs = entry.queries()
+    bad = {}
+    for name in lazy_relational:
+        offenders = px.unreduced_big_table_broadcast_hints(qs[name](spark, sf_dir))
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"pinned full-table broadcasts: {bad}"
