@@ -322,15 +322,21 @@ def embedding_neardup_refined(
     subcell border are missed, the same documented tradeoff as
     knn_ivf's cell borders.
 
-    ``seeding="farthest"`` requires an EXPLICIT n_cells (defaults to 8
-    for continuity): the oracle unrolls one CTE pair per farthest-point
-    seed, so its structure — unlike first-k's ``vec_id < k`` filter —
-    cannot depend on a runtime count."""
+    ``seeding="farthest"`` uses the SAME adaptive default since r6: its
+    earlier fixed n_cells=8 ("for continuity" with the oracle's
+    per-seed CTE unroll) was the exact fixed-cardinality quadratic this
+    operator exists to avoid — the r6 sf3 study measured the fps
+    variant at 9.55x runtime for 3x data (28 -> 270 s). kmeans_fit now
+    caps the farthest traversal at FPS_SEED_CAP literal seeds (which
+    the oracle unrolls) and fills the remaining adaptive k with first
+    unchosen vec_ids, so the oracle structure stays static while the
+    blocking cardinality tracks the corpus; post-fix sf3/sf1 ratio is
+    re-measured in SCALING.md."""
     from flink_kafka_filter_transform_spark.functions.vectors import dot, l2_norm
     from flink_kafka_filter_transform_spark.operators.kmeans import kmeans_clusters
 
     if n_cells is None:
-        n_cells = 8 if seeding == "farthest" else adaptive_n_cells(emb.count())
+        n_cells = adaptive_n_cells(emb.count())
     assign = kmeans_clusters(emb, k=n_cells, iters=iters, seeding=seeding)
     normed = emb.join(assign, "vec_id").select(
         "vec_id", "label", "cluster_id", "embedding", l2_norm("embedding").alias("nrm")

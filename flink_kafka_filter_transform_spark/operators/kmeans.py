@@ -33,6 +33,11 @@ from flink_kafka_filter_transform_spark.operators import params
 
 K_DEFAULT = 4
 ITERS_DEFAULT = 2
+# Max farthest-point traversal length (kmeans_fit seeding="farthest"):
+# each FPS round is a sequential full-input scan, so the traversal must
+# NOT scale with a data-adaptive k — see the capped-hybrid note in
+# kmeans_fit.
+FPS_SEED_CAP = 8
 
 
 def _sq_dist(a: Column | str, b: Column | str) -> Column:
@@ -111,12 +116,16 @@ def farthest_point_seeds(vecs: DataFrame, k: int) -> DataFrame:
     seeds = (
         vecs.orderBy("vec_id")
         .limit(1)
-        .select(F.lit(0).alias("cid"), F.col("v").alias("centroid"))
+        .select(
+            F.lit(0).cast("long").alias("cid"),
+            "vec_id",
+            F.col("v").alias("centroid"),
+        )
         .localCheckpoint(eager=True)
     )
     for i in range(1, k):
         dists = (
-            vecs.crossJoin(F.broadcast(seeds))
+            vecs.crossJoin(F.broadcast(seeds.select("cid", "centroid")))
             .groupBy("vec_id")
             .agg(
                 F.min(_sq_dist("v", "centroid")).alias("_d"),
@@ -126,7 +135,11 @@ def farthest_point_seeds(vecs: DataFrame, k: int) -> DataFrame:
         nxt = (
             dists.orderBy(F.col("_d").desc(), F.col("vec_id").asc())
             .limit(1)
-            .select(F.lit(i).alias("cid"), F.col("v").alias("centroid"))
+            .select(
+                F.lit(i).cast("long").alias("cid"),
+                "vec_id",
+                F.col("v").alias("centroid"),
+            )
         )
         seeds = seeds.unionByName(nxt).localCheckpoint(eager=True)
     return seeds
@@ -154,7 +167,32 @@ def kmeans_fit(
     with the corpus."""
     vecs = vecs.localCheckpoint(eager=True)
     if seeding == "farthest":
-        cents = farthest_point_seeds(vecs, k)
+        # Capped hybrid: a full farthest-point traversal is k-1
+        # SEQUENTIAL corpus scans, and with data-adaptive k (= N/256,
+        # adaptive_n_cells) that is O(N * k^2) work growing CUBICALLY
+        # in N — the r6 sf3 study measured the uncapped form at 9.55x
+        # runtime for 3x data (28 -> 270 s). The traversal's value is
+        # order-independent SPREAD, which the first FPS_SEED_CAP seeds
+        # already provide; the remaining k-nf seeds fill from the
+        # first unchosen vec_ids (cids nf..k-1, deterministic), so the
+        # blocking cardinality still tracks the corpus while seeding
+        # work stays O(N * cap^2). The oracle unrolls exactly the cap
+        # and mirrors the fill rank (BIGINT cids on both engines).
+        nf = min(k, FPS_SEED_CAP)
+        fps = farthest_point_seeds(vecs, nf)
+        cents = fps.select("cid", "centroid")
+        if k > nf:
+            w = Window.orderBy("vec_id")
+            fill = (
+                vecs.join(fps.select("vec_id"), "vec_id", "left_anti")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k - nf)
+                .select(
+                    (F.lit(nf - 1) + F.col("_rn")).cast("long").alias("cid"),
+                    F.col("v").alias("centroid"),
+                )
+            )
+            cents = cents.unionByName(fill)
     elif seeding == "first":
         cents = vecs.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("centroid")

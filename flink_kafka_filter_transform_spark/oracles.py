@@ -1003,8 +1003,9 @@ def embedding_neardup_refined_oracle(
     before the exact cosine verify. ``n_cells=None`` (first-k only)
     derives k from count(*) — operators.dedup.adaptive_n_cells'
     formula in SQL."""
-    if n_cells is None and seeding == "farthest":
-        n_cells = 8  # mirror the operator's farthest-seeding default
+    # since r6 BOTH seedings derive adaptive k in SQL when n_cells is
+    # None (the farthest unroll is capped at FPS_SEED_CAP, see
+    # _kmeans_ctes)
     cos = cosine_sql("a.embedding", "b.embedding")
     return f"""
 {_kmeans_ctes(n_cells, iters, seeding)}
@@ -2085,12 +2086,12 @@ def _kmeans_ctes(
     operators.kmeans exactly; seeding='farthest' prepends the
     farthest-point traversal (one CTE pair per seed).
 
-    ``k=None`` (first-k seeding only) sizes the codebook from the data
-    itself — CEIL(count(*)/EMB_CELL_TARGET_ROWS), the same formula as
-    operators.dedup.adaptive_n_cells — which is expressible here
-    because first-k seeding touches k only in c0's ``vec_id < k``
-    filter; the farthest traversal's structure is one CTE per seed and
-    needs a literal k."""
+    ``k=None`` sizes the codebook from the data itself —
+    CEIL(count(*)/EMB_CELL_TARGET_ROWS), the same formula as
+    operators.dedup.adaptive_n_cells. first-k seeding touches k only
+    in c0's ``vec_id < k`` filter; farthest seeding (r6) unrolls a
+    STATIC FPS_SEED_CAP traversal and takes the LEAST(k, cap) prefix
+    plus a first-unchosen fill, so adaptive k works there too."""
     dist = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
         " list_transform(list_zip(e.v, c.centroid),"
@@ -2101,12 +2102,31 @@ def _kmeans_ctes(
         "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
     ]
     if seeding == "farthest":
+        # Capped hybrid (r6): unroll at most FPS_SEED_CAP traversal
+        # rounds — a static structure even when k is data-adaptive —
+        # and fill the remaining k-nf seeds from the first unchosen
+        # vec_ids, mirroring kmeans_fit. The greedy traversal's i-seed
+        # prefix IS the i-seed traversal, so selecting cid <
+        # LEAST(k, cap) from the full unroll matches an engine that
+        # only ran that many rounds.
+        from flink_kafka_filter_transform_spark.operators.kmeans import FPS_SEED_CAP
+
         if k is None:
-            raise ValueError("farthest seeding needs a literal k (one CTE per seed)")
+            k_expr = (
+                "(SELECT GREATEST(1, CAST(CEIL(COUNT(*) / "
+                f"{params.EMB_CELL_TARGET_ROWS}.0) AS BIGINT)) FROM embeddings)"
+            )
+            nf_unroll = FPS_SEED_CAP
+            nf_expr = f"LEAST({k_expr}, {FPS_SEED_CAP})"
+        else:
+            k_expr = str(k)
+            nf_unroll = min(k, FPS_SEED_CAP)
+            nf_expr = str(nf_unroll)
         parts.append(
-            "fs0 AS (SELECT 0 AS cid, v AS centroid FROM e ORDER BY vec_id LIMIT 1)"
+            "fs0 AS (SELECT CAST(0 AS BIGINT) AS cid, vec_id, v AS centroid "
+            "FROM e ORDER BY vec_id LIMIT 1)"
         )
-        for i in range(1, k):
+        for i in range(1, nf_unroll):
             prev = f"fs{i - 1}"
             # same left-fold distance as the Lloyd steps, min over the
             # chosen seeds, farthest wins (ties -> lower vec_id)
@@ -2120,10 +2140,27 @@ def _kmeans_ctes(
                 f"""fs{i} AS (
   SELECT * FROM {prev}
   UNION ALL
-  (SELECT {i} AS cid, v AS centroid FROM fm{i} ORDER BY d DESC, vec_id ASC LIMIT 1)
+  (SELECT CAST({i} AS BIGINT) AS cid, vec_id, v AS centroid FROM fm{i} ORDER BY d DESC, vec_id ASC LIMIT 1)
 )"""
             )
-        parts.append(f"c0 AS (SELECT cid, centroid FROM fs{k - 1})")
+        parts.append(
+            f"fsel AS (SELECT cid, vec_id, centroid FROM fs{nf_unroll - 1} "
+            f"WHERE cid < {nf_expr})"
+        )
+        parts.append(
+            """ffill AS (
+  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+  FROM e WHERE vec_id NOT IN (SELECT vec_id FROM fsel)
+)"""
+        )
+        parts.append(
+            f"""c0 AS (
+  SELECT cid, centroid FROM fsel
+  UNION ALL
+  SELECT {nf_expr} - 1 + rn AS cid, v AS centroid FROM ffill
+  WHERE rn <= {k_expr} - {nf_expr}
+)"""
+        )
     else:
         k_sql = (
             str(k)
@@ -2175,7 +2212,19 @@ def _kmeans_ctes(
   ) r WHERE rn = 1
 )"""
     )
-    return "WITH " + ",\n".join(parts)
+    # Force per-CTE materialization: the Lloyd chain references each
+    # c{i} from two downstream CTEs, and DuckDB's default inlining
+    # re-evaluates the whole prefix at every level — measured 4x cost
+    # growth PER ITERATION on the r6 capped-farthest chain (afinal
+    # 45.9 s inlined vs 0.2 s materialized at sf0.01). Semantics are
+    # unchanged; every _kmeans_ctes consumer gets the linear plan.
+    import re as _re
+
+    return _re.sub(
+        r"\b(fs\d+|fm\d+|fsel|ffill|c\d+|a\d+|s\d+|afinal|e) AS \(",
+        r"\1 AS MATERIALIZED (",
+        "WITH " + ",\n".join(parts),
+    )
 
 
 def kmeans_clusters_oracle(k: int | None = None, iters: int | None = None) -> str:

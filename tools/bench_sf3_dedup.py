@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""sf3 confirmation point for the dedup/embedding family (VERDICT r5
+item 5).
+
+The sf1 audit put embedding_neardup_refined at 10.6x its sf0.1 time
+(10x data) and climbing — candidate-pair growth, not a quadratic, but
+close enough to the 15x gate to deserve a third point on the curve.
+This study runs the dedup family at sf1 AND sf3 (3x sf1) in one
+session, 2 reps each (min kept), and reports sf3/sf1 ratios: a healthy
+near-linear operator lands ~<=3x at 3x the data; the gate flags
+anything past SUPERLINEAR_X (4.5x, the same 1.5x slack the sf1 gate
+uses relative to its data factor).
+
+Usage:
+  python tools/gen_testdata.py --sf 3 --out testdata_local/sf3
+  python tools/bench_sf3_dedup.py
+
+Writes BENCH_sf3_dedup.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF1_DIR = os.path.join(ROOT, "testdata_local", "sf1")
+SF3_DIR = os.path.join(ROOT, "testdata_local", "sf3")
+SUPERLINEAR_X = 4.5  # 1.5x slack over the 3x data factor
+
+# The family VERDICT r5 item 5 names, plus the two documented
+# candidate-growth trackers from the sf1 audit.
+FAMILY = [
+    "embedding_neardup_refined",
+    "embedding_neardup_fps",
+    "semdedup_prune",
+    "neardup_triangles",
+    "minhash_lsh_pairs",
+    "crossdoc_ngram_overlap",
+    "contamination_check",
+]
+
+REPS = 2
+
+
+def main() -> None:
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS",
+        "--driver-memory 32g "
+        "--conf spark.driver.extraJavaOptions=-Xlog:disable pyspark-shell",
+    )
+    from flink_kafka_filter_transform_spark import get_session
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_session(
+        app_name="bench-sf3-dedup", master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+
+    import gc
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def reclaim() -> None:  # same hygiene as bench.py
+        gc.collect()
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    run("exact_dedup", SF1_DIR)  # warmup
+    results: dict[str, dict[str, float]] = {}
+    for name in FAMILY:
+        per_sf: dict[str, float] = {}
+        for key, d in (("sf1", SF1_DIR), ("sf3", SF3_DIR)):
+            ts = []
+            for _ in range(REPS):
+                ts.append(run(name, d))
+                reclaim()
+            per_sf[key] = round(min(ts), 3)
+            print(f"{name} {key}: {per_sf[key]:.2f}s", flush=True)
+        per_sf["ratio"] = round(per_sf["sf3"] / per_sf["sf1"], 2)
+        results[name] = per_sf
+    outliers = sorted(
+        (n for n, r in results.items() if r["ratio"] > SUPERLINEAR_X),
+        key=lambda n: -results[n]["ratio"],
+    )
+    out = {
+        "data_factor": 3,
+        "cpus": cpus,
+        "reps": REPS,
+        "superlinear_threshold_x": SUPERLINEAR_X,
+        "results": results,
+        "outliers": outliers,
+    }
+    with open(os.path.join(ROOT, "BENCH_sf3_dedup.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"ratios": {n: r["ratio"] for n, r in results.items()},
+                      "outliers": outliers}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
