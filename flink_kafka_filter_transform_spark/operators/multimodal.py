@@ -972,3 +972,335 @@ def jpeg_decode(docs: DataFrame) -> DataFrame:
         _synth_jpeg_batches, "doc_id BIGINT, content BINARY"
     )
     return media.mapInPandas(_decode_jpeg_batches, JPEG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Color baseline JPEG (VERDICT r5 item 7): 3-component SOF0, 4:2:0
+# chroma subsampling (Y 2x2, Cb/Cr 1x1), interleaved MCU scan. The
+# last scoped-out multimodal variant. Reuses the grayscale primitives
+# (_BitReader/_BitWriter, _huffman_codes, _extend, _idct_matrix,
+# _ZIGZAG); decode_jpeg keeps its single-component contract and gate.
+# ---------------------------------------------------------------------------
+
+# ITU-T T.81 Annex K.3 Table K.4: chrominance DC Huffman spec. For the
+# chroma AC slot the encoder registers the Annex-K LUMINANCE AC spec
+# under table id 1 — DHT table content is arbitrary per T.81 (tables
+# travel in the file), and reusing it keeps the constant surface small
+# while the decoder still exercises four distinct registered tables.
+_DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROM_VALS = list(range(12))
+
+# JFIF YCbCr -> RGB as exact scaled-integer arithmetic (the same
+# fixed-point idea production decoders use): 1.402 = 1402/1000,
+# 0.344136 = 344136/1e6, 0.714136 = 714136/1e6, 1.772 = 1772/1000.
+# floor-division keeps both engines bit-identical with zero float
+# ambiguity; clamping to [0, 255] makes floor-vs-truncate divergence
+# on negative numerators unobservable (any negative clamps to 0).
+
+
+def _ycbcr_to_rgb_int(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """uint8 planes -> uint8 [h, w, 3] via exact integer JFIF math."""
+    yi = y.astype(np.int64)
+    cbi = cb.astype(np.int64) - 128
+    cri = cr.astype(np.int64) - 128
+    r = (1000 * yi + 1402 * cri + 500) // 1000
+    g = (1000000 * yi - 344136 * cbi - 714136 * cri + 500000) // 1000000
+    b = (1000 * yi + 1772 * cbi + 500) // 1000
+    return np.stack(
+        [np.clip(c, 0, 255).astype(np.uint8) for c in (r, g, b)], axis=2
+    )
+
+
+def decode_jpeg_color(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline color JPEG -> (width, height, uint8[h, w, 3] RGB).
+
+    Real decode path, same rigor as the grayscale decoder: marker walk
+    with generic DQT/DHT parse, interleaved MCU entropy decode (four
+    Y blocks then Cb then Cr per MCU, one DC predictor per component),
+    dequantize + inverse zigzag + float IDCT per block, per-plane
+    rounding, 2x2 chroma replication upsample, scaled-integer JFIF
+    YCbCr->RGB. Scope gate: SOF0, 8-bit, exactly three components with
+    sampling factors (2,2)/(1,1)/(1,1), no restart intervals —
+    anything else raises NotImplementedError (never fabricates
+    pixels)."""
+    assert content[:2] == b"\xff\xd8", "not a JPEG (no SOI)"
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = -1
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, qtab)
+    scan: bytes | None = None
+    scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
+    while pos < len(content):
+        assert content[pos] == 0xFF, "bad marker alignment"
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(content[pos : pos + 2], "big")
+        seg = content[pos + 2 : pos + seg_len]
+        if marker == 0xDB:
+            s = 0
+            while s < len(seg):
+                prec, tid = seg[s] >> 4, seg[s] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(seg[s + 1 : s + 65], dtype=np.uint8)
+                q = np.zeros(64, dtype=np.int32)
+                q[_ZIGZAG] = zz
+                qtables[tid] = q.reshape(8, 8)
+                s += 65
+        elif marker == 0xC4:
+            s = 0
+            while s < len(seg):
+                cls, tid = seg[s] >> 4, seg[s] & 0x0F
+                bits = list(seg[s + 1 : s + 17])
+                nvals = sum(bits)
+                vals = list(seg[s + 17 : s + 17 + nvals])
+                huff[(cls, tid)] = {
+                    (code, length): sym
+                    for sym, (code, length) in _huffman_codes(bits, vals).items()
+                }
+                s += 17 + nvals
+        elif marker == 0xC0:
+            if seg[0] != 8:
+                raise NotImplementedError("non-8-bit precision")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if ncomp != 3:
+                raise NotImplementedError(
+                    "decode_jpeg_color handles exactly 3 components "
+                    "(use decode_jpeg for grayscale)"
+                )
+            for c in range(3):
+                cid, samp, qt = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, qt))
+            if [(hs, vs) for _, hs, vs, _ in comps] != [(2, 2), (1, 1), (1, 1)]:
+                raise NotImplementedError("only 4:2:0 (Y 2x2, Cb/Cr 1x1)")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("non-baseline SOF")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            ns = seg[0]
+            assert ns == 3, "scan must cover all three components"
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
+            scan = content[pos + seg_len : content.rfind(b"\xff\xd9")]
+            break
+        pos += seg_len
+    assert scan is not None and w > 0 and comps, "truncated JPEG"
+
+    def read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | r.read_bit()
+            length += 1
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("invalid Huffman code")
+
+    def read_block(r: _BitReader, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray, int]:
+        zz = np.zeros(64, dtype=np.float64)
+        size = read_symbol(r, dc_tab)
+        pred += _extend(r.read_bits(size), size)
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            sym = read_symbol(r, ac_tab)
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            zz[k] = _extend(r.read_bits(size), size)
+            k += 1
+        return zz, pred
+
+    m = _idct_matrix()
+
+    def block_pixels(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
+        blk = np.zeros(64, dtype=np.float64)
+        blk[_ZIGZAG] = zz
+        return m.T @ (blk.reshape(8, 8) * q) @ m + 128.0
+
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    planes = [
+        np.zeros((mcuy * 16, mcux * 16), dtype=np.float64),  # Y
+        np.zeros((mcuy * 8, mcux * 8), dtype=np.float64),  # Cb
+        np.zeros((mcuy * 8, mcux * 8), dtype=np.float64),  # Cr
+    ]
+    qs = [qtables[comps[i][3]].astype(np.float64) for i in range(3)]
+    tabs = [
+        (huff[(0, scan_tabs[comps[i][0]][0])], huff[(1, scan_tabs[comps[i][0]][1])])
+        for i in range(3)
+    ]
+    preds = [0, 0, 0]
+    r = _BitReader(scan)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for sub in range(4):  # Y blocks, raster within the MCU
+                zz, preds[0] = read_block(r, *tabs[0], preds[0])
+                yy = my * 16 + (sub // 2) * 8
+                xx = mx * 16 + (sub % 2) * 8
+                planes[0][yy : yy + 8, xx : xx + 8] = block_pixels(zz, qs[0])
+            for ci in (1, 2):  # Cb then Cr, one block each
+                zz, preds[ci] = read_block(r, *tabs[ci], preds[ci])
+                planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    block_pixels(zz, qs[ci])
+                )
+    rounded = [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8) for p in planes]
+    y = rounded[0][: mcuy * 16, : mcux * 16]
+    cb = rounded[1].repeat(2, axis=0).repeat(2, axis=1)
+    cr = rounded[2].repeat(2, axis=0).repeat(2, axis=1)
+    rgb = _ycbcr_to_rgb_int(y, cb, cr)
+    return w, h, rgb[:h, :w]
+
+
+def encode_jpeg_color_blocks(
+    w: int,
+    h: int,
+    y_values: list[int],
+    cb_values: list[int],
+    cr_values: list[int],
+    q: int = 16,
+) -> bytes:
+    """Deterministic 4:2:0 color encoder for the fixture: each full-res
+    8x8 Y block is UNIFORM ``y_values[b]`` (image raster order), each
+    16x16 MCU's chroma blocks are uniform ``cb_values[m]`` /
+    ``cr_values[m]`` — DC-only blocks, Annex-K Huffman (luma pair +
+    chroma DC; chroma AC slot registers the luminance AC spec, see
+    _DC_CHROM_BITS note), interleaved MCU entropy order with one DC
+    predictor per component."""
+    assert w % 16 == 0 and h % 16 == 0
+    bw, mcux, mcuy = w // 8, w // 16, h // 16
+    assert len(y_values) == (w // 8) * (h // 8)
+    assert len(cb_values) == len(cr_values) == mcux * mcuy
+    dc_lum = _huffman_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_lum = _huffman_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_chrom = _huffman_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
+    ac_chrom = ac_lum  # registered under chroma table id 1 in DHT
+    out = _BitWriter()
+
+    def write_dc_only(v: int, pred: int, dc_codes, ac_codes) -> int:
+        qc = int(np.floor(8.0 * (v - 128) / q + 0.5))
+        diff = qc - pred
+        size = int(diff != 0 and abs(diff).bit_length() or 0)
+        code, length = dc_codes[size]
+        out.write(code, length)
+        if size:
+            amp = diff if diff >= 0 else diff + (1 << size) - 1
+            out.write(amp, size)
+        code, length = ac_codes[0x00]  # EOB
+        out.write(code, length)
+        return qc
+
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for sub in range(4):
+                b = (2 * my + sub // 2) * bw + 2 * mx + sub % 2
+                preds[0] = write_dc_only(y_values[b], preds[0], dc_lum, ac_lum)
+            mi = my * mcux + mx
+            preds[1] = write_dc_only(cb_values[mi], preds[1], dc_chrom, ac_chrom)
+            preds[2] = write_dc_only(cr_values[mi], preds[2], dc_chrom, ac_chrom)
+    entropy = out.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    zz_q = bytes(q for _ in range(64))
+    dqt = seg(0xDB, bytes([0x00]) + zz_q + bytes([0x01]) + zz_q)
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+        + bytes([0x01]) + bytes(_DC_CHROM_BITS) + bytes(_DC_CHROM_VALS)
+        + bytes([0x11]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+JPEG_COLOR_W, JPEG_COLOR_H = 32, 16
+JPEG_CB_A, JPEG_CB_B = 53, 101
+JPEG_CR_A, JPEG_CR_B = 71, 131
+
+
+def _synth_jpeg_color(doc_id: int) -> bytes:
+    nblocks = (JPEG_COLOR_W // 8) * (JPEG_COLOR_H // 8)
+    nmcus = (JPEG_COLOR_W // 16) * (JPEG_COLOR_H // 16)
+    y = [(doc_id * JPEG_PIX_A + b * JPEG_PIX_B) % 256 for b in range(nblocks)]
+    cb = [(doc_id * JPEG_CB_A + m * JPEG_CB_B) % 256 for m in range(nmcus)]
+    cr = [(doc_id * JPEG_CR_A + m * JPEG_CR_B) % 256 for m in range(nmcus)]
+    return encode_jpeg_color_blocks(JPEG_COLOR_W, JPEG_COLOR_H, y, cb, cr, q=JPEG_Q)
+
+
+JPEG_COLOR_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, r_sum BIGINT, g_sum BIGINT, "
+    "b_sum BIGINT, rgb_max INT, rgb_min INT"
+)
+
+
+def _decode_jpeg_color_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in (
+            "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+            "rgb_max", "rgb_min",
+        )}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            w, h, rgb = decode_jpeg_color(bytes(content))
+            flat = rgb.astype(np.int64)
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["r_sum"].append(int(flat[:, :, 0].sum()))
+            rows["g_sum"].append(int(flat[:, :, 1].sum()))
+            rows["b_sum"].append(int(flat[:, :, 2].sum()))
+            rows["rgb_max"].append(int(flat.max()))
+            rows["rgb_min"].append(int(flat.min()))
+        yield pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"],
+                "width": pd.array(rows["width"], dtype="Int32"),
+                "height": pd.array(rows["height"], dtype="Int32"),
+                "r_sum": pd.array(rows["r_sum"], dtype="Int64"),
+                "g_sum": pd.array(rows["g_sum"], dtype="Int64"),
+                "b_sum": pd.array(rows["b_sum"], dtype="Int64"),
+                "rgb_max": pd.array(rows["rgb_max"], dtype="Int32"),
+                "rgb_min": pd.array(rows["rgb_min"], dtype="Int32"),
+            }
+        )
+
+
+def _synth_jpeg_color_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        yield pd.DataFrame(
+            {"doc_id": ids, "content": [_synth_jpeg_color(int(d)) for d in ids]}
+        )
+
+
+def jpeg_color_decode(docs: DataFrame) -> DataFrame:
+    """documents -> real 4:2:0 color baseline JPEG blobs -> REAL decode
+    (interleaved MCU Huffman with per-component DC prediction, four
+    registered DHT tables, dequantize, IDCT, chroma replication
+    upsample, scaled-integer JFIF YCbCr->RGB) -> integer-exact channel
+    stats. Same two map-only Arrow stages as jpeg_decode; no shuffle.
+    The fixture's uniform blocks give every plane the closed form
+    clamp(2*floor((v-128)/2 + 0.5) + 128) and the integer RGB
+    conversion is exact rational arithmetic, so the DuckDB oracle
+    recomputes the full pixel statistics without a decoder."""
+    media = docs.select("doc_id").mapInPandas(
+        _synth_jpeg_color_batches, "doc_id BIGINT, content BINARY"
+    )
+    return media.mapInPandas(_decode_jpeg_color_batches, JPEG_COLOR_SCHEMA)

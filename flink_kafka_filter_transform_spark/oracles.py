@@ -3696,3 +3696,56 @@ def ivf_stream_cell_counts_oracle(k: int | None = None, iters: int | None = None
 {_kmeans_ctes(k, iters)}
 SELECT cid, count(*) AS n_vectors FROM afinal GROUP BY cid
 """
+
+
+def jpeg_color_decode_oracle() -> str:
+    """Twin of multimodal.jpeg_color_decode: uniform DC-only blocks
+    give every plane the closed form clamp(2*floor((v-128)/2+0.5)+128)
+    per 8x8 block (chroma constant per 16x16 MCU), and the decoder's
+    JFIF YCbCr->RGB is exact scaled-integer arithmetic — so the full
+    channel statistics are recomputable without a decoder. Any Huffman
+    slip, per-component DC-prediction mixup, upsample misalignment or
+    conversion drift reds the hash."""
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    bw = mm.JPEG_COLOR_W // 8
+    mcux = mm.JPEG_COLOR_W // 16
+    nblocks = bw * (mm.JPEG_COLOR_H // 8)
+
+    def cf(v: str) -> str:
+        return (
+            f"LEAST(255, GREATEST(0, 2 * CAST(floor(({v} - 128) / 2.0 + 0.5) AS BIGINT) + 128))"
+        )
+
+    yv = f"(doc_id * {mm.JPEG_PIX_A} + b * {mm.JPEG_PIX_B}) % 256"
+    mi = f"((b % {bw}) // 2) + ((b // {bw}) // 2) * {mcux}"
+    cbv = f"(doc_id * {mm.JPEG_CB_A} + ({mi}) * {mm.JPEG_CB_B}) % 256"
+    crv = f"(doc_id * {mm.JPEG_CR_A} + ({mi}) * {mm.JPEG_CR_B}) % 256"
+    return f"""
+WITH blocks AS (
+  SELECT doc_id, unnest(generate_series(0, {nblocks - 1})) AS b FROM documents
+),
+dec AS (
+  SELECT doc_id,
+    {cf(yv)} AS yd,
+    {cf(cbv)} AS cbd,
+    {cf(crv)} AS crd
+  FROM blocks
+),
+rgb AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0, (1000 * yd + 1402 * (crd - 128) + 500) // 1000)) AS r,
+    LEAST(255, GREATEST(0, (1000000 * yd - 344136 * (cbd - 128) - 714136 * (crd - 128) + 500000) // 1000000)) AS g,
+    LEAST(255, GREATEST(0, (1000 * yd + 1772 * (cbd - 128) + 500) // 1000)) AS b
+  FROM dec
+)
+SELECT doc_id,
+  CAST({mm.JPEG_COLOR_W} AS INTEGER) AS width,
+  CAST({mm.JPEG_COLOR_H} AS INTEGER) AS height,
+  CAST(64 * SUM(r) AS BIGINT) AS r_sum,
+  CAST(64 * SUM(g) AS BIGINT) AS g_sum,
+  CAST(64 * SUM(b) AS BIGINT) AS b_sum,
+  CAST(MAX(GREATEST(r, g, b)) AS INTEGER) AS rgb_max,
+  CAST(MIN(LEAST(r, g, b)) AS INTEGER) AS rgb_min
+FROM rgb GROUP BY doc_id
+"""

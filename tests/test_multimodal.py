@@ -265,3 +265,75 @@ def test_decode_image_compressed_routes_jpeg():
     w, h, c, px = mm.decode_image_compressed(blob)
     assert (w, h, c) == (mm.JPEG_W, mm.JPEG_H, 1)
     assert px.shape == (h, w, 1)
+
+
+def test_jpeg_color_roundtrip_closed_form():
+    """Color 4:2:0 decode pinned against the independent closed form:
+    uniform DC-only blocks decode to clamp(2*floor((v-128)/2+0.5)+128)
+    per plane, chroma constant per MCU, RGB by exact scaled-integer
+    JFIF conversion. Exercises per-component DC prediction chains and
+    the interleaved MCU order across TWO MCUs."""
+    import numpy as np
+
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    y = [0, 255, 37, 200, 128, 7, 91, 64]  # 4x2 blocks (32x16)
+    cb = [30, 220]
+    cr = [240, 10]
+    blob = mm.encode_jpeg_color_blocks(32, 16, y, cb, cr, q=16)
+    w, h, rgb = mm.decode_jpeg_color(blob)
+    assert (w, h, rgb.shape) == (32, 16, (16, 32, 3))
+
+    def cf(v):
+        return min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+
+    for b in range(8):
+        by, bx = divmod(b, 4)
+        mi = bx // 2
+        yd, cbd, crd = cf(y[b]), cf(cb[mi]), cf(cr[mi])
+        r = min(255, max(0, (1000 * yd + 1402 * (crd - 128) + 500) // 1000))
+        g = min(255, max(0, (1000000 * yd - 344136 * (cbd - 128)
+                             - 714136 * (crd - 128) + 500000) // 1000000))
+        bl = min(255, max(0, (1000 * yd + 1772 * (cbd - 128) + 500) // 1000))
+        blk = rgb[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+        assert (blk == np.array([r, g, bl], dtype=np.uint8)).all(), (b, (r, g, bl))
+
+
+def test_jpeg_color_chroma_upsample_alignment():
+    """Two MCUs with OPPOSITE chroma: the 2x2 replication upsample must
+    keep each MCU's chroma strictly inside its own 16-pixel column band
+    (an off-by-one in upsample or MCU addressing bleeds color across
+    the boundary)."""
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    blob = mm.encode_jpeg_color_blocks(
+        32, 16, [128] * 8, [16, 240], [240, 16], q=16
+    )
+    _, _, rgb = mm.decode_jpeg_color(blob)
+    left, right = rgb[:, :16], rgb[:, 16:]
+    # uniform within each band...
+    assert (left == left[0, 0]).all() and (right == right[0, 0]).all()
+    # ...and strongly red-vs-blue across it (Cr high left, Cb high right)
+    assert int(left[0, 0, 0]) > int(left[0, 0, 2])
+    assert int(right[0, 0, 2]) > int(right[0, 0, 0])
+
+
+def test_jpeg_color_scope_gates_raise():
+    """Out-of-scope color configs fail loudly: 4:2:2 sampling and a
+    grayscale blob handed to the color decoder."""
+    import pytest
+
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    blob = bytearray(mm.encode_jpeg_color_blocks(16, 16, [1, 2, 3, 4], [9], [9], q=16))
+    sof_at = bytes(blob).find(b"\xff\xc0")
+    samp_at = sof_at + 2 + 2 + 6 + 1  # first component's sampling byte
+    assert blob[samp_at] == 0x22
+    h422 = blob.copy()
+    h422[samp_at] = 0x21
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg_color(bytes(h422))
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg_color(mm._synth_jpeg(5))  # grayscale -> color API
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(mm._synth_jpeg_color(5))  # color -> grayscale API
