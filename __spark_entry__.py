@@ -185,6 +185,13 @@ HEAD_ORDER: list[str] = [
     "order_priority_stats",
     "window_function_showcase",
     "q4_order_priority_semi",
+    # --- changed semantics in r6, final slot (50): the fps seeding
+    # variant's blocking cardinality became data-adaptive after the
+    # sf3 study caught its fixed n_cells=8 quadratic (SCALING.md r6);
+    # jpeg_color_decode yielded this slot to the re-gate and carries a
+    # one-round debut deferral instead (never-verified debuts may
+    # defer; changed-semantics re-gates may not) ---
+    "embedding_neardup_fps",
 ]
 
 
@@ -346,6 +353,7 @@ def queries() -> dict[str, QueryFn]:
         "knn_pq_adc": lambda s, d: kmeans.knn_pq_adc(_emb(s, d)),
         "knn_pq_recall": lambda s, d: kmeans.knn_pq_recall(_emb(s, d)),
         "jpeg_decode": lambda s, d: multimodal.jpeg_decode(_docs(s, d)),
+        "jpeg_color_decode": lambda s, d: multimodal.jpeg_color_decode(_docs(s, d)),
         # === (r5 history) TAIL (51+): r4-green and unchanged since; plus the r3-
         # verdict queries displaced by the new r5 head entries
         # (events_group_reservoir, bigram_top_pairs,
@@ -368,7 +376,6 @@ def queries() -> dict[str, QueryFn]:
         "knn_ivf_pq_recall": lambda s, d: kmeans.knn_ivf_pq_recall(_emb(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
-        # displaced age-1 entries (see head comment at their old slots)
         "embedding_neardup_fps": lambda s, d: dedup.embedding_neardup_refined(
             _emb(s, d), seeding="farthest"
         ),
@@ -586,6 +593,13 @@ def queries() -> dict[str, QueryFn]:
         # real file-stream drain through the foreachBatch sinks, final
         # published state returned (streaming.pipeline docstrings) ===
         "hll_stream_state": streaming_pipeline.hll_stream_state,
+        # scd2_stream_state carries a one-round ALLOWED_PENDING_DEBUTS
+        # deferral (tools/rotation_check.py): the r6 head's 50 slots are
+        # all obligated (44 rotation + 2 changed-semantics + 4 debuts);
+        # its state equals batch cdc.scd2_history (r5-green oracle) and
+        # CI parity verifies it differentially meanwhile. r7 MUST gate
+        # it.
+        "scd2_stream_state": streaming_pipeline.scd2_stream_state,
         "cms_stream_state": streaming_pipeline.cms_stream_state,
         "ivf_stream_cell_counts": streaming_pipeline.ivf_stream_cell_counts,
     }
@@ -747,4 +761,6 @@ def oracle_sql() -> dict[str, str]:
         "hll_stream_state": oracles.hll_stream_state_oracle(),
         "cms_stream_state": oracles.cms_stream_state_oracle(),
         "ivf_stream_cell_counts": oracles.ivf_stream_cell_counts_oracle(),
+        "jpeg_color_decode": oracles.jpeg_color_decode_oracle(),
+        "scd2_stream_state": oracles.cdc_scd2_history_oracle(),
     }

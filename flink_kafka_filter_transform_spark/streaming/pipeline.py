@@ -957,3 +957,34 @@ def ivf_stream_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ivf_cell_counts(spark, state)
+
+
+def scd2_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the parsed CDC changelog drained through
+    scd2_incremental_sink, returning the final published SCD2 table.
+    Each micro-batch recomputes ONLY its affected entity keys from the
+    (deduped) changelog store and carries every untouched key over, so
+    after the drain the state equals the one-shot batch
+    cdc.scd2_history over the full changelog — micro-batch-split
+    invariant, verified by the cdc_scd2_history oracle. Unlike the
+    sketch faces this exercises the splice/carry-over merge path, the
+    versioned-publication discipline, and the r6 strictly-pre-batch
+    prev rule end-to-end under a real multi-batch stream."""
+    import tempfile
+
+    from flink_kafka_filter_transform_spark.operators import cdc as cdc_ops
+    from flink_kafka_filter_transform_spark.sources.cdc_fixture import cdc_events_df
+
+    parsed = cdc_ops.parse_envelope(cdc_events_df(spark, sf_dir)).select(
+        *SCD2_CHANGE_COLS
+    )
+    scratch = tempfile.mkdtemp(prefix="sgraft_scd2_stream_")
+    state = f"{scratch}/state"
+    _drain_through_sink(
+        parsed,
+        scratch,
+        lambda stream, ckpt: scd2_incremental_sink(stream, state, ckpt).option(
+            "checkpointLocation", ckpt
+        ),
+    )
+    return scd2_current(spark, state)

@@ -33,7 +33,20 @@ MAX_VERDICT_AGE = 2  # rounds; the entry-point docstring's promise
 # MUST gate it and delete the entry. (r5 granted three:
 # source_quality_matrix / knn_ivf_pq / knn_ivf_pq_recall; all debuted
 # in the r6 head and the entries were deleted per the contract.)
-ALLOWED_PENDING_DEBUTS: dict[str, int] = {}
+ALLOWED_PENDING_DEBUTS: dict[str, int] = {
+    # r6: the head's 50 slots are all obligated (44 rotation
+    # obligations + 2 changed-semantics re-gates + 4 debuts), so the
+    # LAST r6 addition defers its driver debut to the r7 head. Its
+    # state equals batch cdc.scd2_history (r5-green driver verdict for
+    # the same oracle); CI parity covers it differentially meanwhile.
+    "scd2_stream_state": 6,
+    # r6: yielded its head slot to embedding_neardup_fps's
+    # changed-semantics re-gate (adaptive fps blocking after the sf3
+    # quadratic finding) — a re-gate cannot defer, a fresh debut can.
+    # Unit tests pin the decoder against an independent closed form
+    # and CI parity verifies the query differentially meanwhile.
+    "jpeg_color_decode": 6,
+}
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
