@@ -151,6 +151,7 @@ HEADLINE = [
     "hll_stream_state",
     "cms_stream_state",
     "ivf_stream_cell_counts",
+    "scd2_stream_state",
     "jpeg_color_decode",
 ]
 

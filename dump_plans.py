@@ -61,6 +61,13 @@ SHOWCASE = [
     ("neardup_triangles", "oriented triangle enumeration: wedge join on the middle vertex, closure semi-join reuses edge partitioning, zero data broadcasts"),
     ("source_quality_matrix", "per-source curation dashboard: every flag + the classifier fold in ONE map pass, one source-keyed aggregation"),
     ("knn_ivf_pq", "two-level ANN: codebooks/probes/LUTs broadcast; the single corpus-sized join (candidates x codes) deliberately shuffles"),
+    ("jpeg_color_decode", "real 4:2:0 color JPEG decode: two map-only Arrow stages, zero exchanges"),
+    ("embedding_neardup_fps", "farthest-seeded near-dup: capped FPS traversal + adaptive fill, same broadcast-codebook pair-join shape as _refined"),
+    # the r6 streaming sink faces (hll/cms/ivf/scd2_stream_state) are
+    # deliberately absent: their query fns DRAIN a real stream before
+    # returning the state reader, so a plan dump would show only the
+    # trivial final state scan — the sink plans are asserted in
+    # tests/test_streaming.py instead.
 ]
 
 
