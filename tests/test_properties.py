@@ -661,3 +661,38 @@ def test_triangle_census_counts_each_triangle_once(spark):
     )
     assert out.n_triangles == want == 4
     assert out.n_edges == len(pairs)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    y=st.lists(st.integers(0, 255), min_size=8, max_size=8),
+    cb=st.lists(st.integers(0, 255), min_size=2, max_size=2),
+    cr=st.lists(st.integers(0, 255), min_size=2, max_size=2),
+)
+def test_jpeg_color_roundtrip_arbitrary_blocks(y, cb, cr):
+    """Color JPEG encode->decode on ARBITRARY uniform block values must
+    hit the independent closed form (clamp(2*floor((v-128)/2+0.5)+128)
+    per plane + exact scaled-integer JFIF RGB) — boundary DC diffs
+    (0, 255, repeated values -> zero diffs) that the fixed fixture
+    misses. Pure numpy; no Spark session."""
+    import numpy as np
+
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    blob = mm.encode_jpeg_color_blocks(32, 16, y, cb, cr, q=16)
+    w, h, rgb = mm.decode_jpeg_color(blob)
+    assert (w, h, rgb.shape) == (32, 16, (16, 32, 3))
+
+    def cf(v):
+        return min(255, max(0, 2 * int(np.floor((v - 128) / 2 + 0.5)) + 128))
+
+    for b in range(8):
+        by, bx = divmod(b, 4)
+        mi = bx // 2
+        yd, cbd, crd = cf(y[b]), cf(cb[mi]), cf(cr[mi])
+        r = min(255, max(0, (1000 * yd + 1402 * (crd - 128) + 500) // 1000))
+        g = min(255, max(0, (1000000 * yd - 344136 * (cbd - 128)
+                             - 714136 * (crd - 128) + 500000) // 1000000))
+        bl = min(255, max(0, (1000 * yd + 1772 * (cbd - 128) + 500) // 1000))
+        blk = rgb[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+        assert (blk == np.array([r, g, bl], dtype=np.uint8)).all(), (b, (r, g, bl))

@@ -1001,3 +1001,26 @@ def test_lsh_index_sink_replay_same_batch_id_idempotent(
         for r in spark.read.parquet(out).collect()
     }
     assert pairs_after == pairs_before and len(pairs_before) > 0
+
+
+def test_scd2_merge_replay_same_batch_id_idempotent(spark, sf_dir, tmp_path_factory):
+    """Re-driving the SAME scd2 batch id must leave the published table
+    identical: the re-appended changelog rows collapse on the
+    (key, msg_id) dedup and prev comes strictly pre-batch, so the
+    recompute reproduces scd2_v{batch_id} without reading it."""
+    from flink_kafka_filter_transform_spark.operators import cdc
+    from flink_kafka_filter_transform_spark.sources.cdc_fixture import cdc_events_df
+
+    parsed = cdc.parse_envelope(cdc_events_df(spark, sf_dir)).select(
+        *sp.SCD2_CHANGE_COLS
+    )
+    b0 = parsed.filter(SF.col("msg_id") % 2 == 0)
+    b1 = parsed.filter(SF.col("msg_id") % 2 == 1)
+    state = str(tmp_path_factory.mktemp("scd2_replay_state"))
+    sp._scd2_merge_batch(b0, 0, state)
+    sp._scd2_merge_batch(b1, 1, state)
+    cols = ["db", "table_name", "key", "op", "msg_id", "valid_from_us", "valid_to_us"]
+    before = {tuple(r) for r in sp.scd2_current(spark, state).select(cols).collect()}
+    sp._scd2_merge_batch(b1, 1, state)  # replay
+    after = {tuple(r) for r in sp.scd2_current(spark, state).select(cols).collect()}
+    assert before == after and len(after) > 0
