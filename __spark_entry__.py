@@ -595,7 +595,9 @@ def queries() -> dict[str, QueryFn]:
         "hll_stream_state": streaming_pipeline.hll_stream_state,
         # scd2_stream_state carries a one-round ALLOWED_PENDING_DEBUTS
         # deferral (tools/rotation_check.py): the r6 head's 50 slots are
-        # all obligated (44 rotation + 2 changed-semantics + 4 debuts);
+        # all obligated (41 r3-tail re-verifications + 3
+        # expiring-deferral debuts + 3 changed-semantics re-gates + 3
+        # new sink-face debuts);
         # its state equals batch cdc.scd2_history (r5-green oracle) and
         # CI parity verifies it differentially meanwhile. r7 MUST gate
         # it.

@@ -187,17 +187,17 @@ def unreduced_big_table_broadcast_hints(df: DataFrame) -> list[str]:
         if "ResolvedHint (strategy=broadcast)" not in line:
             continue
         depth = content_offset(line)
-        reduced = False
         for sub in lines[i + 1 :]:
             if content_offset(sub) <= depth:
                 break  # end of the hint's subtree
             if _ROW_REDUCING_RE.search(sub):
-                reduced = True
-                break
+                break  # hint pins a reduced relation: fine
             m = _RELATION_RE.search(sub)
             if m:
+                # reduced is necessarily False here: a reducing node
+                # above would have broken out of the walk already
                 table = _BIG_TABLE_PREFIXES.get(m.group(1)[:2])
-                if table and not reduced:
+                if table:
                     offenders.append(table)
                 break  # a Relation ends this root-to-leaf spine
     return offenders

@@ -335,7 +335,7 @@ def _scd2_merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> Non
         .dropDuplicates(["db", "table_name", "key", "msg_id"])
     )
     recomputed = cdc_ops.scd2_history(changes)
-    v = _latest_state_version(state_dir, "scd2", before=batch_id)
+    v = _latest_state_version(spark, state_dir, "scd2", before=batch_id)
     prev = spark.read.parquet(f"{state_dir}/scd2_v{v}") if v is not None else None
     merged = (
         recomputed
@@ -345,12 +345,54 @@ def _scd2_merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> Non
         )
     )
     merged.write.mode("overwrite").parquet(f"{state_dir}/scd2_v{batch_id}")
-    with open(f"{state_dir}/_LATEST", "w") as f:
-        f.write(str(batch_id))
+    _write_latest_pointer(spark, state_dir, batch_id)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(Path, FileSystem) for any storage the cluster can address
+    (local, HDFS, S3A, ...). ALL versioned-state bookkeeping — the
+    _LATEST pointer, version listing, existence probes — goes through
+    this API: a driver-local os.path/open() would only ever see the
+    local disk and silently break every sink on a real deployment."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    jpath, fs = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def _write_latest_pointer(spark: SparkSession, state_dir: str, batch_id: int) -> None:
+    """Publish the reader-facing _LATEST pointer (overwrite-in-place)."""
+    jpath, fs = _hadoop_fs(spark, f"{state_dir}/_LATEST")
+    out = fs.create(jpath, True)
+    try:
+        out.write(str(batch_id).encode("ascii"))
+    finally:
+        out.close()
+
+
+def _read_latest_pointer(spark: SparkSession, state_dir: str) -> int | None:
+    """The _LATEST pointer's batch id, or None before the first
+    publication. Reader-side convenience only — sinks resolve their
+    prev state via _latest_state_version, never this pointer."""
+    jpath, fs = _hadoop_fs(spark, f"{state_dir}/_LATEST")
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        line = reader.readLine()
+    finally:
+        stream.close()
+    return None if line is None else int(line.strip())
 
 
 def _latest_state_version(
-    state_dir: str, prefix: str, before: int | None = None
+    spark: SparkSession, state_dir: str, prefix: str, before: int | None = None
 ) -> int | None:
     """Largest PUBLISHED version of ``{state_dir}/{prefix}_v*`` —
     only directories whose parquet write completed (``_SUCCESS``
@@ -368,15 +410,33 @@ def _latest_state_version(
     and are idempotent. ``_LATEST`` remains a reader-side convenience
     only. Old versions accumulate by design (bounded: one small state
     relation per micro-batch); production deploys prune versions below
-    the checkpointed watermark offline."""
-    import glob as _glob
-    import os
+    the checkpointed watermark offline.
+
+    Operational contract this rule implies: a state_dir is PAIRED with
+    its streaming checkpoint — version numbers are the checkpoint's
+    batch ids. Pointing a FRESH checkpoint at a retained state_dir
+    restarts accumulation from scratch (batch 0 sees no version below
+    it), which is the correct outcome: the fresh checkpoint also
+    re-reads the whole source, so carrying the old state forward (as
+    the pre-r6 _LATEST-based prev did) would double-count every
+    previously ingested row. On checkpoint loss, re-drain into a fresh
+    state_dir.
+
+    Listing goes through the Hadoop FileSystem API (_hadoop_fs), so
+    state_dir may be any cluster-addressable URI."""
     import re as _re
 
+    dirpath, fs = _hadoop_fs(spark, state_dir)
+    if not fs.exists(dirpath):
+        return None
     best: int | None = None
-    for p in _glob.glob(os.path.join(state_dir, f"{prefix}_v*")):
-        m = _re.search(rf"{_re.escape(prefix)}_v(\d+)$", p)
-        if m is None or not os.path.exists(os.path.join(p, "_SUCCESS")):
+    for status in fs.listStatus(dirpath):
+        name = status.getPath().getName()
+        m = _re.fullmatch(rf"{_re.escape(prefix)}_v(\d+)", name)
+        if m is None:
+            continue
+        success = spark._jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+        if not fs.exists(success):
             continue
         v = int(m.group(1))
         if before is not None and v >= before:
@@ -389,13 +449,9 @@ def _latest_state_version(
 def scd2_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The latest published SCD2 table version, or None before the
     first batch commits."""
-    import os
-
-    marker = f"{state_dir}/_LATEST"
-    if not os.path.exists(marker):
+    version = _read_latest_pointer(spark, state_dir)
+    if version is None:
         return None
-    with open(marker) as f:
-        version = f.read().strip()
     return spark.read.parquet(f"{state_dir}/scd2_v{version}")
 
 
@@ -524,7 +580,7 @@ def _hll_merge_batch(
 
     spark = batch_df.sparkSession
     regs = hll_registers(batch_df, key, [group])
-    v = _latest_state_version(state_dir, "regs", before=batch_id)
+    v = _latest_state_version(spark, state_dir, "regs", before=batch_id)
     prev = spark.read.parquet(f"{state_dir}/regs_v{v}") if v is not None else None
     merged = (
         regs
@@ -534,20 +590,15 @@ def _hll_merge_batch(
         .agg(F.max("_r").alias("_r"))
     )
     merged.write.mode("overwrite").parquet(f"{state_dir}/regs_v{batch_id}")
-    with open(f"{state_dir}/_LATEST", "w") as f:
-        f.write(str(batch_id))
+    _write_latest_pointer(spark, state_dir, batch_id)
 
 
 def hll_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Latest published HLL register state, or None before the first
     batch (readers never see a half-written version)."""
-    import os
-
-    latest = f"{state_dir}/_LATEST"
-    if not os.path.exists(latest):
+    v = _read_latest_pointer(spark, state_dir)
+    if v is None:
         return None
-    with open(latest) as f:
-        v = f.read().strip()
     return spark.read.parquet(f"{state_dir}/regs_v{v}")
 
 
@@ -593,7 +644,7 @@ def _cms_merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None
 
     spark = batch_df.sparkSession
     grid = cms_grid(batch_df)
-    v = _latest_state_version(state_dir, "grid", before=batch_id)
+    v = _latest_state_version(spark, state_dir, "grid", before=batch_id)
     prev = spark.read.parquet(f"{state_dir}/grid_v{v}") if v is not None else None
     merged = (
         grid
@@ -603,19 +654,14 @@ def _cms_merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None
         .agg(F.sum("cell").alias("cell"))
     )
     merged.write.mode("overwrite").parquet(f"{state_dir}/grid_v{batch_id}")
-    with open(f"{state_dir}/_LATEST", "w") as f:
-        f.write(str(batch_id))
+    _write_latest_pointer(spark, state_dir, batch_id)
 
 
 def cms_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Latest published CMS grid, or None before the first batch."""
-    import os
-
-    latest = f"{state_dir}/_LATEST"
-    if not os.path.exists(latest):
+    v = _read_latest_pointer(spark, state_dir)
+    if v is None:
         return None
-    with open(latest) as f:
-        v = f.read().strip()
     return spark.read.parquet(f"{state_dir}/grid_v{v}")
 
 
@@ -677,7 +723,7 @@ def _ivf_assign_batch(
         .parquet(out_dir)
     )
     counts = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
-    v = _latest_state_version(state_dir, "cells", before=batch_id)
+    v = _latest_state_version(spark, state_dir, "cells", before=batch_id)
     prev = spark.read.parquet(f"{state_dir}/cells_v{v}") if v is not None else None
     merged = (
         counts
@@ -687,19 +733,14 @@ def _ivf_assign_batch(
         .agg(F.sum("n_vectors").alias("n_vectors"))
     )
     merged.write.mode("overwrite").parquet(f"{state_dir}/cells_v{batch_id}")
-    with open(f"{state_dir}/_LATEST", "w") as f:
-        f.write(str(batch_id))
+    _write_latest_pointer(spark, state_dir, batch_id)
 
 
 def ivf_cell_counts(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Latest published per-cell occupancy, or None before batch 0."""
-    import os
-
-    latest = f"{state_dir}/_LATEST"
-    if not os.path.exists(latest):
+    v = _read_latest_pointer(spark, state_dir)
+    if v is None:
         return None
-    with open(latest) as f:
-        v = f.read().strip()
     return spark.read.parquet(f"{state_dir}/cells_v{v}")
 
 
@@ -759,8 +800,6 @@ def _lsh_index_batch(
 ) -> None:
     """One lsh_index_sink micro-batch (module-level for replay tests);
     see the sink docstring for the partition-overwrite replay rule."""
-    import os
-
     from flink_kafka_filter_transform_spark.operators import params
     from flink_kafka_filter_transform_spark.operators.dedup import (
         band_relation,
@@ -774,8 +813,14 @@ def _lsh_index_batch(
     within = lsh_candidates(sig)
     # no bare except: before the first published batch the state dirs
     # simply don't exist (an actual read failure should surface, not
-    # silently reset the index to empty — r5 ADVICE)
-    if os.path.isdir(f"{state_dir}/bands") and os.path.isdir(f"{state_dir}/sigs"):
+    # silently reset the index to empty — r5 ADVICE). The existence
+    # probe goes through the Hadoop FileSystem API, not os.path — the
+    # state dir is any Hadoop-compatible URI at scale (S3/HDFS), where
+    # a driver-local isdir would be False forever and silently disable
+    # the cross-batch index.
+    if _hadoop_path_exists(spark, f"{state_dir}/bands") and _hadoop_path_exists(
+        spark, f"{state_dir}/sigs"
+    ):
         idx_bands = (
             spark.read.parquet(f"{state_dir}/bands")
             .filter(F.col("_batch_id") < batch_id)
@@ -899,7 +944,7 @@ def hll_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch,
         lambda stream, ckpt: hll_merge_sink(
             stream, "user_id", "event_type", state, ckpt
-        ).option("checkpointLocation", ckpt),
+        ),
     )
     return hll_current(spark, state)
 
@@ -919,9 +964,7 @@ def cms_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     _drain_through_sink(
         docs,
         scratch,
-        lambda stream, ckpt: cms_merge_sink(stream, state, ckpt).option(
-            "checkpointLocation", ckpt
-        ),
+        lambda stream, ckpt: cms_merge_sink(stream, state, ckpt),
     )
     return cms_current(spark, state)
 
@@ -952,9 +995,7 @@ def ivf_stream_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _drain_through_sink(
         emb,
         scratch,
-        lambda stream, ckpt: ivf_assign_sink(stream, cents, out, state, ckpt).option(
-            "checkpointLocation", ckpt
-        ),
+        lambda stream, ckpt: ivf_assign_sink(stream, cents, out, state, ckpt),
     )
     return ivf_cell_counts(spark, state)
 
@@ -983,8 +1024,6 @@ def scd2_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     _drain_through_sink(
         parsed,
         scratch,
-        lambda stream, ckpt: scd2_incremental_sink(stream, state, ckpt).option(
-            "checkpointLocation", ckpt
-        ),
+        lambda stream, ckpt: scd2_incremental_sink(stream, state, ckpt),
     )
     return scd2_current(spark, state)

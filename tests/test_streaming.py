@@ -906,14 +906,6 @@ def test_lsh_index_sink_matches_batch_pairs(spark, sf_dir, tmp_path_factory):
     assert set(emitted) == want and len(want) > 0
 
 
-def _state_files(d):
-    out = []
-    for root, _dirs, files in os.walk(d):
-        for f in files:
-            out.append(os.path.join(root, f))
-    return sorted(out)
-
-
 def test_merge_sinks_replay_same_batch_id_idempotent(
     spark, sf_dir, tmp_path_factory
 ):

@@ -34,8 +34,9 @@ MAX_VERDICT_AGE = 2  # rounds; the entry-point docstring's promise
 # source_quality_matrix / knn_ivf_pq / knn_ivf_pq_recall; all debuted
 # in the r6 head and the entries were deleted per the contract.)
 ALLOWED_PENDING_DEBUTS: dict[str, int] = {
-    # r6: the head's 50 slots are all obligated (44 rotation
-    # obligations + 2 changed-semantics re-gates + 4 debuts), so the
+    # r6: the head's 50 slots are all obligated (41 r3-tail
+    # re-verifications + 3 expiring-deferral debuts + 3
+    # changed-semantics re-gates + 3 new sink-face debuts), so the
     # LAST r6 addition defers its driver debut to the r7 head. Its
     # state equals batch cdc.scd2_history (r5-green driver verdict for
     # the same oracle); CI parity covers it differentially meanwhile.
