@@ -1027,3 +1027,48 @@ def scd2_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stream, ckpt: scd2_incremental_sink(stream, state, ckpt),
     )
     return scd2_current(spark, state)
+
+
+def prune_state_versions(
+    spark: SparkSession, state_dir: str, prefix: str, keep_last: int = 2
+) -> list[int]:
+    """Offline maintenance for the versioned-state sinks: delete
+    published ``{prefix}_v*`` versions older than the newest
+    ``keep_last``, returning the deleted version numbers.
+
+    Versions accumulate by design (one small state relation per
+    micro-batch); this is the pruner the sink docstrings point
+    production deploys at. Safety rules:
+
+    - ``keep_last`` is floored at 2: a crash between publication and
+      checkpoint commit replays the LATEST batch id, and that replay
+      resolves prev = the newest version STRICTLY BELOW it
+      (_latest_state_version) — pruning everything below the latest
+      version would break exactly that recovery path.
+    - only versions below the _LATEST pointer are candidates (a
+      version above the pointer is an in-flight publication).
+    - runs against the Hadoop FileSystem API, so the state may live on
+      any cluster-addressable storage; delete is recursive per version
+      directory and the pointer file is never touched.
+
+    Run it OFFLINE (or between micro-batches): pruning a version while
+    a concurrent batch is reading it as prev would fail that batch's
+    scan mid-flight."""
+    keep_last = max(2, keep_last)
+    latest = _read_latest_pointer(spark, state_dir)
+    if latest is None:
+        return []
+    import re as _re
+
+    dirpath, fs = _hadoop_fs(spark, state_dir)
+    versions: list[int] = []
+    for status in fs.listStatus(dirpath):
+        m = _re.fullmatch(rf"{_re.escape(prefix)}_v(\d+)", status.getPath().getName())
+        if m is not None and int(m.group(1)) <= latest:
+            versions.append(int(m.group(1)))
+    versions.sort()
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in doomed:
+        vpath = spark._jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{prefix}_v{v}")
+        fs.delete(vpath, True)
+    return doomed

@@ -1016,3 +1016,32 @@ def test_scd2_merge_replay_same_batch_id_idempotent(spark, sf_dir, tmp_path_fact
     sp._scd2_merge_batch(b1, 1, state)  # replay
     after = {tuple(r) for r in sp.scd2_current(spark, state).select(cols).collect()}
     assert before == after and len(after) > 0
+
+
+def test_prune_state_versions_keeps_replay_recovery_path(
+    spark, sf_dir, tmp_path_factory
+):
+    """The pruner must delete old versions, keep the newest two (the
+    latest plus the strictly-pre-latest version a crash replay of the
+    latest batch id resolves as prev), leave the reader working, and
+    leave a same-id replay of the latest batch reproducible."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    state = str(tmp_path_factory.mktemp("prune_state"))
+    parts = [docs.filter(SF.col("doc_id") % 4 == i) for i in range(4)]
+    for i, part in enumerate(parts):
+        sp._cms_merge_batch(part, i, state)
+    before = {(r.row, r.bucket, r.cell) for r in sp.cms_current(spark, state).collect()}
+
+    deleted = sp.prune_state_versions(spark, state, "grid", keep_last=2)
+    assert deleted == [0, 1]
+    assert not os.path.isdir(f"{state}/grid_v0") and not os.path.isdir(f"{state}/grid_v1")
+    assert {(r.row, r.bucket, r.cell) for r in sp.cms_current(spark, state).collect()} == before
+
+    sp._cms_merge_batch(parts[3], 3, state)  # crash-replay of the latest id
+    assert {(r.row, r.bucket, r.cell) for r in sp.cms_current(spark, state).collect()} == before
+
+    assert sp.prune_state_versions(spark, state, "grid", keep_last=2) == []
+    # keep_last floors at 2 even if asked for less
+    assert sp.prune_state_versions(spark, state, "grid", keep_last=0) == []

@@ -78,7 +78,17 @@ def main() -> None:
     def run(name: str) -> float:
         t0 = time.time()
         qs[name](spark, args.sf_dir).write.mode("overwrite").format("noop").save()
-        return time.time() - t0
+        elapsed = time.time() - t0
+        # same untimed block-manager reclaim as bench.py (r6): without
+        # it the 80-query shared JVM accumulates localCheckpoint blocks
+        # and later queries absorb earlier queries' residue
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+        return elapsed
 
     # Warmup mirrors bench.py: absorbs JVM/codegen startup AND builds
     # the CDC fixture parquet cache (a one-time materialization that
