@@ -116,82 +116,110 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/rotation_check.py via tests/test_rotation.py): the head holds
 # queries that are (a) new this round, (b) changed this round —
 # including changes arriving transitively through a shared helper or
-# oracle builder, or (c) carrying the oldest driver verdict. Queries
-# green in the most recent CORRECTNESS_r{N}.json and untouched since
-# yield their slots; no tail query's latest green verdict may age past
-# 2 rounds.
+# oracle builder; where the head cannot seat every member of a changed
+# family, a comment must NAME the gated representative covering the
+# change, or (c) carrying the oldest driver verdict. Queries green in
+# the most recent CORRECTNESS_r{N}.json and untouched since yield
+# their slots; no tail query's latest green verdict may age past
+# MAX_VERDICT_AGE rounds (v2 = 3, adopted r7 — the sustainability
+# derivation and smoothing rule live at tools/rotation_check.py; the
+# v1 promise of 2 rounds obligated ~49 of 50 slots per round at 147
+# registered queries, making un-deferred debuts impossible, VERDICT
+# r6 item 2).
+#
+# r6 call-graph-drift addendum (r6 ADVICE item 4): two r6 changes
+# rotated no direct head slot and are covered by named gates instead —
+# the supplier-broadcast unpinning in q8/q15/q20/q21 is enforced by
+# tests/test_plans.py::test_no_unreduced_big_table_broadcast_hints
+# (identical values, plan-level change), and the kmeans_fit
+# capped-hybrid refactor's consumers were represented in the r6 head
+# by embedding_neardup_fps (the only seeding="farthest" caller) and
+# kmeans_clusters/knn_ivf_kmeans carried r6-green verdicts over the
+# same refactored chain.
 HEAD_ORDER: list[str] = [
-    # --- r6 debut of the three r5 ALLOWED_PENDING_DEBUTS deferrals
+    # --- r7 debut of the two r6 ALLOWED_PENDING_DEBUTS deferrals
     # (their one-round allowance expires this round; the entries were
-    # deleted from tools/rotation_check.py with this head) ---
-    "source_quality_matrix",
-    "knn_ivf_pq",
-    "knn_ivf_pq_recall",
-    # --- changed semantics in r6 (r5 ADVICE fixes), so re-gated:
-    # bigram_lift_top's lift factors now cast to double BEFORE
-    # multiplying (int64-overflow-safe past ~3e9 tokens);
-    # bloom_contamination's exact probe side deduped on gh alone ---
-    "bigram_lift_top",
-    "bloom_contamination",
-    # --- new in r6: driver-checkable faces of the streaming
-    # maintenance sinks (streaming.pipeline) — each stages the table as
-    # a real file stream, drains it through the actual foreachBatch
-    # sink across several micro-batches, and returns the final
-    # published state, which the DuckDB oracle recomputes directly ---
-    "hll_stream_state",
-    "cms_stream_state",
-    "ivf_stream_cell_counts",
-    # --- the 41 r3-verdict tail queries rotation_check flagged for r6
-    # (age would hit 3); call graphs untouched since their r3 verdict —
-    # this block is the re-verification bulk of the r6 head ---
-    "minhash_lsh_pairs",
-    "knn_ivf_kmeans",
-    "neardup_clusters",
-    "dedup_survivors",
-    "kmeans_clusters",
-    "kmeans_cluster_sizes",
-    "q6_forecast_revenue",
-    "knn_brute",
-    "knn_lsh",
+    # deleted from tools/rotation_check.py with this head):
+    # jpeg_color_decode = the 3-component 4:2:0 JPEG decoder's first
+    # driver verdict; scd2_stream_state = the SCD2 streaming replay
+    # protocol's first driver verdict ---
+    "jpeg_color_decode",
+    "scd2_stream_state",
+    # --- changed SEMANTICS this round (r7), so re-gated (re-gates
+    # cannot defer): simhash_pairs drops chunk buckets above
+    # SIMHASH_BUCKET_CAP before the candidate self-join, mirrored in
+    # the oracle — the sf3 study measured the uncapped fixed-
+    # cardinality blocking at 5.91x runtime for 3x data
+    # (BENCH_sf3_dedup, VERDICT r6 item 3); same skew-guard contract
+    # as lsh_candidates' LSH_BUCKET_CAP.
+    # This slot was contended: ivf_stream_cell_counts also changed
+    # this round (reads its frozen codebook from the
+    # _cached_kmeans_codebook parquet memo; faces route scratch via
+    # _face_scratch; hardened atomic _LATEST publication) but those
+    # are VALUES-IDENTICAL protocol/memoization changes — r6-green
+    # verdict stands, CI parity re-hashes it every pytest run, and
+    # tests/test_streaming.py pins memo == inline fit — the r5
+    # exact_dedup precedent (plan-level change, identical values,
+    # recent green verdict ages at tail-top). A semantics-changing
+    # re-gate outranks it for the one discretionary slot.
+    # scd2_stream_state above (debut) exercises the same changed
+    # face/publication machinery end-to-end this round; seats NAMED
+    # for the r8 head: ivf_stream_cell_counts, hll_stream_state,
+    # cms_stream_state (shared _drain_through_sink/_face_scratch/
+    # pointer-publication path), plus the lsh_stream_state debut ---
     "simhash_pairs",
-    "ngram_jaccard_pairs",
-    "embedding_neardup",
-    "knn_ivf",
-    "knn_lsh_recall",
-    "knn_ivf_recall",
-    "knn_ivf_probe_sweep",
-    "q7_volume_shipping",
-    "q9_product_nation_profit",
-    "q10_returned_items",
-    "q18_large_volume_orders",
-    "q13_customer_distribution",
-    "events_group_reservoir",
-    "bigram_top_pairs",
-    "training_mixture_report",
-    "media_resize",
-    "doc_chunks",
-    "mixture_sample_summary",
-    "scalar_function_showcase",
-    "weighted_avg_by_type",
-    "sentence_split_rows",
-    "multimodal_features",
-    "frame_sample",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_customers_per_segment",
-    "events_props_extract",
-    "events_props_map_explode",
-    "order_priority_stats",
-    "window_function_showcase",
-    "q4_order_priority_semi",
-    # --- changed semantics in r6, final slot (50): the fps seeding
-    # variant's blocking cardinality became data-adaptive after the
-    # sf3 study caught its fixed n_cells=8 quadratic (SCALING.md r6);
-    # jpeg_color_decode yielded this slot to the re-gate and carries a
-    # one-round debut deferral instead (never-verified debuts may
-    # defer; changed-semantics re-gates may not) ---
-    "embedding_neardup_fps",
+    # --- the 47 r4-verdict tail queries rotation_check flagged for r7
+    # (the v1 promise they aged under; honored despite the v2
+    # loosening — see tools/rotation_check.py). Call graphs untouched
+    # since their r4 verdict. This block includes the ENTIRE
+    # reference-parity cdc_* family (SURVEY §2.1 O2-O10) ---
+    "exact_dedup",
+    "crossdoc_ngram_overlap",
+    "token_pack_report",
+    "source_vocab_divergence",
+    "daily_funnel",
+    "bpe_merges",
+    "daily_reconciliation",
+    "value_outliers_by_type",
+    "png_decode",
+    "q17_small_quantity",
+    "q20_potential_promotion",
+    "q22_idle_rich_customers",
+    "cdc_route_join",
+    "media_decode",
+    "cdc_parse",
+    "cdc_filter_deletes",
+    "cdc_route",
+    "cdc_counts_inbound",
+    "cdc_counts_outbound",
+    "cdc_outgoing",
+    "cdc_materialize",
+    "cdc_scd2_history",
+    "events_daily",
+    "events_daily_gapfilled",
+    "events_pivot",
+    "events_unpivot",
+    "events_last_purchase",
+    "users_purchase_except_error",
+    "users_purchase_intersect_error",
+    "quality_filter_funnel",
+    "tfidf_top_terms",
+    "contamination_check",
+    "hll_distinct_users",
+    "hll_distinct_orders",
+    "hll_rollup_users",
+    "cms_token_counts",
+    "histogram_quantiles",
+    "histogram_quantiles_by_type",
+    "documents_split_summary",
+    "events_stratified_sample",
+    "customers_without_orders",
+    "orders_above_customer_avg",
+    "user_value_moving_avg",
+    "q14_promo_revenue",
+    "events_sessionized",
+    "events_sessionized_native",
+    "purchases_with_recent_clicks",
 ]
 
 
@@ -604,6 +632,14 @@ def queries() -> dict[str, QueryFn]:
         "scd2_stream_state": streaming_pipeline.scd2_stream_state,
         "cms_stream_state": streaming_pipeline.cms_stream_state,
         "ivf_stream_cell_counts": streaming_pipeline.ivf_stream_cell_counts,
+        # === new in r7: the LSH index sink's accumulated pair log —
+        # the last maintenance sink without a driver face (VERDICT r6
+        # item 8). Defers its debut to the r8 head
+        # (tools/rotation_check.py ALLOWED_PENDING_DEBUTS: the r7 head
+        # is fully obligated by the v1 age promise); its log equals
+        # batch minhash_lsh_pairs (r6-green oracle) and CI parity
+        # verifies it differentially meanwhile ===
+        "lsh_stream_state": streaming_pipeline.lsh_stream_state,
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -765,4 +801,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_stream_cell_counts": oracles.ivf_stream_cell_counts_oracle(),
         "jpeg_color_decode": oracles.jpeg_color_decode_oracle(),
         "scd2_stream_state": oracles.cdc_scd2_history_oracle(),
+        "lsh_stream_state": oracles.minhash_lsh_pairs_oracle(),
     }

@@ -153,6 +153,8 @@ HEADLINE = [
     "ivf_stream_cell_counts",
     "scd2_stream_state",
     "jpeg_color_decode",
+    # round 7 additions
+    "lsh_stream_state",
 ]
 
 
@@ -248,6 +250,14 @@ def main() -> None:
         # async removal)
         for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             jrdd.unpersist(False)
+        # r7: the streaming sink faces stage source/checkpoint/state
+        # under per-run scratch dirs; reclaim them once the timed run
+        # has fully consumed the returned state (the noop write did)
+        from flink_kafka_filter_transform_spark.streaming.pipeline import (
+            cleanup_face_scratch,
+        )
+
+        cleanup_face_scratch(spark)
 
     run("cdc_counts_outbound")  # warmup: JVM + codegen + parquet footer cache
     # warm the Arrow collect path too (route_broadcast_join's rule-table

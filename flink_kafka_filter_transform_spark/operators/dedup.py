@@ -210,9 +210,18 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 def simhash_pairs(docs: DataFrame) -> DataFrame:
     """Near-dup pairs with Hamming distance <= SIMHASH_MAX_HAMMING.
 
-    Candidates must share at least one exact 8-bit chunk (pigeonhole:
+    Candidates must share at least one exact 15-bit chunk (pigeonhole:
     distance < SIMHASH_CHUNKS is fully recalled; the chunk filter is a
-    recall/cost tradeoff, standard practice from Manku et al. WWW'07)."""
+    recall/cost tradeoff, standard practice from Manku et al. WWW'07).
+    Chunk buckets above SIMHASH_BUCKET_CAP are dropped before the
+    self-join (r7): the chunk key space is FIXED (4 x 2^15), so on a
+    clustered corpus bucket occupancy grows with N and candidate
+    volume grows as sum(bucket^2) — measured 5.91x runtime at 3x data
+    before the cap (BENCH_sf3_dedup r7). With the cap, per-chunk
+    candidate volume is bounded by N*cap — linear in N — at the cost
+    of pairs inside degenerate template buckets, the same documented
+    tradeoff as lsh_candidates' LSH_BUCKET_CAP. The oracle applies
+    the identical capped-bucket rule."""
     sig = simhash_signatures(docs)
     cb = params.SIMHASH_CHUNK_BITS
     mask = (1 << cb) - 1
@@ -223,9 +232,17 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
         )
         for c in range(params.SIMHASH_CHUNKS)
     ]
-    chunks = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
-    ).select("doc_id", "simhash", "c.ci", "c.ck")
+    chunks = (
+        sig.select(
+            "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+        )
+        .select("doc_id", "simhash", "c.ci", "c.ck")
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("ci", "ck"))
+        )
+        .filter(F.col("_n") <= params.SIMHASH_BUCKET_CAP)
+        .drop("_n")
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

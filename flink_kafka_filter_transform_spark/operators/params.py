@@ -43,6 +43,16 @@ SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4
 SIMHASH_CHUNK_BITS = 15
 SIMHASH_MAX_HAMMING = 4
+# Skew guard on chunk buckets (r7): 4 chunks x 2^15 keys is a FIXED
+# blocking cardinality, so bucket occupancy — and candidate volume,
+# which grows as sum(bucket^2) — scales with the corpus; the sf3 study
+# measured simhash_pairs at 5.91x runtime for 3x data (the same
+# fixed-cardinality pathology embedding_neardup_fps was convicted of
+# in r6). Dropping buckets above the cap bounds candidates at
+# N*cap per chunk (linear in N); a bucket this hot is a degenerate
+# template cluster whose pairs exact dedup already collapses. Same
+# role and value as LSH_BUCKET_CAP on the minhash side.
+SIMHASH_BUCKET_CAP = 100
 
 # --- embedding near-dup + similarity search --------------------------------
 EMB_NEARDUP_THRESHOLD = 0.30

@@ -971,9 +971,15 @@ sh AS (
 chunks AS (
   {chunk_selects}
 ),
+capped AS (
+  SELECT doc_id, simhash, ci, ck FROM (
+    SELECT doc_id, simhash, ci, ck, COUNT(*) OVER (PARTITION BY ci, ck) AS _n
+    FROM chunks
+  ) c WHERE _n <= {params.SIMHASH_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a, b.doc_id AS doc_b, b.simhash AS sh_b
-  FROM chunks a JOIN chunks b
+  FROM capped a JOIN capped b
     ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, hamming FROM (

@@ -88,6 +88,13 @@ def main() -> None:
         spark.catalog.clearCache()
         for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             jrdd.unpersist(False)
+        # r7: reclaim the streaming faces' scratch dirs too (at sf1
+        # each face stages a full copy of its source table)
+        from flink_kafka_filter_transform_spark.streaming.pipeline import (
+            cleanup_face_scratch,
+        )
+
+        cleanup_face_scratch(spark)
         return elapsed
 
     # Warmup mirrors bench.py: absorbs JVM/codegen startup AND builds

@@ -42,6 +42,13 @@ FAMILY = [
     "minhash_lsh_pairs",
     "crossdoc_ngram_overlap",
     "contamination_check",
+    # r7: the two blocked-pair trackers never given an sf3 point —
+    # simhash_pairs was 8.15x at 10x data in the sf1 audit (VERDICT r6
+    # item 3: fixed 4x256-bucket chunk blocking, the same
+    # fixed-cardinality anti-pattern embedding_neardup_fps was
+    # convicted of), ngram_jaccard_pairs shares the mh0-blocked shape
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
 ]
 
 REPS = 2

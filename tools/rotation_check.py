@@ -23,7 +23,33 @@ import os
 import re
 
 HEAD_SLOTS = 50
-MAX_VERDICT_AGE = 2  # rounds; the entry-point docstring's promise
+# Verdict-age promise v2 (adopted r7; VERDICT r6 item 2 — the head-
+# saturation math). The driver gates HEAD_SLOTS queries per round, and
+# a promise of age <= A obligates each query a head slot every A+1
+# rounds, so steady-state obligation = ceil(Q / (A+1)) slots/round:
+#
+#   Q=148 registered, A=2  ->  ~49.3/round  (the r6 state: 49 of 50
+#                                            slots permanently
+#                                            obligated; debuts
+#                                            impossible without
+#                                            deferrals)
+#   Q=148 registered, A=3  ->  37/round     (~13 free slots/round;
+#                                            registration capacity
+#                                            bound 50*(A+1) = 200)
+#
+# A=3 is sound because the driver verdict is the SECOND independent
+# check on every query: tests/test_oracle_parity.py differentially
+# verifies all registered queries against their DuckDB oracles at
+# sf0.001 in every pytest run, so a regression surfaces in CI within
+# the same round it lands, and the driver record the judge audits
+# stays at most 3 rounds old. The r7 head still honors the stricter
+# v1 obligation it inherited (the 47 r4-verdict tail queries gate in
+# r7 even though A=3 would tolerate them one more round) — the
+# promise change governs r8 onward. SMOOTHING RULE for future heads:
+# after seating debuts/re-gates/obligations, fill spare slots with
+# the earliest-due tail cohort (lowest last-green round first) so due
+# dates never re-bunch toward a 50-slot round.
+MAX_VERDICT_AGE = 3
 
 # One-round debut deferrals: a query registered when the upcoming
 # head's 50 slots are ALL taken by never-verified debuts + rotation
@@ -34,19 +60,14 @@ MAX_VERDICT_AGE = 2  # rounds; the entry-point docstring's promise
 # source_quality_matrix / knn_ivf_pq / knn_ivf_pq_recall; all debuted
 # in the r6 head and the entries were deleted per the contract.)
 ALLOWED_PENDING_DEBUTS: dict[str, int] = {
-    # r6: the head's 50 slots are all obligated (41 r3-tail
-    # re-verifications + 3 expiring-deferral debuts + 3
-    # changed-semantics re-gates + 3 new sink-face debuts), so the
-    # LAST r6 addition defers its driver debut to the r7 head. Its
-    # state equals batch cdc.scd2_history (r5-green driver verdict for
-    # the same oracle); CI parity covers it differentially meanwhile.
-    "scd2_stream_state": 6,
-    # r6: yielded its head slot to embedding_neardup_fps's
-    # changed-semantics re-gate (adaptive fps blocking after the sf3
-    # quadratic finding) — a re-gate cannot defer, a fresh debut can.
-    # Unit tests pin the decoder against an independent closed form
-    # and CI parity verifies the query differentially meanwhile.
-    "jpeg_color_decode": 6,
+    # (r6 granted two: scd2_stream_state / jpeg_color_decode; both
+    # debut in the r7 head and the entries were deleted per the
+    # contract. r7 registers lsh_stream_state when the head is already
+    # full — 2 expiring debuts + the ivf face re-gate + 47 v1-promise
+    # obligations — so it defers to the r8 head, where the v2 age
+    # promise leaves ample free slots; CI parity covers it
+    # differentially meanwhile.)
+    "lsh_stream_state": 7,
 }
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -99,8 +120,40 @@ def stale_tail_queries(repo: str = _REPO) -> tuple[int, list[tuple[str, int]]]:
     return upcoming, stale
 
 
+def forecast_next_round(repo: str = _REPO) -> tuple[int, int, list[tuple[str, int]]]:
+    """(next_round, free_slots, obligated) for the round AFTER the
+    upcoming one, assuming the upcoming head (the first HEAD_SLOTS
+    entries of queries()) all go green this round. This is the
+    capacity check VERDICT r6 item 2 asked for: the policy is only
+    sustainable if the forecast leaves real debut room."""
+    import sys
+
+    sys.path.insert(0, repo)
+    import __spark_entry__ as entry
+
+    latest = latest_green_rounds(repo)
+    upcoming = max(latest.values(), default=0) + 1
+    names = list(entry.queries())
+    assumed = dict(latest)
+    for name in names[:HEAD_SLOTS]:
+        assumed[name] = upcoming  # the driver gates these this round
+    nxt = upcoming + 1
+    obligated = sorted(
+        (name, assumed.get(name, -1))
+        for name in names
+        if nxt - assumed.get(name, -1) > MAX_VERDICT_AGE
+        and ALLOWED_PENDING_DEBUTS.get(name) != nxt
+    )
+    return nxt, HEAD_SLOTS - len(obligated), obligated
+
+
 def main() -> int:
     upcoming, stale = stale_tail_queries()
+    nxt, free, obligated = forecast_next_round()
+    print(
+        f"forecast r{nxt}: {len(obligated)} obligated head slots, {free} free "
+        f"(assuming the r{upcoming} head goes green)"
+    )
     if not stale:
         print(f"rotation ok for round {upcoming}: no tail query older than "
               f"{MAX_VERDICT_AGE} rounds")
