@@ -640,6 +640,12 @@ def queries() -> dict[str, QueryFn]:
         # batch minhash_lsh_pairs (r6-green oracle) and CI parity
         # verifies it differentially meanwhile ===
         "lsh_stream_state": streaming_pipeline.lsh_stream_state,
+        # === new in r7: retrieval + LM-quality operators (both defer
+        # their debut to the r8 head alongside lsh_stream_state — the
+        # r7 head is fully obligated; the v2 age promise leaves r8
+        # ~45 free slots, so deferrals stay the exception) ===
+        "bm25_top_docs": lambda s, d: text.bm25_top_docs(_docs(s, d)),
+        "unigram_surprisal": lambda s, d: text.unigram_surprisal(_docs(s, d)),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -802,4 +808,6 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_color_decode": oracles.jpeg_color_decode_oracle(),
         "scd2_stream_state": oracles.cdc_scd2_history_oracle(),
         "lsh_stream_state": oracles.minhash_lsh_pairs_oracle(),
+        "bm25_top_docs": oracles.bm25_top_docs_oracle(),
+        "unigram_surprisal": oracles.unigram_surprisal_oracle(),
     }

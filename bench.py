@@ -155,6 +155,8 @@ HEADLINE = [
     "jpeg_color_decode",
     # round 7 additions
     "lsh_stream_state",
+    "bm25_top_docs",
+    "unigram_surprisal",
 ]
 
 

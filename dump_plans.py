@@ -63,6 +63,9 @@ SHOWCASE = [
     ("knn_ivf_pq", "two-level ANN: codebooks/probes/LUTs broadcast; the single corpus-sized join (candidates x codes) deliberately shuffles"),
     ("jpeg_color_decode", "real 4:2:0 color JPEG decode: two map-only Arrow stages, zero exchanges"),
     ("embedding_neardup_fps", "farthest-seeded near-dup: capped FPS traversal + adaptive fill, same broadcast-codebook pair-join shape as _refined"),
+    ("simhash_pairs", "simhash near-dup: chunk-bucket candidates CAPPED (r7 — sum(bucket^2) bounded at N*cap), hamming verify on 60-bit ints"),
+    ("bm25_top_docs", "BM25 retrieval: bounded query-term relation broadcast; tf/df/doclen share the term shuffle; decimal-exact score sums"),
+    ("unigram_surprisal", "unigram-LM filter: vocabulary never broadcast (term-keyed join), only the 1-row total pinned; integer-exact bit surprisal"),
     # the r6 streaming sink faces (hll/cms/ivf/scd2_stream_state) are
     # deliberately absent: their query fns DRAIN a real stream before
     # returning the state reader, so a plan dump would show only the

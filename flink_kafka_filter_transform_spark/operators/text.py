@@ -1043,3 +1043,141 @@ def trigram_gini_diversity(docs: DataFrame) -> DataFrame:
             n >= 3, tri_distinct.cast("double") / tri_total.cast("double")
         ).alias("trigram_distinct_ratio"),
     )
+
+
+def bm25_top_docs(
+    docs: DataFrame,
+    k: int = 5,
+    query_mod: int = 200,
+    query_terms: int = 6,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval (r7): for each query document (doc_id %
+    ``query_mod`` == 0, standing in for a bounded query workload), rank
+    the rest of the corpus by BM25 over the query's first
+    ``query_terms`` distinct tokens and keep the top ``k``.
+
+    The idf is the RATIONAL Robertson form (N - df + 0.5)/(df + 0.5)
+    WITHOUT the logarithm — the same transcendental-free divergence
+    tfidf_top_terms documents: ln is not bit-reproducible across
+    engines, and per-term the transform is monotone (summed scores
+    weight rare terms more steeply than classic BM25; the contract is
+    this exact formula, mirrored in the oracle). Per-term scores are
+    deterministic doubles built from integer counts; the per-(query,
+    doc) sum goes through exact DECIMAL(28,18) so shuffle order cannot
+    perturb ranking — the same discipline as the PQ ADC sums.
+
+    Scale shape: the query-term relation is bounded by contract
+    (queries x query_terms rows — BROADCAST), and it is pushed BELOW
+    every aggregation: the exploded token stream is semi-joined to the
+    broadcast query-term set BEFORE tf/df are counted, so the only
+    (doc, term) shuffle carries query-term postings — never the full
+    corpus vocabulary (tf over all terms would be the dominant
+    100 TB shuffle, computed then immediately discarded). Document
+    length/count stats are the one corpus-wide pass, a thin doc-keyed
+    count with map-side combine. Candidate volume is
+    docs-containing-a-query-term; top-k is a per-query window."""
+    from pyspark.sql.window import Window
+
+    ex = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(28,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    qterms = (
+        docs.filter(F.col("doc_id") % query_mod == 0)
+        .select(
+            F.col("doc_id").alias("q_doc"),
+            F.explode(
+                F.array_distinct(F.slice(tokens(), 1, query_terms))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    exq = ex.join(F.broadcast(qterms.select("term").distinct()), "term")
+    tf = exq.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    idf = (
+        F.col("n_docs").cast("double")
+        - F.col("df_count").cast("double")
+        + F.lit(0.5)
+    ) / (F.col("df_count").cast("double") + F.lit(0.5))
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    term_score = idf * (
+        tfd * F.lit(k1 + 1.0)
+        / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dld / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("q_doc"))
+        .join(dl, "doc_id")
+        .join(dfc, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_doc", "doc_id")
+        .agg(
+            F.sum(term_score.cast("decimal(28,18)")).cast("double").alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_doc", "rank", "doc_id", "n_matched_terms", "bm25")
+    )
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-document unigram-LM quality proxy (r7), integer-exact: the
+    CCNet-style language-model filter scores each document by its mean
+    token surprisal under a unigram model trained on the corpus
+    itself. The house rule bans transcendentals (ln is not
+    bit-reproducible cross-engine), so surprisal is quantized to WHOLE
+    BITS exactly: for token t with count c out of T total,
+
+        bits(t) = floor(log2(T // c)) = length(bin(T // c)) - 1
+
+    — pure integer ops (integer division, binary-string length) that
+    both engines compute identically, the same fixed-point discipline
+    as graph.pagerank. Per doc: mean bits over all token OCCURRENCES
+    (rare tokens -> high surprisal; template spam -> low). One global
+    count pass + one doc-keyed agg; the (term -> bits) relation joins
+    the exploded tokens on the term-hash shuffle tfidf shares, nothing
+    is broadcast except the 1-row total. The scoring join is pinned
+    SHUFFLE_HASH with the vocabulary as build side: neither side is
+    broadcastable at scale (the token stream is corpus-sized; the
+    vocabulary is unbounded -- the tfidf rule), and at test SF the
+    static planner would otherwise pick the token stream ITSELF as a
+    broadcast build (a guaranteed 100 TB OOM); per-partition
+    vocabulary slices always fit."""
+    ex = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    counts = ex.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    bits = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            (F.length(F.bin(F.expr("total DIV cnt"))) - 1)
+            .cast("bigint")
+            .alias("bits"),
+        )
+    )
+    return (
+        ex.join(bits.hint("shuffle_hash"), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("sum_bits"),
+            (
+                F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_surprisal_bits"),
+        )
+    )

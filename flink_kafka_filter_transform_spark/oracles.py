@@ -3755,3 +3755,72 @@ SELECT doc_id,
   CAST(MIN(LEAST(r, g, b)) AS INTEGER) AS rgb_min
 FROM rgb GROUP BY doc_id
 """
+
+
+def bm25_top_docs_oracle(
+    k: int = 5, query_mod: int = 200, query_terms: int = 6,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Twin of text.bm25_top_docs — rational Robertson idf (no log,
+    the tfidf transcendental-free rule), DECIMAL(28,18) per-pair score
+    sums (order-proof), identical tie-break (bm25 DESC, doc_id ASC)."""
+    return f"""
+WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY doc_id),
+stats AS (
+  SELECT count(*) AS n_docs,
+    CAST(SUM(CAST(dl AS DECIMAL(28,18))) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfc AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+qterms AS (
+  SELECT DISTINCT doc_id AS q_doc, unnest(t[1:{query_terms}]) AS term
+  FROM toks WHERE doc_id % {query_mod} = 0
+),
+scored AS (
+  SELECT q.q_doc, tf.doc_id,
+    CAST(SUM(CAST(
+      ((CAST(s.n_docs AS DOUBLE) - CAST(d.df_count AS DOUBLE) + 0.5)
+        / (CAST(d.df_count AS DOUBLE) + 0.5))
+      * (CAST(tf.tf AS DOUBLE) * {k1 + 1.0}
+         / (CAST(tf.tf AS DOUBLE)
+            + {k1} * ({1.0 - b} + {b} * CAST(dl.dl AS DOUBLE) / s.avgdl)))
+    AS DECIMAL(28,18))) AS DOUBLE) AS bm25,
+    count(*) AS n_matched_terms
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfc d ON tf.term = d.term
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> q.q_doc
+  GROUP BY q.q_doc, tf.doc_id
+)
+SELECT q_doc, rank, doc_id, n_matched_terms, bm25 FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY q_doc ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) r WHERE rank <= {k}
+"""
+
+
+def unigram_surprisal_oracle() -> str:
+    """Twin of text.unigram_surprisal — integer-exact bit surprisal
+    (length(bin(T // c)) - 1; no transcendentals), identical mean."""
+    return f"""
+WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+counts AS (SELECT term, count(*) AS cnt FROM ex GROUP BY term),
+tot AS (SELECT SUM(cnt) AS total FROM counts),
+bits AS (
+  SELECT term, CAST(length(bin(t.total // c.cnt)) - 1 AS BIGINT) AS bits
+  FROM counts c CROSS JOIN tot t
+)
+SELECT ex.doc_id,
+  count(*) AS n_tokens,
+  CAST(SUM(b.bits) AS BIGINT) AS sum_bits,
+  CAST(SUM(b.bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_surprisal_bits
+FROM ex JOIN bits b USING (term)
+GROUP BY ex.doc_id
+"""

@@ -68,6 +68,10 @@ ALLOWED_PENDING_DEBUTS: dict[str, int] = {
     # promise leaves ample free slots; CI parity covers it
     # differentially meanwhile.)
     "lsh_stream_state": 7,
+    # r7: new retrieval/LM-quality operators registered into the same
+    # fully-obligated r7 head; both debut in the r8 head.
+    "bm25_top_docs": 7,
+    "unigram_surprisal": 7,
 }
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
