@@ -777,3 +777,78 @@ def test_no_unreduced_big_table_broadcast_hints(spark, sf_dir):
         if offenders:
             bad[name] = offenders
     assert not bad, f"pinned full-table broadcasts: {bad}"
+
+
+def test_bm25_broadcasts_query_terms_below_tf_agg(spark, sf_dir):
+    """bm25_top_docs pins exactly two broadcasts — the bounded
+    query-term relation and the 1-row corpus stats — and the query-term
+    semi-join sits BELOW the tf aggregation (the only (doc, term)
+    shuffle carries query-term postings, never the full vocabulary:
+    that full-vocab tf would be the dominant 100 TB shuffle)."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.bm25_top_docs(load_table(spark, "documents", sf_dir))
+    # qterms is hinted at both consumption sites (term set for the
+    # semi-join, (q_doc, term) for scoring) + the 1-row stats; every
+    # pinned relation is bounded by the query-workload contract
+    assert px.broadcast_hint_count(df) >= 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the tf HashAggregate's subtree must contain the qterms broadcast
+    # join: find the first aggregate keyed (doc_id, term) and assert a
+    # BroadcastHashJoin appears below it (toString order = top-down)
+    tf_aggs = [i for i, line in enumerate(plan.splitlines())
+               if "HashAggregate" in line and "doc_id" in line and "term" in line]
+    bj = [i for i, line in enumerate(plan.splitlines())
+          if "BroadcastHashJoin" in line]
+    assert tf_aggs and bj and min(bj) > min(tf_aggs)
+
+
+def test_unigram_surprisal_scoring_join_is_shuffle_hash(spark, sf_dir):
+    """The scoring join (token stream x vocabulary bits) must be a
+    SHUFFLE_HASH join: neither side is broadcastable at 100 TB, and the
+    static planner would otherwise pick the corpus-sized token stream
+    itself as a broadcast build at test SF (the exact OOM the pinned
+    hint forestalls). Only the 1-row total rides a broadcast hint."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.unigram_surprisal(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 1  # the 1-row total only
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+
+
+def test_bm25_output_invariants(spark, sf_dir):
+    """Structural invariants of the retrieval output: contiguous ranks
+    from 1, scores non-increasing down each ranking, a query never
+    retrieves itself, and only contract query docs appear."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    rows = text.bm25_top_docs(load_table(spark, "documents", sf_dir)).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.q_doc % 200 == 0 and r.q_doc != r.doc_id
+        assert r.n_matched_terms >= 1 and r.bm25 > 0.0
+        by_q.setdefault(r.q_doc, []).append((r.rank, r.bm25, r.doc_id))
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        for (_, s1, d1), (_, s2, d2) in zip(lst, lst[1:]):
+            assert s1 > s2 or (s1 == s2 and d1 < d2)  # the window tie-break
+
+
+def test_unigram_surprisal_output_invariants(spark, sf_dir):
+    """Bit-surprisal bounds and consistency: n_tokens matches the
+    shared tokenizer's count per doc, 0 <= mean <= 60 (T // c >= 1 and
+    fits the 60-bit hash-free integer range), and the mean is exactly
+    sum_bits / n_tokens."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    docs = load_table(spark, "documents", sf_dir)
+    sur = {r.doc_id: r for r in text.unigram_surprisal(docs).collect()}
+    ws = {r.doc_id: r.n_ws_tokens for r in text.token_counts(docs).collect()}
+    assert sur
+    for doc_id, r in sur.items():
+        assert r.n_tokens == ws[doc_id] > 0
+        assert 0 <= r.mean_surprisal_bits <= 60
+        assert abs(r.mean_surprisal_bits - r.sum_bits / r.n_tokens) < 1e-12
