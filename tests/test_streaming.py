@@ -1241,3 +1241,45 @@ def test_metered_service_end_to_end_monotone(spark, sf_dir, tmp_path):
         assert spark.read.parquet(out).count() == routed.count()
     finally:
         server.shutdown()
+
+
+def test_latest_pointer_concurrent_publish_and_read(spark, sf_dir, tmp_path_factory):
+    """The r6 ADVICE race, exercised for real: a publisher thread
+    republishing _LATEST (temp write + delete + rename) while a reader
+    thread polls. The reader must NEVER raise and must always resolve
+    a COMPLETE published version — the absent-pointer window falls
+    back to the version listing."""
+    import threading
+
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    state = str(tmp_path_factory.mktemp("pointer_race_state"))
+    sp._cms_merge_batch(docs.filter(SF.col("doc_id") % 2 == 0), 0, state)
+    sp._cms_merge_batch(docs.filter(SF.col("doc_id") % 2 == 1), 1, state)
+
+    stop = threading.Event()
+    publisher_err: list[Exception] = []
+
+    def publisher() -> None:
+        i = 0
+        try:
+            while not stop.is_set():
+                sp._write_latest_pointer(spark, state, i % 2)
+                i += 1
+        except Exception as e:  # surfaced after join
+            publisher_err.append(e)
+
+    t = threading.Thread(target=publisher, daemon=True)
+    t.start()
+    seen = set()
+    try:
+        for _ in range(300):
+            v = sp._read_latest_pointer(spark, state, prefix="grid")
+            assert v in (0, 1)  # always a complete published version
+            seen.add(v)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not publisher_err
+    assert seen  # the reader actually resolved versions throughout
