@@ -27,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
-from pyspark.sql.window import Window
 from pyspark.sql.types import StructType
 
 from flink_kafka_filter_transform_spark.operators import cdc
@@ -887,7 +886,13 @@ def lsh_index_sink(
     pass as batch; the index probe is an equi-join on (band_idx,
     band_key) — at 100 TB the index store is partitioned by band key
     hash so the probe prunes to matching partitions; the verification
-    joins carry 60-bit shingle hashes, never text."""
+    joins carry 60-bit shingle hashes, never text. Accumulated bucket
+    sizes are sum-merged versioned state (``bcounts_v{batch_id}``,
+    r7): the cap decision costs O(distinct band keys) with map-side
+    combine instead of re-windowing the whole index every batch — the
+    one per-batch cost that previously grew with total stream history.
+    ``prune_state_versions(spark, state_dir, "bcounts")`` prunes the
+    count versions exactly like the other sinks' state."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         _lsh_index_batch(batch_df, batch_id, state_dir, out_dir)
@@ -910,9 +915,44 @@ def _lsh_index_batch(
     )
 
     spark = batch_df.sparkSession
-    sig = minhash_signatures(batch_df)
+    # The batch's signature relation feeds FIVE consumers (bucket
+    # counts, probe side, within-batch self-join, verification sigs,
+    # the two state writes); unpersisted, each consumer would re-run
+    # the shingling+minhash lineage over the batch. Materialize it
+    # once per batch — batch-sized, released before the batch returns.
+    sig = minhash_signatures(batch_df).persist()
     bands = band_relation(sig)
     within = lsh_candidates(sig)
+    # Accumulated bucket sizes are MAINTAINED as sum-merged versioned
+    # state (bcounts_v{batch_id}, the cells_v protocol: strictly-
+    # pre-batch prev, recompute-on-replay), not recomputed: the r6
+    # implementation re-windowed the ENTIRE accumulated index every
+    # batch — a shuffle+sort of all index rows whose cost grows with
+    # the stream, O(index) per batch where the merge is O(distinct
+    # band keys) with map-side combine and no sort. Cap decisions are
+    # identical: n_total(key) = sum of every prior batch's
+    # contributions + this batch's, exactly what the window counted.
+    bn = bands.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_n"))
+    v = _latest_state_version(spark, state_dir, "bcounts", before=batch_id)
+    prev = (
+        spark.read.parquet(f"{state_dir}/bcounts_v{v}") if v is not None else None
+    )
+    totals = (
+        bn
+        if prev is None
+        else prev.unionByName(bn)
+        .groupBy("band_idx", "band_key")
+        .agg(F.sum("_n").alias("_n"))
+    )
+    totals.write.mode("overwrite").parquet(f"{state_dir}/bcounts_v{batch_id}")
+    # Over-cap keys are bounded by total_rows / LSH_BUCKET_CAP — a
+    # CAP-th of the key space at worst, tiny in practice — so the
+    # anti-joins broadcast it instead of shuffling the index/batch.
+    over_cap = F.broadcast(
+        spark.read.parquet(f"{state_dir}/bcounts_v{batch_id}")
+        .filter(F.col("_n") > params.LSH_BUCKET_CAP)
+        .select("band_idx", "band_key")
+    )
     # no bare except: before the first published batch the state dirs
     # simply don't exist (an actual read failure should surface, not
     # silently reset the index to empty — r5 ADVICE). The existence
@@ -936,18 +976,14 @@ def _lsh_index_batch(
     else:
         idx_bands, idx_sigs = None, None
     if idx_bands is not None:
-        bucket_n = F.count(F.lit(1)).over(
-            Window.partitionBy("band_idx", "band_key")
-        )
-        # cap on the ACCUMULATED bucket (index + batch contributions)
-        combined = idx_bands.unionByName(bands).withColumn("_n", bucket_n)
-        capped = combined.filter(F.col("_n") <= params.LSH_BUCKET_CAP)
-        old = capped.join(
-            idx_bands.select("doc_id").distinct(), "doc_id", "left_semi"
-        )
-        new = capped.join(
-            bands.select("doc_id").distinct(), "doc_id", "left_semi"
-        )
+        # cap on the ACCUMULATED bucket (index + batch contributions):
+        # drop rows in over-cap buckets on BOTH sides before probing.
+        # Index docs and batch docs are disjoint sets (a doc arrives in
+        # exactly one batch; a replay's own partial write is excluded
+        # by the _batch_id < batch_id filter), so side provenance is
+        # the relation itself — no doc-id semi-joins needed.
+        old = idx_bands.join(over_cap, ["band_idx", "band_key"], "left_anti")
+        new = bands.join(over_cap, ["band_idx", "band_key"], "left_anti")
         cross = (
             old.alias("a")
             .join(
@@ -991,6 +1027,16 @@ def _lsh_index_batch(
             .partitionBy("_batch_id")
             .parquet(f"{state_dir}/{sub}")
         )
+    # Everything downstream of sig has been written to parquet; the
+    # block-manager copy must not outlive the batch (bench r5 lesson:
+    # leaked blocks tax every later query in a shared JVM).
+    sig.unpersist()
+    # Same reader-facing publication protocol as the other sinks: the
+    # pointer lands only after every state relation of the batch
+    # (bcounts + bands + sigs partitions) is fully written. Readers
+    # that race the publish fall back to the published-version listing
+    # (_read_latest_pointer prefix fallback), never a partial batch.
+    _write_latest_pointer(spark, state_dir, batch_id)
 
 
 # ---------------------------------------------------------------------------

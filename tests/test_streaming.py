@@ -995,6 +995,51 @@ def test_lsh_index_sink_replay_same_batch_id_idempotent(
     assert pairs_after == pairs_before and len(pairs_before) > 0
 
 
+def test_lsh_index_sink_accumulated_cap_across_batches(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The bucket cap must gate on the ACCUMULATED bucket size, not the
+    per-batch one (the r7 bcounts state's contract, identical to the
+    r6 window it replaced): a bucket under the cap within every single
+    batch but whose lifetime size crosses LSH_BUCKET_CAP mid-stream
+    stops producing batch-vs-index pairs from that point on — the
+    sink docstring's one documented divergence vs the one-shot batch
+    operator — while within-batch pairs and healthy buckets keep
+    flowing, and bcounts_v{batch_id} carries the lifetime totals."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    monkeypatch.setattr(params, "LSH_BUCKET_CAP", 10)
+    t_hot = "alpha beta gamma delta epsilon"  # degenerate cluster text
+    t_cool = "zeta eta theta iota kappa lambda"  # healthy cross-batch pair
+    b0 = spark.createDataFrame(
+        [(i, t_hot) for i in range(6)] + [(100, t_cool)],
+        "doc_id BIGINT, text STRING",
+    )
+    b1 = spark.createDataFrame(
+        [(i, t_hot) for i in range(6, 12)] + [(101, t_cool)],
+        "doc_id BIGINT, text STRING",
+    )
+    state = str(tmp_path_factory.mktemp("lsh_cap_state"))
+    out = str(tmp_path_factory.mktemp("lsh_cap_out"))
+    sp._lsh_index_batch(b0, 0, state, out)
+    sp._lsh_index_batch(b1, 1, state, out)
+
+    pairs = {(r.doc_a, r.doc_b) for r in spark.read.parquet(out).collect()}
+    hot0, hot1 = set(range(6)), set(range(6, 12))
+    # hot bucket: 6 docs per batch (under the cap per batch), 12
+    # accumulated (over) — within-batch pairs survive on both sides...
+    assert {(a, b) for a in hot0 for b in hot0 if a < b} <= pairs
+    assert {(a, b) for a in hot1 for b in hot1 if a < b} <= pairs
+    # ...but NOT ONE batch-0 x batch-1 pair crosses the capped bucket
+    assert not {p for p in pairs if p[0] in hot0 and p[1] in hot1}
+    # healthy bucket (2 accumulated) keeps its cross-batch pair
+    assert (100, 101) in pairs
+    # the state carries lifetime totals: every band bucket of the hot
+    # signature counts all 12 contributions
+    bc = spark.read.parquet(f"{state}/bcounts_v1")
+    assert bc.agg(SF.max("_n")).collect()[0][0] == 12
+
+
 def test_scd2_merge_replay_same_batch_id_idempotent(spark, sf_dir, tmp_path_factory):
     """Re-driving the SAME scd2 batch id must leave the published table
     identical: the re-appended changelog rows collapse on the
