@@ -21,6 +21,66 @@ def test_disconnected_components_and_singletons(spark):
     assert got == {(0, 0), (1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)}
 
 
+def test_connected_components_edges_computed_once_not_per_iteration(spark):
+    """The CC loop must materialize the symmetrized edge list before
+    iterating — without that, every label hop re-derives the edges'
+    FULL upstream lineage (for neardup_clusters: the whole MinHash
+    shingle->band->verify pipeline per round; measured 3x on
+    dedup_survivors_quality at sf1). An accumulator on the edge RDD
+    counts lineage executions: a 10-vertex chain needs ~9 propagation
+    rounds, so an unmaterialized loop would bump it per round, while
+    the persisted loop pays only the one materialization job (<= 2
+    union branches x 2 partitions). The cache must also be RELEASED on
+    both exit paths (checkpointed labels decouple consumers from it)."""
+    # patch the CONCRETE class (pyspark 4: instances are
+    # classic.dataframe.DataFrame; the pyspark.sql.DataFrame base's
+    # methods are overridden and never hit)
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from flink_kafka_filter_transform_spark.operators import graph
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(it):
+        acc.add(1)
+        return it
+
+    edge_rdd = spark.sparkContext.parallelize(
+        [(i, i + 1) for i in range(9)], 2
+    ).mapPartitions(counted)
+    edges = spark.createDataFrame(edge_rdd, "src BIGINT, dst BIGINT")
+    verts = spark.createDataFrame([(i,) for i in range(10)], "id BIGINT")
+
+    persists, unpersists = [], []
+    orig_p, orig_u = _DF.persist, _DF.unpersist
+    try:
+        _DF.persist = lambda self, *a: persists.append(1) or orig_p(self, *a)
+        _DF.unpersist = lambda self, *a: unpersists.append(1) or orig_u(self, *a)
+        result = graph.connected_components(verts, edges)
+    finally:
+        _DF.persist, _DF.unpersist = orig_p, orig_u
+    got = {(r.id, r.component) for r in result.collect()}
+    assert got == {(i, 0) for i in range(10)}
+    # lineage ran only in the materialization job, never per iteration
+    assert 0 < acc.value <= 4
+    # release discipline: every loop persist released before returning
+    assert len(persists) >= 1 and len(unpersists) == len(persists)
+    # the returned labels survive the release (checkpoint decoupling)
+    assert result.count() == 10
+
+    # the non-convergence raise path releases too
+    import pytest as _pytest
+
+    try:
+        _DF.persist = lambda self, *a: persists.append(1) or orig_p(self, *a)
+        _DF.unpersist = lambda self, *a: unpersists.append(1) or orig_u(self, *a)
+        with _pytest.raises(RuntimeError):
+            graph.connected_components(verts, edges, max_iter=1)
+    finally:
+        _DF.persist, _DF.unpersist = orig_p, orig_u
+    assert len(unpersists) == len(persists)
+
+
 def test_pagerank_star_graph_center_dominates(spark):
     """On a 5-leaf undirected star, the hub must out-rank every leaf,
     leaves must tie exactly (integer arithmetic — EXACT equality), and
