@@ -136,6 +136,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # by embedding_neardup_fps (the only seeding="farthest" caller) and
 # kmeans_clusters/knn_ivf_kmeans carried r6-green verdicts over the
 # same refactored chain.
+#
+# r7-closing addendum (clause (b) seats for the r8 head, named now so
+# the drift is checked, not assumed): two late-r7 plan-level changes
+# landed after this head was frozen — (1) lsh_index_sink maintains
+# its bucket caps as sum-merged bcounts_v* state (was a window over
+# the accumulated index), covered this round by the
+# test_lsh_index_sink_* battery + the new accumulated-cap test, and
+# (2) connected_components persists its edge relation and converges
+# on a label-sum fixpoint (was a changed-count join). Both are
+# VALUES-IDENTICAL (CI parity re-hashes every consumer per pytest
+# run), but per clause (b) their query faces take r8 head seats:
+# lsh_stream_state (already an r8 debut obligation), plus
+# neardup_clusters, dedup_survivors, dedup_survivors_quality (the CC
+# consumers; their r6-green verdicts predate the loop change).
 HEAD_ORDER: list[str] = [
     # --- r7 debut of the two r6 ALLOWED_PENDING_DEBUTS deferrals
     # (their one-round allowance expires this round; the entries were
