@@ -49,6 +49,10 @@ FAMILY = [
     # convicted of), ngram_jaccard_pairs shares the mh0-blocked shape
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    # r7: the CC-loop consumer — added after connected_components
+    # gained its persisted edge relation (the unmaterialized loop
+    # re-derived the MinHash pipeline per label hop; ~3x at sf1)
+    "dedup_survivors_quality",
 ]
 
 REPS = 2
