@@ -1039,6 +1039,18 @@ def test_lsh_index_sink_accumulated_cap_across_batches(
     bc = spark.read.parquet(f"{state}/bcounts_v1")
     assert bc.agg(SF.max("_n")).collect()[0][0] == 12
 
+    # the generic pruner maintains bcounts like every other sink state:
+    # after a third batch, keep_last=2 drops only v0, the latest still
+    # resolves, and a REPLAY of the newest batch still finds its
+    # strictly-pre-batch prev (v1) — prune never breaks replayability
+    b2 = spark.createDataFrame([(200, t_cool)], "doc_id BIGINT, text STRING")
+    sp._lsh_index_batch(b2, 2, state, out)
+    assert sp.prune_state_versions(spark, state, "bcounts", keep_last=2) == [0]
+    assert sp._latest_state_version(spark, state, "bcounts") == 2
+    sp._lsh_index_batch(b2, 2, state, out)  # replay after prune
+    bc2 = spark.read.parquet(f"{state}/bcounts_v2")
+    assert bc2.agg(SF.max("_n")).collect()[0][0] == 12  # totals intact
+
 
 def test_scd2_merge_replay_same_batch_id_idempotent(spark, sf_dir, tmp_path_factory):
     """Re-driving the SAME scd2 batch id must leave the published table
