@@ -151,89 +151,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # neardup_clusters, dedup_survivors, dedup_survivors_quality (the CC
 # consumers; their r6-green verdicts predate the loop change).
 HEAD_ORDER: list[str] = [
-    # --- r7 debut of the two r6 ALLOWED_PENDING_DEBUTS deferrals
-    # (their one-round allowance expires this round; the entries were
-    # deleted from tools/rotation_check.py with this head):
-    # jpeg_color_decode = the 3-component 4:2:0 JPEG decoder's first
-    # driver verdict; scd2_stream_state = the SCD2 streaming replay
-    # protocol's first driver verdict ---
-    "jpeg_color_decode",
-    "scd2_stream_state",
-    # --- changed SEMANTICS this round (r7), so re-gated (re-gates
-    # cannot defer): simhash_pairs drops chunk buckets above
-    # SIMHASH_BUCKET_CAP before the candidate self-join, mirrored in
-    # the oracle — the sf3 study measured the uncapped fixed-
-    # cardinality blocking at 5.91x runtime for 3x data
-    # (BENCH_sf3_dedup, VERDICT r6 item 3); same skew-guard contract
-    # as lsh_candidates' LSH_BUCKET_CAP.
-    # This slot was contended: ivf_stream_cell_counts also changed
-    # this round (reads its frozen codebook from the
-    # _cached_kmeans_codebook parquet memo; faces route scratch via
-    # _face_scratch; hardened atomic _LATEST publication) but those
-    # are VALUES-IDENTICAL protocol/memoization changes — r6-green
-    # verdict stands, CI parity re-hashes it every pytest run, and
-    # tests/test_streaming.py pins memo == inline fit — the r5
-    # exact_dedup precedent (plan-level change, identical values,
-    # recent green verdict ages at tail-top). A semantics-changing
-    # re-gate outranks it for the one discretionary slot.
-    # scd2_stream_state above (debut) exercises the same changed
-    # face/publication machinery end-to-end this round; seats NAMED
-    # for the r8 head: ivf_stream_cell_counts, hll_stream_state,
-    # cms_stream_state (shared _drain_through_sink/_face_scratch/
-    # pointer-publication path), plus the lsh_stream_state debut ---
-    "simhash_pairs",
-    # --- the 47 r4-verdict tail queries rotation_check flagged for r7
-    # (the v1 promise they aged under; honored despite the v2
-    # loosening — see tools/rotation_check.py). Call graphs untouched
-    # since their r4 verdict. This block includes the ENTIRE
-    # reference-parity cdc_* family (SURVEY §2.1 O2-O10) ---
-    "exact_dedup",
-    "crossdoc_ngram_overlap",
-    "token_pack_report",
-    "source_vocab_divergence",
-    "daily_funnel",
-    "bpe_merges",
-    "daily_reconciliation",
-    "value_outliers_by_type",
-    "png_decode",
-    "q17_small_quantity",
-    "q20_potential_promotion",
-    "q22_idle_rich_customers",
-    "cdc_route_join",
-    "media_decode",
-    "cdc_parse",
-    "cdc_filter_deletes",
-    "cdc_route",
-    "cdc_counts_inbound",
-    "cdc_counts_outbound",
-    "cdc_outgoing",
-    "cdc_materialize",
-    "cdc_scd2_history",
-    "events_daily",
-    "events_daily_gapfilled",
-    "events_pivot",
-    "events_unpivot",
-    "events_last_purchase",
-    "users_purchase_except_error",
-    "users_purchase_intersect_error",
-    "quality_filter_funnel",
-    "tfidf_top_terms",
-    "contamination_check",
-    "hll_distinct_users",
-    "hll_distinct_orders",
-    "hll_rollup_users",
-    "cms_token_counts",
-    "histogram_quantiles",
-    "histogram_quantiles_by_type",
-    "documents_split_summary",
-    "events_stratified_sample",
-    "customers_without_orders",
-    "orders_above_customer_avg",
-    "user_value_moving_avg",
-    "q14_promo_revenue",
-    "events_sessionized",
-    "events_sessionized_native",
-    "purchases_with_recent_clicks",
+    # === r8 head ===
+    # --- the 3 r7 ALLOWED_PENDING_DEBUTS deferrals (allowance expires
+    # this round; entries deleted from tools/rotation_check.py with
+    # this head): first driver verdicts for the LSH maintenance
+    # sink's pair-log face and the two r7 retrieval/LM-quality
+    # operators ---
+    "lsh_stream_state",
+    "bm25_top_docs",
+    "unigram_surprisal",
+    # --- clause-(b) seats NAMED by the r7-closing addendum (kept
+    # above in HISTORY): the shared _drain_through_sink/_face_scratch/
+    # pointer-publication path changed in r7 (memoized codebook,
+    # atomic _LATEST publish) and connected_components changed its
+    # loop (persisted edges + label-sum fixpoint). Values identical,
+    # CI-parity green, but the faces re-gate per clause (b) ---
+    "ivf_stream_cell_counts",
+    "hll_stream_state",
+    "cms_stream_state",
+    "neardup_clusters",
+    "dedup_survivors",
+    "dedup_survivors_quality",
+    # --- changed PLAN this round (r8): ngram_jaccard_pairs gains a
+    # lossless length-bound candidate prune before the exact char-
+    # 4-gram intersection (VERDICT r7 item 3; values identical, the
+    # Jaccard bound J <= min(|A|,|B|)/max(|A|,|B|) drops pairs that
+    # cannot reach the threshold) ---
+    "ngram_jaccard_pairs",
+    # --- SMOOTHING RULE fill (first exercise; rotation_check.py:48):
+    # the r5-verdict cohort is 48 strong and due by r9 in one wave —
+    # gate 40 of it now so r9 owes <= ~8 and keeps real debut room.
+    # The 8 left for r9 (cheap, map-only or tiny-join):
+    # orders_top10, embedding_normalized_norms, embedding_quantize,
+    # jl_projection_distortion, knn_jl, knn_jl_recall,
+    # salted_event_counts (+ any displaced below if r8 debuts land) ---
+    "token_frequency_score",
+    "embedding_neardup_refined",
+    "minhash_band_sweep",
+    "bpe_encode_report",
+    "quality_classifier_score",
+    "adaptive_length_filter",
+    "event_path_report",
+    "neardup_triangles",
+    "q8_market_share",
+    "q12_shipping_delay",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q19_discounted_revenue",
+    "q21_waiting_orders",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "segment_dedup_stats",
+    "semdedup_prune",
+    "temperature_mixture_report",
+    "supply_chain_pagerank",
+    "dsir_proxy_weights",
+    "knn_filtered",
+    "trigram_gini_diversity",
+    "embedding_label_outliers",
+    "pq_train_report",
+    "knn_pq_adc",
+    "knn_pq_recall",
+    "jpeg_decode",
+    "revenue_cube",
+    "revenue_grouping_sets",
+    "array_function_showcase",
+    "lang_id",
+    "token_counts",
+    "normalize_text",
+    "doc_fingerprint",
+    "text_stats",
+    "pii_redact",
+    "repetition_ratios",
+    "event_value_percentiles",
+    "revenue_rollup",
 ]
 
 

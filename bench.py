@@ -179,6 +179,43 @@ SPECIAL = {"cdc_route_join_distinct": _route_distinct_keys_query}
 
 REPS = 2  # frozen r4 methodology; see module docstring
 
+# r8 variance guard (VERDICT r7 item 2): the driver-side iterative
+# trainers (localCheckpoint loops) are allocation-sensitive in the
+# shared bench JVM — supply_chain_pagerank's in-suite warm swung
+# 4.8 -> 11.8 s across rounds with NO code change while its isolated
+# fresh-JVM series stayed at a ~4-5 s plateau. For tagged queries the
+# bench runs 2 EXTRA warm reps and reports warm = median of the 3
+# warm runs, so one ambient-GC outlier can no longer own the round's
+# headline delta. cold and the min-based "queries"/total come from
+# the SAME first-2 reps as every other query (series continuity with
+# the frozen r4 methodology — the extra reps only stabilize warm).
+LOOP_QUERIES = {
+    "supply_chain_pagerank",
+    "semdedup_prune",
+    "pq_train_report",
+    "knn_ivf_pq",
+    "knn_ivf_pq_recall",
+    "bpe_merges",
+    "dedup_survivors_quality",
+    "embedding_neardup_fps",
+}
+LOOP_EXTRA_REPS = 2
+
+# r8 (VERDICT r7 item 8): the streaming sink faces stage a file
+# stream and drain a real foreachBatch maintenance sink — their
+# timing is an incremental-maintenance trend line, not a query cost.
+# They are reported in their own "faces" section and EXCLUDED from
+# the headline total so cross-round totals compare like with like
+# (the r7 headline absorbed 9.2 s of lsh_stream_state debut and read
+# as a suite regression). BENCH_full.json carries both sections.
+FACE_QUERIES = {
+    "hll_stream_state",
+    "cms_stream_state",
+    "ivf_stream_cell_counts",
+    "scd2_stream_state",
+    "lsh_stream_state",
+}
+
 
 def main() -> None:
     # The driver parses bench stdout's TAIL; the JVM's unified logging
@@ -273,14 +310,24 @@ def main() -> None:
     for name in HEADLINE:
         if name in missing:
             continue
+        reps = REPS + (LOOP_EXTRA_REPS if name in LOOP_QUERIES else 0)
         times = []
-        for _ in range(REPS):
+        for _ in range(reps):
             times.append(run(name))
             reclaim()
         cold[name] = round(times[0], 3)
-        warm[name] = round(min(times[1:]), 3)
-        timings[name] = round(min(times), 3)
+        if name in LOOP_QUERIES:
+            warm_runs = sorted(times[1:])
+            warm[name] = round(warm_runs[len(warm_runs) // 2], 3)  # median
+        else:
+            warm[name] = round(min(times[1:]), 3)
+        # headline min stays min over the FIRST 2 reps for every query
+        # (continuity with the frozen REPS=2 series; extra loop-query
+        # reps feed only the warm median)
+        timings[name] = round(min(times[:REPS]), 3)
 
+    faces = {n: t for n, t in timings.items() if n in FACE_QUERIES}
+    timings = {n: t for n, t in timings.items() if n not in FACE_QUERIES}
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 3)
@@ -296,6 +343,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "faces": faces,
+        "faces_sec": round(sum(faces.values()), 3),
         "cold": cold,
         "warm": warm,
         "sf": sf,
@@ -320,13 +369,18 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": kept,
+            # r8: maintenance-face drains live in their own section —
+            # "value" is the query total only (cross-round comparisons
+            # vs <= r7 totals must add faces_sec back)
+            "faces": faces,
+            "faces_sec": round(sum(faces.values()), 3),
             # per-methodology-section totals IN the final line, so the
             # driver artifact's parsed JSON carries non-null cold AND
             # warm even if the tail window clips the full per-query
             # cold/warm lines above (VERDICT r4 item 2); the complete
             # breakdown is the committed BENCH_full.json
-            "cold_sec": round(sum(cold.values()), 3),
-            "warm_sec": round(sum(warm.values()), 3),
+            "cold_sec": round(sum(t for n, t in cold.items() if n not in FACE_QUERIES), 3),
+            "warm_sec": round(sum(t for n, t in warm.items() if n not in FACE_QUERIES), 3),
             "sf": sf,
             "reps": REPS,
             "detail": "BENCH_full.json",

@@ -517,19 +517,48 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.5) -> 
     'one-permutation LSH', collision prob = j/(2-j) for word-shingle
     jaccard j) with the usual bucket cap; verify on character 4-gram
     sets, which catches reorder/typo-level similarity that word
-    shingles miss. Candidate volume is one bucket-join, never O(N^2)."""
-    sig = minhash_signatures(docs).select("doc_id", "mh0")
+    shingles miss. Candidate volume is one bucket-join, never O(N^2).
+
+    Verification cost (r8, VERDICT r7 item 3 — was the slowest dedup
+    op at 4x the next): two LOSSLESS prunes before/inside the exact
+    set intersection, values identical by construction:
+    - length bound: J(A,B) = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|),
+      so candidate pairs with a gram-count ratio below ``threshold``
+      cannot pass and are dropped BEFORE the gram arrays are joined —
+      the arrays (the wide payload) ship only for pairs that could
+      verify. The counts ride the node-cardinality signature relation.
+      The bound is compared as the SAME correctly-rounded double
+      division the final filter uses: division is monotone under
+      round-to-nearest, so fl(min/max) >= fl(J) whenever the exact
+      ratios are ordered — no float boundary can drop a passing pair.
+    - inclusion-exclusion: |A∪B| = |A|+|B|-|A∩B| — one array
+      intersection per surviving pair instead of intersect + union
+      (both arrays are already distinct, so the identity is exact)."""
+    grams = docs.select("doc_id", char_ngrams_col("text", n).alias("g")).filter(F.size("g") > 0)
+    sizes = grams.select("doc_id", F.size("g").alias("ng"))
+    sig = minhash_signatures(docs).select("doc_id", "mh0").join(sizes, "doc_id")
     capped = sig.withColumn(
         "bn", F.count(F.lit(1)).over(Window.partitionBy("mh0"))
     ).filter(F.col("bn") <= params.LSH_BUCKET_CAP)
     a, b = capped.alias("a"), capped.alias("b")
-    cand = a.join(
-        b, (F.col("a.mh0") == F.col("b.mh0")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    grams = docs.select("doc_id", char_ngrams_col("text", n).alias("g")).filter(F.size("g") > 0)
+    na, nb = F.col("a.ng").cast("double"), F.col("b.ng").cast("double")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.mh0") == F.col("b.mh0")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.least(na, nb) / F.greatest(na, nb) >= F.lit(float(threshold)))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ng").alias("nga"),
+            F.col("b.ng").alias("ngb"),
+        )
+    )
     g1 = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     g2 = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
-    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(F.array_union("ga", "gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jac = inter.cast("double") / (F.col("nga") + F.col("ngb") - inter).cast("double")
     return (
         cand.join(g1, "doc_a")
         .join(g2, "doc_b")

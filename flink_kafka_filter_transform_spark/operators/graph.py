@@ -65,7 +65,23 @@ def connected_components(
         eager=True
     )
     label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
-    prev_sum = lab.agg(label_sum).collect()[0][0]
+
+    def _checked_sum(df: DataFrame):
+        # r7 ADVICE: in non-ANSI mode a decimal(38,0) overflow yields
+        # NULL, and None == None would read as a (wrong) fixpoint —
+        # split components returned silently. Fail loud instead; the
+        # empty-vertex case (sum of zero rows is NULL) converges on
+        # the first comparison legitimately, so allow it only there.
+        s = df.agg(label_sum).collect()[0][0]
+        if s is None and df.limit(1).count() > 0:
+            raise RuntimeError(
+                "connected_components label-sum overflowed decimal(38,0) — "
+                "convergence check would silently treat NULL==NULL as a "
+                "fixpoint; label ids exceed the supported range"
+            )
+        return s
+
+    prev_sum = _checked_sum(lab)
     for _ in range(max_iter):
         nbr = (
             sym.join(lab, sym["src"] == lab["id"])
@@ -80,7 +96,7 @@ def connected_components(
             ),
         )
         new = new.localCheckpoint(eager=True)
-        cur_sum = new.agg(label_sum).collect()[0][0]
+        cur_sum = _checked_sum(new)
         lab = new
         if cur_sum == prev_sum:
             sym.unpersist()

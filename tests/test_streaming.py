@@ -1228,10 +1228,13 @@ def test_metered_service_end_to_end_monotone(spark, sf_dir, tmp_path):
     full = cdc_events_df(spark, sf_dir)
     src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
     reg = mx.CounterRegistry()
-    server = mx.serve(reg, port=19267, host="127.0.0.1")
+    # port 0 -> ephemeral: parallel test runs (xdist / concurrent CI
+    # jobs on one host) cannot collide on a hard-coded port (r7 ADVICE)
+    server = mx.serve(reg, port=0, host="127.0.0.1")
+    port = server.server_address[1]
 
     def scrape():
-        body = urllib.request.urlopen("http://127.0.0.1:19267/metrics").read().decode()
+        body = urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics").read().decode()
         totals = {
             fam: sum(
                 int(line.rsplit(" ", 1)[1])

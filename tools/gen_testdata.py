@@ -69,7 +69,13 @@ def _write(out: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows -> {path}")
 
 
-def gen(sf: float, out: str) -> None:
+def gen(sf: float, out: str, vocab_mode: str = "default") -> None:
+    """vocab_mode='zipf' (r8, VERDICT r7 item 5) swaps the documents
+    table's 31-word vocabulary for a long-tail Zipfian one (10^4 terms,
+    s=1.1) so selectivity-dependent operators (BM25's postings pruning,
+    tf/df joins) can be measured under a realistic term distribution —
+    the 31-word vocabulary gives every query term ~zero selectivity.
+    Only the documents table differs; write zipf output to its own dir."""
     rng = np.random.default_rng(SEED)
     os.makedirs(out, exist_ok=True)
 
@@ -174,11 +180,23 @@ def gen(sf: float, out: str) -> None:
     }))
 
     # documents: random token sequences + ~0.7% injected duplicates
-    vocab = np.array(VOCAB)
     lens = rng.integers(10, 101, n_documents)
     texts: list[str] = []
-    for L in lens:
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), L)]))
+    if vocab_mode == "zipf":
+        V = 10_000
+        vocab = np.array([f"w{i}" for i in range(V)])
+        ranks = np.arange(1, V + 1, dtype="float64")
+        p = ranks**-1.1
+        p /= p.sum()
+        all_toks = vocab[rng.choice(V, int(lens.sum()), p=p)]
+        off = 0
+        for L in lens:
+            texts.append(" ".join(all_toks[off : off + L]))
+            off += L
+    else:
+        vocab = np.array(VOCAB)
+        for L in lens:
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), L)]))
     n_dup = max(1, n_documents // 150)
     dup_src = rng.integers(0, n_documents, n_dup)
     dup_dst = rng.integers(0, n_documents, n_dup)
@@ -217,14 +235,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--vocab", choices=["default", "zipf"], default="default")
     args = ap.parse_args()
+    suffix = "" if args.vocab == "default" else f"_{args.vocab}"
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "testdata_local",
-        f"sf{args.sf:g}",
+        f"sf{args.sf:g}{suffix}",
     )
-    print(f"generating sf={args.sf} -> {out}")
-    gen(args.sf, out)
+    print(f"generating sf={args.sf} vocab={args.vocab} -> {out}")
+    gen(args.sf, out, vocab_mode=args.vocab)
 
 
 if __name__ == "__main__":

@@ -26,16 +26,15 @@ HEAD_SLOTS = 50
 # Verdict-age promise v2 (adopted r7; VERDICT r6 item 2 — the head-
 # saturation math). The driver gates HEAD_SLOTS queries per round, and
 # a promise of age <= A obligates each query a head slot every A+1
-# rounds, so steady-state obligation = ceil(Q / (A+1)) slots/round:
+# rounds, so steady-state obligation = ceil(Q / (A+1)) slots/round.
+# Q is computed LIVE from len(entry.queries()) in main() (r7 ADVICE:
+# this comment once hard-coded Q=148 while 150 were registered). For
+# orientation at Q=150:
 #
-#   Q=148 registered, A=2  ->  ~49.3/round  (the r6 state: 49 of 50
-#                                            slots permanently
-#                                            obligated; debuts
-#                                            impossible without
-#                                            deferrals)
-#   Q=148 registered, A=3  ->  37/round     (~13 free slots/round;
-#                                            registration capacity
-#                                            bound 50*(A+1) = 200)
+#   A=2  ->  50/round  (every slot permanently obligated; debuts
+#                       impossible without deferrals — the r6 state)
+#   A=3  ->  ~38/round (~12 free slots/round; registration capacity
+#                       bound 50*(A+1) = 200)
 #
 # A=3 is sound because the driver verdict is the SECOND independent
 # check on every query: tests/test_oracle_parity.py differentially
@@ -60,18 +59,10 @@ MAX_VERDICT_AGE = 3
 # source_quality_matrix / knn_ivf_pq / knn_ivf_pq_recall; all debuted
 # in the r6 head and the entries were deleted per the contract.)
 ALLOWED_PENDING_DEBUTS: dict[str, int] = {
-    # (r6 granted two: scd2_stream_state / jpeg_color_decode; both
-    # debut in the r7 head and the entries were deleted per the
-    # contract. r7 registers lsh_stream_state when the head is already
-    # full — 2 expiring debuts + the ivf face re-gate + 47 v1-promise
-    # obligations — so it defers to the r8 head, where the v2 age
-    # promise leaves ample free slots; CI parity covers it
-    # differentially meanwhile.)
-    "lsh_stream_state": 7,
-    # r7: new retrieval/LM-quality operators registered into the same
-    # fully-obligated r7 head; both debut in the r8 head.
-    "bm25_top_docs": 7,
-    "unigram_surprisal": 7,
+    # (r6 granted two: scd2_stream_state / jpeg_color_decode — debuted
+    # in the r7 head; r7 granted three: lsh_stream_state /
+    # bm25_top_docs / unigram_surprisal — debuted in the r8 head. All
+    # entries deleted per the contract.)
 }
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -152,11 +143,25 @@ def forecast_next_round(repo: str = _REPO) -> tuple[int, int, list[tuple[str, in
 
 
 def main() -> int:
+    import math
+    import sys
+
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as entry
+
     upcoming, stale = stale_tail_queries()
     nxt, free, obligated = forecast_next_round()
+    q = len(entry.queries())
+    print(
+        f"{q} registered; steady-state obligation at A={MAX_VERDICT_AGE}: "
+        f"ceil({q}/{MAX_VERDICT_AGE + 1}) = {math.ceil(q / (MAX_VERDICT_AGE + 1))}"
+        f"/round (capacity bound {HEAD_SLOTS * (MAX_VERDICT_AGE + 1)})"
+    )
     print(
         f"forecast r{nxt}: {len(obligated)} obligated head slots, {free} free "
-        f"(assuming the r{upcoming} head goes green)"
+        f"— ASSUMES the CURRENT HEAD_ORDER is the r{upcoming} head and goes "
+        f"green; re-run after authoring the r{upcoming} head for a "
+        f"meaningful number"
     )
     if not stale:
         print(f"rotation ok for round {upcoming}: no tail query older than "
