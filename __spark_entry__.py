@@ -184,7 +184,8 @@ HEAD_ORDER: list[str] = [
     # The 8 left for r9 (cheap, map-only or tiny-join):
     # orders_top10, embedding_normalized_norms, embedding_quantize,
     # jl_projection_distortion, knn_jl, knn_jl_recall,
-    # salted_event_counts (+ any displaced below if r8 debuts land) ---
+    # salted_event_counts, event_value_percentiles, revenue_rollup
+    # (the last two displaced by the r8 debuts below) ---
     "token_frequency_score",
     "embedding_neardup_refined",
     "minhash_band_sweep",
@@ -223,8 +224,14 @@ HEAD_ORDER: list[str] = [
     "text_stats",
     "pii_redact",
     "repetition_ratios",
-    "event_value_percentiles",
-    "revenue_rollup",
+    # --- NEW in r8 (debut in the head per the rotation policy):
+    # substring_dedup_stats = stride-1 char-window exact-substring
+    # dedup profile (the suffix-array-style complement to
+    # segment_dedup_stats); dedup_stream_state = the first-seen
+    # dedup ledger's driver face (the one stateful op without one,
+    # VERDICT r7 item 6) ---
+    "substring_dedup_stats",
+    "dedup_stream_state",
 ]
 
 
@@ -651,6 +658,14 @@ def queries() -> dict[str, QueryFn]:
         # ~45 free slots, so deferrals stay the exception) ===
         "bm25_top_docs": lambda s, d: text.bm25_top_docs(_docs(s, d)),
         "unigram_surprisal": lambda s, d: text.unigram_surprisal(_docs(s, d)),
+        # === new in r8: exact-substring span-dedup profile + the
+        # first-seen dedup ledger's streaming face (both debut in the
+        # r8 head — no deferral needed, the v2 age promise leaves
+        # free slots) ===
+        "substring_dedup_stats": lambda s, d: dedup.substring_dedup_stats(
+            _docs(s, d)
+        ),
+        "dedup_stream_state": streaming_pipeline.dedup_stream_state,
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -753,6 +768,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_normalized_norms": oracles.embedding_normalized_norms_oracle(),
         "embedding_quantize": oracles.embedding_quantize_oracle(),
         "exact_dedup": oracles.exact_dedup_oracle(),
+        "substring_dedup_stats": oracles.substring_dedup_stats_oracle(),
+        "dedup_stream_state": oracles.dedup_stream_state_oracle(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_oracle(),
         "simhash_pairs": oracles.simhash_pairs_oracle(),
         "embedding_neardup": oracles.embedding_neardup_oracle(),

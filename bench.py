@@ -157,6 +157,9 @@ HEADLINE = [
     "lsh_stream_state",
     "bm25_top_docs",
     "unigram_surprisal",
+    # round 8 additions
+    "substring_dedup_stats",
+    "dedup_stream_state",
 ]
 
 
@@ -209,6 +212,7 @@ LOOP_EXTRA_REPS = 2
 # (the r7 headline absorbed 9.2 s of lsh_stream_state debut and read
 # as a suite regression). BENCH_full.json carries both sections.
 FACE_QUERIES = {
+    "dedup_stream_state",
     "hll_stream_state",
     "cms_stream_state",
     "ivf_stream_cell_counts",

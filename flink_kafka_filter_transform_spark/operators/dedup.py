@@ -804,3 +804,91 @@ def minhash_band_sweep(
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup profile (suffix-array-style span signal)
+# ---------------------------------------------------------------------------
+
+
+def substring_dedup_stats(docs: DataFrame, k: int = 32) -> DataFrame:
+    """Per-document exact-SUBSTRING duplication profile: every char
+    position opens a ``k``-char window, and a position counts as
+    duplicated when its window occurs verbatim in at least one OTHER
+    document. Reported per doc: the number of window positions, how
+    many are cross-doc duplicated, their fraction, and the length of
+    the longest duplicated substring (longest run of consecutive
+    duplicated positions + k - 1 chars) — the per-doc readout of
+    suffix-array exact-substring dedup (Lee et al. 2021,
+    arXiv:2107.06499): a max run spanning the whole doc is an exact/
+    near copy, shorter runs localize boilerplate spans. This is the
+    character-exact complement to segment_dedup_stats' 16-TOKEN
+    segments (stride-k, token-aligned) — here stride 1, char-aligned,
+    so shared spans are found at ANY alignment, the property that
+    makes suffix arrays the tool of choice for training-data dedup.
+
+    Distributed shape (a suffix array is a single sorted structure —
+    the wrong primitive for a cluster; rolling window hashes give the
+    same cross-doc span evidence as relational ops): windows travel as
+    60-bit hashes (8-byte shuffle rows, text never shuffles); one
+    gh-keyed distinct-doc aggregate (map-side combined) marks shared
+    window hashes; the join back reuses the gh partitioning; the
+    longest-run window (pos - row_number, the standard islands
+    rewrite) runs over SHARED positions only — at healthy dup rates a
+    small fraction of the corpus. Total row volume is O(total chars),
+    the same asymptotics as building the suffix array, with stride-1
+    resolution; docs shorter than ``k`` chars have no window and are
+    excluded (mirrored in the oracle).
+    """
+    c = F.col("text")
+    win = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (k - 1)),
+        lambda i: F.substring(c, i, k),
+    )
+    # sequence() counts DOWN when stop < start (token_ngrams' trap):
+    # filter len >= k BEFORE building the sequence
+    pg = (
+        docs.filter(F.length(c) >= k)
+        .select("doc_id", F.posexplode(win).alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            portable_hash64("gram").alias("gh"),
+        )
+    )
+    shared_gh = (
+        pg.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= 2)
+        .select("gh")
+    )
+    shared = pg.join(shared_gh, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        shared.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    maxrun = runs.groupBy("doc_id").agg(F.max("run_len").alias("max_run"))
+    tot = pg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    shr = shared.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    return (
+        tot.join(shr, "doc_id", "left")
+        .join(maxrun, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_shared_windows", F.lit(0)).cast("bigint").alias(
+                "n_shared_windows"
+            ),
+            (
+                F.coalesce("n_shared_windows", F.lit(0)).cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("shared_window_fraction"),
+            F.coalesce(F.col("max_run") + F.lit(k - 1), F.lit(0))
+            .cast("bigint")
+            .alias("max_shared_substr_chars"),
+        )
+    )

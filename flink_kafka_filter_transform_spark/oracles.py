@@ -3824,3 +3824,69 @@ SELECT ex.doc_id,
 FROM ex JOIN bits b USING (term)
 GROUP BY ex.doc_id
 """
+
+
+def substring_dedup_stats_oracle(k: int = 32) -> str:
+    """Exact-substring dedup profile: stride-1 char k-gram windows,
+    cross-doc shared-window marking, islands rewrite for the longest
+    duplicated run — the same relational steps as the Spark operator
+    (operators.dedup.substring_dedup_stats)."""
+    h = portable_hash64_sql(f"substr(text, CAST(pos AS INT), {k})")
+    return f"""
+WITH pg AS (
+  SELECT doc_id, pos, {h} AS gh
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - {k - 1})) AS pos
+    FROM documents
+    WHERE length(text) >= {k}
+  )
+),
+shared_gh AS (
+  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM pg)
+  GROUP BY gh HAVING count(*) >= 2
+),
+shared AS (
+  SELECT doc_id, pos FROM pg JOIN shared_gh USING (gh)
+),
+runs AS (
+  SELECT doc_id, grp, count(*) AS run_len
+  FROM (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM shared
+  )
+  GROUP BY doc_id, grp
+),
+maxrun AS (
+  SELECT doc_id, max(run_len) AS max_run FROM runs GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, count(*) AS n_windows FROM pg GROUP BY doc_id
+),
+shr AS (
+  SELECT doc_id, count(*) AS n_shared_windows FROM shared GROUP BY doc_id
+)
+SELECT t.doc_id,
+  t.n_windows,
+  CAST(COALESCE(s.n_shared_windows, 0) AS BIGINT) AS n_shared_windows,
+  CAST(COALESCE(s.n_shared_windows, 0) AS DOUBLE) / CAST(t.n_windows AS DOUBLE)
+    AS shared_window_fraction,
+  CAST(COALESCE(m.max_run + {k - 1}, 0) AS BIGINT) AS max_shared_substr_chars
+FROM tot t
+LEFT JOIN shr s USING (doc_id)
+LEFT JOIN maxrun m USING (doc_id)
+"""
+
+
+def dedup_stream_state_oracle() -> str:
+    """First-seen streaming ledger face: the final state equals exact
+    corpus dedup — min-doc_id survivor and suppressed-copy count per
+    content hash (streaming.state.streaming_first_seen)."""
+    h = portable_hash64_sql("text")
+    return f"""
+SELECT {h} AS content_hash,
+  min(doc_id) AS first_doc_id,
+  count(*) - 1 AS n_suppressed
+FROM documents GROUP BY 1
+"""

@@ -1314,6 +1314,64 @@ def lsh_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("doc_a", "doc_b", "jaccard")
 
 
+def dedup_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the documents table drained through the
+    first-seen dedup ledger (streaming.state.streaming_first_seen —
+    applyInPandasWithState keyed on content_hash, update mode),
+    returning the final ledger (content_hash, first_doc_id,
+    n_suppressed). The ledger's winner is a MIN over doc_id and its
+    count a sum over disjoint micro-batches, so the drained state
+    equals one-shot batch exact dedup — which is what the oracle
+    computes. The first-seen ledger was the one stateful operator
+    without a driver face (VERDICT r7 item 6).
+
+    Face mechanics: each micro-batch's update rows land under a
+    _batch_id partition (dynamic overwrite — the effectively-once
+    publication the metered sink uses), and the final ledger row per
+    key is the one from its LAST touching batch (max_by batch id —
+    first_doc_id only ever decreases and n_suppressed only grows, so
+    the latest revision is the total). State scales as one ledger row
+    per distinct hash, shuffled by hash exactly like the batch
+    groupBy."""
+    from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming import state as state_mod
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        portable_hash64(F.col("text")).alias("content_hash"), "doc_id"
+    )
+    scratch = _face_scratch(spark, "sgraft_firstseen_stream_")
+    ledger = f"{scratch}/ledger"
+
+    def sink(stream: DataFrame, ckpt: str) -> DataStreamWriter:
+        def write_batch(bdf: DataFrame, batch_id: int) -> None:
+            (
+                bdf.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(ledger)
+            )
+
+        return (
+            state_mod.streaming_first_seen(stream)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+        )
+
+    _drain_through_sink(docs, scratch, sink)
+    led = spark.read.parquet(ledger)
+    final = led.groupBy("content_hash").agg(
+        F.max_by(F.struct("first_doc_id", "n_suppressed"), "_batch_id").alias("s")
+    )
+    return final.select(
+        "content_hash",
+        F.col("s.first_doc_id").alias("first_doc_id"),
+        F.col("s.n_suppressed").alias("n_suppressed"),
+    )
+
+
 def prune_state_versions(
     spark: SparkSession, state_dir: str, prefix: str, keep_last: int = 2
 ) -> list[int]:

@@ -852,3 +852,13 @@ def test_unigram_surprisal_output_invariants(spark, sf_dir):
         assert r.n_tokens == ws[doc_id] > 0
         assert 0 <= r.mean_surprisal_bits <= 60
         assert abs(r.mean_surprisal_bits - r.sum_bits / r.n_tokens) < 1e-12
+
+
+def test_substring_dedup_broadcasts_nothing(spark, sf_dir):
+    """Window hashes and their distinct-doc counts are both corpus-
+    sized at 100 TB — no pinned broadcast; text never shuffles, only
+    8-byte hashes and positions."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.substring_dedup_stats(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 0

@@ -696,3 +696,52 @@ def test_jpeg_color_roundtrip_arbitrary_blocks(y, cb, cr):
         bl = min(255, max(0, (1000 * yd + 1772 * (cbd - 128) + 500) // 1000))
         blk = rgb[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
         assert (blk == np.array([r, g, bl], dtype=np.uint8)).all(), (b, (r, g, bl))
+
+
+def test_substring_dedup_exact_copy_spans_whole_doc(spark):
+    """An exact duplicate pair shares EVERY 32-char window, so the
+    longest duplicated run covers the full text (max run + 31 = len);
+    a doc sharing nothing reports zeros; docs shorter than the window
+    are excluded (no window opens)."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        substring_dedup_stats,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"  # 60 chars
+    uniq = "совершенно другой текст without any shared span at all here ok"
+    rows = [(0, dup), (1, dup), (2, uniq), (3, "short doc")]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r for r in substring_dedup_stats(docs, k=32).collect()}
+    assert set(got) == {0, 1, 2}  # doc 3 (< 32 chars) has no window
+    for d in (0, 1):
+        r = got[d]
+        assert r["n_windows"] == len(dup) - 31
+        assert r["n_shared_windows"] == r["n_windows"]
+        assert r["shared_window_fraction"] == 1.0
+        assert r["max_shared_substr_chars"] == len(dup)
+    assert got[2]["n_shared_windows"] == 0
+    assert got[2]["max_shared_substr_chars"] == 0
+
+
+def test_substring_dedup_partial_overlap_localizes_run(spark):
+    """Two docs sharing one embedded 40-char span (different
+    surroundings) report exactly that span's length as the longest
+    duplicated substring: run = 40 - 32 + 1 = 9 consecutive shared
+    windows -> 9 + 31 = 40 chars."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        substring_dedup_stats,
+    )
+
+    span = "SHARED-BOILERPLATE-SPAN-OF-40-CHARSxxxx!"  # exactly 40 chars
+    assert len(span) == 40
+    # adjacent chars differ on BOTH sides in both docs — shared
+    # substring is exactly the span (a shared delimiter would extend it)
+    a = "a" * 20 + span + "b" * 20
+    b = "c" * 20 + span + "d" * 20
+    docs = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id BIGINT, text STRING"
+    )
+    got = {r["doc_id"]: r for r in substring_dedup_stats(docs, k=32).collect()}
+    assert got[0]["max_shared_substr_chars"] == 40
+    assert got[1]["max_shared_substr_chars"] == 40
+    assert 0 < got[0]["n_shared_windows"] < got[0]["n_windows"]

@@ -1343,3 +1343,32 @@ def test_latest_pointer_concurrent_publish_and_read(spark, sf_dir, tmp_path_fact
         t.join(timeout=30)
     assert not publisher_err
     assert seen  # the reader actually resolved versions throughout
+
+
+def test_dedup_stream_state_equals_batch_exact_dedup(spark, sf_dir):
+    """The drained first-seen ledger face must equal one-shot batch
+    exact dedup (same min-doc_id winner, same suppressed counts), and
+    the drain must have genuinely crossed micro-batches (the staged
+    stream arrives as 4 files at 1/trigger) — otherwise the face
+    would not exercise keyed-state carry-over."""
+    from flink_kafka_filter_transform_spark.operators import dedup as dedup_ops
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming import pipeline as pl
+
+    face = pl.dedup_stream_state(spark, sf_dir)
+    got = {
+        (r["content_hash"], r["first_doc_id"], r["n_suppressed"])
+        for r in face.collect()
+    }
+    batch = dedup_ops.exact_dedup(load_table(spark, "documents", sf_dir))
+    want = {
+        (r["text_hash"], r["keep_doc_id"], r["n_copies"] - 1)
+        for r in batch.collect()
+    }
+    assert got == want
+    # the ledger dir must hold revisions from >1 micro-batch
+    ledger_dir = pl._FACE_SCRATCH_DIRS[-1] + "/ledger"
+    n_batches = (
+        spark.read.parquet(ledger_dir).select("_batch_id").distinct().count()
+    )
+    assert n_batches > 1
