@@ -513,54 +513,46 @@ def char_ngrams_col(text: Column | str, n: int = 4) -> Column:
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs by character-n-gram Jaccard.
 
-    Blocking: docs sharing minhash component mh0 (one permutation ~
-    'one-permutation LSH', collision prob = j/(2-j) for word-shingle
-    jaccard j) with the usual bucket cap; verify on character 4-gram
-    sets, which catches reorder/typo-level similarity that word
-    shingles miss. Candidate volume is one bucket-join, never O(N^2).
+    Blocking (r8 redesign, VERDICT r7 item 3): the standard banded-LSH
+    candidate generator shared with minhash_lsh_pairs (lsh_candidates:
+    K=8 minhash components banded 4x2, bucket-capped, distinct pairs).
+    The r7 version blocked on the SINGLE component mh0 — that S-curve
+    is the identity P(collide) = j, so at the sf1 synthetic corpus it
+    produced 958k candidate pairs for 300 true pairs and verification
+    dominated (185 s, 4x the next-slowest dedup op). Banding is
+    strictly better on both sides of the threshold: detection
+    1-(1-j^2)^4 beats j for all j >= ~0.45 (0.68 vs 0.50 at j=0.5,
+    0.98 vs 0.80 at j=0.8), and random-pair collisions need TWO
+    agreeing components in one band — candidate volume at sf1 drops
+    ~500x (958k -> ~2k), turning verification from the dominant cost
+    into noise. Verification stays EXACT char-4-gram Jaccard, which
+    catches reorder/typo-level similarity that word shingles miss.
 
-    Verification cost (r8, VERDICT r7 item 3 — was the slowest dedup
-    op at 4x the next): two LOSSLESS prunes before/inside the exact
-    set intersection, values identical by construction:
-    - length bound: J(A,B) = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|),
-      so candidate pairs with a gram-count ratio below ``threshold``
-      cannot pass and are dropped BEFORE the gram arrays are joined —
-      the arrays (the wide payload) ship only for pairs that could
-      verify. The counts ride the node-cardinality signature relation.
-      The bound is compared as the SAME correctly-rounded double
-      division the final filter uses: division is monotone under
-      round-to-nearest, so fl(min/max) >= fl(J) whenever the exact
-      ratios are ordered — no float boundary can drop a passing pair.
-    - inclusion-exclusion: |A∪B| = |A|+|B|-|A∩B| — one array
-      intersection per surviving pair instead of intersect + union
-      (both arrays are already distinct, so the identity is exact)."""
+    Verification keeps the two r8 lossless prunes:
+    - length bound: J <= min(|A|,|B|)/max(|A|,|B|), compared as the
+      SAME correctly-rounded double division the final filter uses
+      (division is monotone under round-to-nearest, so no float
+      boundary can drop a passing pair) — pairs that cannot reach the
+      threshold never ship their gram arrays;
+    - inclusion-exclusion |A∪B| = |A|+|B|-|A∩B| — one array
+      intersection per surviving pair instead of intersect + union."""
     grams = docs.select("doc_id", char_ngrams_col("text", n).alias("g")).filter(F.size("g") > 0)
     sizes = grams.select("doc_id", F.size("g").alias("ng"))
-    sig = minhash_signatures(docs).select("doc_id", "mh0").join(sizes, "doc_id")
-    capped = sig.withColumn(
-        "bn", F.count(F.lit(1)).over(Window.partitionBy("mh0"))
-    ).filter(F.col("bn") <= params.LSH_BUCKET_CAP)
-    a, b = capped.alias("a"), capped.alias("b")
-    na, nb = F.col("a.ng").cast("double"), F.col("b.ng").cast("double")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.mh0") == F.col("b.mh0")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    cand = lsh_candidates(minhash_signatures(docs))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ng").alias("nga"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ng").alias("ngb"))
+    na, nb = F.col("nga").cast("double"), F.col("ngb").cast("double")
+    pruned = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(F.least(na, nb) / F.greatest(na, nb) >= F.lit(float(threshold)))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.ng").alias("nga"),
-            F.col("b.ng").alias("ngb"),
-        )
     )
     g1 = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     g2 = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
     jac = inter.cast("double") / (F.col("nga") + F.col("ngb") - inter).cast("double")
     return (
-        cand.join(g1, "doc_a")
+        pruned.join(g1, "doc_a")
         .join(g2, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard_ngram"))
         .filter(F.col("jaccard_ngram") >= threshold)

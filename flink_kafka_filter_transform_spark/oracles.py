@@ -1198,27 +1198,35 @@ GROUP BY o_orderpriority
 
 
 def ngram_jaccard_pairs_oracle(n: int = 4, threshold: float = 0.5) -> str:
-    k = params.SHINGLE_SIZE
-    shingle_expr = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
-    # double-hashing component 0 is (h1 + 0*h2) % M61 = h1 itself
-    mh0 = "list_min(list_transform(shingles, s -> {h}))".format(h=portable_hash64_sql("s"))
+    """r8: candidates come from the SAME banded-LSH chain as
+    minhash_lsh_pairs (the operator switched from single-component mh0
+    blocking to lsh_candidates); verification is exact char-n-gram
+    Jaccard. The operator's length-bound prune is lossless, so the
+    oracle does not mirror it."""
+    rows = params.MINHASH_K // params.MINHASH_BANDS
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows)
+            ),
+        )
+        for b in range(params.MINHASH_BANDS)
+    )
     return f"""
-WITH {_TOKS_CTE},
-sh AS (
-  SELECT doc_id,
-    list_distinct(list_transform(generate_series(1, len(t) - {k - 1}),
-      i -> {shingle_expr})) AS shingles
-  FROM toks WHERE len(t) >= {k}
+WITH {_minhash_sig_ctes()},
+bands AS (
+  {band_selects}
 ),
-sig AS (SELECT doc_id, {mh0} AS mh0 FROM sh),
 capped AS (
-  SELECT doc_id, mh0 FROM (
-    SELECT *, count(*) OVER (PARTITION BY mh0) AS bn FROM sig
-  ) s WHERE bn <= {params.LSH_BUCKET_CAP}
+  SELECT doc_id, band_idx, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS cnt FROM bands
+  ) b WHERE cnt <= {params.LSH_BUCKET_CAP}
 ),
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM capped a JOIN capped b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 grams AS (
   SELECT doc_id,

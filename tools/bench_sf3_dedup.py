@@ -46,7 +46,9 @@ FAMILY = [
     # simhash_pairs was 8.15x at 10x data in the sf1 audit (VERDICT r6
     # item 3: fixed 4x256-bucket chunk blocking, the same
     # fixed-cardinality anti-pattern embedding_neardup_fps was
-    # convicted of), ngram_jaccard_pairs shares the mh0-blocked shape
+    # convicted of); ngram_jaccard_pairs shared the mh0-blocked shape
+    # until r8 moved it onto the banded lsh_candidates generator
+    # (958k -> 135k sf1 candidates, 185 -> 21 s; SCALING.md r8)
     "simhash_pairs",
     "ngram_jaccard_pairs",
     # r7: the CC-loop consumer — added after connected_components
