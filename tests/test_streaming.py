@@ -1372,3 +1372,63 @@ def test_dedup_stream_state_equals_batch_exact_dedup(spark, sf_dir):
         spark.read.parquet(ledger_dir).select("_batch_id").distinct().count()
     )
     assert n_batches > 1
+
+
+def test_prune_between_micro_batches_of_live_drain(spark, sf_dir, tmp_path_factory):
+    """prune_state_versions' documented safe window is BETWEEN
+    micro-batches of a live drain. Exercise exactly that: prune inside
+    the foreachBatch callback right after each publication, while the
+    stream is still draining. The drain must complete unaffected
+    (later batches read the kept newest version as prev), the final
+    state must equal the one-shot batch grid, pruning must have
+    actually deleted versions mid-drain, and the replay-recovery
+    invariant (>= 2 published versions retained) must hold at the
+    end."""
+    from flink_kafka_filter_transform_spark.operators.sketch import cms_grid
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming import pipeline as sp
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    src = str(tmp_path_factory.mktemp("cpr_src"))
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    state = str(tmp_path_factory.mktemp("cpr_state"))
+    ckpt = str(tmp_path_factory.mktemp("cpr_ckpt"))
+    pruned_mid_drain: list[tuple[int, list[int]]] = []
+
+    def merge_then_prune(batch_df, batch_id):
+        sp._cms_merge_batch(batch_df, batch_id, state)
+        deleted = sp.prune_state_versions(spark, state, "grid", keep_last=2)
+        pruned_mid_drain.append((batch_id, deleted))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_then_prune)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = {(r.row, r.bucket, r.cell) for r in sp.cms_current(spark, state).collect()}
+    want = {(r.row, r.bucket, r.cell) for r in cms_grid(docs).collect()}
+    assert got == want and len(got) > 0
+    assert len(pruned_mid_drain) >= 4  # one publication per staged file
+    # pruning genuinely fired while the stream was still draining (not
+    # only after the last batch)
+    assert any(deleted for bid, deleted in pruned_mid_drain[:-1])
+    # replay-recovery invariant: at least the newest 2 published
+    # versions survive
+    import os
+
+    versions = sorted(
+        int(d.rsplit("_v", 1)[1])
+        for d in os.listdir(state)
+        if d.startswith("grid_v")
+    )
+    assert len(versions) >= 2
+    latest = sp._read_latest_pointer(spark, state, prefix="grid")
+    assert versions[-1] == latest
