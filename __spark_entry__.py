@@ -222,16 +222,21 @@ HEAD_ORDER: list[str] = [
     "normalize_text",
     "doc_fingerprint",
     "text_stats",
-    "pii_redact",
-    "repetition_ratios",
     # --- NEW in r8 (debut in the head per the rotation policy):
     # substring_dedup_stats = stride-1 char-window exact-substring
     # dedup profile (the suffix-array-style complement to
     # segment_dedup_stats); dedup_stream_state = the first-seen
     # dedup ledger's driver face (the one stateful op without one,
-    # VERDICT r7 item 6) ---
+    # VERDICT r7 item 6); winnowing_overlap = MOSS winnowing
+    # fingerprint overlap (the density-sparse span-evidence index);
+    # audio_frame_features = frame-level PCM feature extraction over
+    # the real WAV decode path. The four debuts displace pii_redact /
+    # repetition_ratios / event_value_percentiles / revenue_rollup
+    # from the smoothing fill (r9 owes 11 slots, still 39 free) ---
     "substring_dedup_stats",
     "dedup_stream_state",
+    "winnowing_overlap",
+    "audio_frame_features",
 ]
 
 
@@ -666,6 +671,10 @@ def queries() -> dict[str, QueryFn]:
             _docs(s, d)
         ),
         "dedup_stream_state": streaming_pipeline.dedup_stream_state,
+        "winnowing_overlap": lambda s, d: dedup.winnowing_overlap(_docs(s, d)),
+        "audio_frame_features": lambda s, d: multimodal.audio_frame_features(
+            _docs(s, d)
+        ),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -770,6 +779,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": oracles.exact_dedup_oracle(),
         "substring_dedup_stats": oracles.substring_dedup_stats_oracle(),
         "dedup_stream_state": oracles.dedup_stream_state_oracle(),
+        "winnowing_overlap": oracles.winnowing_overlap_oracle(),
+        "audio_frame_features": oracles.audio_frame_features_oracle(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_oracle(),
         "simhash_pairs": oracles.simhash_pairs_oracle(),
         "embedding_neardup": oracles.embedding_neardup_oracle(),

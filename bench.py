@@ -160,6 +160,8 @@ HEADLINE = [
     # round 8 additions
     "substring_dedup_stats",
     "dedup_stream_state",
+    "winnowing_overlap",
+    "audio_frame_features",
 ]
 
 

@@ -1304,3 +1304,70 @@ def jpeg_color_decode(docs: DataFrame) -> DataFrame:
         _synth_jpeg_color_batches, "doc_id BIGINT, content BINARY"
     )
     return media.mapInPandas(_decode_jpeg_color_batches, JPEG_COLOR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame-level audio feature extraction over the real WAV decode path
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 16  # samples per analysis frame (2 ms at the 8 kHz fixture rate)
+AUDIO_FRAME_SCHEMA = (
+    "doc_id BIGINT, frame_idx BIGINT, energy_sum BIGINT, zero_crossings BIGINT"
+)
+
+
+def _audio_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per WAV blob: REAL RIFF/PCM16 decode (decode_audio), then
+    fixed-size frames with integer-exact features — energy as the
+    int64 sum of squared samples, zero crossings as strict sign flips
+    between adjacent samples WITHIN a frame (product < 0; a zero
+    sample never counts). Trailing partial frames are dropped.
+    Non-audio blobs (the fixture interleaves PPM images) emit no
+    rows — audio features of an image are undefined, not zero."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "frame_idx": [], "energy_sum": [], "zero_crossings": []
+        }
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            if b[:4] != b"RIFF":
+                continue
+            _rate, _nch, samples = decode_audio(b)
+            s = samples.astype(np.int64)
+            nf = s.shape[0] // AUDIO_FRAME
+            if nf == 0:
+                continue
+            fr = s[: nf * AUDIO_FRAME].reshape(nf, AUDIO_FRAME)
+            energy = (fr * fr).sum(axis=1)
+            zc = ((fr[:, :-1] * fr[:, 1:]) < 0).sum(axis=1)
+            out["doc_id"].extend([int(doc_id)] * nf)
+            out["frame_idx"].extend(range(nf))
+            out["energy_sum"].extend(int(x) for x in energy)
+            out["zero_crossings"].extend(int(x) for x in zc)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                "frame_idx": pd.array(out["frame_idx"], dtype="Int64"),
+                "energy_sum": pd.array(out["energy_sum"], dtype="Int64"),
+                "zero_crossings": pd.array(out["zero_crossings"], dtype="Int64"),
+            }
+        )
+
+
+def audio_frame_features(docs: DataFrame) -> DataFrame:
+    """documents -> synthetic real WAV blobs -> frame-level features
+    (r8): the audio analog of decode -> feature-extract, completing
+    the multimodal verb set (decode / feature-extract / resize /
+    frame-sample) with a FRAME-level audio op — short-time energy and
+    zero-crossing rate, the first two features of any audio frontend
+    (VAD, segmentation). Integer-exact by construction (energy is an
+    int64 square sum, crossings are counts), so the oracle — which
+    recomputes the fixture's closed-form samples in SQL — matches
+    without float tolerance.
+
+    Scale shape: one map-only Arrow-batched stage (mapInPandas over
+    the blob column, no shuffle); output is nf rows per clip with
+    fixed-width integers. Decode CPU lives in executors; at 100 TB
+    the stage parallelizes per input split like every other decode
+    path here."""
+    return synth_media(docs).mapInPandas(_audio_frame_batches, AUDIO_FRAME_SCHEMA)

@@ -3898,3 +3898,71 @@ SELECT {h} AS content_hash,
   count(*) - 1 AS n_suppressed
 FROM documents GROUP BY 1
 """
+
+
+def winnowing_overlap_oracle(k: int = 8, w: int = 16) -> str:
+    """Winnowing fingerprints (MOSS): per-position min over w
+    consecutive k-gram hashes, distinct per doc, cross-doc sharing —
+    the same window frame and full-window rule as the Spark operator
+    (operators.dedup.winnowing_overlap)."""
+    h = portable_hash64_sql(f"substr(text, CAST(pos AS INT), {k})")
+    return f"""
+WITH pg AS (
+  SELECT doc_id, pos, {h} AS gh
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - {k - 1})) AS pos
+    FROM documents
+    WHERE length(text) >= {k + w - 1}
+  )
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos,
+      min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+      count(*) OVER (PARTITION BY doc_id) AS n_pos
+    FROM pg
+  ) WHERE pos <= n_pos - {w} + 1
+),
+nd AS (SELECT fp, count(*) AS ndocs FROM fps GROUP BY fp)
+SELECT f.doc_id,
+  count(*) AS n_fingerprints,
+  CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_shared_fingerprints,
+  CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS shared_fp_fraction
+FROM fps f JOIN nd USING (fp)
+GROUP BY f.doc_id
+"""
+
+
+def audio_frame_features_oracle(frame: int = 16) -> str:
+    """Frame-level PCM features recomputed from the WAV fixture's
+    closed form (multimodal._synth_wav: n = 50 + doc_id % 20 samples,
+    s_i = (doc_id*7919 + i*104729) % 65536 - 32768, odd doc_ids carry
+    WAV blobs) — integer-exact energy sums and strict-sign-flip zero
+    crossings, so the differential needs no float tolerance."""
+    s_i = "(doc_id * 7919 + i * 104729) % 65536 - 32768"
+    s_next = "(doc_id * 7919 + (i + 1) * 104729) % 65536 - 32768"
+    return f"""
+WITH wav AS (
+  SELECT doc_id, 50 + doc_id % 20 AS n FROM documents WHERE doc_id % 2 = 1
+),
+sv AS (
+  SELECT doc_id, n, i, {s_i} AS s,
+         i // {frame} AS frame_idx, i % {frame} AS o
+  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM wav)
+),
+sp AS (
+  SELECT doc_id, frame_idx, s,
+    CASE WHEN o < {frame - 1} THEN {s_next} END AS s_next
+  FROM sv WHERE frame_idx < n // {frame}
+)
+SELECT doc_id,
+  CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(sum(s * s) AS BIGINT) AS energy_sum,
+  CAST(sum(CASE WHEN s * s_next < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS zero_crossings
+FROM sp GROUP BY doc_id, frame_idx
+"""

@@ -745,3 +745,58 @@ def test_substring_dedup_partial_overlap_localizes_run(spark):
     assert got[0]["max_shared_substr_chars"] == 40
     assert got[1]["max_shared_substr_chars"] == 40
     assert 0 < got[0]["n_shared_windows"] < got[0]["n_windows"]
+
+
+def test_winnowing_guarantee_shared_span_yields_shared_fingerprint(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): any substring
+    of length >= w + k - 1 shared by two documents contributes at
+    least one identical fingerprint to both — so two docs sharing a
+    23-char span (k=8, w=16 -> threshold 23) must BOTH report
+    n_shared_fingerprints >= 1, while docs sharing nothing report 0."""
+    from flink_kafka_filter_transform_spark.operators.dedup import winnowing_overlap
+
+    span = "GUARANTEED-SHARED-SPAN!"  # 23 chars = w + k - 1
+    assert len(span) == 23
+    a = "x" * 30 + span + "y" * 30
+    b = "p" * 30 + span + "q" * 30
+    c = "totally unrelated content with zero overlapping substrings at all"
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id BIGINT, text STRING"
+    )
+    got = {r["doc_id"]: r for r in winnowing_overlap(docs, k=8, w=16).collect()}
+    assert got[0]["n_shared_fingerprints"] >= 1
+    assert got[1]["n_shared_fingerprints"] >= 1
+    assert got[2]["n_shared_fingerprints"] == 0
+    # density: winnowing stores far fewer fingerprints than positions
+    assert got[0]["n_fingerprints"] < len(a) - 7
+
+
+def test_audio_frame_features_match_direct_decode(spark):
+    """Frame features recomputed directly from the fixture's closed
+    form (numpy) must equal the operator's decode-path output for a
+    couple of WAV doc_ids — pinning the frame split, the int64 energy
+    sums, and the strict-sign-flip crossing rule."""
+    import numpy as np
+
+    from flink_kafka_filter_transform_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1,), (7,)], "doc_id BIGINT").withColumn(
+        "text", F.lit("x")
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["energy_sum"], r["zero_crossings"])
+        for r in mm.audio_frame_features(docs).collect()
+    }
+    want = {}
+    for d in (1, 7):
+        n = mm.WAV_N_BASE + d % mm.WAV_N_MOD
+        i = np.arange(n)
+        s = ((d * mm.WAV_SAMP_A + i * mm.WAV_SAMP_B) % 65536 - 32768).astype(np.int64)
+        nf = n // mm.AUDIO_FRAME
+        fr = s[: nf * mm.AUDIO_FRAME].reshape(nf, mm.AUDIO_FRAME)
+        for fi in range(nf):
+            want[(d, fi)] = (
+                int((fr[fi] * fr[fi]).sum()),
+                int(((fr[fi, :-1] * fr[fi, 1:]) < 0).sum()),
+            )
+    assert got == want and len(got) >= 6
