@@ -26,6 +26,9 @@ SHOWCASE = [
     ("q1_pricing_summary", "pruned scan (7 columns), pushed filter, two-phase aggregate"),
     ("tfidf_top_terms", "no pinned broadcast of the unbounded vocabulary; AQE decides by size"),
     ("minhash_lsh_pairs", "banded LSH: candidate join only within buckets, never all-pairs"),
+    ("ngram_jaccard_pairs", "r8: banded-LSH candidates (shared with minhash_lsh_pairs) + lossless length-bound prune BEFORE the gram arrays join"),
+    ("substring_dedup_stats", "stride-1 window hashes: gh-keyed distinct-doc agg, islands window over SHARED positions only"),
+    ("winnowing_overlap", "winnowing: one doc-keyed sort window for the w-min, fp-keyed agg; no broadcast"),
     ("knn_ivf", "codebook + probe broadcast; scan restricted to probed cells"),
     ("contamination_check", "eval grams broadcast; per-doc aggregate is the only shuffle"),
     ("events_last_purchase", "as-of via union+window: one hash partition, no join operator"),

@@ -862,3 +862,29 @@ def test_substring_dedup_broadcasts_nothing(spark, sf_dir):
 
     df = dedup.substring_dedup_stats(load_table(spark, "documents", sf_dir))
     assert px.broadcast_hint_count(df) == 0
+
+
+def test_winnowing_overlap_broadcasts_nothing(spark, sf_dir):
+    """Fingerprints and their distinct-doc counts are corpus-sized at
+    100 TB — no pinned broadcast; only 8-byte hashes shuffle (the
+    text stays in the map stage)."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.winnowing_overlap(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_prunes_before_gram_arrays_join(spark, sf_dir):
+    """The r8 length-bound prune must sit BELOW the gram-array joins:
+    in the optimized plan the min/max ratio filter appears, and no
+    pinned broadcast exists anywhere (candidates and grams are both
+    corpus-sized at scale)."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "least(" in plan and "greatest(" in plan  # the prune survived
