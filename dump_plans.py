@@ -27,7 +27,7 @@ SHOWCASE = [
     ("tfidf_top_terms", "no pinned broadcast of the unbounded vocabulary; AQE decides by size"),
     ("minhash_lsh_pairs", "banded LSH: candidate join only within buckets, never all-pairs"),
     ("ngram_jaccard_pairs", "r8: banded-LSH candidates (shared with minhash_lsh_pairs) + lossless length-bound prune BEFORE the gram arrays join"),
-    ("substring_dedup_stats", "stride-1 window hashes: gh-keyed distinct-doc agg, islands window over SHARED positions only"),
+    ("substring_dedup_stats", "stride-1 window hashes: ONE gh-window pass marks shared positions (min!=max doc), islands window over SHARED rows only, closed-form totals"),
     ("winnowing_overlap", "winnowing: one doc-keyed sort window for the w-min, fp-keyed agg; no broadcast"),
     ("knn_ivf", "codebook + probe broadcast; scan restricted to probed cells"),
     ("contamination_check", "eval grams broadcast; per-doc aggregate is the only shuffle"),

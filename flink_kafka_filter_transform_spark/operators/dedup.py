@@ -848,27 +848,41 @@ def substring_dedup_stats(docs: DataFrame, k: int = 32) -> DataFrame:
             portable_hash64("gram").alias("gh"),
         )
     )
-    shared_gh = (
-        pg.select("doc_id", "gh")
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("_ndocs"))
-        .filter(F.col("_ndocs") >= 2)
-        .select("gh")
+    # r8 shuffle-diet (the sf3 study measured the first cut at 5.4x
+    # for 3x data — stride-1 windows mean position rows ~ total chars,
+    # so every avoidable pass over them matters):
+    # - a window hash is cross-doc shared iff min(doc_id) != max(doc_id)
+    #   over its gh partition — ONE gh-keyed window pass marks shared
+    #   positions in place, replacing the count_distinct aggregate PLUS
+    #   the join back PLUS the second md5/explode pass the join's probe
+    #   side cost (the original's 4 corpus-row passes are now 1);
+    # - per-doc totals come from the CLOSED FORM n_windows =
+    #   len(text) - k + 1 (posexplode emits exactly that many rows —
+    #   no corpus-row aggregation at all);
+    # - n_shared_windows = sum of island run lengths, folded into the
+    #   same aggregate as the max run (one pass over SHARED rows).
+    wgh = Window.partitionBy("gh")
+    shared = (
+        pg.withColumn("_mn", F.min("doc_id").over(wgh))
+        .withColumn("_mx", F.max("doc_id").over(wgh))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "pos")
     )
-    shared = pg.join(shared_gh, "gh").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         shared.withColumn("grp", F.col("pos") - F.row_number().over(w))
         .groupBy("doc_id", "grp")
         .agg(F.count(F.lit(1)).alias("run_len"))
     )
-    maxrun = runs.groupBy("doc_id").agg(F.max("run_len").alias("max_run"))
-    tot = pg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
-    shr = shared.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    perdoc = runs.groupBy("doc_id").agg(
+        F.max("run_len").alias("max_run"),
+        F.sum("run_len").alias("n_shared_windows"),
+    )
+    tot = docs.filter(F.length(c) >= k).select(
+        "doc_id", (F.length(c) - (k - 1)).cast("bigint").alias("n_windows")
+    )
     return (
-        tot.join(shr, "doc_id", "left")
-        .join(maxrun, "doc_id", "left")
+        tot.join(perdoc, "doc_id", "left")
         .select(
             "doc_id",
             "n_windows",

@@ -51,6 +51,11 @@ FAMILY = [
     # (958k -> 135k sf1 candidates, 185 -> 21 s; SCALING.md r8)
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    # r8: the two new span-evidence ops (stride-1 windows / winnowing
+    # fingerprints); substring's first cut measured 5.38x and was
+    # re-planned to one window pass (SCALING.md r8)
+    "substring_dedup_stats",
+    "winnowing_overlap",
     # r7: the CC-loop consumer — added after connected_components
     # gained its persisted edge relation (the unmaterialized loop
     # re-derived the MinHash pipeline per label hop; ~3x at sf1)
