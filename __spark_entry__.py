@@ -181,11 +181,12 @@ HEAD_ORDER: list[str] = [
     # --- SMOOTHING RULE fill (first exercise; rotation_check.py:48):
     # the r5-verdict cohort is 48 strong and due by r9 in one wave —
     # gate 40 of it now so r9 owes <= ~8 and keeps real debut room.
-    # The 8 left for r9 (cheap, map-only or tiny-join):
+    # The names left for r9 (cheap, map-only or tiny-join):
     # orders_top10, embedding_normalized_norms, embedding_quantize,
     # jl_projection_distortion, knn_jl, knn_jl_recall,
-    # salted_event_counts, event_value_percentiles, revenue_rollup
-    # (the last two displaced by the r8 debuts below) ---
+    # salted_event_counts, event_value_percentiles, revenue_rollup,
+    # q12_shipping_delay (the last three displaced by the r8 debuts
+    # below — r9 owes 12 slots, ~38 still free) ---
     "token_frequency_score",
     "embedding_neardup_refined",
     "minhash_band_sweep",
@@ -195,7 +196,6 @@ HEAD_ORDER: list[str] = [
     "event_path_report",
     "neardup_triangles",
     "q8_market_share",
-    "q12_shipping_delay",
     "q15_top_supplier",
     "q16_supplier_part_variety",
     "q19_discounted_revenue",
@@ -237,6 +237,11 @@ HEAD_ORDER: list[str] = [
     "dedup_stream_state",
     "winnowing_overlap",
     "audio_frame_features",
+    # containment_pairs = prefix-filtered set-containment join
+    # (PPJoin-style): the ASYMMETRIC near-dup class (small doc quoted
+    # inside a large one) that Jaccard-calibrated LSH blocking misses
+    # by construction; displaces q12_shipping_delay from the fill ---
+    "containment_pairs",
 ]
 
 
@@ -675,6 +680,7 @@ def queries() -> dict[str, QueryFn]:
         "audio_frame_features": lambda s, d: multimodal.audio_frame_features(
             _docs(s, d)
         ),
+        "containment_pairs": lambda s, d: dedup.containment_pairs(_docs(s, d)),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -781,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stream_state": oracles.dedup_stream_state_oracle(),
         "winnowing_overlap": oracles.winnowing_overlap_oracle(),
         "audio_frame_features": oracles.audio_frame_features_oracle(),
+        "containment_pairs": oracles.containment_pairs_oracle(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_oracle(),
         "simhash_pairs": oracles.simhash_pairs_oracle(),
         "embedding_neardup": oracles.embedding_neardup_oracle(),

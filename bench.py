@@ -162,6 +162,7 @@ HEADLINE = [
     "dedup_stream_state",
     "winnowing_overlap",
     "audio_frame_features",
+    "containment_pairs",
 ]
 
 

@@ -560,6 +560,147 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.5) -> 
 
 
 # ---------------------------------------------------------------------------
+# Containment join (asymmetric near-dup): prefix-filtered set-containment
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(docs: DataFrame) -> DataFrame:
+    """Ordered containment pairs over word-3-shingle sets: (doc_a,
+    doc_b) where |S(a) ∩ S(b)| / |S(a)| >= t — doc_a's content is
+    (mostly) CONTAINED in doc_b's. The asymmetric dedup class Jaccard
+    misses by construction: a short document quoted verbatim inside a
+    much longer one has Jaccard <= |A|/|B| (arbitrarily small) but
+    containment ~1, and banded-MinHash blocking inherits Jaccard's
+    S-curve — its recall on exactly these pairs goes to zero as the
+    size ratio grows. So this operator does NOT reuse lsh_candidates;
+    it blocks with the standard PREFIX FILTER from the set-similarity-
+    join literature (SSJoin, Chaudhuri et al. ICDE 2006; PPJoin, Xiao
+    et al. WWW 2008):
+
+    - if containment(a->b) >= t, then at most n_a - ceil(t*n_a) of
+      a's shingles are absent from b, so ANY n_a - ceil(t*n_a) + 1
+      shingles of a must include one that b also has (pigeonhole);
+    - take exactly that many of a's shingles — the GLOBALLY RAREST by
+      document frequency, the ordering that minimizes posting-list
+      volume — and probe the full inverted index with them. Candidate
+      volume is sum(df) over prefix shingles, not N^2.
+
+    The prune chain is LOSSLESS (prefix bound above + the size bound
+    n_b*DEN >= NUM*n_a, valid since n_common <= n_b), so the oracle
+    brute-forces all pairs and must agree exactly. All threshold
+    comparisons are integer (t = CONTAINMENT_NUM/CONTAINMENT_DEN, see
+    params.py) — no float boundary in the losslessness proof; the
+    reported ``containment`` double is display-only derived from the
+    same integers.
+
+    Two further LOSSLESS reductions (both convicted as necessary by
+    the sf1 zero-selectivity profile — the 31-word synthetic
+    vocabulary yields exactly 31^3 distinct shingles, every df ~89,
+    so the bare prefix filter generated 42M candidates):
+
+    - shingles travel as 64-bit hashes end to end (8-byte longs in
+      every shuffle instead of ~20-char strings; the oracle hashes
+      identically, so the differential stays exact — same rationale
+      as segment/substring's 60-bit gram hashes: a collision is
+      ~2^-64 per shingle pair and would be seen by BOTH engines);
+    - the PPJoin POSITIONAL filter: with both docs' shingle lists
+      ordered by the same global (df, h) total order, the first
+      common element of a true-positive pair sits within a's prefix
+      (pigeonhole again) and bounds the overlap by
+      1 + min(n_a - rn_a, n_b - rn_b); hits matched too late in the
+      index doc's ordered list cannot reach ceil(t*n_a) and are
+      dropped BEFORE the pair ever exists. The pair survives iff any
+      hit passes — the first-common-element hit always does.
+
+    Scale shape: one groupBy(hash) for df (map-side partial agg), one
+    doc_id window for the rank positions, one posting join keyed on
+    the 8-byte hash, then arrays ship only for surviving candidates —
+    the same verify economics as minhash_lsh_pairs. Skew note: the
+    rarest-first prefix is itself the guard against hot posting lists;
+    a corpus where even the rarest prefix shingles are corpus-wide
+    (all docs near-identical) has inherently quadratic OUTPUT, which
+    no blocking can beat."""
+    num, den = params.CONTAINMENT_NUM, params.CONTAINMENT_DEN
+    toks = tokens()
+    base = docs.select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= params.SHINGLE_SIZE
+    )
+    # Posting list: explode the CHEAP string-shingle array first and
+    # hash one shingle per exploded row. Building the hashed array and
+    # then exploding it re-evaluates the whole ~|doc|-element md5
+    # array per OUTPUT row (measured: 78 s for ONE posting pass at
+    # sf1 vs 1.5 s this way — the expensive-expression-under-explode
+    # trap). The trailing distinct pins the HASH-domain set so ``n``
+    # and ``df`` count exactly what the oracle's hashed lists count
+    # even at an md5 collision.
+    posting = (
+        base.select("doc_id", F.explode(shingles_col(F.col("t"))).alias("sg"))
+        .select("doc_id", portable_hash64(F.col("sg")).alias("h"))
+        .distinct()
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_rel = posting.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # prefix_len = n - ceil(num*n/den) + 1, all integer: ceil_div(a,b)
+    # = floor((a + b - 1) / b)
+    def _prefix_len(n: Column) -> Column:
+        return n - F.floor((F.lit(num) * n + F.lit(den - 1)) / F.lit(den)) + 1
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    ranked = (
+        posting.join(df_rel, "h")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    probe = ranked.filter(F.col("rn") <= _prefix_len(F.col("n"))).select(
+        F.col("doc_id").alias("doc_a"),
+        "h",
+        F.col("rn").alias("rn_a"),
+        F.col("n").alias("n_a"),
+    )
+    index = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        "h",
+        F.col("rn").alias("rn_b"),
+        F.col("n").alias("n_b"),
+    )
+    ub = F.lit(1) + F.least(
+        F.col("n_a") - F.col("rn_a"), F.col("n_b") - F.col("rn_b")
+    )
+    cand = (
+        probe.join(index, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.col("n_b") * den >= F.col("n_a") * num)  # size bound
+        .filter(ub * den >= F.col("n_a") * num)  # positional bound
+        .select("doc_a", "doc_b", "n_a")
+        .distinct()
+    )
+    # Verify arrays: the per-doc hashed set as an ARRAY, built in a
+    # non-explode projection (one pass over the corpus, the array expr
+    # evaluated once per doc — cheap, unlike under a generator).
+    sh = base.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles_col(F.col("t")), portable_hash64)
+        ).alias("sh"),
+    )
+    g1 = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    g2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(g1, "doc_a")
+        .join(g2, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a"),
+            n_common.alias("n_common"),
+            (n_common.cast("double") / F.col("n_a")).alias("containment"),
+        )
+        .filter(F.col("n_common") * den >= F.col("n_a") * num)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination: n-gram overlap against a held-out eval set
 # ---------------------------------------------------------------------------
 

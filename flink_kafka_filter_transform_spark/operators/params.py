@@ -54,6 +54,17 @@ SIMHASH_MAX_HAMMING = 4
 # role and value as LSH_BUCKET_CAP on the minhash side.
 SIMHASH_BUCKET_CAP = 100
 
+# --- containment join (asymmetric near-dup) --------------------------------
+# Containment threshold t = NUM/DEN as an exact rational: both the
+# prefix-filter pigeonhole bound (prefix_len = n_a - ceil(t*n_a) + 1)
+# and the final filter (n_common*DEN >= NUM*n_a) stay in integer
+# arithmetic, so no float-rounding boundary can silently break the
+# losslessness proof (floor((1-t)*n) computed in binary doubles CAN
+# round below the exact value at boundary n, shrinking the prefix one
+# short of the pigeonhole requirement).
+CONTAINMENT_NUM = 4
+CONTAINMENT_DEN = 5  # t = 0.8
+
 # --- embedding near-dup + similarity search --------------------------------
 EMB_NEARDUP_THRESHOLD = 0.30
 # Quantizer-refined blocking sizes its codebook as ceil(N / this):

@@ -1245,6 +1245,41 @@ SELECT doc_a, doc_b, jaccard_ngram FROM (
 """
 
 
+def containment_pairs_oracle() -> str:
+    """Brute-force twin of operators.dedup.containment_pairs: the
+    operator's prefix filter, size bound, and positional bound are
+    LOSSLESS (integer pigeonhole — see the operator docstring), so the
+    oracle enumerates ALL ordered pairs over the same 64-bit-hashed
+    word-3-shingle sets (identical hash, so the differential stays
+    exact even at a collision) and applies only the final integer
+    threshold n_common*DEN >= n_a*NUM. Any divergence therefore
+    convicts the pruning chain, not the oracle."""
+    k = params.SHINGLE_SIZE
+    num, den = params.CONTAINMENT_NUM, params.CONTAINMENT_DEN
+    shingle_expr = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    h = portable_hash64_sql("s")
+    return f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      list_distinct(list_transform(generate_series(1, len(t) - {k - 1}),
+        i -> {shingle_expr})),
+      s -> {h})) AS hl
+  FROM toks WHERE len(t) >= {k}
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(a.hl) AS n_a,
+         len(list_intersect(a.hl, b.hl)) AS n_common
+  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+)
+SELECT doc_a, doc_b, n_a, n_common,
+       CAST(n_common AS DOUBLE) / n_a AS containment
+FROM p WHERE n_common * {den} >= n_a * {num}
+"""
+
+
 def events_sessionized_oracle(gap_minutes: int = 30, break_on_exact_gap: bool = False) -> str:
     """Lag+cumsum sessionization. ``break_on_exact_gap`` selects the
     boundary convention: False = a gap of exactly ``gap_minutes`` stays

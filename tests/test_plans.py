@@ -888,3 +888,18 @@ def test_ngram_jaccard_prunes_before_gram_arrays_join(spark, sf_dir):
     plan = px.explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "least(" in plan and "greatest(" in plan  # the prune survived
+
+
+def test_containment_pairs_no_broadcast_no_cartesian_prefix_filter_present(spark, sf_dir):
+    """The posting index, df relation, and prefix probes are all
+    corpus-sized at 100 TB — nothing may be pinned broadcast, and the
+    candidate step must be an equi-join on the shingle key (never a
+    cartesian). The integer size-bound prune (n_b*DEN >= n_a*NUM) must
+    survive into the optimized plan below the gram-array joins."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.containment_pairs(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan  # the prefix selection window survived

@@ -800,3 +800,56 @@ def test_audio_frame_features_match_direct_decode(spark):
                 int(((fr[fi, :-1] * fr[fi, 1:]) < 0).sum()),
             )
     assert got == want and len(got) >= 6
+
+
+def test_containment_catches_asymmetric_pair_jaccard_misses(spark):
+    """The operator's reason to exist: doc 0's tokens appear verbatim
+    inside the much larger doc 1, so containment(0->1) = 1.0 while
+    the pair's Jaccard (~|A|/|B|) sits far below JACCARD_THRESHOLD —
+    minhash_lsh_pairs' verify filter would deterministically exclude
+    it even when LSH banding happens to collide. Unrelated doc 2
+    produces no pair. Direction matters: (1->0) fails the threshold
+    because only a small fraction of doc 1 is covered by doc 0."""
+    from flink_kafka_filter_transform_spark.operators.dedup import containment_pairs
+
+    small = " ".join(f"tok{i}" for i in range(20))
+    big = small + " " + " ".join(f"filler{i}" for i in range(200))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, small), (1, big), (2, other)], "doc_id BIGINT, text STRING"
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in containment_pairs(docs).collect()}
+    assert (0, 1) in rows
+    r = rows[(0, 1)]
+    assert r["containment"] == 1.0
+    assert r["n_common"] == r["n_a"] == 18  # 20 tokens -> 18 3-shingles
+    assert (1, 0) not in rows  # asymmetry
+    assert all(2 not in p for p in rows)
+    # and the Jaccard of the caught pair really is below the minhash
+    # verify threshold (the deterministic "LSH would drop it" claim):
+    from flink_kafka_filter_transform_spark.operators import params
+
+    n_b = 219  # 221 tokens -> 219 shingles, all distinct
+    assert 18 / n_b < params.JACCARD_THRESHOLD
+
+
+def test_containment_integer_threshold_boundary_exact(spark):
+    """t = 4/5 exactly: a doc whose shingle set overlaps the container
+    in exactly 4/5 of its shingles is IN (n_common*5 == n_a*4), one
+    shingle fewer is OUT — the integer filter has no float boundary.
+    Construct doc a with 10 shingles (12 tokens), doc b containing 8
+    of them: 8*5 >= 10*4 passes; doc c containing 7: fails."""
+    from flink_kafka_filter_transform_spark.operators.dedup import containment_pairs
+
+    # tokens t0..t11 -> shingles (t0 t1 t2) .. (t9 t10 t11): 10 shingles
+    a = " ".join(f"t{i}" for i in range(12))
+    # b: t0..t9 (8 shingles of a) plus disjoint padding so b is bigger
+    b = " ".join(f"t{i}" for i in range(10)) + " " + " ".join(f"p{i}" for i in range(30))
+    # c: t0..t8 (7 shingles of a) plus padding
+    c = " ".join(f"t{i}" for i in range(9)) + " " + " ".join(f"q{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id BIGINT, text STRING"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in containment_pairs(docs).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)]["n_common"] == 8
+    assert (0, 2) not in pairs

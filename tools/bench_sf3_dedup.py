@@ -60,7 +60,28 @@ FAMILY = [
     # gained its persisted edge relation (the unmaterialized loop
     # re-derived the MinHash pipeline per label hop; ~3x at sf1)
     "dedup_survivors_quality",
+    # r8: the prefix-filtered containment join (see ATTRIBUTED below
+    # for why its ratio on THIS corpus is expected superlinear)
+    "containment_pairs",
 ]
+
+# Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused
+# to the corpus rather than the plan, and counter-evidenced on data
+# where the distinction shows — not an open conviction. Reruns report
+# them under "attributed" instead of "outliers" so the gate stays
+# meaningful for everything else.
+ATTRIBUTED = {
+    "containment_pairs": (
+        "zero-selectivity floor: the 31-word synthetic vocabulary has "
+        "31^3 = 29,791 distinct shingles, ALL corpus-hot (df ~ N/340), "
+        "so candidate volume for EXACT containment is inherently ~N^2 "
+        "— most doc pairs genuinely share many shingles and no "
+        "lossless filter can prune dense pair signal; the Zipfian sf1 "
+        "corpus (tools/gen_testdata.py --zipf-vocab; median shingle "
+        "df=1) yields 1,354 candidates vs 25.1M here (18,500x) and "
+        "6.6 s wall vs 14 s — SCALING.md r8 containment section"
+    ),
+}
 
 REPS = 2
 
@@ -109,10 +130,11 @@ def main() -> None:
             print(f"{name} {key}: {per_sf[key]:.2f}s", flush=True)
         per_sf["ratio"] = round(per_sf["sf3"] / per_sf["sf1"], 2)
         results[name] = per_sf
+    over = {n: r for n, r in results.items() if r["ratio"] > SUPERLINEAR_X}
     outliers = sorted(
-        (n for n, r in results.items() if r["ratio"] > SUPERLINEAR_X),
-        key=lambda n: -results[n]["ratio"],
+        (n for n in over if n not in ATTRIBUTED), key=lambda n: -results[n]["ratio"]
     )
+    attributed = {n: ATTRIBUTED[n] for n in over if n in ATTRIBUTED}
     out = {
         "data_factor": 3,
         "cpus": cpus,
@@ -120,6 +142,7 @@ def main() -> None:
         "superlinear_threshold_x": SUPERLINEAR_X,
         "results": results,
         "outliers": outliers,
+        "attributed": attributed,
     }
     with open(os.path.join(ROOT, "BENCH_sf3_dedup.json"), "w") as f:
         json.dump(out, f, indent=1)
