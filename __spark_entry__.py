@@ -185,8 +185,8 @@ HEAD_ORDER: list[str] = [
     # orders_top10, embedding_normalized_norms, embedding_quantize,
     # jl_projection_distortion, knn_jl, knn_jl_recall,
     # salted_event_counts, event_value_percentiles, revenue_rollup,
-    # q12_shipping_delay (the last three displaced by the r8 debuts
-    # below — r9 owes 12 slots, ~38 still free) ---
+    # q12_shipping_delay, q15_top_supplier (the last four displaced by
+    # the r8 debuts below — r9 owes 13 slots, ~37 still free) ---
     "token_frequency_score",
     "embedding_neardup_refined",
     "minhash_band_sweep",
@@ -196,7 +196,6 @@ HEAD_ORDER: list[str] = [
     "event_path_report",
     "neardup_triangles",
     "q8_market_share",
-    "q15_top_supplier",
     "q16_supplier_part_variety",
     "q19_discounted_revenue",
     "q21_waiting_orders",
@@ -242,6 +241,11 @@ HEAD_ORDER: list[str] = [
     # inside a large one) that Jaccard-calibrated LSH blocking misses
     # by construction; displaces q12_shipping_delay from the fill ---
     "containment_pairs",
+    # split_leakage_report = near-dup leakage across the naive
+    # train/val/test split + the cluster-aware repair (eval-integrity:
+    # an eval doc with a train near-dup measures memorization);
+    # displaces q15_top_supplier from the fill ---
+    "split_leakage_report",
 ]
 
 
@@ -681,6 +685,9 @@ def queries() -> dict[str, QueryFn]:
             _docs(s, d)
         ),
         "containment_pairs": lambda s, d: dedup.containment_pairs(_docs(s, d)),
+        "split_leakage_report": lambda s, d: sampling.split_leakage_report(
+            _docs(s, d)
+        ),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -788,6 +795,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_overlap": oracles.winnowing_overlap_oracle(),
         "audio_frame_features": oracles.audio_frame_features_oracle(),
         "containment_pairs": oracles.containment_pairs_oracle(),
+        "split_leakage_report": oracles.split_leakage_report_oracle(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_oracle(),
         "simhash_pairs": oracles.simhash_pairs_oracle(),
         "embedding_neardup": oracles.embedding_neardup_oracle(),

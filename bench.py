@@ -163,6 +163,7 @@ HEADLINE = [
     "winnowing_overlap",
     "audio_frame_features",
     "containment_pairs",
+    "split_leakage_report",
 ]
 
 
@@ -204,6 +205,7 @@ LOOP_QUERIES = {
     "bpe_merges",
     "dedup_survivors_quality",
     "embedding_neardup_fps",
+    "split_leakage_report",  # r8: CC localCheckpoint loop consumer
 }
 LOOP_EXTRA_REPS = 2
 

@@ -360,3 +360,89 @@ def dsir_proxy_weights(
             (F.coalesce("score", F.lit(0)) > 0).alias("selected"),
         )
     )
+
+
+def split_leakage_report(docs: DataFrame) -> DataFrame:
+    """Near-dup LEAKAGE across a naive per-doc train/val/test split,
+    and the cluster-aware repair — the eval-integrity check every
+    training pipeline needs before trusting its held-out numbers: an
+    eval document with a near-duplicate in train measures memorization,
+    not generalization.
+
+    - naive split: ``train_val_test`` on doc_id (the deterministic
+      content-hash split every pipeline starts with);
+    - leakage: MinHash-LSH verified near-dup pairs (the exact relation
+      ``minhash_lsh_pairs`` emits) whose endpoints land in DIFFERENT
+      splits;
+    - repair: assign each near-dup CLUSTER atomically — every member
+      takes its cluster root's (min doc_id) naive split, via
+      ``graph.connected_components`` (the persisted-edge loop);
+      singletons keep their own split, so only duplicate-family
+      members can move;
+    - report: one row per split — docs before/after, moved in/out,
+      and leaked-pair counts before/after. ``leaked_pairs_final`` is 0
+      by construction (a pair's endpoints share a component, hence a
+      root, hence a split); the report PROVES it instead of asserting
+      it. A leaked pair touches two splits and is counted once under
+      EACH (sum over rows = 2x distinct leaked pairs — documented
+      grain, mirrored in the oracle).
+
+    Scale shape: pair volume is LSH-bounded (never all-pairs), the CC
+    loop is the audited persisted-edge fixpoint, split assignment and
+    the repair join are doc-keyed single shuffles, and the report
+    itself aggregates to <= 3 rows with map-side partial aggs."""
+    from flink_kafka_filter_transform_spark.operators.dedup import minhash_lsh_pairs
+    from flink_kafka_filter_transform_spark.operators.graph import connected_components
+
+    with_split = train_val_test(docs.select("doc_id"), key="doc_id").select(
+        "doc_id", F.col("split").alias("split_naive")
+    )
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    verts = docs.select(F.col("doc_id").alias("id")).distinct()
+    comp = connected_components(verts, edges)
+    roots = with_split.select(
+        F.col("doc_id").alias("component"), F.col("split_naive").alias("split_final")
+    )
+    m = (
+        comp.join(with_split, comp["id"] == with_split["doc_id"])
+        .join(roots, "component")
+        .select(F.col("id").alias("doc_id"), "split_naive", "split_final")
+    )
+    moved = F.col("split_final") != F.col("split_naive")
+    d_out = m.groupBy(F.col("split_naive").alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs_naive"),
+        F.sum(moved.cast("long")).alias("n_moved_out"),
+    )
+    d_in = m.groupBy(F.col("split_final").alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs_final"),
+        F.sum(moved.cast("long")).alias("n_moved_in"),
+    )
+
+    def leaked(col: str) -> DataFrame:
+        sa = m.select(F.col("doc_id").alias("doc_a"), F.col(col).alias("sa"))
+        sb = m.select(F.col("doc_id").alias("doc_b"), F.col(col).alias("sb"))
+        return (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(F.col("sa") != F.col("sb"))
+            .select(F.explode(F.array("sa", "sb")).alias("split"))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias(f"leaked_pairs_{'naive' if col == 'split_naive' else 'final'}"))
+        )
+
+    rep = (
+        d_out.join(d_in, "split", "full_outer")
+        .join(leaked("split_naive"), "split", "left_outer")
+        .join(leaked("split_final"), "split", "left_outer")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)  # noqa: E731
+    return rep.select(
+        "split",
+        z("n_docs_naive"),
+        z("n_docs_final"),
+        z("n_moved_in"),
+        z("n_moved_out"),
+        z("leaked_pairs_naive"),
+        z("leaked_pairs_final"),
+    )

@@ -1280,6 +1280,86 @@ FROM p WHERE n_common * {den} >= n_a * {num}
 """
 
 
+def split_leakage_report_oracle() -> str:
+    """Twin of operators.sampling.split_leakage_report: the same split
+    CASE as documents_split_summary_oracle, the same pair relation as
+    minhash_lsh_pairs_oracle, the same recursive-CTE components as
+    neardup_clusters_oracle, then the per-split doc/moved/leaked
+    aggregations (a leaked pair counts once under EACH of its two
+    splits — the operator's documented grain)."""
+    from flink_kafka_filter_transform_spark.operators.sampling import BUCKETS
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)")
+    test_hi = 10 * BUCKETS // 100
+    val_hi = test_hi + 10 * BUCKETS // 100
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_oracle()}) p),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN {h} % {BUCKETS} < {test_hi} THEN 'test'
+         WHEN {h} % {BUCKETS} < {val_hi} THEN 'val'
+         ELSE 'train' END AS split_naive
+  FROM documents
+),
+verts AS (SELECT DISTINCT doc_id FROM documents),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+r(doc, root) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT e.b, r.root FROM r JOIN e ON e.a = r.doc
+),
+comp AS (SELECT doc, min(root) AS component FROM r GROUP BY doc),
+m AS (
+  SELECT comp.doc AS doc_id, s1.split_naive, s2.split_naive AS split_final
+  FROM comp
+  JOIN sp s1 ON s1.doc_id = comp.doc
+  JOIN sp s2 ON s2.doc_id = comp.component
+),
+d_out AS (
+  SELECT split_naive AS split, count(*) AS n_docs_naive,
+         sum(CASE WHEN split_final != split_naive THEN 1 ELSE 0 END) AS n_moved_out
+  FROM m GROUP BY split_naive
+),
+d_in AS (
+  SELECT split_final AS split, count(*) AS n_docs_final,
+         sum(CASE WHEN split_final != split_naive THEN 1 ELSE 0 END) AS n_moved_in
+  FROM m GROUP BY split_final
+),
+ln AS (
+  SELECT split, count(*) AS leaked_pairs_naive FROM (
+    SELECT unnest([ma.split_naive, mb.split_naive]) AS split
+    FROM pairs JOIN m ma ON ma.doc_id = pairs.doc_a
+               JOIN m mb ON mb.doc_id = pairs.doc_b
+    WHERE ma.split_naive != mb.split_naive
+  ) GROUP BY split
+),
+lf AS (
+  SELECT split, count(*) AS leaked_pairs_final FROM (
+    SELECT unnest([ma.split_final, mb.split_final]) AS split
+    FROM pairs JOIN m ma ON ma.doc_id = pairs.doc_a
+               JOIN m mb ON mb.doc_id = pairs.doc_b
+    WHERE ma.split_final != mb.split_final
+  ) GROUP BY split
+)
+SELECT d_out.split,
+  CAST(n_docs_naive AS BIGINT) AS n_docs_naive,
+  CAST(COALESCE(n_docs_final, 0) AS BIGINT) AS n_docs_final,
+  CAST(COALESCE(n_moved_in, 0) AS BIGINT) AS n_moved_in,
+  CAST(COALESCE(n_moved_out, 0) AS BIGINT) AS n_moved_out,
+  CAST(COALESCE(leaked_pairs_naive, 0) AS BIGINT) AS leaked_pairs_naive,
+  CAST(COALESCE(leaked_pairs_final, 0) AS BIGINT) AS leaked_pairs_final
+FROM d_out
+LEFT JOIN d_in USING (split)
+LEFT JOIN ln USING (split)
+LEFT JOIN lf USING (split)
+"""
+
+
 def events_sessionized_oracle(gap_minutes: int = 30, break_on_exact_gap: bool = False) -> str:
     """Lag+cumsum sessionization. ``break_on_exact_gap`` selects the
     boundary convention: False = a gap of exactly ``gap_minutes`` stays

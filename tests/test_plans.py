@@ -903,3 +903,24 @@ def test_containment_pairs_no_broadcast_no_cartesian_prefix_filter_present(spark
     plan = px.explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "row_number" in plan  # the prefix selection window survived
+
+
+def test_split_leakage_adds_no_pinned_broadcast_over_clusters(spark, sf_dir):
+    """The leakage report composes CC clusters with the map-only split
+    assignment and three doc-keyed joins — all corpus-sized at 100 TB,
+    so the composition must pin no NEW broadcast beyond what the
+    cluster computation itself pins, and the report aggregations must
+    not introduce a window."""
+    from flink_kafka_filter_transform_spark.operators import graph, sampling
+
+    docs = load_table(spark, "documents", sf_dir, rebalance=False)
+    rep = sampling.split_leakage_report(docs)
+    base = graph.neardup_clusters(docs)
+    assert px.broadcast_hint_count(rep) == px.broadcast_hint_count(base)
+    # the only windows in the plan are the LSH band-bucket caps the
+    # pair relation always carries (neardup_clusters hides them behind
+    # its checkpoint) — the report itself adds none
+    plan = px.explain_str(rep, "simple")
+    assert plan.count("windowspecdefinition(") == plan.count(
+        "windowspecdefinition(band_idx"
+    )

@@ -853,3 +853,28 @@ def test_containment_integer_threshold_boundary_exact(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r for r in containment_pairs(docs).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)]["n_common"] == 8
     assert (0, 2) not in pairs
+
+
+def test_split_leakage_report_invariants(spark, sf_dir):
+    """Conservation + repair invariants on the real corpus: the repair
+    only MOVES docs (naive and final doc totals agree, moved-in equals
+    moved-out globally), the repaired split leaks ZERO pairs (each
+    pair's endpoints share a cluster root, hence a split), and the
+    naive per-split doc counts equal documents_split_summary's."""
+    from flink_kafka_filter_transform_spark.operators.sampling import (
+        documents_split_summary,
+        split_leakage_report,
+    )
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    rows = split_leakage_report(docs).collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["leaked_pairs_final"] == 0 for r in rows)
+    assert sum(r["n_docs_naive"] for r in rows) == sum(r["n_docs_final"] for r in rows)
+    assert sum(r["n_moved_in"] for r in rows) == sum(r["n_moved_out"] for r in rows)
+    # a leaked pair is counted under each of its two splits
+    assert sum(r["leaked_pairs_naive"] for r in rows) % 2 == 0
+    base = {r["split"]: r["n_docs"] for r in documents_split_summary(docs).collect()}
+    got = {r["split"]: r["n_docs_naive"] for r in rows}
+    assert got == base
