@@ -185,8 +185,9 @@ HEAD_ORDER: list[str] = [
     # orders_top10, embedding_normalized_norms, embedding_quantize,
     # jl_projection_distortion, knn_jl, knn_jl_recall,
     # salted_event_counts, event_value_percentiles, revenue_rollup,
-    # q12_shipping_delay, q15_top_supplier (the last four displaced by
-    # the r8 debuts below — r9 owes 13 slots, ~37 still free) ---
+    # q12_shipping_delay, q15_top_supplier, q21_waiting_orders (the
+    # last five displaced by the r8 debuts below — r9 owes 14 slots,
+    # ~36 still free) ---
     "token_frequency_score",
     "embedding_neardup_refined",
     "minhash_band_sweep",
@@ -198,7 +199,6 @@ HEAD_ORDER: list[str] = [
     "q8_market_share",
     "q16_supplier_part_variety",
     "q19_discounted_revenue",
-    "q21_waiting_orders",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "segment_dedup_stats",
@@ -246,6 +246,11 @@ HEAD_ORDER: list[str] = [
     # an eval doc with a train near-dup measures memorization);
     # displaces q15_top_supplier from the fill ---
     "split_leakage_report",
+    # winnowing_pairs = MOSS's ranked-pair output over the winnowing
+    # fingerprint index (char-level span evidence at pair grain, the
+    # counterpart to minhash's token-set pairs); displaces
+    # q21_waiting_orders from the fill ---
+    "winnowing_pairs",
 ]
 
 
@@ -685,6 +690,7 @@ def queries() -> dict[str, QueryFn]:
             _docs(s, d)
         ),
         "containment_pairs": lambda s, d: dedup.containment_pairs(_docs(s, d)),
+        "winnowing_pairs": lambda s, d: dedup.winnowing_pairs(_docs(s, d)),
         "split_leakage_report": lambda s, d: sampling.split_leakage_report(
             _docs(s, d)
         ),
@@ -795,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_overlap": oracles.winnowing_overlap_oracle(),
         "audio_frame_features": oracles.audio_frame_features_oracle(),
         "containment_pairs": oracles.containment_pairs_oracle(),
+        "winnowing_pairs": oracles.winnowing_pairs_oracle(),
         "split_leakage_report": oracles.split_leakage_report_oracle(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_oracle(),
         "simhash_pairs": oracles.simhash_pairs_oracle(),

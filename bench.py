@@ -164,6 +164,7 @@ HEADLINE = [
     "audio_frame_features",
     "containment_pairs",
     "split_leakage_report",
+    "winnowing_pairs",
 ]
 
 

@@ -1041,6 +1041,89 @@ def substring_dedup_stats(docs: DataFrame, k: int = 32) -> DataFrame:
     )
 
 
+def _winnowing_fps(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
+    """The distinct winnowing-fingerprint relation (doc_id, fp) shared
+    by winnowing_overlap and winnowing_pairs — see winnowing_overlap
+    for the algorithm and guarantee."""
+    c = F.col("text")
+    win = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (k - 1)),
+        lambda i: F.substring(c, i, k),
+    )
+    pg = (
+        docs.filter(F.length(c) >= k + w - 1)
+        .select("doc_id", F.posexplode(win).alias("pos0", "gram"))
+        .select("doc_id", F.col("pos0").alias("pos"), portable_hash64("gram").alias("gh"))
+    )
+    fw = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    cnt = Window.partitionBy("doc_id")
+    return (
+        pg.withColumn("fp", F.min("gh").over(fw))
+        .withColumn("n_pos", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("pos") <= F.col("n_pos") - w)  # full windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def winnowing_pairs(docs: DataFrame, k: int = 8, w: int = 16, top_n: int = 100) -> DataFrame:
+    """MOSS's actual output artifact: the TOP-``top_n`` document pairs
+    ranked by shared winnowing fingerprints — char-level span evidence
+    that survives reordering and partial copying (each shared
+    fingerprint witnesses a shared substring of >= k chars, and any
+    shared span >= w + k - 1 chars is guaranteed to produce one). The
+    pair-grain complement to winnowing_overlap's per-doc score, and
+    the span-evidence counterpart of minhash_lsh_pairs' token-set
+    similarity.
+
+    Skew guard (oracle-mirrored): fingerprints present in more than
+    ``WINNOWING_FP_CAP`` documents are dropped before the pair join —
+    a fingerprint in half the corpus is boilerplate, not plagiarism
+    signal, and one hot fingerprint would otherwise contribute
+    C(ndocs, 2) pairs (the LSH_BUCKET_CAP rule applied to the
+    fingerprint index). match_score divides by the SMALLER side's
+    full fingerprint count, so containment-style partial copies score
+    high.
+
+    Scale shape: the fp self-join is bucket-capped (pair volume
+    sum-of-ndocs^2 over capped fps, never N^2); the ranking compiles
+    to TakeOrderedAndProject (per-partition top-N then a top_n-row
+    merge — no global sort, no single-task window); ordering is total
+    (n_shared desc, doc_a, doc_b) so the LIMIT is deterministic
+    cross-engine."""
+    fps = _winnowing_fps(docs, k, w)
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    nd = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_nd"))
+    capped = fps.join(
+        nd.filter(F.col("_nd") <= params.WINNOWING_FP_CAP).select("fp"), "fp"
+    )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("nf_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nf_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_fps",
+            (
+                F.col("n_shared_fps").cast("double")
+                / F.least("nf_a", "nf_b").cast("double")
+            ).alias("match_score"),
+        )
+        .orderBy(F.col("n_shared_fps").desc(), "doc_a", "doc_b")
+        .limit(top_n)
+    )
+
+
 def winnowing_overlap(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
     """Per-document winnowing-fingerprint overlap (Schleimer, Wilkerson
     & Aiken, SIGMOD 2003 — the MOSS algorithm): hash every ``k``-char
@@ -1064,25 +1147,7 @@ def winnowing_overlap(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
     aggregate -> join back on the fp partitioning. Docs shorter than
     k + w - 1 chars have no full window and are excluded (mirrored in
     the oracle)."""
-    c = F.col("text")
-    win = F.transform(
-        F.sequence(F.lit(1), F.length(c) - (k - 1)),
-        lambda i: F.substring(c, i, k),
-    )
-    pg = (
-        docs.filter(F.length(c) >= k + w - 1)
-        .select("doc_id", F.posexplode(win).alias("pos0", "gram"))
-        .select("doc_id", F.col("pos0").alias("pos"), portable_hash64("gram").alias("gh"))
-    )
-    fw = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    cnt = Window.partitionBy("doc_id")
-    fps = (
-        pg.withColumn("fp", F.min("gh").over(fw))
-        .withColumn("n_pos", F.count(F.lit(1)).over(cnt))
-        .filter(F.col("pos") <= F.col("n_pos") - w)  # full windows only
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    fps = _winnowing_fps(docs, k, w)
     ndocs = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_ndocs"))
     return (
         fps.join(ndocs, "fp")

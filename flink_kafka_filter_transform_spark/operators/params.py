@@ -54,6 +54,13 @@ SIMHASH_MAX_HAMMING = 4
 # role and value as LSH_BUCKET_CAP on the minhash side.
 SIMHASH_BUCKET_CAP = 100
 
+# --- winnowing pair ranking -------------------------------------------------
+# Fingerprints present in more than this many documents are dropped
+# before the winnowing_pairs self-join (boilerplate, not plagiarism
+# signal; one hot fp otherwise contributes C(ndocs,2) pairs). Same
+# role and value as LSH_BUCKET_CAP; mirrored in the oracle.
+WINNOWING_FP_CAP = 100
+
 # --- containment join (asymmetric near-dup) --------------------------------
 # Containment threshold t = NUM/DEN as an exact rational: both the
 # prefix-filter pigeonhole bound (prefix_len = n_a - ceil(t*n_a) + 1)

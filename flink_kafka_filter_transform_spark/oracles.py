@@ -4052,6 +4052,54 @@ GROUP BY f.doc_id
 """
 
 
+def winnowing_pairs_oracle(k: int = 8, w: int = 16, top_n: int = 100) -> str:
+    """Pair-ranking twin of operators.dedup.winnowing_pairs: the same
+    fps CTE as winnowing_overlap_oracle, the same WINNOWING_FP_CAP
+    prune (a hot fingerprint is boilerplate), pair counts over the
+    capped index, match_score against the smaller side's FULL
+    fingerprint count, and the same total order under the LIMIT
+    (n_shared desc, doc_a, doc_b) so the top-N is deterministic."""
+    h = portable_hash64_sql(f"substr(text, CAST(pos AS INT), {k})")
+    return f"""
+WITH pg AS (
+  SELECT doc_id, pos, {h} AS gh
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - {k - 1})) AS pos
+    FROM documents
+    WHERE length(text) >= {k + w - 1}
+  )
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos,
+      min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+      count(*) OVER (PARTITION BY doc_id) AS n_pos
+    FROM pg
+  ) WHERE pos <= n_pos - {w} + 1
+),
+sizes AS (SELECT doc_id, count(*) AS nf FROM fps GROUP BY doc_id),
+nd AS (SELECT fp, count(*) AS _nd FROM fps GROUP BY fp),
+capped AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN nd USING (fp)
+  WHERE nd._nd <= {params.WINNOWING_FP_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fps
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared_fps,
+  CAST(n_shared_fps AS DOUBLE) / least(sa.nf, sb.nf) AS match_score
+FROM pairs
+JOIN sizes sa ON sa.doc_id = pairs.doc_a
+JOIN sizes sb ON sb.doc_id = pairs.doc_b
+ORDER BY n_shared_fps DESC, doc_a, doc_b
+LIMIT {top_n}
+"""
+
+
 def audio_frame_features_oracle(frame: int = 16) -> str:
     """Frame-level PCM features recomputed from the WAV fixture's
     closed form (multimodal._synth_wav: n = 50 + doc_id % 20 samples,

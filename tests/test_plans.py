@@ -924,3 +924,19 @@ def test_split_leakage_adds_no_pinned_broadcast_over_clusters(spark, sf_dir):
     assert plan.count("windowspecdefinition(") == plan.count(
         "windowspecdefinition(band_idx"
     )
+
+
+def test_winnowing_pairs_capped_join_and_take_ordered(spark, sf_dir):
+    """The fp self-join must be bucket-capped (no N^2 path), nothing
+    may be pinned broadcast (fingerprint relation is corpus-sized at
+    100 TB), and the top-N ranking must compile to
+    TakeOrderedAndProject — never a global Sort or a single-partition
+    window."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.winnowing_pairs(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition(doc_a" not in plan  # no ranking window

@@ -878,3 +878,27 @@ def test_split_leakage_report_invariants(spark, sf_dir):
     base = {r["split"]: r["n_docs"] for r in documents_split_summary(docs).collect()}
     got = {r["split"]: r["n_docs_naive"] for r in rows}
     assert got == base
+
+
+def test_winnowing_pairs_guarantee_and_identity_score(spark):
+    """Pair-grain winnowing guarantee: docs sharing a >= w+k-1 char
+    span must appear as a pair with n_shared_fps >= 1; identical docs
+    score match_score == 1.0 and rank first; unrelated docs pair with
+    nobody."""
+    from flink_kafka_filter_transform_spark.operators.dedup import winnowing_pairs
+
+    span = "GUARANTEED-SHARED-SPAN!"  # 23 = w + k - 1 at k=8, w=16
+    a = "x" * 30 + span + "y" * 30
+    b = "p" * 30 + span + "q" * 30
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, a), (3, "totally unrelated filler content here")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = winnowing_pairs(docs, k=8, w=16).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (0, 1) in got and got[(0, 1)]["n_shared_fps"] >= 1
+    assert (0, 2) in got and got[(0, 2)]["match_score"] == 1.0  # identical docs
+    assert all(3 not in p for p in got)
+    # ranking: the identical pair shares every fingerprint, so it
+    # leads the (n_shared desc, doc_a, doc_b) total order
+    assert (rows[0]["doc_a"], rows[0]["doc_b"]) == (0, 2)
