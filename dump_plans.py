@@ -30,6 +30,7 @@ SHOWCASE = [
     ("substring_dedup_stats", "stride-1 window hashes: ONE gh-window pass marks shared positions (min!=max doc), islands window over SHARED rows only, closed-form totals"),
     ("winnowing_overlap", "winnowing: one doc-keyed sort window for the w-min, fp-keyed agg; no broadcast"),
     ("containment_pairs", "prefix-filtered containment join: df agg + rank window + posting equi-join (8-byte hash keys), positional+size bounds BEFORE the pair exists, arrays ship only for survivors; no broadcast, no cartesian"),
+    ("winnowing_pairs", "MOSS pair ranking: bucket-capped fp self-join, TakeOrderedAndProject top-N (no global sort, no ranking window)"),
     ("knn_ivf", "codebook + probe broadcast; scan restricted to probed cells"),
     ("contamination_check", "eval grams broadcast; per-doc aggregate is the only shuffle"),
     ("events_last_purchase", "as-of via union+window: one hash partition, no join operator"),
