@@ -63,6 +63,9 @@ FAMILY = [
     # r8: the prefix-filtered containment join (see ATTRIBUTED below
     # for why its ratio on THIS corpus is expected superlinear)
     "containment_pairs",
+    # r8: the MOSS ranked-pair readout (capped fp join + TakeOrdered;
+    # fresh-JVM debut series 2.4 s sf0.1 / 7.4 s sf1)
+    "winnowing_pairs",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused
