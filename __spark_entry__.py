@@ -151,6 +151,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # neardup_clusters, dedup_survivors, dedup_survivors_quality (the CC
 # consumers; their r6-green verdicts predate the loop change).
 HEAD_ORDER: list[str] = [
+    # === r9 head ===
+    # --- the 14 r5-cohort rotation obligations (tools/rotation_check
+    # flagged them at round open: verdict age hits the v2 limit) ---
+    "orders_top10",
+    "embedding_normalized_norms",
+    "embedding_quantize",
+    "jl_projection_distortion",
+    "knn_jl",
+    "knn_jl_recall",
+    "salted_event_counts",
+    "event_value_percentiles",
+    "revenue_rollup",
+    "pii_redact",
+    "repetition_ratios",
+    "q12_shipping_delay",
+    "q15_top_supplier",
+    "q21_waiting_orders",
+    # --- clause (b) re-gates: changed THIS round (r9). Values
+    # identical (CI parity green), plans changed:
+    # substring_dedup_stats replaced the gh shared-mark window with a
+    # map-side-combined groupBy(gh) aggregate + AQE-splittable join
+    # (the hot-key straggler fix, VERDICT r8 item 3);
+    # containment_pairs' prefix length moved from float floor-division
+    # to the BIGINT `div` operator (r8 ADVICE item 1) ---
+    "substring_dedup_stats",
+    "containment_pairs",
+    # --- SMOOTHING RULE fill (second exercise; rotation_check.py:48):
+    # the r6-verdict cohort is 43 strong and due at r10 in one wave —
+    # pull 32 forward now so r10 owes only the 11 left in the tail
+    # (scalar_function_showcase, weighted_avg_by_type,
+    # sentence_split_rows, q3_shipping_priority,
+    # q5_local_supplier_volume, top_customers_per_segment,
+    # events_props_extract, events_props_map_explode,
+    # order_priority_stats, window_function_showcase,
+    # q4_order_priority_semi — all cheap map/tiny-join shapes) plus
+    # that round's debuts/re-gates ---
+    "bloom_contamination",
+    "bigram_lift_top",
+    "source_quality_matrix",
+    "knn_ivf_pq",
+    "knn_ivf_pq_recall",
+    "minhash_lsh_pairs",
+    "knn_ivf_kmeans",
+    "embedding_neardup_fps",
+    "kmeans_clusters",
+    "kmeans_cluster_sizes",
+    "q6_forecast_revenue",
+    "knn_brute",
+    "knn_lsh",
+    "embedding_neardup",
+    "knn_ivf",
+    "knn_lsh_recall",
+    "knn_ivf_recall",
+    "knn_ivf_probe_sweep",
+    "q7_volume_shipping",
+    "q9_product_nation_profit",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "q13_customer_distribution",
+    "events_group_reservoir",
+    "bigram_top_pairs",
+    "training_mixture_report",
+    "media_resize",
+    "doc_chunks",
+    "mixture_sample_summary",
+    "multimodal_features",
+    "frame_sample",
+    "q1_pricing_summary",
+]
+
+# === r8 head (HISTORY — the r8 driver gated these 50; kept for the
+# provenance comments the rotation policy requires) ===
+_R8_HEAD_HISTORY: list[str] = [
     # === r8 head ===
     # --- the 3 r7 ALLOWED_PENDING_DEBUTS deferrals (allowance expires
     # this round; entries deleted from tools/rotation_check.py with

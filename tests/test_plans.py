@@ -864,6 +864,28 @@ def test_substring_dedup_broadcasts_nothing(spark, sf_dir):
     assert px.broadcast_hint_count(df) == 0
 
 
+def test_substring_dedup_stats_no_gh_window(spark, sf_dir):
+    """Hot-key guard (VERDICT r8 item 3): the shared-window mark must
+    NOT be a window over partitionBy(gh) — a corpus-hot boilerplate
+    hash would land its entire stride-1 position set in ONE window
+    partition with no partial aggregation (windows cannot map-side
+    combine and AQE cannot split them). The r9 plan computes the
+    shared flag as a groupBy(gh) min/max aggregate (partial_min/
+    partial_max run map-side, so a hot key reaches the reducer
+    pre-combined) and rejoins positions on gh, where AQE skew-join
+    handling can subdivide a degenerate key. The only window allowed
+    in the plan is the per-doc islands row_number (bounded by doc
+    length)."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.substring_dedup_stats(load_table(spark, "documents", sf_dir))
+    plan = px.explain_str(df, "simple")
+    n_windows = plan.count("windowspecdefinition(")
+    assert n_windows == plan.count("windowspecdefinition(doc_id") == 1
+    # the shared flag is a two-phase aggregate: map-side partials exist
+    assert "partial_min(doc_id" in plan and "partial_max(doc_id" in plan
+
+
 def test_winnowing_overlap_broadcasts_nothing(spark, sf_dir):
     """Fingerprints and their distinct-doc counts are corpus-sized at
     100 TB — no pinned broadcast; only 8-byte hashes shuffle (the
@@ -903,6 +925,15 @@ def test_containment_pairs_no_broadcast_no_cartesian_prefix_filter_present(spark
     plan = px.explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "row_number" in plan  # the prefix selection window survived
+    # the integer size-bound prune survives into the optimized plan as
+    # a join-level predicate (r8 ADVICE: the docstring promised it but
+    # the test never looked)
+    import re
+
+    assert re.search(r"\(n_b#\d+L? \* 5\) >= \(n_a#\d+L? \* 4\)", plan)
+    # the prefix length stays in BIGINT: the `div` operator, not a
+    # float floor-division (r8 ADVICE item 1)
+    assert re.search(r"div 5", plan)
 
 
 def test_split_leakage_adds_no_pinned_broadcast_over_clusters(spark, sf_dir):
