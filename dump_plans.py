@@ -27,7 +27,7 @@ SHOWCASE = [
     ("tfidf_top_terms", "no pinned broadcast of the unbounded vocabulary; AQE decides by size"),
     ("minhash_lsh_pairs", "banded LSH: candidate join only within buckets, never all-pairs"),
     ("ngram_jaccard_pairs", "r8: banded-LSH candidates (shared with minhash_lsh_pairs) + lossless length-bound prune BEFORE the gram arrays join"),
-    ("substring_dedup_stats", "stride-1 window hashes: ONE gh-window pass marks shared positions (min!=max doc), islands window over SHARED rows only, closed-form totals"),
+    ("substring_dedup_stats", "stride-1 window hashes: shared mark = map-side-combined groupBy(gh) min/max + AQE-splittable gh join (r9 — no unsplittable gh window partition), islands window over SHARED rows only, closed-form totals"),
     ("winnowing_overlap", "winnowing: one doc-keyed sort window for the w-min, fp-keyed agg; no broadcast"),
     ("containment_pairs", "prefix-filtered containment join: df agg + rank window + posting equi-join (8-byte hash keys), positional+size bounds BEFORE the pair exists, arrays ship only for survivors; no broadcast, no cartesian"),
     ("winnowing_pairs", "MOSS pair ranking: bucket-capped fp self-join, TakeOrderedAndProject top-N (no global sort, no ranking window)"),
@@ -71,11 +71,19 @@ SHOWCASE = [
     ("simhash_pairs", "simhash near-dup: chunk-bucket candidates CAPPED (r7 — sum(bucket^2) bounded at N*cap), hamming verify on 60-bit ints"),
     ("bm25_top_docs", "BM25 retrieval: bounded query-term relation broadcast; tf/df/doclen share the term shuffle; decimal-exact score sums"),
     ("unigram_surprisal", "unigram-LM filter: vocabulary never broadcast (term-keyed join), only the 1-row total pinned; integer-exact bit surprisal"),
+    ("audio_frame_features", "frame-level PCM features: decode + framing + energy/ZCR folds in ONE Arrow mapInPandas stage, zero exchanges (frame rows never travel)"),
+    ("split_leakage_report", "eval-integrity audit: LSH-bounded pairs + persisted-edge CC + map-only split composed in one plan; report aggregates to 3 rows, leaked_pairs_final provably 0"),
     # the r6 streaming sink faces (hll/cms/ivf/scd2_stream_state) are
     # deliberately absent: their query fns DRAIN a real stream before
     # returning the state reader, so a plan dump would show only the
     # trivial final state scan — the sink plans are asserted in
-    # tests/test_streaming.py instead.
+    # tests/test_streaming.py instead. dedup_stream_state (the r8
+    # face) gets the one exception below so PLANS.md carries a section
+    # per VERDICT r8 item 4: the dumped plan is the post-drain ledger
+    # read (max-revision pick over _batch_id partitions); the
+    # maintenance plan itself is the applyInPandasWithState sink gated
+    # in tests/test_streaming.py.
+    ("dedup_stream_state", "first-seen dedup ledger FACE: dumped plan = the post-drain published-state read (max-revision row per hash over _batch_id partitions); the incremental maintenance plan is the applyInPandasWithState sink, gated in tests/test_streaming.py"),
 ]
 
 

@@ -370,6 +370,21 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
             spark.conf.set(k, v)
 
 
+def test_audio_frame_features_is_shuffle_free(spark, sf_dir):
+    """Frame-level PCM features are map-only by construction: decode,
+    framing, energy and zero-crossing folds all happen inside ONE
+    Arrow-batched mapInPandas stage — frame rows must never travel. A
+    shuffle appearing here by regression (e.g. a groupBy sneaking into
+    the frame fold) would ship O(samples/frame_len) rows; catch it by
+    name like the other multimodal decode plans (VERDICT r8 item 4)."""
+    from flink_kafka_filter_transform_spark.operators import multimodal
+
+    df = multimodal.audio_frame_features(load_table(spark, "documents", sf_dir))
+    assert px.count_shuffles(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "MapInPandas" in plan  # the Arrow boundary, not per-row Python
+
+
 def test_array_showcase_is_single_codegen_map(spark, sf_dir):
     df = relational.array_function_showcase(load_table(spark, "documents", sf_dir))
     assert px.count_shuffles(df) == 0
