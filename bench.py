@@ -187,6 +187,14 @@ SPECIAL = {"cdc_route_join_distinct": _route_distinct_keys_query}
 
 REPS = 2  # frozen r4 methodology; see module docstring
 
+# Emitted-JSON schema/methodology version (r8 ADVICE item 3): v1
+# (<= BENCH_r07) headline "value" INCLUDED the streaming face drains;
+# v2 (BENCH_r08+) excludes them into "faces"/"faces_sec", so a
+# cross-version total comparison must use "total_with_faces_sec" (also
+# emitted from v2 on) against the old "value". Bump on any change that
+# alters what the headline number measures.
+METHODOLOGY = 2
+
 # r8 variance guard (VERDICT r7 item 2): the driver-side iterative
 # trainers (localCheckpoint loops) are allocation-sensitive in the
 # shared bench JVM — supply_chain_pagerank's in-suite warm swung
@@ -355,6 +363,8 @@ def main() -> None:
         "queries": timings,
         "faces": faces,
         "faces_sec": round(sum(faces.values()), 3),
+        "total_with_faces_sec": round(total + sum(faces.values()), 3),
+        "methodology": METHODOLOGY,
         "cold": cold,
         "warm": warm,
         "sf": sf,
@@ -384,6 +394,11 @@ def main() -> None:
             # vs <= r7 totals must add faces_sec back)
             "faces": faces,
             "faces_sec": round(sum(faces.values()), 3),
+            # the r7-comparable combined number, emitted explicitly so
+            # round-over-round tooling can't mis-compare across the
+            # methodology boundary (r8 ADVICE item 3)
+            "total_with_faces_sec": round(total + sum(faces.values()), 3),
+            "methodology": METHODOLOGY,
             # per-methodology-section totals IN the final line, so the
             # driver artifact's parsed JSON carries non-null cold AND
             # warm even if the tail window clips the full per-query
