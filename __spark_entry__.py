@@ -219,6 +219,16 @@ HEAD_ORDER: list[str] = [
     "multimodal_features",
     "frame_sample",
     "q1_pricing_summary",
+    # --- NEW in r9 (debut in the head per the rotation policy):
+    # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
+    # paired via the factored simhash chunk blocking — the multimodal
+    # near-dup (VERDICT r8 item 6) ---
+    "image_phash_pairs",
+    # --- clause (b): simhash_pairs' blocking/verify moved into the
+    # shared dedup.hamming_chunk_pairs helper this round (pure code
+    # motion, values and plan identical; CI parity green) — re-gated
+    # per the changed-call-graph rule ---
+    "simhash_pairs",
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -767,6 +777,14 @@ def queries() -> dict[str, QueryFn]:
         "split_leakage_report": lambda s, d: sampling.split_leakage_report(
             _docs(s, d)
         ),
+        # === new in r9: image perceptual-hash near-dup — the bridge
+        # between the multimodal decode stack (real PPM decode, luma,
+        # resize_nearest) and the dedup blocking stack (the simhash
+        # chunk machinery, factored into dedup.hamming_chunk_pairs);
+        # debuts in the r9 head ===
+        "image_phash_pairs": lambda s, d: multimodal.image_phash_pairs(
+            _docs(s, d)
+        ),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -938,4 +956,5 @@ def oracle_sql() -> dict[str, str]:
         "lsh_stream_state": oracles.minhash_lsh_pairs_oracle(),
         "bm25_top_docs": oracles.bm25_top_docs_oracle(),
         "unigram_surprisal": oracles.unigram_surprisal_oracle(),
+        "image_phash_pairs": oracles.image_phash_pairs_oracle(),
     }

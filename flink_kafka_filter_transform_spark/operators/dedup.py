@@ -233,24 +233,58 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     tradeoff as lsh_candidates' LSH_BUCKET_CAP. The oracle applies
     the identical capped-bucket rule."""
     sig = simhash_signatures(docs)
-    cb = params.SIMHASH_CHUNK_BITS
-    mask = (1 << cb) - 1
+    return hamming_chunk_pairs(
+        sig,
+        "simhash",
+        n_chunks=params.SIMHASH_CHUNKS,
+        chunk_bits=params.SIMHASH_CHUNK_BITS,
+        bucket_cap=params.SIMHASH_BUCKET_CAP,
+        max_hamming=params.SIMHASH_MAX_HAMMING,
+    )
+
+
+def hamming_chunk_pairs(
+    sig: DataFrame,
+    sig_col: str,
+    *,
+    n_chunks: int,
+    chunk_bits: int,
+    bucket_cap: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Manku-style Hamming-ball pair join over ANY (doc_id, <sig_col>)
+    bit-signature relation — factored from simhash_pairs (r9) so the
+    image perceptual-hash near-dup (multimodal.image_phash_pairs) and
+    any future fixed-width-signature family share the one audited
+    blocking implementation: explode each signature into its
+    ``n_chunks`` exact chunks, drop chunk buckets above ``bucket_cap``
+    (fixed key space -> bucket occupancy grows with N and candidate
+    volume as sum(bucket^2); with the cap, volume is bounded by
+    N*cap — the LSH_BUCKET_CAP rule), equi-join on (chunk_idx, chunk),
+    verify bit_count(xor) <= ``max_hamming``. Pigeonhole recall:
+    distance < n_chunks is fully recalled pre-cap. Output:
+    (doc_a, doc_b, hamming) with doc_a < doc_b, distinct."""
+    mask = (1 << chunk_bits) - 1
     chunk_structs = [
         F.struct(
             F.lit(c).alias("ci"),
-            F.shiftright(F.col("simhash"), cb * c).bitwiseAND(F.lit(mask)).alias("ck"),
+            F.shiftright(F.col(sig_col), chunk_bits * c)
+            .bitwiseAND(F.lit(mask))
+            .alias("ck"),
         )
-        for c in range(params.SIMHASH_CHUNKS)
+        for c in range(n_chunks)
     ]
     chunks = (
         sig.select(
-            "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+            "doc_id",
+            F.col(sig_col).alias("sig"),
+            F.explode(F.array(*chunk_structs)).alias("c"),
         )
-        .select("doc_id", "simhash", "c.ci", "c.ck")
+        .select("doc_id", "sig", "c.ci", "c.ck")
         .withColumn(
             "_n", F.count(F.lit(1)).over(Window.partitionBy("ci", "ck"))
         )
-        .filter(F.col("_n") <= params.SIMHASH_BUCKET_CAP)
+        .filter(F.col("_n") <= bucket_cap)
         .drop("_n")
     )
     a, b = chunks.alias("a"), chunks.alias("b")
@@ -263,15 +297,15 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash").alias("sh_a"),
+            F.col("a.sig").alias("sh_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("b.sig").alias("sh_b"),
         )
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= params.SIMHASH_MAX_HAMMING
+        F.col("hamming") <= max_hamming
     )
 
 

@@ -1371,3 +1371,118 @@ def audio_frame_features(docs: DataFrame) -> DataFrame:
     the stage parallelizes per input split like every other decode
     path here."""
     return synth_media(docs).mapInPandas(_audio_frame_batches, AUDIO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup (r9): dHash over the real PPM decode
+# path, paired via the shared Hamming chunk-blocking machinery
+# ---------------------------------------------------------------------------
+
+
+def _synth_phash_ppm(doc_id: int) -> bytes:
+    """Group-structured PPM fixture (closed form, mirrored verbatim in
+    oracles.image_phash_pairs_oracle): docs in the same PHASH_GROUP
+    share a base raster; each doc flips ONE raster byte by +128 mod
+    256, so group-mates decode to near-identical images (a perceptual
+    near-dup: the perturbed byte is rarely one of the 64 sampled grid
+    points) while different bases are perceptually far."""
+    base = doc_id // params.PHASH_GROUP
+    w = params.PHASH_W_BASE + base % params.PHASH_W_MOD
+    h = params.PHASH_H_BASE + base % params.PHASH_H_MOD
+    i = np.arange(w * h * 3, dtype=np.int64)
+    raster = (
+        base * params.PHASH_PIX_A
+        + i * params.PHASH_PIX_B
+        + i * i * (1 + base % params.PHASH_PIX_QMOD)
+    ) % 256
+    p = (doc_id * params.PHASH_PERT_STEP) % (w * h * 3)
+    raster[p] = (raster[p] + 128) % 256
+    return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + raster.astype(np.uint8).tobytes()
+
+
+def dhash60(pixels: np.ndarray) -> int:
+    """60-bit row-difference perceptual hash (dHash, the
+    difference-hash variant popularized by Krawetz's "Kind of Like
+    That"): integer luma (r + 2g + b) // 4, nearest-neighbor resize to
+    a PHASH_COLS x PHASH_ROWS sample grid (the decoders' own
+    resize_nearest index convention), bit = gray[r][c] > gray[r][c+1]
+    packed MSB-first — (COLS-1)*ROWS = 60 bits, strictly positive in
+    int64. Brightness/contrast-shift tolerant (compares neighbors, not
+    absolutes), alignment-sensitive like any grid hash."""
+    px = pixels.astype(np.int64)
+    gray = (px[:, :, 0] + 2 * px[:, :, 1] + px[:, :, 2]) // 4
+    small = resize_nearest(gray, params.PHASH_COLS, params.PHASH_ROWS)
+    bits = small[:, :-1] > small[:, 1:]
+    out = 0
+    for b in bits.reshape(-1):
+        out = (out << 1) | int(b)
+    return out
+
+
+PHASH_SCHEMA = "doc_id BIGINT, phash BIGINT"
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, hashes = [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            _w, _h, _maxval, pixels = decode_image(bytes(content))
+            ids.append(int(doc_id))
+            hashes.append(dhash60(pixels))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="Int64"),
+                "phash": pd.array(hashes, dtype="Int64"),
+            }
+        )
+
+
+def _synth_phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "content": [_synth_phash_ppm(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def image_phash(docs: DataFrame) -> DataFrame:
+    """documents -> group-structured real PPM blobs -> REAL decode ->
+    60-bit dHash. One map-only Arrow stage (synth and hash fuse into a
+    single mapInPandas pipeline, no shuffle): at 100 TB this is decode
+    CPU in executors emitting 16-byte rows."""
+    blobs = docs.select("doc_id").mapInPandas(
+        _synth_phash_batches, "doc_id BIGINT, content BINARY"
+    )
+    return blobs.mapInPandas(_phash_batches, PHASH_SCHEMA)
+
+
+def image_phash_pairs(docs: DataFrame) -> DataFrame:
+    """Image near-duplicate pairs: Hamming <= PHASH_MAX_HAMMING over
+    the 60-bit dHash of the REAL decoded pixels — the multimodal dedup
+    the corpus-curation north star asks for (near-identical images
+    differing by re-encode noise / tiny edits collapse to nearby
+    hashes; Wang et al.'s duplicate-image studies and every crawl
+    pipeline dedup on exactly this class of fingerprint).
+
+    Scale shape: the hash is a map-only Arrow stage (image_phash);
+    pairing reuses dedup.hamming_chunk_pairs — the audited simhash
+    blocking (4 x 15-bit exact-chunk buckets, PHASH_BUCKET_CAP skew
+    guard, pigeonhole recall for Hamming <= 3, bit_count(xor) verify).
+    Nothing broadcasts; candidate volume is bounded by N*cap per
+    chunk. The oracle recomputes the dHash from the fixture's closed
+    form entirely in SQL (sampled-grid luma comparisons), so a decoder
+    or resize-index bug on the Spark side diverges."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        hamming_chunk_pairs,
+    )
+
+    return hamming_chunk_pairs(
+        image_phash(docs),
+        "phash",
+        n_chunks=params.PHASH_CHUNKS,
+        chunk_bits=params.PHASH_CHUNK_BITS,
+        bucket_cap=params.PHASH_BUCKET_CAP,
+        max_hamming=params.PHASH_MAX_HAMMING,
+    )

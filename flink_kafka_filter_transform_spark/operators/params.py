@@ -111,3 +111,35 @@ ROUTE_COMPILE_MAX_RULES = 1000
 # --- multimodal ------------------------------------------------------------
 FRAME_BYTES = 256  # fake "frame" granularity for the decode stub
 IVF_NPROBE = 2  # cells probed per query in knn_ivf (shared with the oracle)
+
+# --- image perceptual hash near-dup (r9) -----------------------------------
+# 60-bit dHash over the REAL PPM decode path: grayscale luma
+# (r + 2g + b) // 4, nearest-neighbor resize to PHASH_COLS x PHASH_ROWS
+# sample grid, bit = gray[r][c] > gray[r][c+1] packed MSB-first —
+# (PHASH_COLS - 1) * PHASH_ROWS = 60 bits, so the hash stays strictly
+# positive in BIGINT and reuses the simhash 4 x 15-bit chunk blocking
+# (Manku WWW'07 pigeonhole: Hamming <= 3 fully recalled by 4 chunks).
+PHASH_ROWS = 4
+PHASH_COLS = 16
+PHASH_BITS = (PHASH_COLS - 1) * PHASH_ROWS  # 60
+PHASH_CHUNKS = 4
+PHASH_CHUNK_BITS = 15
+PHASH_MAX_HAMMING = 4  # same recall caveat as SIMHASH_MAX_HAMMING
+PHASH_BUCKET_CAP = 100  # LSH_BUCKET_CAP's rule on chunk buckets
+
+# Closed-form fixture (mirrored verbatim in the oracle): docs in the
+# same PHASH_GROUP share a base image; each doc perturbs ONE raster
+# byte (+128 mod 256), so group-mates are near-dups (Hamming ~0-4,
+# the perturbed byte is rarely a sampled grid point) and cross-group
+# hashes are far (~30 expected).
+PHASH_GROUP = 4
+PHASH_W_BASE, PHASH_W_MOD = 20, 5  # width  = 20 + base % 5
+PHASH_H_BASE, PHASH_H_MOD = 8, 3  # height = 8 + base % 3
+# byte i = (base*37 + i*11 + i*i*(1 + base % 7)) % 256 — the
+# base-dependent QUADRATIC term matters: a purely linear raster gives
+# every same-dimensions image a constant sampled-luma stride, making
+# CROSS-group hashes near-identical (measured: 1577 pairs at 500 docs,
+# mostly cross-group artifact); with it, all 750 within-group pairs
+# are found and only 18 cross-group survive.
+PHASH_PIX_A, PHASH_PIX_B, PHASH_PIX_QMOD = 37, 11, 7
+PHASH_PERT_STEP = 13  # perturbed byte index = (doc_id*13) % (w*h*3)

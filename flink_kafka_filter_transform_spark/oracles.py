@@ -4129,3 +4129,82 @@ SELECT doc_id,
     AS zero_crossings
 FROM sp GROUP BY doc_id, frame_idx
 """
+
+
+def image_phash_pairs_oracle() -> str:
+    """Twin of multimodal.image_phash_pairs: the 60-bit dHash is
+    recomputed ENTIRELY in SQL from the fixture's closed-form raster —
+    sampled-grid luma (r + 2g + b) // 4 at the nearest-neighbor index
+    mapping, row-difference bits packed MSB-first — then the same
+    4 x 15-bit chunk blocking, bucket cap, and bit_count(xor) verify
+    as the Spark side. A decoder, luma, resize-index, or packing bug
+    on either side diverges the hash and every downstream pair."""
+    p = params
+    # raster byte value at index x for document d (base b, perturbed
+    # byte at pert): ((b*A + x*B + x*x*(1 + b % QMOD)) % 256,
+    # +128 mod 256 when x = pert)
+    def v(x: str) -> str:
+        raw = (
+            f"(base*{p.PHASH_PIX_A} + ({x})*{p.PHASH_PIX_B} "
+            f"+ ({x})*({x})*(1 + base % {p.PHASH_PIX_QMOD})) % 256"
+        )
+        return (
+            f"CASE WHEN ({x}) = pert THEN ({raw} + 128) % 256 ELSE {raw} END"
+        )
+
+    b0 = "(((i.i*h) // {rows})*w + ((j.j*w) // {cols}))*3".format(
+        rows=p.PHASH_ROWS, cols=p.PHASH_COLS
+    )
+    chunk_arms = "\n    UNION ALL\n".join(
+        f"SELECT doc_id, phash, {c} AS ci, (phash >> {p.PHASH_CHUNK_BITS * c}) "
+        f"& {(1 << p.PHASH_CHUNK_BITS) - 1} AS ck FROM phash"
+        for c in range(p.PHASH_CHUNKS)
+    )
+    return f"""
+WITH img AS (
+  SELECT doc_id, doc_id // {p.PHASH_GROUP} AS base,
+         {p.PHASH_W_BASE} + (doc_id // {p.PHASH_GROUP}) % {p.PHASH_W_MOD} AS w,
+         {p.PHASH_H_BASE} + (doc_id // {p.PHASH_GROUP}) % {p.PHASH_H_MOD} AS h,
+         (doc_id * {p.PHASH_PERT_STEP}) % (({p.PHASH_W_BASE} + (doc_id // {p.PHASH_GROUP}) % {p.PHASH_W_MOD}) * ({p.PHASH_H_BASE} + (doc_id // {p.PHASH_GROUP}) % {p.PHASH_H_MOD}) * 3) AS pert
+  FROM documents
+),
+grays AS (
+  SELECT doc_id, i.i AS i, j.j AS j,
+         (({v(b0)}) + 2*({v(b0 + " + 1")}) + ({v(b0 + " + 2")})) // 4 AS gray
+  FROM img,
+       generate_series(0, {p.PHASH_ROWS - 1}) AS i(i),
+       generate_series(0, {p.PHASH_COLS - 1}) AS j(j)
+),
+bits AS (
+  SELECT a.doc_id, a.i, a.j,
+         CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+  FROM grays a JOIN grays b
+    ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1
+  WHERE a.j < {p.PHASH_COLS - 1}
+),
+phash AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(bit AS BIGINT) << ({p.PHASH_BITS - 1} - (i*{p.PHASH_COLS - 1} + j))) AS BIGINT) AS phash
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+    {chunk_arms}
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, phash, ci, ck,
+           count(*) OVER (PARTITION BY ci, ck) AS _n
+    FROM chunks
+  ) WHERE _n <= {p.PHASH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS h_a,
+                  b.doc_id AS doc_b, b.phash AS h_b
+  FROM capped a JOIN capped b
+    ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(h_a, h_b)) <= {p.PHASH_MAX_HAMMING}
+"""

@@ -337,3 +337,49 @@ def test_jpeg_color_scope_gates_raise():
         mm.decode_jpeg_color(mm._synth_jpeg(5))  # grayscale -> color API
     with pytest.raises(NotImplementedError):
         mm.decode_jpeg(mm._synth_jpeg_color(5))  # color -> grayscale API
+
+
+# --- image perceptual hash (r9) --------------------------------------------
+
+
+def test_dhash60_monotone_extremes():
+    """Packing contract pinned without the oracle: gray strictly
+    increasing left-to-right -> no comparison fires -> hash 0; strictly
+    decreasing -> all 60 bits set."""
+    inc = np.tile(np.arange(64, dtype=np.uint8) * 3, (8, 1))
+    rgb = np.repeat(inc[:, :, None], 3, axis=2)
+    assert mm.dhash60(rgb) == 0
+    dec = rgb[:, ::-1, :]
+    assert mm.dhash60(dec) == (1 << 60) - 1
+
+
+def test_dhash60_msb_first_packing():
+    """One fired comparison at grid position (0, 0) must land on bit
+    59 (MSB-first row-major packing — the oracle packs identically)."""
+    gray = np.tile(np.arange(16, dtype=np.uint8) * 4, (4, 1))
+    gray[:, 0] = 255  # sampled col 0 > col 1 in EVERY row (rows map 4->4)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    h = mm.dhash60(rgb)
+    # exactly one bit per row: positions 59 - r*15 for r in 0..3
+    assert h == sum(1 << (59 - r * 15) for r in range(4))
+
+
+def test_phash_fixture_group_structure():
+    """Group-mates (same base, one perturbed byte each) must hash to
+    within PHASH_MAX_HAMMING of each other; different bases must be
+    far apart for the overwhelming majority of pairs."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    def hash_of(doc):
+        _w, _h, _mx, px = mm.decode_image(mm._synth_phash_ppm(doc))
+        return mm.dhash60(px)
+
+    group0 = [hash_of(d) for d in range(4)]
+    for a in group0:
+        for b in group0:
+            assert bin(a ^ b).count("1") <= params.PHASH_MAX_HAMMING
+    far = [hash_of(d * 4) for d in range(1, 20)]
+    near_cross = sum(
+        1 for x in far if bin(group0[0] ^ x).count("1") <= params.PHASH_MAX_HAMMING
+    )
+    assert near_cross <= 2

@@ -385,6 +385,21 @@ def test_audio_frame_features_is_shuffle_free(spark, sf_dir):
     assert "MapInPandas" in plan  # the Arrow boundary, not per-row Python
 
 
+def test_image_phash_pairs_capped_no_broadcast_no_cartesian(spark, sf_dir):
+    """The phash relation is corpus-sized at 100 TB — nothing pinned
+    broadcast; candidates come from the (ci, ck) chunk equi-join
+    (never a cartesian), and the bucket cap must survive as the
+    (ci, ck) count window (the factored simhash guard)."""
+    from flink_kafka_filter_transform_spark.operators import multimodal
+
+    df = multimodal.image_phash_pairs(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(ci" in plan  # the bucket cap survived
+    assert "MapInPandas" in plan  # the hash rides the Arrow decode stage
+
+
 def test_array_showcase_is_single_codegen_map(spark, sf_dir):
     df = relational.array_function_showcase(load_table(spark, "documents", sf_dir))
     assert px.count_shuffles(df) == 0
