@@ -218,12 +218,17 @@ HEAD_ORDER: list[str] = [
     "mixture_sample_summary",
     "multimodal_features",
     "frame_sample",
-    "q1_pricing_summary",
+    # (q1_pricing_summary was the 32nd smoothing pull; displaced by the
+    # bigram_surprisal debut — it stays in the tail at age 3 and r10
+    # owes 12 slots, still 38 free)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
     # near-dup (VERDICT r8 item 6) ---
     "image_phash_pairs",
+    # bigram_surprisal = stupid-backoff bigram LM quality score,
+    # integer-exact (VERDICT r8 item 7) ---
+    "bigram_surprisal",
     # --- clause (b): simhash_pairs' blocking/verify moved into the
     # shared dedup.hamming_chunk_pairs helper this round (pure code
     # motion, values and plan identical; CI parity green) — re-gated
@@ -785,6 +790,10 @@ def queries() -> dict[str, QueryFn]:
         "image_phash_pairs": lambda s, d: multimodal.image_phash_pairs(
             _docs(s, d)
         ),
+        # bigram-with-backoff surprisal: the context-aware CCNet-style
+        # LM filter (unigram_surprisal's sibling), same integer-bit
+        # discipline; debuts in the r9 head ===
+        "bigram_surprisal": lambda s, d: text.bigram_surprisal(_docs(s, d)),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -957,4 +966,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top_docs": oracles.bm25_top_docs_oracle(),
         "unigram_surprisal": oracles.unigram_surprisal_oracle(),
         "image_phash_pairs": oracles.image_phash_pairs_oracle(),
+        "bigram_surprisal": oracles.bigram_surprisal_oracle(),
     }

@@ -143,3 +143,15 @@ PHASH_H_BASE, PHASH_H_MOD = 8, 3  # height = 8 + base % 3
 # are found and only 18 cross-group survive.
 PHASH_PIX_A, PHASH_PIX_B, PHASH_PIX_QMOD = 37, 11, 7
 PHASH_PERT_STEP = 13  # perturbed byte index = (doc_id*13) % (w*h*3)
+
+# --- bigram-backoff surprisal (r9) -----------------------------------------
+# Stupid-backoff bigram LM (Brants et al., EMNLP 2007), integer-exact:
+# a bigram seen >= BIGRAM_MIN_COUNT times scores whole-bit conditional
+# surprisal floor(log2(ctx // c2)); rarer bigrams (singletons — the
+# counts a trained LM prunes) back off to the token's unigram
+# surprisal plus BIGRAM_BACKOFF_BITS. The penalty is exactly 2 bits =
+# a backoff weight of 1/4 — the one alpha in stupid backoff's
+# usual 0.3-0.4 range that is a power of two, so the score stays in
+# pure integer arithmetic (the no-transcendentals house rule).
+BIGRAM_MIN_COUNT = 2
+BIGRAM_BACKOFF_BITS = 2

@@ -1181,3 +1181,104 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
             ).alias("mean_surprisal_bits"),
         )
     )
+
+
+def bigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-document bigram-LM quality score with stupid backoff (r9;
+    VERDICT r8 item 7) — the context-aware upgrade of
+    unigram_surprisal under the same integer-exact discipline. CCNet's
+    filter uses a 5-gram LM because context matters: "the the the" has
+    LOW unigram surprisal but screams in any conditional model. Scoring
+    per token position:
+
+    - position 1 of each doc (no context): unigram bits
+      floor(log2(T // c1)) = length(bin(T DIV c1)) - 1;
+    - bigram (prev, cur) with corpus count c2 >= BIGRAM_MIN_COUNT:
+      conditional bits floor(log2(ctx // c2)) where ctx = occurrences
+      of prev as a left context (sum of its bigram counts);
+    - rarer bigrams (the singletons a trained LM prunes): stupid
+      backoff (Brants et al. 2007) to unigram bits + 2 (alpha = 1/4,
+      the power-of-two backoff weight — pure integer arithmetic, no
+      transcendental anywhere, bit-identical cross-engine).
+
+    Reported per doc: n_tokens, n_backoff (positions that backed off —
+    high fraction = novel-construction text; LOW mean + low backoff =
+    templated spam), sum_bits, mean_surprisal_bits.
+
+    Scale shape: pairs are built map-side (two slices zipped — no
+    self-join, the bigram_top_pairs trick); the corpus-sized rows then
+    cross exactly three shuffles — the (prev, cur) pair count, the
+    token unigram count, and the scoring join keyed on the same pair
+    key — plus the final doc aggregate. The ctx / pair-bits relations
+    are vocabulary-sized derivations of the pair counts. Nothing
+    broadcasts except the 1-row grand total; the scoring joins are
+    pinned SHUFFLE_HASH (the tfidf rule: an unbounded vocabulary is
+    not broadcastable, and at test SF the static planner would pick
+    the TOKEN STREAM as the build side — a guaranteed 100 TB OOM)."""
+    t = tokens()
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 1)
+    n = F.size(F.col("t"))
+    pair = F.zip_with(
+        F.slice(F.col("t"), 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    pairs_ex = (
+        base.filter(n >= 2)
+        .select("doc_id", F.explode(pair).alias("p"))
+        .select("doc_id", "p.prev", "p.cur")
+    )
+    uni = base.select(F.explode("t").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = uni.agg(F.sum("cnt").alias("total"))
+    term_bits = uni.crossJoin(F.broadcast(total)).select(
+        "term",
+        (F.length(F.bin(F.expr("total DIV cnt"))) - 1)
+        .cast("bigint")
+        .alias("ub"),
+    )
+    pc = pairs_ex.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = pc.groupBy("prev").agg(F.sum("c2").alias("ctx"))
+    pair_bits = (
+        pc.join(ctx.hint("shuffle_hash"), "prev")
+        .join(
+            term_bits.withColumnRenamed("term", "cur").hint("shuffle_hash"),
+            "cur",
+        )
+        .select(
+            "prev",
+            "cur",
+            F.when(
+                F.col("c2") >= params.BIGRAM_MIN_COUNT,
+                (F.length(F.bin(F.expr("ctx DIV c2"))) - 1).cast("bigint"),
+            )
+            .otherwise(F.lit(params.BIGRAM_BACKOFF_BITS) + F.col("ub"))
+            .alias("bits"),
+            F.when(F.col("c2") >= params.BIGRAM_MIN_COUNT, F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("backoff"),
+        )
+    )
+    scored_pairs = pairs_ex.join(
+        pair_bits.hint("shuffle_hash"), ["prev", "cur"]
+    ).select("doc_id", "bits", "backoff")
+    scored_firsts = (
+        base.select("doc_id", F.col("t")[0].alias("term"))
+        .join(term_bits.hint("shuffle_hash"), "term")
+        .select(
+            "doc_id", F.col("ub").alias("bits"), F.lit(0).alias("backoff")
+        )
+    )
+    return (
+        scored_pairs.unionByName(scored_firsts)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("backoff").cast("bigint").alias("n_backoff"),
+            F.sum("bits").alias("sum_bits"),
+            (
+                F.sum("bits").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_surprisal_bits"),
+        )
+    )

@@ -4208,3 +4208,57 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE bit_count(xor(h_a, h_b)) <= {p.PHASH_MAX_HAMMING}
 """
+
+
+def bigram_surprisal_oracle() -> str:
+    """Twin of text.bigram_surprisal — stupid-backoff bigram bits in
+    pure integer arithmetic: conditional floor-log2 via
+    length(bin(ctx // c2)) - 1 for bigrams at or above the count
+    floor, unigram bits + the 2-bit backoff penalty below it, plain
+    unigram bits for each document's first token."""
+    mc = params.BIGRAM_MIN_COUNT
+    pen = params.BIGRAM_BACKOFF_BITS
+    return f"""
+WITH {_TOKS_CTE},
+base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 1),
+pairs AS (
+  SELECT doc_id,
+         unnest(t[1:len(t) - 1]) AS prev,
+         unnest(t[2:len(t)]) AS cur
+  FROM base WHERE len(t) >= 2
+),
+uni AS (
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest(t) AS term FROM base) GROUP BY term
+),
+tot AS (SELECT SUM(cnt) AS total FROM uni),
+term_bits AS (
+  SELECT term, CAST(length(bin(t.total // u.cnt)) - 1 AS BIGINT) AS ub
+  FROM uni u CROSS JOIN tot t
+),
+pc AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
+ctx AS (SELECT prev, SUM(c2) AS ctx FROM pc GROUP BY prev),
+pair_bits AS (
+  SELECT pc.prev, pc.cur,
+         CASE WHEN pc.c2 >= {mc}
+              THEN CAST(length(bin(x.ctx // pc.c2)) - 1 AS BIGINT)
+              ELSE {pen} + tb.ub END AS bits,
+         CASE WHEN pc.c2 >= {mc} THEN 0 ELSE 1 END AS backoff
+  FROM pc
+  JOIN ctx x USING (prev)
+  JOIN term_bits tb ON tb.term = pc.cur
+),
+scored AS (
+  SELECT p.doc_id, b.bits, b.backoff
+  FROM pairs p JOIN pair_bits b ON p.prev = b.prev AND p.cur = b.cur
+  UNION ALL
+  SELECT base.doc_id, tb.ub AS bits, 0 AS backoff
+  FROM base JOIN term_bits tb ON tb.term = base.t[1]
+)
+SELECT doc_id,
+  count(*) AS n_tokens,
+  CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+  CAST(SUM(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_surprisal_bits
+FROM scored GROUP BY doc_id
+"""

@@ -884,6 +884,41 @@ def test_unigram_surprisal_output_invariants(spark, sf_dir):
         assert abs(r.mean_surprisal_bits - r.sum_bits / r.n_tokens) < 1e-12
 
 
+def test_bigram_surprisal_only_total_broadcasts(spark, sf_dir):
+    """The vocabulary, pair-count, and context relations are all
+    unbounded at 100 TB — the only broadcasts allowed are the TWO
+    1-row grand-total relations (IdentityBroadcastMode cross joins;
+    term_bits is derived once per consumer). Every scoring join must
+    be the pinned shuffle-hash (the tfidf rule: at test SF the static
+    planner would otherwise broadcast the token stream itself)."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.bigram_surprisal(load_table(spark, "documents", sf_dir))
+    plan = px.explain_str(df, "simple")
+    assert plan.count("BroadcastExchange") == 2
+    assert plan.count("IdentityBroadcastMode") == 2  # both are 1-row totals
+    assert plan.count("ShuffledHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_surprisal_output_invariants(spark, sf_dir):
+    """n_tokens matches the shared tokenizer's count per doc, backoff
+    positions are a subset of scored positions, bounds hold (a backoff
+    adds at most 2 bits over the 60-bit unigram ceiling), and the mean
+    is exactly sum_bits / n_tokens."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    docs = load_table(spark, "documents", sf_dir)
+    sur = {r.doc_id: r for r in text.bigram_surprisal(docs).collect()}
+    ws = {r.doc_id: r.n_ws_tokens for r in text.token_counts(docs).collect()}
+    assert sur
+    for doc_id, r in sur.items():
+        assert r.n_tokens == ws[doc_id] > 0
+        assert 0 <= r.n_backoff <= max(r.n_tokens - 1, 0)
+        assert 0 <= r.mean_surprisal_bits <= 62
+        assert abs(r.mean_surprisal_bits - r.sum_bits / r.n_tokens) < 1e-12
+
+
 def test_substring_dedup_broadcasts_nothing(spark, sf_dir):
     """Window hashes and their distinct-doc counts are both corpus-
     sized at 100 TB — no pinned broadcast; text never shuffles, only
