@@ -217,10 +217,10 @@ HEAD_ORDER: list[str] = [
     "doc_chunks",
     "mixture_sample_summary",
     "multimodal_features",
-    "frame_sample",
-    # (q1_pricing_summary was the 32nd smoothing pull; displaced by the
-    # bigram_surprisal debut — it stays in the tail at age 3 and r10
-    # owes 12 slots, still 38 free)
+    # (q1_pricing_summary and frame_sample were the 31st/32nd
+    # smoothing pulls; displaced by the bigram_surprisal and
+    # audio_fingerprint_pairs debuts — they stay in the tail at age 3
+    # and r10 owes 13 slots, still 37 free)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -229,6 +229,9 @@ HEAD_ORDER: list[str] = [
     # bigram_surprisal = stupid-backoff bigram LM quality score,
     # integer-exact (VERDICT r8 item 7) ---
     "bigram_surprisal",
+    # audio_fingerprint_pairs = energy-contour fingerprint near-dup
+    # over the real WAV decode (image_phash_pairs' audio sibling) ---
+    "audio_fingerprint_pairs",
     # --- clause (b): simhash_pairs' blocking/verify moved into the
     # shared dedup.hamming_chunk_pairs helper this round (pure code
     # motion, values and plan identical; CI parity green) — re-gated
@@ -794,6 +797,13 @@ def queries() -> dict[str, QueryFn]:
         # LM filter (unigram_surprisal's sibling), same integer-bit
         # discipline; debuts in the r9 head ===
         "bigram_surprisal": lambda s, d: text.bigram_surprisal(_docs(s, d)),
+        # audio near-dup: energy-contour fingerprint over the real WAV
+        # decode, paired via the same factored chunk blocking — with
+        # image_phash_pairs this completes the multimodal near-dup
+        # pair; debuts in the r9 head ===
+        "audio_fingerprint_pairs": lambda s, d: multimodal.audio_fingerprint_pairs(
+            _docs(s, d)
+        ),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -967,4 +977,5 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": oracles.unigram_surprisal_oracle(),
         "image_phash_pairs": oracles.image_phash_pairs_oracle(),
         "bigram_surprisal": oracles.bigram_surprisal_oracle(),
+        "audio_fingerprint_pairs": oracles.audio_fingerprint_pairs_oracle(),
     }

@@ -165,6 +165,11 @@ HEADLINE = [
     "containment_pairs",
     "split_leakage_report",
     "winnowing_pairs",
+    # r9 debuts: dHash image near-dup over the real decode path;
+    # stupid-backoff bigram LM score; audio energy-contour near-dup
+    "image_phash_pairs",
+    "bigram_surprisal",
+    "audio_fingerprint_pairs",
 ]
 
 

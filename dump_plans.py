@@ -27,7 +27,7 @@ SHOWCASE = [
     ("tfidf_top_terms", "no pinned broadcast of the unbounded vocabulary; AQE decides by size"),
     ("minhash_lsh_pairs", "banded LSH: candidate join only within buckets, never all-pairs"),
     ("ngram_jaccard_pairs", "r8: banded-LSH candidates (shared with minhash_lsh_pairs) + lossless length-bound prune BEFORE the gram arrays join"),
-    ("substring_dedup_stats", "stride-1 window hashes: shared mark = map-side-combined groupBy(gh) min/max + AQE-splittable gh join (r9 — no unsplittable gh window partition), islands window over SHARED rows only, closed-form totals"),
+    ("substring_dedup_stats", "stride-1 window hashes: ONE corpus pass (single posexplode), shared mark = min/max gh window — the measured 2-6x winner over the 'skew-safe' agg+rejoin at every A/B point incl. the boilerplate corpus (BENCH_substring_boiler.json; skew_safe=True keeps the AQE-splittable variant); islands window over SHARED rows only, closed-form totals"),
     ("winnowing_overlap", "winnowing: one doc-keyed sort window for the w-min, fp-keyed agg; no broadcast"),
     ("containment_pairs", "prefix-filtered containment join: df agg + rank window + posting equi-join (8-byte hash keys), positional+size bounds BEFORE the pair exists, arrays ship only for survivors; no broadcast, no cartesian"),
     ("winnowing_pairs", "MOSS pair ranking: bucket-capped fp self-join, TakeOrderedAndProject top-N (no global sort, no ranking window)"),
@@ -72,6 +72,9 @@ SHOWCASE = [
     ("bm25_top_docs", "BM25 retrieval: bounded query-term relation broadcast; tf/df/doclen share the term shuffle; decimal-exact score sums"),
     ("unigram_surprisal", "unigram-LM filter: vocabulary never broadcast (term-keyed join), only the 1-row total pinned; integer-exact bit surprisal"),
     ("audio_frame_features", "frame-level PCM features: decode + framing + energy/ZCR folds in ONE Arrow mapInPandas stage, zero exchanges (frame rows never travel)"),
+    ("image_phash_pairs", "image near-dup: dHash rides the map-only Arrow decode stage; pairing via the factored chunk blocking — capped (ci,ck) buckets, equi-join candidates, bit_count verify; nothing broadcast"),
+    ("bigram_surprisal", "bigram-backoff LM score: map-side zipped pairs, three corpus shuffles (pair count, unigram count, pair-keyed scoring join); only the 1-row totals broadcast, scoring joins pinned shuffle-hash"),
+    ("audio_fingerprint_pairs", "audio near-dup: energy-contour fingerprint rides the map-only Arrow decode stage; same capped chunk-join shape as image_phash_pairs"),
     ("split_leakage_report", "eval-integrity audit: LSH-bounded pairs + persisted-edge CC + map-only split composed in one plan; report aggregates to 3 rows, leaked_pairs_final provably 0"),
     # the r6 streaming sink faces (hll/cms/ivf/scd2_stream_state) are
     # deliberately absent: their query fns DRAIN a real stream before

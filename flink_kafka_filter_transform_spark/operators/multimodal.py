@@ -1486,3 +1486,114 @@ def image_phash_pairs(docs: DataFrame) -> DataFrame:
         bucket_cap=params.PHASH_BUCKET_CAP,
         max_hamming=params.PHASH_MAX_HAMMING,
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (r9): energy-contour hash over the real
+# WAV decode path — the audio sibling of image_phash_pairs
+# ---------------------------------------------------------------------------
+
+
+def _synth_afp_wav(doc_id: int) -> bytes:
+    """Group-structured WAV fixture (closed form, mirrored in
+    oracles.audio_fingerprint_pairs_oracle): AFP_GROUP docs share a
+    base clip; each doc REPLACES one sample with a constant,
+    perturbing one frame's energy — a perceptual near-dup at contour
+    grain."""
+    base = doc_id // params.AFP_GROUP
+    n = params.AFP_NFRAMES * params.AFP_FRAME
+    i = np.arange(n, dtype=np.int64)
+    samples = (
+        base * params.AFP_SAMP_A
+        + i * params.AFP_SAMP_B
+        + i * i * (1 + base % params.AFP_SAMP_QMOD)
+    ) % 65536 - 32768
+    p = (doc_id * params.AFP_PERT_STEP) % n
+    samples[p] = params.AFP_PERT_VALUE
+    samples = samples.astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_fingerprint60(samples: np.ndarray) -> int:
+    """60-bit energy-contour fingerprint: 16-sample frames, int64
+    square-sum energies, bit f = energy[f] > energy[f+1] over the
+    first AFP_NFRAMES frames, packed MSB-first (same fold as the image
+    dHash). Robust to gain-independent edits that keep the loudness
+    CONTOUR; an FFT-based fingerprint would also survive time shifts,
+    but transcendentals are banned (the tfidf/pagerank house rule) and
+    the contour form keeps both engines bit-identical."""
+    s = samples.astype(np.int64)
+    nf = params.AFP_NFRAMES
+    fr = s[: nf * params.AFP_FRAME].reshape(nf, params.AFP_FRAME)
+    energy = (fr * fr).sum(axis=1)
+    bits = energy[:-1] > energy[1:]
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def _afp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, hashes = [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            _rate, _nch, samples = decode_audio(bytes(content))
+            ids.append(int(doc_id))
+            hashes.append(audio_fingerprint60(samples))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="Int64"),
+                "afp": pd.array(hashes, dtype="Int64"),
+            }
+        )
+
+
+def _synth_afp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "content": [_synth_afp_wav(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def audio_fingerprint(docs: DataFrame) -> DataFrame:
+    """documents -> group-structured real WAV blobs -> REAL RIFF/PCM16
+    decode -> 60-bit energy-contour fingerprint; one map-only Arrow
+    stage emitting 16-byte rows."""
+    blobs = docs.select("doc_id").mapInPandas(
+        _synth_afp_batches, "doc_id BIGINT, content BINARY"
+    )
+    return blobs.mapInPandas(_afp_batches, "doc_id BIGINT, afp BIGINT")
+
+
+def audio_fingerprint_pairs(docs: DataFrame) -> DataFrame:
+    """Audio near-duplicate pairs: Hamming <= AFP_MAX_HAMMING over the
+    energy-contour fingerprint of the REAL decoded samples — with
+    image_phash_pairs this completes the multimodal near-dup pair: the
+    same corpus-curation question (re-encoded / trivially edited
+    copies of one clip) answered at audio grain.
+
+    Scale shape: identical to image_phash_pairs — map-only Arrow hash
+    stage, then dedup.hamming_chunk_pairs (capped chunk buckets,
+    equi-join candidates, bit_count(xor) verify, nothing broadcast).
+    The oracle recomputes frame energies and the contour from the
+    fixture's closed-form samples entirely in SQL, so a decode,
+    framing, or packing bug on either side diverges."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        hamming_chunk_pairs,
+    )
+
+    return hamming_chunk_pairs(
+        audio_fingerprint(docs),
+        "afp",
+        n_chunks=params.AFP_CHUNKS,
+        chunk_bits=params.AFP_CHUNK_BITS,
+        bucket_cap=params.AFP_BUCKET_CAP,
+        max_hamming=params.AFP_MAX_HAMMING,
+    )

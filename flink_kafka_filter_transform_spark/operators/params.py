@@ -155,3 +155,36 @@ PHASH_PERT_STEP = 13  # perturbed byte index = (doc_id*13) % (w*h*3)
 # pure integer arithmetic (the no-transcendentals house rule).
 BIGRAM_MIN_COUNT = 2
 BIGRAM_BACKOFF_BITS = 2
+
+# --- audio fingerprint near-dup (r9) ---------------------------------------
+# 60-bit energy-contour fingerprint over the REAL WAV decode path: the
+# audio sibling of the image dHash (and of Haitsma-Kalman's energy-
+# difference fingerprints, stripped of the FFT the no-transcendentals
+# rule bans): 16-sample frames, int64 square-sum energies, bit f =
+# energy[f] > energy[f+1] over the first 61 frames, packed MSB-first —
+# 60 bits, strictly positive, paired via the same 4 x 15-bit chunk
+# blocking (dedup.hamming_chunk_pairs).
+AFP_FRAME = 16  # samples per frame (multimodal.AUDIO_FRAME's value)
+AFP_NFRAMES = 61  # fingerprint reads frames 0..60 -> 60 comparison bits
+AFP_CHUNKS = 4
+AFP_CHUNK_BITS = 15
+AFP_MAX_HAMMING = 4
+AFP_BUCKET_CAP = 100
+
+# Closed-form fixture (mirrored in the oracle): docs in a PHASH_GROUP-
+# sized group share a base clip of exactly AFP_NFRAMES*AFP_FRAME = 976
+# samples, s_i = (base*7919 + i*104729 + i*i*(1 + base % 251))
+# % 65536 - 32768 — as with the image fixture, the base-dependent
+# QUADRATIC term is what decorrelates contours across bases (a purely
+# linear ramp gave 7708 cross-group pairs at 500 docs; the narrow
+# Q=7 variant still 502; Q=251 gives 750/750 within-group and ZERO
+# cross-group); each doc
+# REPLACES one sample with the constant AFP_PERT_VALUE (no division —
+# floor-vs-truncate semantics on negatives never enters the closed
+# form), changing one frame's energy, so group-mates differ in <= 2
+# contour bits and cross-group contours are independent coin flips
+# (~30 bits apart).
+AFP_GROUP = 4
+AFP_SAMP_A, AFP_SAMP_B, AFP_SAMP_QMOD = 7919, 104729, 251
+AFP_PERT_STEP = 17  # perturbed sample index = (doc_id*17) % n_samples
+AFP_PERT_VALUE = 12345

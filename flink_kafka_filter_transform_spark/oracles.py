@@ -4262,3 +4262,73 @@ SELECT doc_id,
   CAST(SUM(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_surprisal_bits
 FROM scored GROUP BY doc_id
 """
+
+
+def audio_fingerprint_pairs_oracle() -> str:
+    """Twin of multimodal.audio_fingerprint_pairs: frame energies and
+    the 60-bit contour recomputed ENTIRELY in SQL from the fixture's
+    closed-form samples (16-sample square-sum frames, comparison bits
+    packed MSB-first), then the same chunk blocking, bucket cap, and
+    bit_count(xor) verify as the Spark side."""
+    p = params
+    n = p.AFP_NFRAMES * p.AFP_FRAME
+    idx = "(f.f*{fr} + k.k)".format(fr=p.AFP_FRAME)
+    raw = (
+        f"(base*{p.AFP_SAMP_A} + {idx}*{p.AFP_SAMP_B} "
+        f"+ {idx}*{idx}*(1 + base % {p.AFP_SAMP_QMOD})) % 65536 - 32768"
+    )
+    chunk_arms = "\n    UNION ALL\n".join(
+        f"SELECT doc_id, afp, {c} AS ci, (afp >> {p.AFP_CHUNK_BITS * c}) "
+        f"& {(1 << p.AFP_CHUNK_BITS) - 1} AS ck FROM afp"
+        for c in range(p.AFP_CHUNKS)
+    )
+    return f"""
+WITH clip AS (
+  SELECT doc_id, doc_id // {p.AFP_GROUP} AS base,
+         (doc_id * {p.AFP_PERT_STEP}) % {n} AS pert
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, f.f AS f,
+         CASE WHEN {idx} = pert THEN {p.AFP_PERT_VALUE}
+              ELSE {raw} END AS s
+  FROM clip,
+       generate_series(0, {p.AFP_NFRAMES - 1}) AS f(f),
+       generate_series(0, {p.AFP_FRAME - 1}) AS k(k)
+),
+energies AS (
+  SELECT doc_id, f, SUM(s * s) AS e FROM samples GROUP BY doc_id, f
+),
+bits AS (
+  SELECT a.doc_id, a.f,
+         CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM energies a JOIN energies b
+    ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  WHERE a.f < {p.AFP_NFRAMES - 1}
+),
+afp AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(bit AS BIGINT) << ({p.AFP_NFRAMES - 2} - f)) AS BIGINT) AS afp
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+    {chunk_arms}
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, afp, ci, ck,
+           count(*) OVER (PARTITION BY ci, ck) AS _n
+    FROM chunks
+  ) WHERE _n <= {p.AFP_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.afp AS h_a,
+                  b.doc_id AS doc_b, b.afp AS h_b
+  FROM capped a JOIN capped b
+    ON a.ci = b.ci AND a.ck = b.ck AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(h_a, h_b)) <= {p.AFP_MAX_HAMMING}
+"""

@@ -383,3 +383,38 @@ def test_phash_fixture_group_structure():
         1 for x in far if bin(group0[0] ^ x).count("1") <= params.PHASH_MAX_HAMMING
     )
     assert near_cross <= 2
+
+
+# --- audio fingerprint (r9) ------------------------------------------------
+
+
+def test_audio_fingerprint60_monotone_extremes():
+    """Frame energies strictly increasing -> no comparison fires ->
+    hash 0; strictly decreasing -> all 60 bits set."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    n = params.AFP_NFRAMES * params.AFP_FRAME
+    ramp = np.repeat(np.arange(params.AFP_NFRAMES) * 100 + 1, params.AFP_FRAME)
+    assert mm.audio_fingerprint60(ramp.astype(np.int64)) == 0
+    assert mm.audio_fingerprint60(ramp[::-1].astype(np.int64)) == (1 << 60) - 1
+    assert len(ramp) == n
+
+
+def test_afp_fixture_group_structure():
+    """Group-mates (same base clip, one perturbed sample each) must be
+    within AFP_MAX_HAMMING; cross-base contours must be far."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    def hash_of(doc):
+        _r, _n, samples = mm.decode_audio(mm._synth_afp_wav(doc))
+        return mm.audio_fingerprint60(samples)
+
+    group0 = [hash_of(d) for d in range(4)]
+    for a in group0:
+        for b in group0:
+            assert bin(a ^ b).count("1") <= params.AFP_MAX_HAMMING
+    far = [hash_of(d * 4) for d in range(1, 20)]
+    near_cross = sum(
+        1 for x in far if bin(group0[0] ^ x).count("1") <= params.AFP_MAX_HAMMING
+    )
+    assert near_cross == 0

@@ -400,6 +400,21 @@ def test_image_phash_pairs_capped_no_broadcast_no_cartesian(spark, sf_dir):
     assert "MapInPandas" in plan  # the hash rides the Arrow decode stage
 
 
+def test_audio_fingerprint_pairs_capped_no_broadcast_no_cartesian(spark, sf_dir):
+    """Same contract as image_phash_pairs (shared hamming_chunk_pairs):
+    corpus-sized fingerprint relation, so no pinned broadcast; chunk
+    equi-join candidates only; the bucket-cap window must survive; the
+    hash rides the Arrow decode stage."""
+    from flink_kafka_filter_transform_spark.operators import multimodal
+
+    df = multimodal.audio_fingerprint_pairs(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(ci" in plan
+    assert "MapInPandas" in plan
+
+
 def test_array_showcase_is_single_codegen_map(spark, sf_dir):
     df = relational.array_function_showcase(load_table(spark, "documents", sf_dir))
     assert px.count_shuffles(df) == 0
@@ -929,26 +944,52 @@ def test_substring_dedup_broadcasts_nothing(spark, sf_dir):
     assert px.broadcast_hint_count(df) == 0
 
 
-def test_substring_dedup_stats_no_gh_window(spark, sf_dir):
-    """Hot-key guard (VERDICT r8 item 3): the shared-window mark must
-    NOT be a window over partitionBy(gh) — a corpus-hot boilerplate
-    hash would land its entire stride-1 position set in ONE window
-    partition with no partial aggregation (windows cannot map-side
-    combine and AQE cannot split them). The r9 plan computes the
-    shared flag as a groupBy(gh) min/max aggregate (partial_min/
-    partial_max run map-side, so a hot key reaches the reducer
-    pre-combined) and rejoins positions on gh, where AQE skew-join
-    handling can subdivide a degenerate key. The only window allowed
-    in the plan is the per-doc islands row_number (bounded by doc
-    length)."""
+def test_substring_dedup_stats_strategy_plans(spark, sf_dir):
+    """Hot-key study outcome (VERDICT r8 item 3 + the A/B in
+    BENCH_substring_boiler.json): the DEFAULT plan is the measured
+    winner — the gh-window shared mark, ONE pass over the stride-1
+    position rows (exactly one posexplode Generate in the plan; the
+    rejected rework re-evaluated it twice). The skew_safe=True
+    strategy is the structural escape hatch for universal-boilerplate
+    corpora: the shared flag becomes a groupBy(gh) min/max aggregate
+    (partial_min/partial_max run map-side so a hot key reaches the
+    reducer pre-combined) rejoined on gh where AQE can split a
+    degenerate key — and NO gh window survives in that plan."""
     from flink_kafka_filter_transform_spark.operators import dedup
 
-    df = dedup.substring_dedup_stats(load_table(spark, "documents", sf_dir))
-    plan = px.explain_str(df, "simple")
-    n_windows = plan.count("windowspecdefinition(")
-    assert n_windows == plan.count("windowspecdefinition(doc_id") == 1
-    # the shared flag is a two-phase aggregate: map-side partials exist
+    docs = load_table(spark, "documents", sf_dir)
+    # default: one-pass window plan — a gh window AND a doc_id window,
+    # and the corpus posexplode appears exactly once
+    plan = px.explain_str(dedup.substring_dedup_stats(docs), "simple")
+    # min and max share ONE Window node over gh (the spec string
+    # appears once per window function); one islands window over doc_id
+    assert plan.count("windowspecdefinition(gh") == 2
+    assert plan.count("windowspecdefinition(doc_id") == 1
+    assert plan.count("posexplode") == 1
+    assert "partial_min(doc_id" not in plan
+    # skew_safe: map-side-combined aggregate + rejoin, no gh window
+    plan = px.explain_str(
+        dedup.substring_dedup_stats(docs, skew_safe=True), "simple"
+    )
+    assert plan.count("windowspecdefinition(gh") == 0
+    assert plan.count("windowspecdefinition(doc_id") == 1
     assert "partial_min(doc_id" in plan and "partial_max(doc_id" in plan
+
+
+def test_substring_dedup_stats_strategies_agree(spark, sf_dir):
+    """Both strategies are plans over the same semantics: identical
+    rows (the CI oracle parity run covers the default; this pins the
+    escape hatch to it)."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    a = dedup.substring_dedup_stats(docs).orderBy("doc_id").collect()
+    b = (
+        dedup.substring_dedup_stats(docs, skew_safe=True)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
 
 
 def test_winnowing_overlap_broadcasts_nothing(spark, sf_dir):
