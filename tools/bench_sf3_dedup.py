@@ -66,6 +66,17 @@ FAMILY = [
     # r8: the MOSS ranked-pair readout (capped fp join + TakeOrdered;
     # fresh-JVM debut series 2.4 s sf0.1 / 7.4 s sf1)
     "winnowing_pairs",
+    # r9 (VERDICT r8 item 8): the two r8 debuts that had sf1 points
+    # only — map-only audio framing, and the streaming first-seen
+    # ledger face (drain cost scales with the corpus drained)
+    "audio_frame_features",
+    "dedup_stream_state",
+    # r9 debuts: dHash pair join over the real decode path; the
+    # bigram-backoff LM score (pair-keyed count + scoring joins); the
+    # audio energy-contour near-dup (same chunk-join shape as phash)
+    "image_phash_pairs",
+    "bigram_surprisal",
+    "audio_fingerprint_pairs",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused
@@ -90,6 +101,16 @@ REPS = 2
 
 
 def main() -> None:
+    # --only a,b,c : run a SUBSET of FAMILY and MERGE the rows into the
+    # existing BENCH_sf3_dedup.json instead of overwriting it (the
+    # pattern the winnowing_pairs / containment_zipf rows established:
+    # targeted points between full-family reruns keep curated row
+    # notes intact).
+    only: list[str] | None = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = sys.argv[2].split(",")
+        unknown = [n for n in only if n not in FAMILY]
+        assert not unknown, f"not in FAMILY: {unknown}"
     os.environ.setdefault(
         "PYSPARK_SUBMIT_ARGS",
         "--driver-memory 32g "
@@ -122,7 +143,7 @@ def main() -> None:
 
     run("exact_dedup", SF1_DIR)  # warmup
     results: dict[str, dict[str, float]] = {}
-    for name in FAMILY:
+    for name in only if only is not None else FAMILY:
         per_sf: dict[str, float] = {}
         for key, d in (("sf1", SF1_DIR), ("sf3", SF3_DIR)):
             ts = []
@@ -133,24 +154,34 @@ def main() -> None:
             print(f"{name} {key}: {per_sf[key]:.2f}s", flush=True)
         per_sf["ratio"] = round(per_sf["sf3"] / per_sf["sf1"], 2)
         results[name] = per_sf
-    over = {n: r for n, r in results.items() if r["ratio"] > SUPERLINEAR_X}
-    outliers = sorted(
-        (n for n in over if n not in ATTRIBUTED), key=lambda n: -results[n]["ratio"]
+    path = os.path.join(ROOT, "BENCH_sf3_dedup.json")
+    if only is not None and os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+        out["results"].update(results)
+    else:
+        out = {
+            "data_factor": 3,
+            "cpus": cpus,
+            "reps": REPS,
+            "superlinear_threshold_x": SUPERLINEAR_X,
+            "results": results,
+        }
+    allres = out["results"]
+    over = {n: r for n, r in allres.items() if r["ratio"] > SUPERLINEAR_X}
+    out["outliers"] = sorted(
+        (
+            n
+            for n in over
+            if n not in ATTRIBUTED and not n.endswith(("_precap_r7", "_r7_mh0_blocking"))
+        ),
+        key=lambda n: -allres[n]["ratio"],
     )
-    attributed = {n: ATTRIBUTED[n] for n in over if n in ATTRIBUTED}
-    out = {
-        "data_factor": 3,
-        "cpus": cpus,
-        "reps": REPS,
-        "superlinear_threshold_x": SUPERLINEAR_X,
-        "results": results,
-        "outliers": outliers,
-        "attributed": attributed,
-    }
-    with open(os.path.join(ROOT, "BENCH_sf3_dedup.json"), "w") as f:
+    out["attributed"] = {n: ATTRIBUTED[n] for n in over if n in ATTRIBUTED}
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"ratios": {n: r["ratio"] for n, r in results.items()},
-                      "outliers": outliers}))
+                      "outliers": out["outliers"]}))
     spark.stop()
 
 
