@@ -216,11 +216,11 @@ HEAD_ORDER: list[str] = [
     "media_resize",
     "doc_chunks",
     "mixture_sample_summary",
-    "multimodal_features",
-    # (q1_pricing_summary and frame_sample were the 31st/32nd
-    # smoothing pulls; displaced by the bigram_surprisal and
-    # audio_fingerprint_pairs debuts — they stay in the tail at age 3
-    # and r10 owes 13 slots, still 37 free)
+    # (q1_pricing_summary, frame_sample, and multimodal_features were
+    # the 30th-32nd smoothing pulls; displaced by the bigram_surprisal,
+    # audio_fingerprint_pairs, and video_frame_match_pairs debuts —
+    # they stay in the tail at age 3 and r10 owes 14 slots, still 36
+    # free)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -232,6 +232,11 @@ HEAD_ORDER: list[str] = [
     # audio_fingerprint_pairs = energy-contour fingerprint near-dup
     # over the real WAV decode (image_phash_pairs' audio sibling) ---
     "audio_fingerprint_pairs",
+    # video_frame_match_pairs = per-frame dHash over a real multi-
+    # frame container demux, capped frame-hash equi-join, matched-
+    # frame threshold — completes the image/audio/video near-dup
+    # triad ---
+    "video_frame_match_pairs",
     # --- clause (b): simhash_pairs' blocking/verify moved into the
     # shared dedup.hamming_chunk_pairs helper this round (pure code
     # motion, values and plan identical; CI parity green) — re-gated
@@ -804,6 +809,13 @@ def queries() -> dict[str, QueryFn]:
         "audio_fingerprint_pairs": lambda s, d: multimodal.audio_fingerprint_pairs(
             _docs(s, d)
         ),
+        # video near-dup: per-frame dHash over the real PPM container
+        # demux + decode, videos paired by a capped frame-hash equi-
+        # join at >= VID_MIN_MATCH shared frames — the video member of
+        # the multimodal near-dup triad; debuts in the r9 head ===
+        "video_frame_match_pairs": lambda s, d: multimodal.video_frame_match_pairs(
+            _docs(s, d)
+        ),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -978,4 +990,5 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_pairs": oracles.image_phash_pairs_oracle(),
         "bigram_surprisal": oracles.bigram_surprisal_oracle(),
         "audio_fingerprint_pairs": oracles.audio_fingerprint_pairs_oracle(),
+        "video_frame_match_pairs": oracles.video_frame_match_pairs_oracle(),
     }

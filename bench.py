@@ -170,6 +170,7 @@ HEADLINE = [
     "image_phash_pairs",
     "bigram_surprisal",
     "audio_fingerprint_pairs",
+    "video_frame_match_pairs",
 ]
 
 

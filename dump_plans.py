@@ -72,9 +72,10 @@ SHOWCASE = [
     ("bm25_top_docs", "BM25 retrieval: bounded query-term relation broadcast; tf/df/doclen share the term shuffle; decimal-exact score sums"),
     ("unigram_surprisal", "unigram-LM filter: vocabulary never broadcast (term-keyed join), only the 1-row total pinned; integer-exact bit surprisal"),
     ("audio_frame_features", "frame-level PCM features: decode + framing + energy/ZCR folds in ONE Arrow mapInPandas stage, zero exchanges (frame rows never travel)"),
-    ("image_phash_pairs", "image near-dup: dHash rides the map-only Arrow decode stage; pairing via the factored chunk blocking — capped (ci,ck) buckets, equi-join candidates, bit_count verify; nothing broadcast"),
+    ("image_phash_pairs", "image near-dup: dHash rides the map-only Arrow decode stage; capped (ci,ck) bucket-collect + map-side pair expansion + bit_count verify; nothing broadcast, corpus decoded exactly once"),
     ("bigram_surprisal", "bigram-backoff LM score: map-side zipped pairs, three corpus shuffles (pair count, unigram count, pair-keyed scoring join); only the 1-row totals broadcast, scoring joins pinned shuffle-hash"),
-    ("audio_fingerprint_pairs", "audio near-dup: energy-contour fingerprint rides the map-only Arrow decode stage; same capped chunk-join shape as image_phash_pairs"),
+    ("audio_fingerprint_pairs", "audio near-dup: energy-contour fingerprint rides the map-only Arrow decode stage; one-pass capped bucket-collect pair expansion (no self-join: corpus decoded exactly once)"),
+    ("video_frame_match_pairs", "video near-dup: real container demux + per-frame dHash in one Arrow stage; capped frame-hash buckets, map-side pair expansion, matched-frame threshold — no join operator in the plan at all"),
     ("split_leakage_report", "eval-integrity audit: LSH-bounded pairs + persisted-edge CC + map-only split composed in one plan; report aggregates to 3 rows, leaked_pairs_final provably 0"),
     # the r6 streaming sink faces (hll/cms/ivf/scd2_stream_state) are
     # deliberately absent: their query fns DRAIN a real stream before

@@ -254,16 +254,29 @@ def hamming_chunk_pairs(
 ) -> DataFrame:
     """Manku-style Hamming-ball pair join over ANY (doc_id, <sig_col>)
     bit-signature relation — factored from simhash_pairs (r9) so the
-    image perceptual-hash near-dup (multimodal.image_phash_pairs) and
-    any future fixed-width-signature family share the one audited
-    blocking implementation: explode each signature into its
-    ``n_chunks`` exact chunks, drop chunk buckets above ``bucket_cap``
-    (fixed key space -> bucket occupancy grows with N and candidate
-    volume as sum(bucket^2); with the cap, volume is bounded by
-    N*cap — the LSH_BUCKET_CAP rule), equi-join on (chunk_idx, chunk),
-    verify bit_count(xor) <= ``max_hamming``. Pigeonhole recall:
-    distance < n_chunks is fully recalled pre-cap. Output:
-    (doc_a, doc_b, hamming) with doc_a < doc_b, distinct."""
+    image perceptual-hash near-dup (multimodal.image_phash_pairs),
+    the audio/video fingerprints, and any future fixed-width-signature
+    family share the one audited blocking implementation: explode each
+    signature into its ``n_chunks`` exact chunks, drop chunk buckets
+    above ``bucket_cap`` (fixed key space -> bucket occupancy grows
+    with N and candidate volume as sum(bucket^2); with the cap, volume
+    is bounded by N*cap — the LSH_BUCKET_CAP rule), generate in-bucket
+    pairs, verify bit_count(xor) <= ``max_hamming``. Pigeonhole
+    recall: distance < n_chunks is fully recalled pre-cap. Output:
+    (doc_a, doc_b, hamming) with doc_a < doc_b, distinct.
+
+    Plan shape (r9 rework): the first cut self-joined the capped chunk
+    relation — Catalyst re-evaluates the upstream subtree on BOTH join
+    sides, and for the multimodal callers that upstream is the Arrow
+    decode stage, i.e. the corpus was decoded TWICE (the substring
+    study's conviction, recurring one level up; exchange reuse does
+    not fire across mapInPandas subtrees). Now buckets are built by
+    ONE groupBy((ci, ck)) collecting at most ``bucket_cap`` + 1
+    (doc_id, sig) structs — the cap bounds every array — and pairs are
+    expanded MAP-SIDE from the sorted array: one pass over the
+    signatures, one bucket shuffle, no sort, no self-join, identical
+    rows (the cap filter ``size <= cap`` is exactly the old per-bucket
+    count window's predicate, oracle unchanged)."""
     mask = (1 << chunk_bits) - 1
     chunk_structs = [
         F.struct(
@@ -274,33 +287,36 @@ def hamming_chunk_pairs(
         )
         for c in range(n_chunks)
     ]
-    chunks = (
+    buckets = (
         sig.select(
             "doc_id",
             F.col(sig_col).alias("sig"),
             F.explode(F.array(*chunk_structs)).alias("c"),
         )
         .select("doc_id", "sig", "c.ci", "c.ck")
-        .withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy("ci", "ck"))
+        .groupBy("ci", "ck")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "sig"))
+            ).alias("ds")
         )
-        .filter(F.col("_n") <= bucket_cap)
-        .drop("_n")
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # in-bucket pair expansion: element i pairs with every later
+    # element of the doc_id-sorted array (structs sort by first field),
+    # so doc_a < doc_b by construction; arrays are <= bucket_cap long
     cand = (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
+                    "struct(a.doc_id AS doc_a, a.sig AS sh_a, "
+                    "b.doc_id AS doc_b, b.sig AS sh_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.sig").alias("sh_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.sig").alias("sh_b"),
-        )
+        .select("p.doc_a", "p.sh_a", "p.doc_b", "p.sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -24,6 +24,7 @@ Two decode tiers:
 
 from __future__ import annotations
 
+import hashlib
 import struct
 from collections.abc import Iterator
 
@@ -31,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_kafka_filter_transform_spark.operators import params
 
@@ -1596,4 +1598,165 @@ def audio_fingerprint_pairs(docs: DataFrame) -> DataFrame:
         chunk_bits=params.AFP_CHUNK_BITS,
         bucket_cap=params.AFP_BUCKET_CAP,
         max_hamming=params.AFP_MAX_HAMMING,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video frame-match near-dup (r9): per-frame dHash over a real PPM
+# container demux — the video member of the multimodal near-dup triad
+# ---------------------------------------------------------------------------
+
+
+def _synth_video(doc_id: int) -> bytes:
+    """Group-structured multi-frame fixture (closed form, mirrored in
+    oracles.video_frame_match_pairs_oracle): VID_GROUP videos share a
+    base frame sequence; each video REPLACES the frames at its two
+    unique positions with video-unique content — the shape of a
+    re-edited copy (same footage, a changed intro card and one swapped
+    shot). Frames are real P6 PPMs concatenated into one blob."""
+    g = doc_id // params.VID_GROUP
+    p0 = (doc_id * params.VID_UPOS_A) % params.VID_NFRAMES
+    p1 = (doc_id * params.VID_UPOS_B + 1) % params.VID_NFRAMES
+    frames = []
+    for f in range(params.VID_NFRAMES):
+        if f in (p0, p1):
+            seed = params.VID_SALT_UNIQ + doc_id * params.VID_NFRAMES + f
+        else:
+            seed = g * params.VID_NFRAMES + f
+        # row r's 16 grays = the 16 bytes of md5(seed|r) (the portable
+        # cross-engine primitive); all three channels carry the gray so
+        # the decoder's luma (v + 2v + v) // 4 reproduces it exactly
+        rows = [
+            np.frombuffer(
+                hashlib.md5(f"{seed}|{r}".encode()).digest(), dtype=np.uint8
+            )
+            for r in range(params.VID_H)
+        ]
+        raster = np.repeat(np.stack(rows).reshape(-1), 3)
+        frames.append(
+            b"P6\n# frame\n%d %d\n255\n" % (params.VID_W, params.VID_H)
+            + raster.tobytes()
+        )
+    return b"".join(frames)
+
+
+def demux_ppm_stream(blob: bytes) -> list[bytes]:
+    """Split a concatenated-P6 container into its frame blobs — real
+    demux: each frame's extent comes from parsing ITS header (magic,
+    comment/whitespace-tolerant width/height/maxval) exactly as
+    decode_image does, then consuming w*h*3 raster bytes. Raises
+    ValueError on a non-P6 magic or truncated frame — corrupt media
+    fails loudly."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(blob):
+        start = pos
+        if blob[pos : pos + 2] != b"P6":
+            raise ValueError(f"not a P6 frame at offset {pos}")
+        tokens: list[int] = []
+        pos += 2
+        while len(tokens) < 3:
+            if pos >= len(blob):
+                raise ValueError("truncated PPM frame header")
+            c = blob[pos : pos + 1]
+            if c == b"#":
+                pos = blob.index(b"\n", pos) + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                end = pos
+                while end < len(blob) and not blob[end : end + 1].isspace():
+                    end += 1
+                tokens.append(int(blob[pos:end]))
+                pos = end
+        pos += 1  # the single whitespace byte ending the header
+        w, h, _maxval = tokens
+        pos += w * h * 3
+        if pos > len(blob):
+            raise ValueError("truncated PPM frame raster")
+        frames.append(blob[start:pos])
+    return frames
+
+
+def _video_frame_hash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, fidx, hashes = [], [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            for f, frame in enumerate(demux_ppm_stream(bytes(content))):
+                _w, _h, _maxval, pixels = decode_image(frame)
+                ids.append(int(doc_id))
+                fidx.append(f)
+                hashes.append(dhash60(pixels))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="Int64"),
+                "frame_idx": pd.array(fidx, dtype="Int64"),
+                "fh": pd.array(hashes, dtype="Int64"),
+            }
+        )
+
+
+def _synth_video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "content": [_synth_video(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def video_frame_hashes(docs: DataFrame) -> DataFrame:
+    """documents -> group-structured multi-frame PPM containers ->
+    REAL demux + per-frame decode -> 60-bit dHash per frame. One
+    map-only Arrow stage: at 100 TB this is demux/decode CPU in
+    executors emitting 24-byte rows (frame pixels never shuffle)."""
+    blobs = docs.select("doc_id").mapInPandas(
+        _synth_video_batches, "doc_id BIGINT, content BINARY"
+    )
+    return blobs.mapInPandas(
+        _video_frame_hash_batches, "doc_id BIGINT, frame_idx BIGINT, fh BIGINT"
+    )
+
+
+def video_frame_match_pairs(docs: DataFrame) -> DataFrame:
+    """Video near-duplicate pairs by frame-fingerprint matching — the
+    video member of the multimodal near-dup triad (image_phash_pairs,
+    audio_fingerprint_pairs): videos sharing >= VID_MIN_MATCH distinct
+    frame dHashes are re-edits/re-encodes of the same footage. Frame-
+    level granularity is what makes this robust to clipping and
+    re-ordering, the reason production video dedup indexes per-frame
+    fingerprints rather than whole-file hashes.
+
+    Scale shape: the fingerprint relation is a map-only Arrow stage
+    (video_frame_hashes); DISTINCT (doc, fh) collapses within-video
+    repeats; ONE groupBy(fh) collects each frame-hash bucket as a
+    sorted doc_id array — buckets larger than VID_FRAME_CAP are
+    dropped whole (intro cards / black frames: boilerplate whose match
+    is evidence of nothing; LSH_BUCKET_CAP's rule, oracle-mirrored),
+    so every array is bounded — and candidate pairs expand MAP-SIDE
+    from the arrays (no self-join: a self-join would re-evaluate the
+    Arrow decode stage on both sides — the hamming_chunk_pairs r9
+    lesson); the matched-frame count is a pair-keyed aggregate.
+    Nothing broadcasts; frame pixels never leave the map stage; the
+    corpus is decoded exactly once."""
+    fr = video_frame_hashes(docs).select("doc_id", "fh").distinct()
+    buckets = fr.groupBy("fh").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    ).filter((F.size("ds") >= 2) & (F.size("ds") <= params.VID_FRAME_CAP))
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
+                "struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= params.VID_MIN_MATCH)
     )

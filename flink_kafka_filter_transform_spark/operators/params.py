@@ -188,3 +188,39 @@ AFP_GROUP = 4
 AFP_SAMP_A, AFP_SAMP_B, AFP_SAMP_QMOD = 7919, 104729, 251
 AFP_PERT_STEP = 17  # perturbed sample index = (doc_id*17) % n_samples
 AFP_PERT_VALUE = 12345
+
+# --- video frame-match near-dup (r9) ----------------------------------------
+# Frame-fingerprint video dedup (the industry shape: index per-frame
+# perceptual hashes, match videos sharing many frames — robust to
+# re-encode noise via the dHash, to clipping/re-editing via per-frame
+# granularity): each "video" is a multi-frame container of real P6 PPM
+# frames demuxed by header parsing, each frame dHash-ed through the
+# SAME real decode path as image_phash, videos paired by a capped
+# frame-hash equi-join and kept at >= VID_MIN_MATCH distinct shared
+# frame hashes.
+VID_NFRAMES = 10
+VID_W, VID_H = 16, 4  # frame dims == the dHash grid: resize is identity,
+#                       decode/luma/packing still fully exercised
+VID_GROUP = 4  # videos per fixture group (PHASH_GROUP's role)
+VID_UPOS_A, VID_UPOS_B = 3, 7  # video-unique frame positions
+#   p0 = (v*3) % 10, p1 = (v*7 + 1) % 10 — never equal: p0 = p1 needs
+#   (4v + 1) % 10 == 0, impossible for even 4v vs odd 9
+VID_SALT_UNIQ = 1_000_003  # seed offset for video-unique frames; group
+#   seeds are g*VID_NFRAMES + f < 1e6 at every test SF, so the two
+#   seed families never collide
+VID_FRAME_CAP = 100  # a frame hash in >cap videos is an intro card /
+#   black frame — boilerplate whose match is evidence of nothing
+#   (LSH_BUCKET_CAP's candidate-generation rule, oracle-mirrored)
+VID_MIN_MATCH = 5  # group-mates share >= VID_NFRAMES - 2*VID_UNIQUE
+#   positions = 6 frames; threshold 5 keeps one frame of slack
+VID_UNIQUE = 2  # frames each video replaces with video-unique content
+# Frame raster closed form: md5-derived rows — the repo's portable
+# cross-engine primitive. The phash/afp quadratic family is too
+# structured here (frames of the SAME group collided in dHash space:
+# only ~64k distinguishable raster classes), and affine integer mixes
+# collapse too ((seed + f(i))*M mod 2^32 is one 32-bit offset — nearby
+# offsets share top bytes). Row r of frame seed s is the 16 bytes of
+# md5(s || '|' || r) — one digest per row = exactly PHASH_COLS grays,
+# all three channels equal so luma (v + 2v + v) // 4 == v; dHash bits
+# are then independent coin flips across distinct seeds (collision
+# ~2^-60) and the oracle recomputes each gray as ONE md5 substr.

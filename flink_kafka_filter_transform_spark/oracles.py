@@ -4332,3 +4332,64 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE bit_count(xor(h_a, h_b)) <= {p.AFP_MAX_HAMMING}
 """
+
+
+def video_frame_match_pairs_oracle() -> str:
+    """Twin of multimodal.video_frame_match_pairs: every per-frame
+    dHash is recomputed ENTIRELY in SQL from the fixture's closed form
+    — gray(r, c) of frame seed s is byte c of md5(s || '|' || r) (the
+    portable-hash primitive; the fixture writes that byte into all
+    three channels so the decoder's (r + 2g + b) // 4 luma reproduces
+    it exactly), row-difference bits packed MSB-first — then the same
+    DISTINCT, frame-hash cap, equi-join, and matched-count threshold
+    as the Spark side. A demux, decode, luma, or packing bug on either
+    side diverges every downstream pair."""
+    p = params
+    gray = (
+        "CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || "
+        "CAST(r.r AS VARCHAR)), c.c*2 + 1, 2) AS BIGINT)"
+    )
+    return f"""
+WITH vid AS (
+  SELECT doc_id,
+         doc_id // {p.VID_GROUP} AS g,
+         (doc_id * {p.VID_UPOS_A}) % {p.VID_NFRAMES} AS p0,
+         (doc_id * {p.VID_UPOS_B} + 1) % {p.VID_NFRAMES} AS p1
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, f.f AS f,
+         CASE WHEN f.f = p0 OR f.f = p1
+              THEN {p.VID_SALT_UNIQ} + doc_id * {p.VID_NFRAMES} + f.f
+              ELSE g * {p.VID_NFRAMES} + f.f END AS seed
+  FROM vid, generate_series(0, {p.VID_NFRAMES - 1}) AS f(f)
+),
+grays AS (
+  SELECT doc_id, f, r.r AS r, c.c AS c, {gray} AS gray
+  FROM frames,
+       generate_series(0, {p.VID_H - 1}) AS r(r),
+       generate_series(0, {p.VID_W - 1}) AS c(c)
+),
+bits AS (
+  SELECT a.doc_id, a.f, a.r, a.c,
+         CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+  FROM grays a JOIN grays b
+    ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < {p.VID_W - 1}
+),
+fhd AS (
+  SELECT DISTINCT doc_id,
+         CAST(SUM(CAST(bit AS BIGINT) << ({p.PHASH_BITS - 1} - (r*{p.VID_W - 1} + c))) AS BIGINT) AS fh
+  FROM bits GROUP BY doc_id, f
+),
+capped AS (
+  SELECT doc_id, fh FROM (
+    SELECT doc_id, fh, count(*) OVER (PARTITION BY fh) AS _n FROM fhd
+  ) WHERE _n <= {p.VID_FRAME_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM capped a JOIN capped b ON a.fh = b.fh AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING count(*) >= {p.VID_MIN_MATCH}
+"""

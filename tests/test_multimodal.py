@@ -418,3 +418,49 @@ def test_afp_fixture_group_structure():
         1 for x in far if bin(group0[0] ^ x).count("1") <= params.AFP_MAX_HAMMING
     )
     assert near_cross == 0
+
+
+# --- video frame-match (r9) --------------------------------------------------
+
+
+def test_demux_ppm_stream_roundtrip_and_loud_failures():
+    """Demux returns VID_NFRAMES standalone P6 frames each accepted by
+    the real decoder; corrupt containers fail loudly."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    blob = mm._synth_video(7)
+    frames = mm.demux_ppm_stream(blob)
+    assert len(frames) == params.VID_NFRAMES
+    for f in frames:
+        w, h, maxval, px = mm.decode_image(f)
+        assert (w, h, maxval) == (params.VID_W, params.VID_H, 255)
+        assert px.shape == (params.VID_H, params.VID_W, 3)
+    with pytest.raises(ValueError):
+        mm.demux_ppm_stream(b"P5" + blob[2:])  # wrong magic
+    with pytest.raises(ValueError):
+        mm.demux_ppm_stream(blob[:-10])  # truncated raster
+
+
+def test_video_fixture_group_structure():
+    """Group-mates share >= VID_MIN_MATCH frame hashes (>= 6 by
+    construction: 10 frames minus at most 4 video-unique positions);
+    cross-group videos share none (md5-derived rows make distinct
+    seeds independent 60-bit patterns)."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    def fhashes(v):
+        return {
+            mm.dhash60(mm.decode_image(f)[3])
+            for f in mm.demux_ppm_stream(mm._synth_video(v))
+        }
+
+    h = {v: fhashes(v) for v in range(40)}
+    for v, s in h.items():
+        assert len(s) == params.VID_NFRAMES  # no within-video collisions
+    for a in range(40):
+        for b in range(a + 1, 40):
+            m = len(h[a] & h[b])
+            if a // params.VID_GROUP == b // params.VID_GROUP:
+                assert m >= params.VID_MIN_MATCH + 1  # 6 or 8
+            else:
+                assert m == 0

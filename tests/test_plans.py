@@ -385,34 +385,58 @@ def test_audio_frame_features_is_shuffle_free(spark, sf_dir):
     assert "MapInPandas" in plan  # the Arrow boundary, not per-row Python
 
 
-def test_image_phash_pairs_capped_no_broadcast_no_cartesian(spark, sf_dir):
-    """The phash relation is corpus-sized at 100 TB — nothing pinned
-    broadcast; candidates come from the (ci, ck) chunk equi-join
-    (never a cartesian), and the bucket cap must survive as the
-    (ci, ck) count window (the factored simhash guard)."""
-    from flink_kafka_filter_transform_spark.operators import multimodal
-
-    df = multimodal.image_phash_pairs(load_table(spark, "documents", sf_dir))
+def _assert_single_decode_bucket_pair_plan(df):
+    """Shared contract of the hamming_chunk_pairs callers after the r9
+    one-pass rework: nothing pinned broadcast; NO join operator at all
+    (pairs expand map-side from capped collect_list buckets — a
+    self-join would re-evaluate the Arrow decode stage on both sides);
+    the bucket agg survives; and the decode pipeline appears EXACTLY
+    once (2 MapInPandas stages: synth + hash), the corpus-decoded-once
+    property the substring study made a repo rule."""
     assert px.broadcast_hint_count(df) == 0
     plan = px.explain_str(df, "simple")
     assert "CartesianProduct" not in plan
-    assert "windowspecdefinition(ci" in plan  # the bucket cap survived
-    assert "MapInPandas" in plan  # the hash rides the Arrow decode stage
+    assert "Join" not in plan
+    assert "collect_list" in plan  # the capped bucket agg survived
+    assert plan.count("MapInPandas") == 2  # decoded exactly once
 
 
-def test_audio_fingerprint_pairs_capped_no_broadcast_no_cartesian(spark, sf_dir):
-    """Same contract as image_phash_pairs (shared hamming_chunk_pairs):
-    corpus-sized fingerprint relation, so no pinned broadcast; chunk
-    equi-join candidates only; the bucket-cap window must survive; the
-    hash rides the Arrow decode stage."""
+def test_image_phash_pairs_single_decode_bucket_pairs(spark, sf_dir):
     from flink_kafka_filter_transform_spark.operators import multimodal
 
-    df = multimodal.audio_fingerprint_pairs(load_table(spark, "documents", sf_dir))
+    _assert_single_decode_bucket_pair_plan(
+        multimodal.image_phash_pairs(load_table(spark, "documents", sf_dir))
+    )
+
+
+def test_audio_fingerprint_pairs_single_decode_bucket_pairs(spark, sf_dir):
+    from flink_kafka_filter_transform_spark.operators import multimodal
+
+    _assert_single_decode_bucket_pair_plan(
+        multimodal.audio_fingerprint_pairs(load_table(spark, "documents", sf_dir))
+    )
+
+
+def test_video_frame_match_pairs_single_decode_bucket_pairs(spark, sf_dir):
+    from flink_kafka_filter_transform_spark.operators import multimodal
+
+    _assert_single_decode_bucket_pair_plan(
+        multimodal.video_frame_match_pairs(load_table(spark, "documents", sf_dir))
+    )
+
+
+def test_simhash_pairs_no_join_no_cartesian(spark, sf_dir):
+    """simhash_pairs shares hamming_chunk_pairs: same no-join map-side
+    pair expansion (its upstream is the shingle pipeline, not a decode
+    stage, so the MapInPandas count does not apply)."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.simhash_pairs(load_table(spark, "documents", sf_dir))
     assert px.broadcast_hint_count(df) == 0
     plan = px.explain_str(df, "simple")
     assert "CartesianProduct" not in plan
-    assert "windowspecdefinition(ci" in plan
-    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "collect_list" in plan
 
 
 def test_array_showcase_is_single_codegen_map(spark, sf_dir):

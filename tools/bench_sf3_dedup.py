@@ -77,6 +77,9 @@ FAMILY = [
     "image_phash_pairs",
     "bigram_surprisal",
     "audio_fingerprint_pairs",
+    # r9: per-frame dHash video near-dup (one-pass bucket-collect pair
+    # expansion — the corpus is decoded exactly once)
+    "video_frame_match_pairs",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused
