@@ -215,12 +215,11 @@ HEAD_ORDER: list[str] = [
     "training_mixture_report",
     "media_resize",
     "doc_chunks",
-    "mixture_sample_summary",
-    # (q1_pricing_summary, frame_sample, and multimodal_features were
-    # the 30th-32nd smoothing pulls; displaced by the bigram_surprisal,
-    # audio_fingerprint_pairs, and video_frame_match_pairs debuts —
-    # they stay in the tail at age 3 and r10 owes 14 slots, still 36
-    # free)
+    # (q1_pricing_summary, frame_sample, multimodal_features, and
+    # mixture_sample_summary were the 29th-32nd smoothing pulls;
+    # displaced by the bigram_surprisal, audio_fingerprint_pairs,
+    # video_frame_match_pairs, and video_scene_cuts debuts — they stay
+    # in the tail at age 3 and r10 owes 15 slots, still 35 free)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -237,6 +236,9 @@ HEAD_ORDER: list[str] = [
     # frame threshold — completes the image/audio/video near-dup
     # triad ---
     "video_frame_match_pairs",
+    # video_scene_cuts = map-only scene segmentation over per-frame
+    # dHashes (cut = adjacent-frame Hamming > threshold) ---
+    "video_scene_cuts",
     # --- clause (b): simhash_pairs' blocking/verify moved into the
     # shared dedup.hamming_chunk_pairs helper this round (pure code
     # motion, values and plan identical; CI parity green) — re-gated
@@ -816,6 +818,10 @@ def queries() -> dict[str, QueryFn]:
         "video_frame_match_pairs": lambda s, d: multimodal.video_frame_match_pairs(
             _docs(s, d)
         ),
+        # video scene segmentation: demux + per-frame dHash + adjacent-
+        # frame Hamming + run-length fold in ONE map-only Arrow stage —
+        # the keyframe-sampling readout; debuts in the r9 head ===
+        "video_scene_cuts": lambda s, d: multimodal.video_scene_cuts(_docs(s, d)),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -991,4 +997,5 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": oracles.bigram_surprisal_oracle(),
         "audio_fingerprint_pairs": oracles.audio_fingerprint_pairs_oracle(),
         "video_frame_match_pairs": oracles.video_frame_match_pairs_oracle(),
+        "video_scene_cuts": oracles.video_scene_cuts_oracle(),
     }

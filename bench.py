@@ -171,6 +171,7 @@ HEADLINE = [
     "bigram_surprisal",
     "audio_fingerprint_pairs",
     "video_frame_match_pairs",
+    "video_scene_cuts",
 ]
 
 

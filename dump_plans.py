@@ -76,6 +76,7 @@ SHOWCASE = [
     ("bigram_surprisal", "bigram-backoff LM score: map-side zipped pairs, three corpus shuffles (pair count, unigram count, pair-keyed scoring join); only the 1-row totals broadcast, scoring joins pinned shuffle-hash"),
     ("audio_fingerprint_pairs", "audio near-dup: energy-contour fingerprint rides the map-only Arrow decode stage; one-pass capped bucket-collect pair expansion (no self-join: corpus decoded exactly once)"),
     ("video_frame_match_pairs", "video near-dup: real container demux + per-frame dHash in one Arrow stage; capped frame-hash buckets, map-side pair expansion, matched-frame threshold — no join operator in the plan at all"),
+    ("video_scene_cuts", "video scene segmentation: demux + decode + dHash + adjacent-frame Hamming + run fold in ONE map-only Arrow stage, zero exchanges (a video's frames arrive together in its blob)"),
     ("split_leakage_report", "eval-integrity audit: LSH-bounded pairs + persisted-edge CC + map-only split composed in one plan; report aggregates to 3 rows, leaked_pairs_final provably 0"),
     # the r6 streaming sink faces (hll/cms/ivf/scd2_stream_state) are
     # deliberately absent: their query fns DRAIN a real stream before

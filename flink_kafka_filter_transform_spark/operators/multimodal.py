@@ -1760,3 +1760,89 @@ def video_frame_match_pairs(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_matched"))
         .filter(F.col("n_matched") >= params.VID_MIN_MATCH)
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene cuts (r9): scene segmentation over per-frame dHashes —
+# the frame-sampling primitive (sample per scene, not per stride)
+# ---------------------------------------------------------------------------
+
+
+def _synth_scene_video(doc_id: int) -> bytes:
+    """Scene-structured container fixture (closed form, mirrored in
+    oracles.video_scene_cuts_oracle): frames advance to a new content
+    seed only at scene boundaries — consecutive frames inside a scene
+    are IDENTICAL (the integer-exact idealization of real footage's
+    near-duplicate consecutive frames). Boundary before frame f
+    (f >= 1) iff f*f % VID_SCENE_MOD == doc_id % VID_SCENE_MOD, so
+    videos whose doc_id lands on a quadratic non-residue are single-
+    scene and the rest cut at irregular positions."""
+    frames = []
+    scene = 0
+    for f in range(params.VID_NFRAMES):
+        if f >= 1 and (f * f) % params.VID_SCENE_MOD == doc_id % params.VID_SCENE_MOD:
+            scene += 1
+        seed = params.VID_SCENE_SALT + doc_id * 32 + scene
+        rows = [
+            np.frombuffer(
+                hashlib.md5(f"{seed}|{r}".encode()).digest(), dtype=np.uint8
+            )
+            for r in range(params.VID_H)
+        ]
+        raster = np.repeat(np.stack(rows).reshape(-1), 3)
+        frames.append(
+            b"P6\n# frame\n%d %d\n255\n" % (params.VID_W, params.VID_H)
+            + raster.tobytes()
+        )
+    return b"".join(frames)
+
+
+def _scene_cut_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "n_cuts": [], "n_scenes": [],
+               "longest_scene_frames": []}
+        for doc_id in pdf["doc_id"]:
+            blob = _synth_scene_video(int(doc_id))
+            hs = [
+                dhash60(decode_image(f)[3]) for f in demux_ppm_stream(blob)
+            ]
+            cuts = [
+                int(bin(hs[i] ^ hs[i + 1]).count("1") > params.VID_CUT_HAMMING)
+                for i in range(len(hs) - 1)
+            ]
+            runs, cur = [], 1
+            for c in cuts:
+                if c:
+                    runs.append(cur)
+                    cur = 1
+                else:
+                    cur += 1
+            runs.append(cur)
+            out["doc_id"].append(int(doc_id))
+            out["n_frames"].append(len(hs))
+            out["n_cuts"].append(sum(cuts))
+            out["n_scenes"].append(sum(cuts) + 1)
+            out["longest_scene_frames"].append(max(runs))
+        yield pd.DataFrame({k: pd.array(v, dtype="Int64") for k, v in out.items()})
+
+
+def video_scene_cuts(docs: DataFrame) -> DataFrame:
+    """Per-video scene segmentation: a cut between adjacent frames
+    whose dHashes differ by more than VID_CUT_HAMMING bits — the
+    readout a video training pipeline samples frames BY (one keyframe
+    per scene beats fixed-stride sampling, which over-samples static
+    scenes and misses short ones). Reports per video: frame count, cut
+    count, scene count, and the longest scene run.
+
+    Scale shape: ONE map-only Arrow stage — demux, per-frame decode,
+    dHash, adjacent-frame Hamming, and the run-length fold all happen
+    inside the batch (a video's frames arrive together in its blob;
+    nothing about adjacent-frame comparison is distributed), zero
+    exchanges, 40-byte output rows. The oracle recomputes seeds,
+    grays, hashes, cuts, and runs entirely in SQL from the closed
+    form — demux, decode, luma, packing, or threshold bugs diverge."""
+    return docs.select("doc_id").mapInPandas(
+        _scene_cut_batches,
+        "doc_id BIGINT, n_frames BIGINT, n_cuts BIGINT, n_scenes BIGINT, "
+        "longest_scene_frames BIGINT",
+    )

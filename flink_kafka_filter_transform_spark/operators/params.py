@@ -224,3 +224,21 @@ VID_UNIQUE = 2  # frames each video replaces with video-unique content
 # all three channels equal so luma (v + 2v + v) // 4 == v; dHash bits
 # are then independent coin flips across distinct seeds (collision
 # ~2^-60) and the oracle recomputes each gray as ONE md5 substr.
+
+# --- video scene cuts (r9) ---------------------------------------------------
+# Scene segmentation over per-frame dHashes: a cut between adjacent
+# frames whose fingerprints differ by > VID_CUT_HAMMING bits — the
+# frame-sampling primitive a video training pipeline keys on (sample
+# per scene, not per fixed stride). Scene-structured fixture (its own
+# synth, separate from the frame-match group fixture): scene runs of
+# IDENTICAL frames (consecutive video frames are near-dups in real
+# footage; identical is the integer-exact idealization), boundary
+# before frame f (f >= 1) iff f*f % VID_SCENE_MOD == doc_id %
+# VID_SCENE_MOD — quadratic residues mod 5 are {0, 1, 4}, so videos
+# with doc_id % 5 in {2, 3} are single-scene and the rest cut at
+# irregular positions (n_cuts in {0, 1, 4}); frame content seeds are
+# VID_SCENE_SALT + doc_id * 32 + scene_id, md5-row rasters like the
+# frame-match fixture.
+VID_CUT_HAMMING = 10
+VID_SCENE_MOD = 5
+VID_SCENE_SALT = 2_000_003

@@ -4393,3 +4393,71 @@ FROM capped a JOIN capped b ON a.fh = b.fh AND a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
 HAVING count(*) >= {p.VID_MIN_MATCH}
 """
+
+
+def video_scene_cuts_oracle() -> str:
+    """Twin of multimodal.video_scene_cuts: the scene-structured
+    fixture's per-frame dHashes are recomputed entirely in SQL (md5-row
+    grays, row-difference bits, MSB-first packing), then cuts =
+    adjacent-frame Hamming > VID_CUT_HAMMING, scene runs = cumulative
+    cut sums — NOT the fixture's seed layout, so a demux/decode/
+    threshold bug on the Spark side diverges even where the layout
+    would predict the same answer."""
+    p = params
+    gray = (
+        "CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || "
+        "CAST(r.r AS VARCHAR)), c.c*2 + 1, 2) AS BIGINT)"
+    )
+    return f"""
+WITH pos AS (
+  SELECT doc_id, f.f AS f,
+         SUM(CASE WHEN f.f >= 1
+                   AND (f.f * f.f) % {p.VID_SCENE_MOD} = doc_id % {p.VID_SCENE_MOD}
+              THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY f.f) AS scene
+  FROM documents, generate_series(0, {p.VID_NFRAMES - 1}) AS f(f)
+),
+frames AS (
+  SELECT doc_id, f, {p.VID_SCENE_SALT} + doc_id * 32 + scene AS seed FROM pos
+),
+grays AS (
+  SELECT doc_id, f, r.r AS r, c.c AS c, {gray} AS gray
+  FROM frames,
+       generate_series(0, {p.VID_H - 1}) AS r(r),
+       generate_series(0, {p.VID_W - 1}) AS c(c)
+),
+bits AS (
+  SELECT a.doc_id, a.f, a.r, a.c,
+         CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+  FROM grays a JOIN grays b
+    ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < {p.VID_W - 1}
+),
+fh AS (
+  SELECT doc_id, f,
+         CAST(SUM(CAST(bit AS BIGINT) << ({p.PHASH_BITS - 1} - (r*{p.VID_W - 1} + c))) AS BIGINT) AS fh
+  FROM bits GROUP BY doc_id, f
+),
+cuts AS (
+  SELECT a.doc_id, a.f + 1 AS f,
+         CASE WHEN bit_count(xor(a.fh, b.fh)) > {p.VID_CUT_HAMMING}
+              THEN 1 ELSE 0 END AS cut
+  FROM fh a JOIN fh b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+),
+scn AS (
+  SELECT doc_id, f, SUM(cut) OVER (PARTITION BY doc_id ORDER BY f) AS scn
+  FROM (SELECT doc_id, 0 AS f, 0 AS cut FROM documents
+        UNION ALL
+        SELECT doc_id, f, cut FROM cuts)
+),
+scene_sizes AS (
+  SELECT doc_id, scn, count(*) AS sz FROM scn GROUP BY doc_id, scn
+)
+SELECT s.doc_id,
+       CAST({p.VID_NFRAMES} AS BIGINT) AS n_frames,
+       CAST(MAX(s.scn) AS BIGINT) AS n_cuts,
+       CAST(MAX(s.scn) + 1 AS BIGINT) AS n_scenes,
+       CAST(MAX(z.sz) AS BIGINT) AS longest_scene_frames
+FROM scn s JOIN scene_sizes z ON s.doc_id = z.doc_id
+GROUP BY s.doc_id
+"""

@@ -464,3 +464,27 @@ def test_video_fixture_group_structure():
                 assert m >= params.VID_MIN_MATCH + 1  # 6 or 8
             else:
                 assert m == 0
+
+
+def test_video_scene_cuts_fixture_and_readout():
+    """The scene layout is a quadratic-residue pattern mod 5: doc_id in
+    a non-residue class is single-scene (0 cuts); residue classes cut
+    at the positions where f*f % 5 == doc_id % 5. The readout must
+    agree with the layout when hashes behave (independent md5-row
+    seeds are always > VID_CUT_HAMMING apart in practice at this
+    scale), and the run-length fold must reconstruct the layout's
+    scene sizes."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    for d in range(25):
+        blob = mm._synth_scene_video(d)
+        hs = [mm.dhash60(mm.decode_image(f)[3]) for f in mm.demux_ppm_stream(blob)]
+        cuts = [
+            int(bin(hs[i] ^ hs[i + 1]).count("1") > params.VID_CUT_HAMMING)
+            for i in range(len(hs) - 1)
+        ]
+        expect = [
+            int((f * f) % params.VID_SCENE_MOD == d % params.VID_SCENE_MOD)
+            for f in range(1, params.VID_NFRAMES)
+        ]
+        assert cuts == expect, (d, cuts, expect)

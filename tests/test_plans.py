@@ -1101,3 +1101,16 @@ def test_winnowing_pairs_capped_join_and_take_ordered(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "windowspecdefinition(doc_a" not in plan  # no ranking window
+
+
+def test_video_scene_cuts_is_map_only(spark, sf_dir):
+    """Scene segmentation never shuffles: a video's frames arrive
+    together in its blob, so demux + decode + dHash + adjacent-frame
+    Hamming + the run-length fold all complete inside the Arrow batch
+    — zero exchanges, like its multimodal map-only siblings."""
+    from flink_kafka_filter_transform_spark.operators import multimodal
+
+    df = multimodal.video_scene_cuts(load_table(spark, "documents", sf_dir))
+    assert px.count_shuffles(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "MapInPandas" in plan

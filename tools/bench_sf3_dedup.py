@@ -80,6 +80,8 @@ FAMILY = [
     # r9: per-frame dHash video near-dup (one-pass bucket-collect pair
     # expansion — the corpus is decoded exactly once)
     "video_frame_match_pairs",
+    # r9: map-only scene segmentation (same decode family)
+    "video_scene_cuts",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused
