@@ -214,12 +214,12 @@ HEAD_ORDER: list[str] = [
     "bigram_top_pairs",
     "training_mixture_report",
     "media_resize",
-    "doc_chunks",
-    # (q1_pricing_summary, frame_sample, multimodal_features, and
-    # mixture_sample_summary were the 29th-32nd smoothing pulls;
-    # displaced by the bigram_surprisal, audio_fingerprint_pairs,
-    # video_frame_match_pairs, and video_scene_cuts debuts — they stay
-    # in the tail at age 3 and r10 owes 15 slots, still 35 free)
+    # (q1_pricing_summary, frame_sample, multimodal_features,
+    # mixture_sample_summary, and doc_chunks were the 28th-32nd
+    # smoothing pulls; displaced by the bigram_surprisal,
+    # audio_fingerprint_pairs, video_frame_match_pairs,
+    # video_scene_cuts, and phash_stream_state debuts — they stay in
+    # the tail at age 3 and r10 owes 16 slots, still 34 free)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -239,6 +239,9 @@ HEAD_ORDER: list[str] = [
     # video_scene_cuts = map-only scene segmentation over per-frame
     # dHashes (cut = adjacent-frame Hamming > threshold) ---
     "video_scene_cuts",
+    # phash_stream_state = the incremental image-fingerprint index
+    # face (the first streaming face over the multimodal stack) ---
+    "phash_stream_state",
     # --- clause (b): simhash_pairs' blocking/verify moved into the
     # shared dedup.hamming_chunk_pairs helper this round (pure code
     # motion, values and plan identical; CI parity green) — re-gated
@@ -822,6 +825,11 @@ def queries() -> dict[str, QueryFn]:
         # frame Hamming + run-length fold in ONE map-only Arrow stage —
         # the keyframe-sampling readout; debuts in the r9 head ===
         "video_scene_cuts": lambda s, d: multimodal.video_scene_cuts(_docs(s, d)),
+        # streaming face: documents drained through phash_index_sink —
+        # the incremental image-fingerprint chunk index; the drained
+        # pair log equals the one-shot image_phash_pairs, so it shares
+        # that oracle; debuts in the r9 head ===
+        "phash_stream_state": streaming_pipeline.phash_stream_state,
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -998,4 +1006,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint_pairs": oracles.audio_fingerprint_pairs_oracle(),
         "video_frame_match_pairs": oracles.video_frame_match_pairs_oracle(),
         "video_scene_cuts": oracles.video_scene_cuts_oracle(),
+        # the face's drained log equals the batch operator (pair
+        # emitted in its later member's batch), so the SAME oracle
+        # gates both — like dedup_stream_state vs exact_dedup
+        "phash_stream_state": oracles.image_phash_pairs_oracle(),
     }

@@ -172,6 +172,9 @@ HEADLINE = [
     "audio_fingerprint_pairs",
     "video_frame_match_pairs",
     "video_scene_cuts",
+    # streaming face: incremental image-fingerprint index (reported in
+    # the faces section like its five siblings)
+    "phash_stream_state",
 ]
 
 
@@ -233,6 +236,7 @@ LOOP_EXTRA_REPS = 2
 # (the r7 headline absorbed 9.2 s of lsh_stream_state debut and read
 # as a suite regression). BENCH_full.json carries both sections.
 FACE_QUERIES = {
+    "phash_stream_state",
     "dedup_stream_state",
     "hll_stream_state",
     "cms_stream_state",

@@ -1039,6 +1039,173 @@ def _lsh_index_batch(
     _write_latest_pointer(spark, state_dir, batch_id)
 
 
+
+def phash_index_sink(
+    stream_docs: DataFrame, state_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataStreamWriter:
+    """Incremental IMAGE near-duplicate detection — the perceptual-hash
+    chunk index maintained across micro-batches, the streaming face of
+    operators.multimodal.image_phash_pairs (and the first face that
+    crosses the multimodal stack: the batch side of the pipeline is
+    the REAL Arrow decode + dHash stage).
+
+    per batch: (1) 60-bit dHashes for arriving images (the IDENTICAL
+    image_phash map stage the batch path uses); (2) explode into the
+    4 x 15-bit chunk relation; (3) candidate pairs = within-batch
+    bucket pairs (the batch operator's one-pass bucket-collect
+    expansion) UNION batch-vs-INDEX chunk probes — each pair is
+    emitted in exactly one batch, the one its LATER member arrives in,
+    so no cross-batch pair-dedup state is needed; (4) verification is
+    bit_count(xor) <= PHASH_MAX_HAMMING on the hashes already in hand
+    — unlike the LSH face there is NO separate verification state to
+    maintain; (5) verified pairs append to the pair log, the batch's
+    chunk rows append to the index.
+
+    After the stream drains, the pair log equals image_phash_pairs —
+    the CI parity test proves it against the SAME DuckDB oracle —
+    PROVIDED no chunk bucket crosses PHASH_BUCKET_CAP mid-stream (the
+    lsh_index_sink one-sided cap-boundary caveat, verbatim).
+
+    Replay discipline: pair log, chunk index, and the sum-merged
+    accumulated bucket counts (``ccounts_v{batch_id}``, the bcounts
+    protocol: strictly-pre-batch prev, recompute-on-replay) all
+    publish as ``_batch_id`` dynamic-overwrite partitions / versioned
+    relations, so an at-least-once replay overwrites its own writes
+    instead of re-appending (duplicate chunk rows would inflate
+    accumulated buckets toward the cap and re-propose pairs).
+
+    Scale shape per batch: decode+hash is the map-only Arrow stage;
+    the index probe is an equi-join on (ci, ck) — at 100 TB the index
+    store is partitioned by chunk-key hash so the probe prunes to
+    matching partitions; only 16-byte (doc_id, hash) rows ever
+    shuffle; cap decisions cost O(distinct chunk keys) with map-side
+    combine."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _phash_index_batch(batch_df, batch_id, state_dir, out_dir)
+
+    return stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def _phash_index_batch(
+    batch_df: DataFrame, batch_id: int, state_dir: str, out_dir: str
+) -> None:
+    """One phash_index_sink micro-batch (module-level for replay
+    tests); see the sink docstring for the publication protocol."""
+    from flink_kafka_filter_transform_spark.operators import params
+    from flink_kafka_filter_transform_spark.operators.multimodal import image_phash
+
+    spark = batch_df.sparkSession
+    mask = (1 << params.PHASH_CHUNK_BITS) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("ci"),
+            F.shiftright(F.col("phash"), params.PHASH_CHUNK_BITS * c)
+            .bitwiseAND(F.lit(mask))
+            .alias("ck"),
+        )
+        for c in range(params.PHASH_CHUNKS)
+    ]
+    # The chunk relation feeds four consumers (bucket counts, the
+    # within-batch buckets, the index probe, the state append);
+    # unpersisted, each would re-run the DECODE stage over the batch —
+    # the exact re-evaluation the batch operator's r9 rework removed.
+    chunks = (
+        image_phash(batch_df)
+        .select("doc_id", "phash", F.explode(F.array(*chunk_structs)).alias("c"))
+        .select("doc_id", "phash", "c.ci", "c.ck")
+        .persist()
+    )
+    bn = chunks.groupBy("ci", "ck").agg(F.count(F.lit(1)).alias("_n"))
+    v = _latest_state_version(spark, state_dir, "ccounts", before=batch_id)
+    prev = (
+        spark.read.parquet(f"{state_dir}/ccounts_v{v}") if v is not None else None
+    )
+    totals = (
+        bn
+        if prev is None
+        else prev.unionByName(bn).groupBy("ci", "ck").agg(F.sum("_n").alias("_n"))
+    )
+    totals.write.mode("overwrite").parquet(f"{state_dir}/ccounts_v{batch_id}")
+    over_cap = F.broadcast(
+        spark.read.parquet(f"{state_dir}/ccounts_v{batch_id}")
+        .filter(F.col("_n") > params.PHASH_BUCKET_CAP)
+        .select("ci", "ck")
+    )
+    # cap on the ACCUMULATED bucket (index + this batch): both sides
+    # drop over-cap keys before any pairing, like the LSH face.
+    new = chunks.join(over_cap, ["ci", "ck"], "left_anti")
+    within_buckets = (
+        new.groupBy("ci", "ck")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", F.col("phash").alias("sig")))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") >= 2)
+    )
+    within = within_buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
+                "struct(a.doc_id AS doc_a, a.sig AS sh_a, "
+                "b.doc_id AS doc_b, b.sig AS sh_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.sh_a", "p.doc_b", "p.sh_b")
+    if _hadoop_path_exists(spark, f"{state_dir}/chunks"):
+        idx = (
+            spark.read.parquet(f"{state_dir}/chunks")
+            .filter(F.col("_batch_id") < batch_id)
+            .drop("_batch_id")
+        )
+        old = idx.join(over_cap, ["ci", "ck"], "left_anti")
+        # index docs and batch docs are disjoint (a doc arrives in one
+        # batch; a replay's own partial write is excluded by the
+        # _batch_id < batch_id filter) — the a side is always the
+        # indexed doc, so (sh_a, sh_b) assignment is deterministic and
+        # the pair distinct() below is exact.
+        cross = (
+            old.alias("a")
+            .join(
+                new.alias("b"),
+                (F.col("a.ci") == F.col("b.ci"))
+                & (F.col("a.ck") == F.col("b.ck"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.col("a.phash").alias("sh_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                F.col("b.phash").alias("sh_b"),
+            )
+        )
+        cand = within.unionByName(cross).distinct()
+    else:
+        cand = within.distinct()
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    verified = cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= params.PHASH_MAX_HAMMING)
+    verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(out_dir)
+    (
+        chunks.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(f"{state_dir}/chunks")
+    )
+    chunks.unpersist()
+    _write_latest_pointer(spark, state_dir, batch_id)
+
+
 # ---------------------------------------------------------------------------
 # Driver-checkable batch faces for the maintenance sinks
 # ---------------------------------------------------------------------------
@@ -1312,6 +1479,31 @@ def lsh_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stream, ckpt: lsh_index_sink(stream, state, out, ckpt),
     )
     return spark.read.parquet(out).select("doc_a", "doc_b", "jaccard")
+
+
+
+def phash_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the documents table drained through
+    phash_index_sink — real Arrow decode + dHash per micro-batch,
+    candidates from the within-batch bucket expansion UNION
+    batch-vs-index chunk probes, bit_count verification, index append
+    — returning the accumulated pair log (doc_a, doc_b, hamming).
+    Each pair is emitted in exactly the batch its LATER member arrives
+    in, so after the drain the log equals the one-shot batch operator
+    image_phash_pairs, which is exactly what the shared DuckDB oracle
+    computes (the cap-boundary caveat cannot occur at driver scale).
+    The first streaming face over the multimodal stack."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    scratch = _face_scratch(spark, "sgraft_phash_stream_")
+    state, out = f"{scratch}/state", f"{scratch}/pairs"
+    _drain_through_sink(
+        docs,
+        scratch,
+        lambda stream, ckpt: phash_index_sink(stream, state, out, ckpt),
+    )
+    return spark.read.parquet(out).select("doc_a", "doc_b", "hamming")
 
 
 def dedup_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1432,3 +1432,63 @@ def test_prune_between_micro_batches_of_live_drain(spark, sf_dir, tmp_path_facto
     assert len(versions) >= 2
     latest = sp._read_latest_pointer(spark, state, prefix="grid")
     assert versions[-1] == latest
+
+
+def test_phash_index_sink_replay_same_batch_id_idempotent(
+    spark, sf_dir, tmp_path_factory
+):
+    """Replaying a phash index batch must overwrite its own chunk
+    partition and ccounts version (not re-append — duplicate chunk
+    rows would inflate accumulated buckets toward PHASH_BUCKET_CAP and
+    re-propose pairs) and re-emit the identical pair partition."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    b0 = docs.filter(SF.col("doc_id") % 2 == 0)
+    b1 = docs.filter(SF.col("doc_id") % 2 == 1)
+    state = str(tmp_path_factory.mktemp("phash_replay_state"))
+    out = str(tmp_path_factory.mktemp("phash_replay_out"))
+    sp._phash_index_batch(b0, 0, state, out)
+    sp._phash_index_batch(b1, 1, state, out)
+    chunks_before = spark.read.parquet(f"{state}/chunks").count()
+    counts_before = {
+        (r.ci, r.ck, r._n)
+        for r in spark.read.parquet(f"{state}/ccounts_v1").collect()
+    }
+    pairs_before = {
+        (r.doc_a, r.doc_b, r.hamming) for r in spark.read.parquet(out).collect()
+    }
+    sp._phash_index_batch(b1, 1, state, out)  # replay
+    assert spark.read.parquet(f"{state}/chunks").count() == chunks_before
+    counts_after = {
+        (r.ci, r.ck, r._n)
+        for r in spark.read.parquet(f"{state}/ccounts_v1").collect()
+    }
+    pairs_after = {
+        (r.doc_a, r.doc_b, r.hamming) for r in spark.read.parquet(out).collect()
+    }
+    assert counts_after == counts_before  # sum-merge not double-counted
+    assert pairs_after == pairs_before and len(pairs_before) > 0
+
+
+def test_phash_index_sink_cross_batch_pairs_match_batch_operator(spark, sf_dir):
+    """The drained face equals the one-shot batch operator: every
+    within-group pair whose members arrive in DIFFERENT micro-batches
+    must be found by the batch-vs-index probe (group-mates have
+    consecutive doc_ids, so the %2 split above puts most pairs across
+    batches — here the real drain's output is compared to
+    image_phash_pairs row for row)."""
+    from flink_kafka_filter_transform_spark.operators import multimodal
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    face = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in sp.phash_stream_state(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in multimodal.image_phash_pairs(
+            load_table(spark, "documents", sf_dir)
+        ).collect()
+    }
+    assert face == batch and len(batch) > 0
