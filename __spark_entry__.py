@@ -210,16 +210,16 @@ HEAD_ORDER: list[str] = [
     "q10_returned_items",
     "q18_large_volume_orders",
     "q13_customer_distribution",
-    "events_group_reservoir",
-    "bigram_top_pairs",
-    "training_mixture_report",
-    "media_resize",
     # (q1_pricing_summary, frame_sample, multimodal_features,
     # mixture_sample_summary, and doc_chunks were the 28th-32nd
     # smoothing pulls; displaced by the bigram_surprisal,
     # audio_fingerprint_pairs, video_frame_match_pairs,
-    # video_scene_cuts, and phash_stream_state debuts — they stay in
-    # the tail at age 3 and r10 owes 16 slots, still 34 free)
+    # video_scene_cuts, and phash_stream_state debuts; media_resize,
+    # training_mixture_report, bigram_top_pairs, and
+    # events_group_reservoir were the 24th-27th, displaced by the
+    # late-r9 gram_novelty_profile, audio_silence_segments,
+    # bloom_stream_state, and source_overlap_matrix debuts — all
+    # stay in the tail at age 3 and r10 owes 20 slots, still 30 free)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -247,6 +247,25 @@ HEAD_ORDER: list[str] = [
     # motion, values and plan identical; CI parity green) — re-gated
     # per the changed-call-graph rule ---
     "simhash_pairs",
+    # --- late-r9 debuts (seats freed by the media_resize /
+    # training_mixture_report displacement noted above): ---
+    # gram_novelty_profile = first-occurrence n-gram novelty (the
+    # "who was first" complement to crossdoc_ngram_overlap's "is it
+    # shared"; the incremental-crawl exhaustion readout) ---
+    "gram_novelty_profile",
+    # audio_silence_segments = VAD-style run-length segmentation over
+    # frame energies from the real RIFF/PCM16 decode (the speech-
+    # pipeline utterance cutter; audio analog of video_scene_cuts) ---
+    "audio_silence_segments",
+    # bloom_stream_state = OR-merge Bloom membership face — completes
+    # incremental upkeep for all three sketch families (HLL max / CMS
+    # sum / Bloom or); the O(1)-state pre-filter in front of
+    # dedup_stream_state's exact ledger ---
+    "bloom_stream_state",
+    # source_overlap_matrix = corpus-level source-pair n-gram
+    # containment (the mixture designer's mirror detector; source-
+    # granular complement to the per-doc overlap profiles) ---
+    "source_overlap_matrix",
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -609,6 +628,12 @@ def queries() -> dict[str, QueryFn]:
         "crossdoc_ngram_overlap": lambda s, d: dedup.crossdoc_ngram_overlap(
             _docs(s, d)
         ),
+        "gram_novelty_profile": lambda s, d: dedup.gram_novelty_profile(
+            _docs(s, d)
+        ),
+        "source_overlap_matrix": lambda s, d: dedup.source_overlap_matrix(
+            _docs(s, d)
+        ),
         "token_pack_report": lambda s, d: text.token_pack_report(_docs(s, d)),
         "source_vocab_divergence": lambda s, d: text.source_vocab_divergence(
             _docs(s, d)
@@ -763,6 +788,11 @@ def queries() -> dict[str, QueryFn]:
         # it.
         "scd2_stream_state": streaming_pipeline.scd2_stream_state,
         "cms_stream_state": streaming_pipeline.cms_stream_state,
+        # Bloom membership face (late r9): OR-merge registers — the
+        # probabilistic "seen this content?" pre-filter in front of
+        # dedup_stream_state's exact ledger; <= BLOOM_REGS state rows
+        # forever ===
+        "bloom_stream_state": streaming_pipeline.bloom_stream_state,
         "ivf_stream_cell_counts": streaming_pipeline.ivf_stream_cell_counts,
         # === new in r7: the LSH index sink's accumulated pair log —
         # the last maintenance sink without a driver face (VERDICT r6
@@ -814,6 +844,12 @@ def queries() -> dict[str, QueryFn]:
         "audio_fingerprint_pairs": lambda s, d: multimodal.audio_fingerprint_pairs(
             _docs(s, d)
         ),
+        # VAD-style silence/activity segmentation over the real
+        # decode: gaps-and-islands run fold, one map-only Arrow stage;
+        # debuts in the late-r9 head ===
+        "audio_silence_segments": lambda s, d: multimodal.audio_silence_segments(
+            _docs(s, d)
+        ),
         # video near-dup: per-frame dHash over the real PPM container
         # demux + decode, videos paired by a capped frame-hash equi-
         # join at >= VID_MIN_MATCH shared frames — the video member of
@@ -847,6 +883,8 @@ def oracle_sql() -> dict[str, str]:
             seeding="farthest"
         ),
         "crossdoc_ngram_overlap": oracles.crossdoc_ngram_overlap_oracle(),
+        "gram_novelty_profile": oracles.gram_novelty_profile_oracle(),
+        "source_overlap_matrix": oracles.source_overlap_matrix_oracle(),
         "bpe_encode_report": oracles.bpe_encode_report_oracle(),
         "dedup_survivors_quality": oracles.dedup_survivors_quality_oracle(),
         "adaptive_length_filter": oracles.adaptive_length_filter_oracle(),
@@ -995,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "purchases_with_recent_clicks": oracles.purchases_with_recent_clicks_oracle(),
         "hll_stream_state": oracles.hll_stream_state_oracle(),
         "cms_stream_state": oracles.cms_stream_state_oracle(),
+        "bloom_stream_state": oracles.bloom_stream_state_oracle(),
         "ivf_stream_cell_counts": oracles.ivf_stream_cell_counts_oracle(),
         "jpeg_color_decode": oracles.jpeg_color_decode_oracle(),
         "scd2_stream_state": oracles.cdc_scd2_history_oracle(),
@@ -1004,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_pairs": oracles.image_phash_pairs_oracle(),
         "bigram_surprisal": oracles.bigram_surprisal_oracle(),
         "audio_fingerprint_pairs": oracles.audio_fingerprint_pairs_oracle(),
+        "audio_silence_segments": oracles.audio_silence_segments_oracle(),
         "video_frame_match_pairs": oracles.video_frame_match_pairs_oracle(),
         "video_scene_cuts": oracles.video_scene_cuts_oracle(),
         # the face's drained log equals the batch operator (pair

@@ -175,6 +175,13 @@ HEADLINE = [
     # streaming face: incremental image-fingerprint index (reported in
     # the faces section like its five siblings)
     "phash_stream_state",
+    # late-r9 additions: first-occurrence n-gram novelty profile,
+    # VAD-style silence segmentation over the real decode, Bloom
+    # membership face (faces section)
+    "gram_novelty_profile",
+    "audio_silence_segments",
+    "bloom_stream_state",
+    "source_overlap_matrix",
 ]
 
 
@@ -238,6 +245,7 @@ LOOP_EXTRA_REPS = 2
 FACE_QUERIES = {
     "phash_stream_state",
     "dedup_stream_state",
+    "bloom_stream_state",
     "hll_stream_state",
     "cms_stream_state",
     "ivf_stream_cell_counts",

@@ -78,17 +78,20 @@ SHOWCASE = [
     ("video_frame_match_pairs", "video near-dup: real container demux + per-frame dHash in one Arrow stage; capped frame-hash buckets, map-side pair expansion, matched-frame threshold — no join operator in the plan at all"),
     ("video_scene_cuts", "video scene segmentation: demux + decode + dHash + adjacent-frame Hamming + run fold in ONE map-only Arrow stage, zero exchanges (a video's frames arrive together in its blob)"),
     ("split_leakage_report", "eval-integrity audit: LSH-bounded pairs + persisted-edge CC + map-only split composed in one plan; report aggregates to 3 rows, leaked_pairs_final provably 0"),
-    # the r6 streaming sink faces (hll/cms/ivf/scd2_stream_state) are
-    # deliberately absent: their query fns DRAIN a real stream before
-    # returning the state reader, so a plan dump would show only the
-    # trivial final state scan — the sink plans are asserted in
-    # tests/test_streaming.py instead. dedup_stream_state (the r8
+    # the streaming sink faces (hll/cms/ivf/scd2/lsh/phash/
+    # bloom_stream_state) are deliberately absent: their query fns
+    # DRAIN a real stream before returning the state reader, so a
+    # plan dump would show only the trivial final state scan — the
+    # sink plans are asserted in tests/test_streaming.py instead. dedup_stream_state (the r8
     # face) gets the one exception below so PLANS.md carries a section
     # per VERDICT r8 item 4: the dumped plan is the post-drain ledger
     # read (max-revision pick over _batch_id partitions); the
     # maintenance plan itself is the applyInPandasWithState sink gated
     # in tests/test_streaming.py.
     ("dedup_stream_state", "first-seen dedup ledger FACE: dumped plan = the post-drain published-state read (max-revision row per hash over _batch_id partitions); the incremental maintenance plan is the applyInPandasWithState sink, gated in tests/test_streaming.py"),
+    ("gram_novelty_profile", "first-occurrence novelty: the exploded relation shuffles EXACTLY ONCE (gh-keyed min agg); novel counts roll up the agg's own vocabulary-sized output, never joining the corpus back; only a doc-keyed join of two per-doc relations"),
+    ("audio_silence_segments", "VAD segmentation: decode + framing + energy + threshold + run-length fold in ONE map-only Arrow stage, zero exchanges; ~10 fixed-width rows per clip"),
+    ("source_overlap_matrix", "source-pair containment: one gh-keyed collect_set agg (state bounded by the source dimension), map-side pair expansion, <= |sources|^2 cell rows; only the diagonal broadcast"),
 ]
 
 

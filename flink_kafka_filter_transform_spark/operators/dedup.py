@@ -869,6 +869,115 @@ def crossdoc_ngram_overlap(docs: DataFrame, n: int = 4) -> DataFrame:
     )
 
 
+def gram_novelty_profile(docs: DataFrame, n: int = 4) -> DataFrame:
+    """First-occurrence novelty profile: for each document, the
+    fraction of its DISTINCT token n-grams that this document is the
+    FIRST to contribute to the corpus (first = smallest ``doc_id``
+    containing the gram — ingestion order, the "keep the first copy"
+    convention exact/near dedup already uses). The incremental-crawl
+    readout: a batch of newly ingested documents with low novelty is
+    re-crawled or templated content the pipeline should drop BEFORE
+    paying for near-dup pairing, and per-source novelty curves are how
+    production crawls decide a source is exhausted (Lee et al. 2021
+    observe most duplicate text is cross-document repeats of earlier
+    spans). Complements ``crossdoc_ngram_overlap``: that op asks "is
+    this gram shared at all", this op asks "who was first".
+
+    Scale shape — strictly better than the crossdoc join-back plan,
+    because "who was first" never needs the exploded relation again:
+    grams travel as 60-bit portable hashes and the exploded (doc_id,
+    gh) relation is shuffled EXACTLY ONCE (the gh-keyed ``min(doc_id)``
+    aggregate, map-side combined — min is the cheapest possible
+    per-key state); the per-doc novel count is then a second rollup of
+    that aggregate's own output (one 8-byte row per distinct gram —
+    vocabulary-sized, fixed-width, never the corpus text), and n_grams
+    is read off the distinct-gram array size in the original map pass.
+    The only join is doc-keyed between two per-doc relations. No
+    broadcast anywhere: the gram vocabulary is unbounded at 100 TB
+    (the tfidf rule), so pinning either side would be the scale bug. A
+    hot gram (boilerplate shared by millions of docs) costs this plan
+    nothing quadratic — one aggregate row per gram, no bucket
+    expansion — which is why this profile is safe to run corpus-wide
+    BEFORE any capped pairing op.
+    """
+    grams = docs.select(
+        "doc_id", token_ngrams(tokens(), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    n_grams = grams.select(
+        "doc_id", F.size("grams").cast("bigint").alias("n_grams")
+    )
+    e = grams.select("doc_id", F.explode("grams").alias("g")).select(
+        "doc_id", portable_hash64("g").alias("gh")
+    )
+    # distinct-gram semantics: one row per gh after the min; a 60-bit
+    # collision merges the colliding grams into one novelty unit on
+    # BOTH engines (the oracle mirrors this rollup shape exactly)
+    novel = (
+        e.groupBy("gh")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return n_grams.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        (
+            F.coalesce("n_novel", F.lit(0)).cast("double") / F.col("n_grams")
+        ).alias("novelty_fraction"),
+    )
+
+
+def source_overlap_matrix(docs: DataFrame, n: int = 4) -> DataFrame:
+    """Corpus-level source-pair duplication matrix: for every ordered
+    pair of sources (a, b), the count of distinct token n-grams that
+    occur in BOTH, and the containment |A∩B| / |A| — the readout a
+    mixture designer checks before weighting sources (two mirrors of
+    one crawl look like independent corpora to per-doc profiles but
+    show containment ~1 here, so their combined mixture weight is
+    double-counted until one side is dropped). Complements the per-doc
+    profiles (crossdoc/gram_novelty) with the SOURCE-granular view and
+    source_vocab_divergence's unigram distributions with shared-SPAN
+    evidence.
+
+    Scale shape: grams travel as 60-bit hashes; ONE gh-keyed
+    ``collect_set(source)`` aggregate (the set is bounded by the
+    source count — a dimension, not a corpus axis — so per-key state
+    is O(|sources|) however hot the gram); ordered pairs expand
+    MAP-SIDE from each set (<= |sources|^2 rows per distinct gram,
+    from the agg's own vocabulary-sized output — the corpus never
+    joins back, gram_novelty_profile's rule); the cell rollup shuffles
+    <= |sources|^2 fixed-width rows. The diagonal join is pinned
+    broadcast — it is |sources| rows, a true dimension under the
+    broadcast rule."""
+    grams = docs.select(
+        "source", token_ngrams(tokens(), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    e = grams.select("source", F.explode("grams").alias("g")).select(
+        "source", portable_hash64("g").alias("gh")
+    )
+    per_gram = e.groupBy("gh").agg(F.collect_set("source").alias("_srcs"))
+    cells = (
+        per_gram.select(
+            F.explode("_srcs").alias("src_a"), F.col("_srcs").alias("_srcs")
+        )
+        .select("src_a", F.explode("_srcs").alias("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    diag = (
+        cells.filter(F.col("src_a") == F.col("src_b"))
+        .select("src_a", F.col("n_shared").alias("n_a"))
+    )
+    return cells.join(F.broadcast(diag), "src_a").select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        "n_a",
+        (F.col("n_shared").cast("double") / F.col("n_a")).alias("containment"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Segment-level dedup profile (RefinedWeb-style span dedup signal)
 # ---------------------------------------------------------------------------

@@ -1846,3 +1846,102 @@ def video_scene_cuts(docs: DataFrame) -> DataFrame:
         "doc_id BIGINT, n_frames BIGINT, n_cuts BIGINT, n_scenes BIGINT, "
         "longest_scene_frames BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation (late r9): VAD-style gaps-and-islands over
+# frame energies from the real RIFF/PCM16 decode
+# ---------------------------------------------------------------------------
+
+
+def _synth_vad_wav(doc_id: int) -> bytes:
+    """Activity-structured WAV fixture (closed form, mirrored verbatim
+    in oracles.audio_silence_segments_oracle): VAD_BLOCK-frame blocks
+    alternate between the noise sample form and the tiny sample form
+    per the block-level activity congruence — see the VAD_* comment in
+    params.py for the layout and the energy-margin proof."""
+    n = params.VAD_NFRAMES * params.VAD_FRAME
+    i = np.arange(n, dtype=np.int64)
+    block = (i // params.VAD_FRAME) // params.VAD_BLOCK
+    act = (
+        doc_id * params.VAD_ACT_A + block * params.VAD_ACT_B
+    ) % params.VAD_ACT_MOD < params.VAD_ACT_LT
+    noise = (doc_id * WAV_SAMP_A + i * WAV_SAMP_B) % 65536 - 32768
+    tiny = (doc_id + i) % params.VAD_TINY_MOD - params.VAD_TINY_MOD // 2
+    samples = np.where(act, noise, tiny).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+VAD_SCHEMA = (
+    "doc_id BIGINT, seg_idx BIGINT, active BIGINT, "
+    "start_frame BIGINT, n_frames BIGINT"
+)
+
+
+def _vad_segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per clip: REAL decode -> frame energies -> threshold -> run-
+    length encode. The whole fold completes inside the Arrow batch (a
+    clip's samples arrive together in its blob), so the operator never
+    shuffles — the audio analog of video_scene_cuts' scene fold."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "seg_idx": [], "active": [],
+            "start_frame": [], "n_frames": [],
+        }
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            _rate, _nch, samples = decode_audio(bytes(content))
+            s = samples.astype(np.int64)
+            nf = s.shape[0] // params.VAD_FRAME
+            if nf == 0:
+                continue
+            fr = s[: nf * params.VAD_FRAME].reshape(nf, params.VAD_FRAME)
+            act = ((fr * fr).sum(axis=1) > params.VAD_ENERGY_THRESHOLD).astype(
+                np.int64
+            )
+            change = np.flatnonzero(np.diff(act)) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [nf]))
+            k = starts.shape[0]
+            out["doc_id"].extend([int(doc_id)] * k)
+            out["seg_idx"].extend(range(k))
+            out["active"].extend(int(act[st]) for st in starts)
+            out["start_frame"].extend(int(st) for st in starts)
+            out["n_frames"].extend(int(en - st) for st, en in zip(starts, ends))
+        yield pd.DataFrame(
+            {c: pd.array(out[c], dtype="Int64") for c in out}
+        )
+
+
+def _synth_vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "content": [_synth_vad_wav(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def audio_silence_segments(docs: DataFrame) -> DataFrame:
+    """VAD-style silence/activity segmentation: maximal runs of equal
+    frame-level activity (energy > VAD_ENERGY_THRESHOLD over the REAL
+    RIFF/PCM16 decode) as (start_frame, n_frames, active) segments —
+    the speech-pipeline primitive that turns raw audio into trainable
+    utterances (cut at silence, drop the silence, length-filter what
+    remains) and the audio analog of video_scene_cuts' scene runs.
+
+    Scale shape: ONE map-only Arrow stage — synth, decode, framing,
+    energy fold, threshold, and the run-length encode all complete
+    inside the batch; zero exchanges, segments are fixed-width integer
+    rows (~10 per clip, never per-sample). The oracle recomputes
+    samples-to-segments from the fixture's closed form entirely in SQL
+    (gaps-and-islands via row_number), so a decode, framing, energy,
+    threshold, or run-fold bug on either side diverges."""
+    blobs = docs.select("doc_id").mapInPandas(
+        _synth_vad_batches, "doc_id BIGINT, content BINARY"
+    )
+    return blobs.mapInPandas(_vad_segment_batches, VAD_SCHEMA)

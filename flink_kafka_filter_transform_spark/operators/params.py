@@ -242,3 +242,26 @@ VID_UNIQUE = 2  # frames each video replaces with video-unique content
 VID_CUT_HAMMING = 10
 VID_SCENE_MOD = 5
 VID_SCENE_SALT = 2_000_003
+
+# --- audio silence segmentation (late r9) ------------------------------------
+# VAD-style run-length segmentation: frame energies from the REAL
+# RIFF/PCM16 decode, frame active iff energy > VAD_ENERGY_THRESHOLD,
+# maximal runs of equal activity become segments (gaps-and-islands).
+# Activity-structured fixture (its own synth): VAD_NFRAMES frames of
+# VAD_FRAME samples; activity is laid out in VAD_BLOCK-frame blocks —
+# block b of doc d is active iff (d*VAD_ACT_A + b*VAD_ACT_B) %
+# VAD_ACT_MOD < VAD_ACT_LT (60% duty cycle, runs merge across
+# like-signed adjacent blocks so segment lengths vary per doc).
+# Active samples take the noise form (d*7919 + i*104729) % 65536 -
+# 32768 (the WAV family's congruence); silent samples take the tiny
+# form (d + i) % 16 - 8. The threshold is unambiguous by construction:
+# silent frame energy <= 16 * 8^2 = 1024, while consecutive noise
+# samples step by ±26343 (104729 % 65536 wrapped), so no two adjacent
+# samples are both small and active energy >= 8 * 20343^2 ~ 3.3e9 —
+# six orders of magnitude of margin on both sides of 1e6.
+VAD_NFRAMES = 64
+VAD_FRAME = 16  # samples per frame (AUDIO_FRAME's value)
+VAD_BLOCK = 8  # frames per activity block
+VAD_ACT_A, VAD_ACT_B, VAD_ACT_MOD, VAD_ACT_LT = 31, 17, 5, 3
+VAD_TINY_MOD = 16  # silent samples span [-8, 7]
+VAD_ENERGY_THRESHOLD = 1_000_000

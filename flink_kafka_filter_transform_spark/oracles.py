@@ -293,6 +293,67 @@ GROUP BY doc_id
 """
 
 
+def gram_novelty_profile_oracle(n: int = 4) -> str:
+    """First-occurrence novelty twin: same 60-bit gram hashes and
+    distinct-gram semantics as the crossdoc oracle, but the SAME
+    rollup shape as the engine — per-gram ``min(doc_id)``, then a
+    per-doc count of the grams it was first to contribute (so a
+    60-bit collision merges into one novelty unit on both engines),
+    left-joined to the per-doc distinct-gram counts."""
+    gh = portable_hash64_sql("gram")
+    return f"""
+WITH {_TOKS_CTE},
+g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(t) - {n} + 1),
+                                 i -> array_to_string(t[i:i + {n} - 1], ' '))) AS grams
+  FROM toks WHERE len(t) >= {n}
+),
+e AS (SELECT doc_id, {gh} AS gh FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+nov AS (
+  SELECT doc_id, count(*) AS n_novel
+  FROM (SELECT gh, min(doc_id) AS doc_id FROM e GROUP BY gh)
+  GROUP BY doc_id
+),
+ng AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g)
+SELECT ng.doc_id, ng.n_grams,
+  CAST(COALESCE(nov.n_novel, 0) AS BIGINT) AS n_novel,
+  CAST(COALESCE(nov.n_novel, 0) AS DOUBLE) / ng.n_grams AS novelty_fraction
+FROM ng LEFT JOIN nov USING (doc_id)
+"""
+
+
+def source_overlap_matrix_oracle(n: int = 4) -> str:
+    """Source-pair containment twin: same 60-bit gram hashes; the
+    ordered-pair cells come from a DISTINCT (source, gh) self-join on
+    gh (relational mirror of the engine's collect_set expansion),
+    diagonal cells are |A|."""
+    gh = portable_hash64_sql("gram")
+    return f"""
+WITH src_toks AS (
+  SELECT source, regexp_extract_all(text, '[^\\s]+') AS t FROM documents
+),
+g AS (
+  SELECT source,
+    list_distinct(list_transform(generate_series(1, len(t) - {n} + 1),
+                                 i -> array_to_string(t[i:i + {n} - 1], ' '))) AS grams
+  FROM src_toks WHERE len(t) >= {n}
+),
+e AS (
+  SELECT DISTINCT source, {gh} AS gh
+  FROM (SELECT source, unnest(grams) AS gram FROM g)
+),
+cells AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM e a JOIN e b USING (gh) GROUP BY 1, 2
+),
+diag AS (SELECT src_a, n_shared AS n_a FROM cells WHERE src_a = src_b)
+SELECT c.src_a, c.src_b, c.n_shared, d.n_a,
+  CAST(c.n_shared AS DOUBLE) / d.n_a AS containment
+FROM cells c JOIN diag d USING (src_a)
+"""
+
+
 def token_frequency_score_oracle(rare_max_count: int = 2) -> str:
     """Rare-token-density twin: integer sums until one final double
     division — bit-exact, no transcendentals, no decimal round-trip
@@ -3814,6 +3875,27 @@ SELECT row, bucket, count(*) AS cell FROM (
 """
 
 
+def bloom_stream_state_oracle() -> str:
+    """Final bloom_merge_sink registers == the one-shot batch filter
+    (bit_or over batches is lossless: OR of per-batch key-set
+    registers equals registers of the union). Same content double-hash
+    and probe positions as the batch bloom_build."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    h1 = portable_hash64_sql("text")
+    h2 = portable_hash64_second_sql("text")
+    m = params.BLOOM_REGS * params.BLOOM_REG_BITS
+    rb = params.BLOOM_REG_BITS
+    probes = ", ".join(str(j) for j in range(1, params.BLOOM_K + 1))
+    return f"""
+WITH k AS (SELECT DISTINCT {h1} AS h1, {h2} AS h2 FROM documents)
+SELECT p // {rb} AS reg,
+       bit_or(CAST(1 AS BIGINT) << CAST(p % {rb} AS INT)) AS bits
+FROM (SELECT (h1 + j * h2) % {m} AS p FROM k, unnest([{probes}]) AS u(j))
+GROUP BY 1
+"""
+
+
 def ivf_stream_cell_counts_oracle(k: int | None = None, iters: int | None = None) -> str:
     """Final ivf_assign_sink occupancy == per-cell cardinality of the
     batch assignment under the same deterministic Lloyd codebook."""
@@ -4261,6 +4343,55 @@ SELECT doc_id,
   CAST(SUM(bits) AS BIGINT) AS sum_bits,
   CAST(SUM(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_surprisal_bits
 FROM scored GROUP BY doc_id
+"""
+
+
+def audio_silence_segments_oracle() -> str:
+    """Twin of multimodal.audio_silence_segments: samples-to-segments
+    recomputed from the VAD fixture's closed form entirely in SQL —
+    block-level activity congruence picks the noise or tiny sample
+    form, frame energies are integer square sums, threshold, then
+    gaps-and-islands (f - row_number per (doc, active) run) for the
+    maximal segments. A decode, framing, energy, threshold, or
+    run-fold bug on the Spark side diverges every affected row."""
+    p = params
+    n = p.VAD_NFRAMES * p.VAD_FRAME
+    act = (
+        f"(doc_id * {p.VAD_ACT_A} + ((i // {p.VAD_FRAME}) // {p.VAD_BLOCK})"
+        f" * {p.VAD_ACT_B}) % {p.VAD_ACT_MOD} < {p.VAD_ACT_LT}"
+    )
+    noise = "(doc_id * 7919 + i * 104729) % 65536 - 32768"
+    tiny = f"(doc_id + i) % {p.VAD_TINY_MOD} - {p.VAD_TINY_MOD // 2}"
+    return f"""
+WITH sv AS (
+  SELECT doc_id, i,
+    CASE WHEN {act} THEN {noise} ELSE {tiny} END AS s
+  FROM (SELECT doc_id, unnest(generate_series(0, {n - 1})) AS i FROM documents)
+),
+fe AS (
+  SELECT doc_id, i // {p.VAD_FRAME} AS f, sum(s * s) AS e
+  FROM sv GROUP BY doc_id, i // {p.VAD_FRAME}
+),
+fa AS (
+  SELECT doc_id, f,
+    CASE WHEN e > {p.VAD_ENERGY_THRESHOLD} THEN 1 ELSE 0 END AS active
+  FROM fe
+),
+isl AS (
+  SELECT doc_id, f, active,
+    f - row_number() OVER (PARTITION BY doc_id, active ORDER BY f) AS grp
+  FROM fa
+),
+seg AS (
+  SELECT doc_id, active, min(f) AS start_frame, count(*) AS n_frames
+  FROM isl GROUP BY doc_id, active, grp
+)
+SELECT doc_id,
+  row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 AS seg_idx,
+  CAST(active AS BIGINT) AS active,
+  CAST(start_frame AS BIGINT) AS start_frame,
+  CAST(n_frames AS BIGINT) AS n_frames
+FROM seg
 """
 
 

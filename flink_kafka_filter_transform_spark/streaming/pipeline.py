@@ -766,6 +766,77 @@ def cms_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return spark.read.parquet(f"{state_dir}/grid_v{v}")
 
 
+def bloom_merge_sink(
+    stream_docs: DataFrame, state_dir: str, checkpoint_dir: str
+) -> DataStreamWriter:
+    """Incremental Bloom membership maintenance — the OR-merge member
+    that completes incremental upkeep for all three sketch families
+    (HLL distinct / CMS frequency / Bloom membership). The streaming
+    question it answers is "might we have ingested this content
+    before?" in O(1) state — the probabilistic pre-filter in front of
+    dedup_stream_state's exact first-seen ledger: at 100 TB the ledger
+    holds one row per distinct hash (corpus-sized state), while this
+    filter holds BLOOM_REGS rows FOREVER and its no-false-negative
+    guarantee means a miss can skip the ledger lookup entirely.
+
+    Per batch: distinct (h1, h2) content-hash pairs -> the batch's
+    register relation (operators.sketch.bloom_build, the IDENTICAL
+    structure the batch probe uses) -> bit_or-merge into state ->
+    versioned publication (same discipline as hll/cms).
+
+    Replay semantics — the strongest of the three: bit_or, like HLL's
+    max and unlike CMS's sum, is associative, commutative, AND
+    idempotent, so both a replayed batch id (prev loaded strictly
+    pre-batch via ``_latest_state_version(..., before=batch_id)``)
+    and a true duplicate DELIVERY are no-ops. A Bloom filter cannot
+    drift under at-least-once; it can only converge."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _bloom_merge_batch(batch_df, batch_id, state_dir)
+
+    return stream_docs.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def _bloom_merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
+    """One bloom_merge_sink micro-batch (module-level for replay
+    tests); see _latest_state_version for the strictly-pre-batch prev
+    rule."""
+    from flink_kafka_filter_transform_spark.functions.hashing import (
+        portable_hash64,
+        portable_hash64_second,
+    )
+    from flink_kafka_filter_transform_spark.operators.sketch import bloom_build
+
+    spark = batch_df.sparkSession
+    keys = batch_df.select(
+        portable_hash64("text").alias("_h1"),
+        portable_hash64_second("text").alias("_h2"),
+    ).distinct()
+    regs = bloom_build(keys)
+    v = _latest_state_version(spark, state_dir, "bloom", before=batch_id)
+    prev = spark.read.parquet(f"{state_dir}/bloom_v{v}") if v is not None else None
+    merged = (
+        regs
+        if prev is None
+        else prev.unionByName(regs)
+        .groupBy("reg")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/bloom_v{batch_id}")
+    _write_latest_pointer(spark, state_dir, batch_id)
+
+
+def bloom_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Latest published Bloom registers, or None before the first
+    batch."""
+    v = _read_latest_pointer(spark, state_dir, prefix="bloom")
+    if v is None:
+        return None
+    return spark.read.parquet(f"{state_dir}/bloom_v{v}")
+
+
 def ivf_assign_sink(
     stream_vecs: DataFrame,
     centroids: DataFrame,
@@ -1328,6 +1399,27 @@ def cms_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stream, ckpt: cms_merge_sink(stream, state, ckpt),
     )
     return cms_current(spark, state)
+
+
+def bloom_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the documents table drained through
+    bloom_merge_sink (content-hash membership), returning the final
+    Bloom register relation (reg, bits) — <= BLOOM_REGS rows however
+    large the corpus. OR-merge across micro-batches is lossless (the
+    register OR of per-batch key sets equals the registers of the
+    union), so streamed state == the one-shot batch filter, which the
+    oracle builds in SQL from the same double-hash probe positions."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    scratch = _face_scratch(spark, "sgraft_bloom_stream_")
+    state = f"{scratch}/state"
+    _drain_through_sink(
+        docs,
+        scratch,
+        lambda stream, ckpt: bloom_merge_sink(stream, state, ckpt),
+    )
+    return bloom_current(spark, state)
 
 
 def _cached_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -240,6 +240,26 @@ def test_crossdoc_overlap_broadcasts_nothing(spark, sf_dir):
     assert px.broadcast_hint_count(df) == 0
 
 
+def test_source_overlap_matrix_broadcasts_only_diagonal(spark, sf_dir):
+    """The gram relation is corpus-sized and the per-gram source sets
+    are vocabulary-sized — neither may pin a broadcast; the only
+    pinned broadcast is the |sources|-row diagonal."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.source_overlap_matrix(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 1
+
+
+def test_gram_novelty_broadcasts_nothing(spark, sf_dir):
+    """Same contract as crossdoc: the per-gram first-doc relation is
+    vocabulary-sized (unbounded at 100 TB) and the exploded relation
+    is corpus-sized — no pinned broadcast may appear anywhere."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.gram_novelty_profile(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 0
+
+
 def test_knn_ivf_broadcasts_codebook_and_probes(spark, sf_dir):
     df = similarity.knn_ivf(load_table(spark, "embeddings", sf_dir))
     assert px.broadcast_join_count(df) >= 2
@@ -1101,6 +1121,19 @@ def test_winnowing_pairs_capped_join_and_take_ordered(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "windowspecdefinition(doc_a" not in plan  # no ranking window
+
+
+def test_audio_silence_segments_is_map_only(spark, sf_dir):
+    """VAD segmentation never shuffles: a clip's samples arrive
+    together in its blob, so decode + framing + energy + threshold +
+    the run-length fold all complete inside the Arrow batch — zero
+    exchanges, like video_scene_cuts."""
+    from flink_kafka_filter_transform_spark.operators import multimodal
+
+    df = multimodal.audio_silence_segments(load_table(spark, "documents", sf_dir))
+    assert px.count_shuffles(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "MapInPandas" in plan
 
 
 def test_video_scene_cuts_is_map_only(spark, sf_dir):

@@ -327,6 +327,90 @@ def test_crossdoc_overlap_exact_duplicate_is_fully_shared(spark_prop):
     assert got[0] == 1.0 and got[1] == 1.0 and got[2] == 0.0
 
 
+def test_gram_novelty_first_copy_wins(spark_prop):
+    """First-occurrence semantics: the earlier copy of a verbatim
+    duplicate is fully novel, the later copy fully stale; a unique doc
+    is fully novel regardless of position; and a doc that shares SOME
+    grams with an earlier doc reports the exact partial fraction."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        gram_novelty_profile,
+    )
+
+    df = spark_prop.createDataFrame(
+        [
+            (0, "w x y z w x"),  # 3 distinct 4-grams, all first here
+            (1, "w x y z w x"),  # verbatim dup of 0 -> novelty 0
+            (2, "p q r s t u v"),  # unique -> novelty 1
+            (3, "w x y z a b c"),  # shares gram "w x y z" with doc 0
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_fraction"])
+        for r in gram_novelty_profile(df, n=4).collect()
+    }
+    assert got[0] == (3, 3, 1.0)
+    assert got[1] == (3, 0, 0.0)
+    assert got[2] == (4, 4, 1.0)
+    assert got[3] == (4, 3, 0.75)  # "w x y z" first seen in doc 0
+
+
+def test_source_overlap_matrix_detects_mirror(spark_prop):
+    """A source that verbatim-mirrors another shows containment 1.0 in
+    both directions; an unrelated source shares nothing; diagonals are
+    always 1.0."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    df = spark_prop.createDataFrame(
+        [
+            (0, "w x y z w x y", "A"),
+            (1, "w x y z w x y", "B"),  # B mirrors A
+            (2, "p q r s t u v", "C"),  # unrelated
+        ],
+        "doc_id INT, text STRING, source STRING",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_shared"], r["containment"])
+        for r in source_overlap_matrix(df, n=4).collect()
+    }
+    assert got[("A", "B")] == (4, 1.0) and got[("B", "A")] == (4, 1.0)
+    assert got[("A", "A")] == (4, 1.0) and got[("C", "C")] == (4, 1.0)
+    assert ("A", "C") not in got and ("C", "B") not in got
+
+
+def test_audio_silence_segments_partition_the_clip(spark_prop):
+    """Segments are maximal runs: per doc they tile [0, VAD_NFRAMES)
+    exactly (starts/lengths chain, lengths sum to VAD_NFRAMES), the
+    active flag strictly alternates (maximality), and every segment
+    is non-empty."""
+    from flink_kafka_filter_transform_spark.operators import params
+    from flink_kafka_filter_transform_spark.operators.multimodal import (
+        audio_silence_segments,
+    )
+
+    df = spark_prop.createDataFrame(
+        [(i, "x") for i in range(8)], "doc_id LONG, text STRING"
+    )
+    rows = audio_silence_segments(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(8))
+    for segs in by_doc.values():
+        segs.sort(key=lambda r: r["seg_idx"])
+        pos = 0
+        for j, s in enumerate(segs):
+            assert s["seg_idx"] == j
+            assert s["start_frame"] == pos
+            assert s["n_frames"] >= 1
+            if j > 0:
+                assert s["active"] != segs[j - 1]["active"]  # maximal runs
+            pos += s["n_frames"]
+        assert pos == params.VAD_NFRAMES
+
+
 def test_token_pack_report_conserves_tokens(spark_prop):
     """Every token lands in exactly one (source, pack): per-source pack
     sums must equal the source's raw token totals, and pack 0 must

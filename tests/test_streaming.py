@@ -827,6 +827,89 @@ def test_cms_merge_sink_matches_batch_grid(spark, sf_dir, tmp_path_factory):
     assert got == want and len(got) > 0
 
 
+def test_bloom_merge_sink_matches_batch_and_is_replay_idempotent(
+    spark, sf_dir, tmp_path_factory
+):
+    """Streaming Bloom maintenance must converge to EXACTLY the batch
+    filter (bit_or over per-batch key-set registers == registers of
+    the union), and re-merging the full input against the final state
+    must be a no-op — OR, like HLL max and unlike CMS sum, is
+    idempotent, so a Bloom filter cannot drift under at-least-once."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_filter_transform_spark.functions.hashing import (
+        portable_hash64,
+        portable_hash64_second,
+    )
+    from flink_kafka_filter_transform_spark.operators.sketch import bloom_build
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming.pipeline import (
+        bloom_current,
+        bloom_merge_sink,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    src_dir = str(tmp_path_factory.mktemp("bloom_src"))
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    state = str(tmp_path_factory.mktemp("bloom_state"))
+    ckpt = str(tmp_path_factory.mktemp("bloom_ckpt"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = bloom_merge_sink(stream, state, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    regs_stream = bloom_current(spark, state)
+    assert regs_stream is not None
+    got = {(r.reg, r.bits) for r in regs_stream.collect()}
+    keys = docs.select(
+        portable_hash64("text").alias("_h1"),
+        portable_hash64_second("text").alias("_h2"),
+    ).distinct()
+    want = {(r.reg, r.bits) for r in bloom_build(keys).collect()}
+    assert got == want and len(got) > 0
+
+    # replay: OR the FULL input's registers once more — idempotent
+    replayed = (
+        regs_stream.unionByName(bloom_build(keys))
+        .groupBy("reg")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    after = {(r.reg, r.bits) for r in replayed.collect()}
+    assert got == after
+
+    # the no-false-negative contract: every ingested content hash
+    # probes positive against the final streamed state
+    from flink_kafka_filter_transform_spark.operators import params
+
+    m = params.BLOOM_REGS * params.BLOOM_REG_BITS
+    probes = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("_h1") + j * F.col("_h2")) % m).alias("p")
+                    for j in range(1, params.BLOOM_K + 1)
+                ]
+            )
+        ).alias("p")
+    ).select(
+        F.expr(f"p div {params.BLOOM_REG_BITS}").alias("reg"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {params.BLOOM_REG_BITS} AS INT))"
+        ).alias("_b"),
+    )
+    misses = (
+        probes.join(regs_stream, "reg", "left")
+        .filter(
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_b")) == 0
+        )
+        .count()
+    )
+    assert misses == 0
+
+
 def test_ivf_assign_sink_matches_batch_assignment(spark, sf_dir, tmp_path_factory):
     """Streamed IVF ingest must assign every vector to the SAME cell
     the batch operator picks (frozen broadcast codebook), and the

@@ -82,6 +82,16 @@ FAMILY = [
     "video_frame_match_pairs",
     # r9: map-only scene segmentation (same decode family)
     "video_scene_cuts",
+    # late r9: first-occurrence novelty (single-shuffle gh agg +
+    # vocabulary-sized rollup — the no-join-back redesign's point);
+    # map-only VAD segmentation; the OR-merge Bloom face (drain cost
+    # scales with the corpus drained, state fixed at 64 rows)
+    "gram_novelty_profile",
+    "audio_silence_segments",
+    "bloom_stream_state",
+    # late r9: source-pair containment (collect_set bounded by the
+    # source dimension; pairs expand from vocabulary-sized agg output)
+    "source_overlap_matrix",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused
