@@ -209,17 +209,17 @@ HEAD_ORDER: list[str] = [
     "q9_product_nation_profit",
     "q10_returned_items",
     "q18_large_volume_orders",
-    "q13_customer_distribution",
     # (q1_pricing_summary, frame_sample, multimodal_features,
     # mixture_sample_summary, and doc_chunks were the 28th-32nd
     # smoothing pulls; displaced by the bigram_surprisal,
     # audio_fingerprint_pairs, video_frame_match_pairs,
     # video_scene_cuts, and phash_stream_state debuts; media_resize,
-    # training_mixture_report, bigram_top_pairs, and
-    # events_group_reservoir were the 24th-27th, displaced by the
-    # late-r9 gram_novelty_profile, audio_silence_segments,
-    # bloom_stream_state, and source_overlap_matrix debuts — all
-    # stay in the tail at age 3 and r10 owes 20 slots, still 30 free)
+    # training_mixture_report, bigram_top_pairs,
+    # events_group_reservoir, and q13_customer_distribution were the
+    # 23rd-27th, displaced by the late-r9 gram_novelty_profile,
+    # audio_silence_segments, bloom_stream_state,
+    # source_overlap_matrix, and bucketed_join_revenue debuts — all
+    # stay in the tail at age 3 and r10 owes 21 slots, still 29 free)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -266,6 +266,11 @@ HEAD_ORDER: list[str] = [
     # containment (the mixture designer's mirror detector; source-
     # granular complement to the per-doc overlap profiles) ---
     "source_overlap_matrix",
+    # bucketed_join_revenue = storage-bucketed co-located fact-to-fact
+    # join (pay the shuffle at write time, every later join on the
+    # bucket key is exchange-free — the layout tier of the join-
+    # strategy ladder) ---
+    "bucketed_join_revenue",
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -745,6 +750,10 @@ def queries() -> dict[str, QueryFn]:
         "frame_sample": lambda s, d: multimodal.frame_sample_from_docs(_docs(s, d)),
         # --- relational surface ---
         "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(load_table(s, "lineitem", d)),
+        # storage-bucketed co-located fact-to-fact join (late r9):
+        # both sides pre-hashed into the same buckets on the order
+        # key, join exchange-free; values layout-invariant ===
+        "bucketed_join_revenue": relational.bucketed_join_revenue,
         "q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(
             load_table(s, "customer", d), load_table(s, "orders", d), load_table(s, "lineitem", d)
         ),
@@ -992,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": oracles.multimodal_features_oracle(),
         "q1_pricing_summary": oracles.q1_pricing_summary_oracle(),
         "q3_shipping_priority": oracles.q3_shipping_priority_oracle(),
+        "bucketed_join_revenue": oracles.bucketed_join_revenue_oracle(),
         "q5_local_supplier_volume": oracles.q5_local_supplier_volume_oracle(),
         "top_customers_per_segment": oracles.top_customers_per_segment_oracle(),
         "events_daily": oracles.events_daily_oracle(),

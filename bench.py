@@ -182,6 +182,7 @@ HEADLINE = [
     "audio_silence_segments",
     "bloom_stream_state",
     "source_overlap_matrix",
+    "bucketed_join_revenue",
 ]
 
 

@@ -1446,3 +1446,87 @@ def q11_important_parts(
             F.col("_value_dec").cast("double").alias("part_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Storage-bucketed co-located join (late r9)
+# ---------------------------------------------------------------------------
+
+
+BUCKETED_N = 8  # bucket count for the orders/lineitem twins
+
+
+def _bucketed_twin_tables(spark, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders/lineitem ONCE per session as storage-BUCKETED
+    external tables (CLUSTERED BY the order key, SORTED, bucketed
+    parquet under a face-scratch dir; metadata in the session
+    catalog), memoized by tableExists. This is the lakehouse layout
+    decision the brief names alongside repartition(): pay one shuffle
+    at WRITE time, then every future join/aggregation on the bucket
+    key is exchange-free — at 100 TB a fact-to-fact join on the order
+    key is the shuffle you cannot afford per-query, and bucketing is
+    the only way to delete it without broadcasting (neither side is
+    broadcastable)."""
+    import hashlib
+
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming.pipeline import _face_scratch
+
+    tok = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders = f"sgraft_b_orders_{tok}"
+    t_lineitem = f"sgraft_b_lineitem_{tok}"
+    if not (
+        spark.catalog.tableExists(t_orders)
+        and spark.catalog.tableExists(t_lineitem)
+    ):
+        scratch = _face_scratch(spark, "sgraft_bucketed_")
+        (
+            load_table(spark, "orders", sf_dir)
+            .write.bucketBy(BUCKETED_N, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{scratch}/orders_b")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(t_orders)
+        )
+        (
+            load_table(spark, "lineitem", sf_dir)
+            .write.bucketBy(BUCKETED_N, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{scratch}/lineitem_b")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(t_lineitem)
+        )
+    return t_orders, t_lineitem
+
+
+def bucketed_join_revenue(spark, sf_dir: str) -> DataFrame:
+    """Per-priority order revenue off the storage-bucketed twins: the
+    orders-to-lineitem join reads both sides pre-hashed into the SAME
+    8 buckets on the order key, so the join needs NO exchange on
+    either side (the plan gate asserts it) — the only shuffle in the
+    whole query is the final 5-group priority rollup. Values are
+    layout-invariant, so the oracle is the plain relational join; what
+    bucketing changes is the PLAN, which is the point: this query is
+    the repo's demonstration that the engine's join strategies extend
+    to the storage layout tier (broadcast for dimensions, AQE for
+    skew, buckets for fact-to-fact).
+
+    The decimal-sum discipline matches q3 (_dsum), so the revenue is
+    bit-exact cross-engine."""
+    t_orders, t_lineitem = _bucketed_twin_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    j = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .select("o_orderpriority", "n_orders", "n_items", "revenue")
+    )

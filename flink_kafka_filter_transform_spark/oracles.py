@@ -1183,6 +1183,22 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def bucketed_join_revenue_oracle() -> str:
+    """Layout-invariant twin of the bucketed co-located join: values
+    cannot depend on the storage layout, so the oracle is the plain
+    relational join + rollup — what bucketing changes is only the
+    engine's PLAN (zero exchanges under the join, asserted by the
+    plan gate)."""
+    return f"""
+SELECT o_orderpriority,
+  count(DISTINCT o_orderkey) AS n_orders,
+  count(*) AS n_items,
+  {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q3_shipping_priority_oracle() -> str:
     return f"""
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

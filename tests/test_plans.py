@@ -390,6 +390,45 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
             spark.conf.set(k, v)
 
 
+def test_bucketed_join_no_exchange_under_the_join(spark, sf_dir):
+    """Storage bucketing deletes the fact-to-fact join shuffle: with
+    broadcast disabled (the at-scale reality — neither fact side is
+    broadcastable at 100 TB), the orders/lineitem join over the
+    bucketed twins must compile to a SortMergeJoin whose BOTH inputs
+    read bucketed scans with NO Exchange between scan and join — and
+    the bucket clustering keeps paying downstream: the countDistinct
+    partial on (priority, orderkey) is satisfied by the orderkey
+    bucketing too, so the WHOLE query runs on ONE shuffle (the final
+    5-row priority rollup). The unbucketed plan under the same confs
+    pays two more (one per join input) — the delta bucketing pays for
+    at write time."""
+    from flink_kafka_filter_transform_spark.operators import relational
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = relational.bucketed_join_revenue(spark, sf_dir)
+        plan = px.explain_str(df, "simple")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "SelectedBucketsCount" in plan  # bucketed scans in play
+        assert px.count_shuffles(df) == 1  # final priority rollup only
+
+        # contrast: the same join off the plain parquet pays 2 more
+        o = load_table(spark, "orders", sf_dir)
+        li = load_table(spark, "lineitem", sf_dir)
+        plain = (
+            o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.countDistinct("o_orderkey").alias("n_orders"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+        assert px.count_shuffles(plain) == 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_audio_frame_features_is_shuffle_free(spark, sf_dir):
     """Frame-level PCM features are map-only by construction: decode,
     framing, energy and zero-crossing folds all happen inside ONE
