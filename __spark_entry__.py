@@ -208,18 +208,19 @@ HEAD_ORDER: list[str] = [
     "q7_volume_shipping",
     "q9_product_nation_profit",
     "q10_returned_items",
-    "q18_large_volume_orders",
     # (q1_pricing_summary, frame_sample, multimodal_features,
     # mixture_sample_summary, and doc_chunks were the 28th-32nd
     # smoothing pulls; displaced by the bigram_surprisal,
     # audio_fingerprint_pairs, video_frame_match_pairs,
     # video_scene_cuts, and phash_stream_state debuts; media_resize,
     # training_mixture_report, bigram_top_pairs,
-    # events_group_reservoir, and q13_customer_distribution were the
-    # 23rd-27th, displaced by the late-r9 gram_novelty_profile,
-    # audio_silence_segments, bloom_stream_state,
-    # source_overlap_matrix, and bucketed_join_revenue debuts — all
-    # stay in the tail at age 3 and r10 owes 21 slots, still 29 free)
+    # events_group_reservoir, q13_customer_distribution, and
+    # q18_large_volume_orders were the 22nd-27th, displaced by the
+    # late-r9 gram_novelty_profile, audio_silence_segments,
+    # bloom_stream_state, source_overlap_matrix,
+    # bucketed_join_revenue, and partitioned_daily_revenue debuts —
+    # all stay in the tail at age 3 and r10 owes 22 slots, still 28
+    # free)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -271,6 +272,10 @@ HEAD_ORDER: list[str] = [
     # bucket key is exchange-free — the layout tier of the join-
     # strategy ladder) ---
     "bucketed_join_revenue",
+    # partitioned_daily_revenue = date-partitioned layout twin
+    # (partition pruning for scans — bucketing's sibling: 1 of 30
+    # day directories read, plan-gated PartitionFilters) ---
+    "partitioned_daily_revenue",
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -754,6 +759,9 @@ def queries() -> dict[str, QueryFn]:
         # both sides pre-hashed into the same buckets on the order
         # key, join exchange-free; values layout-invariant ===
         "bucketed_join_revenue": relational.bucketed_join_revenue,
+        # date-partitioned layout twin (late r9): day predicate
+        # resolves against partition directories — 1 of 30 read ===
+        "partitioned_daily_revenue": relational.partitioned_daily_revenue,
         "q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(
             load_table(s, "customer", d), load_table(s, "orders", d), load_table(s, "lineitem", d)
         ),
@@ -1002,6 +1010,9 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": oracles.q1_pricing_summary_oracle(),
         "q3_shipping_priority": oracles.q3_shipping_priority_oracle(),
         "bucketed_join_revenue": oracles.bucketed_join_revenue_oracle(),
+        "partitioned_daily_revenue": oracles.partitioned_daily_revenue_oracle(
+            relational.PARTITION_PRUNE_DAY
+        ),
         "q5_local_supplier_volume": oracles.q5_local_supplier_volume_oracle(),
         "top_customers_per_segment": oracles.top_customers_per_segment_oracle(),
         "events_daily": oracles.events_daily_oracle(),

@@ -183,6 +183,7 @@ HEADLINE = [
     "bloom_stream_state",
     "source_overlap_matrix",
     "bucketed_join_revenue",
+    "partitioned_daily_revenue",
 ]
 
 

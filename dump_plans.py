@@ -93,6 +93,7 @@ SHOWCASE = [
     ("audio_silence_segments", "VAD segmentation: decode + framing + energy + threshold + run-length fold in ONE map-only Arrow stage, zero exchanges; ~10 fixed-width rows per clip"),
     ("source_overlap_matrix", "source-pair containment: one gh-keyed collect_set agg (state bounded by the source dimension), map-side pair expansion, <= |sources|^2 cell rows; only the diagonal broadcast"),
     ("bucketed_join_revenue", "storage-bucketed fact-to-fact join: both scans pre-hashed into the same 8 buckets on the order key — no exchange under the join, ONE shuffle in the whole query (the 5-row priority rollup)"),
+    ("partitioned_daily_revenue", "date-partitioned pruning: the day predicate lands in PartitionFilters — 1 of ~30 day directories opened, one rollup shuffle"),
 ]
 
 

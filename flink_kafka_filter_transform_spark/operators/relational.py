@@ -1530,3 +1530,63 @@ def bucketed_join_revenue(spark, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "n_orders", "n_items", "revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-partitioned layout + partition pruning (late r9)
+# ---------------------------------------------------------------------------
+
+
+PARTITION_PRUNE_DAY = "2024-01-15"  # mid-range day of the events fixture
+
+
+def _partitioned_events_table(spark, sf_dir: str) -> str:
+    """Materialize events ONCE per session as a DATE-PARTITIONED
+    external table (hive-style day= directories under a face-scratch
+    path) — bucketing's sibling layout decision: bucketing deletes the
+    join shuffle, date partitioning deletes the SCAN for any
+    day-bounded query. At 100 TB an event table is always laid out
+    this way; a "yesterday's revenue" query that scans 3 years of
+    history is the canonical layout bug."""
+    import hashlib
+
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from flink_kafka_filter_transform_spark.streaming.pipeline import _face_scratch
+
+    tok = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_events = f"sgraft_p_events_{tok}"
+    if not spark.catalog.tableExists(t_events):
+        scratch = _face_scratch(spark, "sgraft_partitioned_")
+        ev = load_table(spark, "events", sf_dir)
+        day = F.date_format(ts_as_timestamp(ev), "yyyy-MM-dd")
+        (
+            ev.select(day.alias("day"), "event_type", "value")
+            .write.partitionBy("day")
+            .option("path", f"{scratch}/events_p")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(t_events)
+        )
+    return t_events
+
+
+def partitioned_daily_revenue(spark, sf_dir: str) -> DataFrame:
+    """One day's per-type event rollup off the date-partitioned twin:
+    the day predicate must resolve at PLANNING time against the
+    partition directories (PartitionFilters in the scan, asserted by
+    the plan gate), so the query reads 1 of 30 day partitions — the
+    other 29 are never opened. Values are layout-invariant (oracle =
+    the plain day-filtered rollup); what partitioning changes is the
+    I/O, which is the point: with bucketed_join_revenue this
+    completes the storage-layout pair (partition pruning for scans,
+    buckets for joins)."""
+    t_events = _partitioned_events_table(spark, sf_dir)
+    e = spark.table(t_events).filter(F.col("day") == PARTITION_PRUNE_DAY)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .select("event_type", "n_events", "sum_value")
+    )

@@ -1249,6 +1249,20 @@ GROUP BY 1, event_type
 """
 
 
+def partitioned_daily_revenue_oracle(day: str = "2024-01-15") -> str:
+    """Layout-invariant twin of the date-partitioned one-day rollup:
+    the oracle filters the raw table by formatted day — partitioning
+    changes the engine's I/O (PartitionFilters, 1 of 30 directories),
+    never the values."""
+    return f"""
+SELECT event_type, count(*) AS n_events,
+  {_dsum_sql('value')} AS sum_value
+FROM events
+WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') = '{day}'
+GROUP BY event_type
+"""
+
+
 def events_props_extract_oracle() -> str:
     return f"""
 SELECT event_type, k_bucket, count(*) AS n,

@@ -429,6 +429,22 @@ def test_bucketed_join_no_exchange_under_the_join(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_partitioned_scan_prunes_to_one_day(spark, sf_dir):
+    """The day predicate must resolve at PLANNING time against the
+    partition directories: the scan carries a day PartitionFilter and
+    reads exactly 1 of the ~30 day partitions; the other 29 are never
+    opened. One shuffle total (the per-type rollup)."""
+    from flink_kafka_filter_transform_spark.operators import relational
+
+    df = relational.partitioned_daily_revenue(spark, sf_dir)
+    plan = px.explain_str(df, "simple")
+    scan = plan[plan.index("FileScan") :].split("\n")[0]
+    assert "PartitionFilters" in scan
+    assert relational.PARTITION_PRUNE_DAY in scan  # pushed to directories
+    assert px.count_shuffles(df) == 1
+    assert df.count() > 0
+
+
 def test_audio_frame_features_is_shuffle_free(spark, sf_dir):
     """Frame-level PCM features are map-only by construction: decode,
     framing, energy and zero-crossing folds all happen inside ONE
