@@ -92,7 +92,7 @@ SHOWCASE = [
     ("gram_novelty_profile", "first-occurrence novelty: the exploded relation shuffles EXACTLY ONCE (gh-keyed min agg); novel counts roll up the agg's own vocabulary-sized output, never joining the corpus back; only a doc-keyed join of two per-doc relations"),
     ("audio_silence_segments", "VAD segmentation: decode + framing + energy + threshold + run-length fold in ONE map-only Arrow stage, zero exchanges; ~10 fixed-width rows per clip"),
     ("source_overlap_matrix", "source-pair containment: one gh-keyed collect_set agg (state bounded by the source dimension), map-side pair expansion, <= |sources|^2 cell rows; only the diagonal broadcast"),
-    ("bucketed_join_revenue", "storage-bucketed fact-to-fact join: both scans pre-hashed into the same 8 buckets on the order key — no exchange under the join, ONE shuffle in the whole query (the 5-row priority rollup)"),
+    ("bucketed_join_revenue", "storage-bucketed fact-to-fact join: both scans pre-hashed into the same 8 buckets on the order key. At this dump's toy SF, AQE (correctly) broadcasts; the at-scale shape — SMJ with NO exchange under the join, ONE shuffle in the whole query — is pinned broadcast-disabled by test_bucketed_join_no_exchange_under_the_join"),
     ("partitioned_daily_revenue", "date-partitioned pruning: the day predicate lands in PartitionFilters — 1 of ~30 day directories opened, one rollup shuffle"),
 ]
 
