@@ -1456,11 +1456,59 @@ def q11_important_parts(
 BUCKETED_N = 8  # bucket count for the orders/lineitem twins
 
 
+def _layout_scratch(spark, prefix: str) -> str:
+    """Scratch root for the session-lived layout twins (bucketed /
+    partitioned external tables). Same cluster-addressability rule as
+    streaming.pipeline._face_scratch, but deliberately NOT recorded in
+    its cleanup registry: face scratch is per-run and reclaimed as
+    soon as the returned state is consumed (bench does so after every
+    query), while the layout twins are memoized in the session catalog
+    and must outlive every later query in the session — registering
+    them for face cleanup deletes the table files out from under the
+    catalog (FAILED_READ_FILE on the next read, found by the r9 bench
+    run)."""
+    import tempfile
+
+    from flink_kafka_filter_transform_spark.streaming.pipeline import (
+        FACE_SCRATCH_ROOT_CONF,
+        _hadoop_fs,
+    )
+
+    root = spark.conf.get(FACE_SCRATCH_ROOT_CONF, None)
+    if root:
+        import uuid
+
+        scratch = f"{root.rstrip('/')}/{prefix}{uuid.uuid4().hex}"
+        jpath, fs = _hadoop_fs(spark, scratch)
+        fs.mkdirs(jpath)
+        return scratch
+    if not spark.sparkContext.master.startswith("local"):
+        raise RuntimeError(
+            "layout twins stage bucketed/partitioned tables under a "
+            f"scratch dir; on a non-local master set {FACE_SCRATCH_ROOT_CONF} "
+            "to a cluster-addressable URI"
+        )
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def _twin_ready(spark, table: str) -> bool:
+    """True when the memoized twin exists AND its files are readable
+    (self-heals if an external cleaner reclaimed the scratch)."""
+    if not spark.catalog.tableExists(table):
+        return False
+    try:
+        spark.table(table).limit(1).collect()
+        return True
+    except Exception:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        return False
+
+
 def _bucketed_twin_tables(spark, sf_dir: str) -> tuple[str, str]:
     """Materialize orders/lineitem ONCE per session as storage-BUCKETED
     external tables (CLUSTERED BY the order key, SORTED, bucketed
-    parquet under a face-scratch dir; metadata in the session
-    catalog), memoized by tableExists. This is the lakehouse layout
+    parquet under a session-lived layout-scratch dir; metadata in the
+    session catalog), memoized by a readability probe (_twin_ready). This is the lakehouse layout
     decision the brief names alongside repartition(): pay one shuffle
     at WRITE time, then every future join/aggregation on the bucket
     key is exchange-free — at 100 TB a fact-to-fact join on the order
@@ -1470,16 +1518,12 @@ def _bucketed_twin_tables(spark, sf_dir: str) -> tuple[str, str]:
     import hashlib
 
     from flink_kafka_filter_transform_spark.sources.parquet import load_table
-    from flink_kafka_filter_transform_spark.streaming.pipeline import _face_scratch
 
     tok = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     t_orders = f"sgraft_b_orders_{tok}"
     t_lineitem = f"sgraft_b_lineitem_{tok}"
-    if not (
-        spark.catalog.tableExists(t_orders)
-        and spark.catalog.tableExists(t_lineitem)
-    ):
-        scratch = _face_scratch(spark, "sgraft_bucketed_")
+    if not (_twin_ready(spark, t_orders) and _twin_ready(spark, t_lineitem)):
+        scratch = _layout_scratch(spark, "sgraft_bucketed_")
         (
             load_table(spark, "orders", sf_dir)
             .write.bucketBy(BUCKETED_N, "o_orderkey")
@@ -1542,8 +1586,8 @@ PARTITION_PRUNE_DAY = "2024-01-15"  # mid-range day of the events fixture
 
 def _partitioned_events_table(spark, sf_dir: str) -> str:
     """Materialize events ONCE per session as a DATE-PARTITIONED
-    external table (hive-style day= directories under a face-scratch
-    path) — bucketing's sibling layout decision: bucketing deletes the
+    external table (hive-style day= directories under a session-lived
+    layout-scratch path) — bucketing's sibling layout decision: bucketing deletes the
     join shuffle, date partitioning deletes the SCAN for any
     day-bounded query. At 100 TB an event table is always laid out
     this way; a "yesterday's revenue" query that scans 3 years of
@@ -1551,12 +1595,11 @@ def _partitioned_events_table(spark, sf_dir: str) -> str:
     import hashlib
 
     from flink_kafka_filter_transform_spark.sources.parquet import load_table
-    from flink_kafka_filter_transform_spark.streaming.pipeline import _face_scratch
 
     tok = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     t_events = f"sgraft_p_events_{tok}"
-    if not spark.catalog.tableExists(t_events):
-        scratch = _face_scratch(spark, "sgraft_partitioned_")
+    if not _twin_ready(spark, t_events):
+        scratch = _layout_scratch(spark, "sgraft_partitioned_")
         ev = load_table(spark, "events", sf_dir)
         day = F.date_format(ts_as_timestamp(ev), "yyyy-MM-dd")
         (

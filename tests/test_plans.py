@@ -429,6 +429,34 @@ def test_bucketed_join_no_exchange_under_the_join(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_layout_twins_survive_face_cleanup_and_self_heal(spark, sf_dir):
+    """The session-lived layout twins must NOT be registered in the
+    face-scratch cleanup list (bench reclaims face scratch after EVERY
+    query — registering the twins there deletes their files out from
+    under the session catalog, the FAILED_READ_FILE found by the r9
+    bench run), and if an external cleaner deletes the files anyway,
+    the memo must self-heal by rematerializing."""
+    import shutil
+
+    from flink_kafka_filter_transform_spark.operators import relational
+    from flink_kafka_filter_transform_spark.streaming import pipeline as sp
+
+    # materialize, then reclaim all face scratch — twins must survive
+    relational.bucketed_join_revenue(spark, sf_dir).collect()
+    sp.cleanup_face_scratch(spark)
+    assert relational.bucketed_join_revenue(spark, sf_dir).count() == 5
+
+    # delete the twin files behind the catalog's back — must self-heal
+    t_orders, _ = relational._bucketed_twin_tables(spark, sf_dir)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {t_orders}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    shutil.rmtree(loc.replace("file:", ""), ignore_errors=True)
+    assert relational.bucketed_join_revenue(spark, sf_dir).count() == 5
+
+
 def test_partitioned_scan_prunes_to_one_day(spark, sf_dir):
     """The day predicate must resolve at PLANNING time against the
     partition directories: the scan carries a day PartitionFilter and
