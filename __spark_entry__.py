@@ -206,20 +206,20 @@ HEAD_ORDER: list[str] = [
     "knn_ivf_recall",
     "knn_ivf_probe_sweep",
     "q7_volume_shipping",
-    "q9_product_nation_profit",
-    "q10_returned_items",
     # (q1_pricing_summary, frame_sample, multimodal_features,
     # mixture_sample_summary, and doc_chunks were the 28th-32nd
     # smoothing pulls; displaced by the bigram_surprisal,
     # audio_fingerprint_pairs, video_frame_match_pairs,
     # video_scene_cuts, and phash_stream_state debuts; media_resize,
     # training_mixture_report, bigram_top_pairs,
-    # events_group_reservoir, q13_customer_distribution, and
-    # q18_large_volume_orders were the 22nd-27th, displaced by the
+    # events_group_reservoir, q13_customer_distribution,
+    # q18_large_volume_orders, q10_returned_items, and
+    # q9_product_nation_profit were the 20th-27th, displaced by the
     # late-r9 gram_novelty_profile, audio_silence_segments,
     # bloom_stream_state, source_overlap_matrix,
-    # bucketed_join_revenue, and partitioned_daily_revenue debuts —
-    # all stay in the tail at age 3 and r10 owes 22 slots, still 28
+    # bucketed_join_revenue, partitioned_daily_revenue,
+    # knn_ivf_pq_residual, and knn_ivf_pq_residual_recall debuts —
+    # all stay in the tail at age 3 and r10 owes 24 slots, still 26
     # free)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
@@ -276,6 +276,12 @@ HEAD_ORDER: list[str] = [
     # (partition pruning for scans — bucketing's sibling: 1 of 30
     # day directories read, plan-gated PartitionFilters) ---
     "partitioned_daily_revenue",
+    # knn_ivf_pq_residual(_recall) = residual-encoded IVF-PQ (the
+    # FAISS IVFPQ design: PQ quantizes x - centroid(cell(x)),
+    # per-probed-cell LUTs; knn_ivf_pq kept as the no-residual
+    # comparator) ---
+    "knn_ivf_pq_residual",
+    "knn_ivf_pq_residual_recall",
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -563,6 +569,14 @@ def queries() -> dict[str, QueryFn]:
         # (r5 history: deferred debut, same rationale; r6 head)
         "knn_ivf_pq": lambda s, d: kmeans.knn_ivf_pq(_emb(s, d)),
         "knn_ivf_pq_recall": lambda s, d: kmeans.knn_ivf_pq_recall(_emb(s, d)),
+        # residual-encoded IVF-PQ (late r9): the FAISS IVFPQ design —
+        # PQ quantizes x - centroid(cell(x)); per-probed-cell LUTs ===
+        "knn_ivf_pq_residual": lambda s, d: kmeans.knn_ivf_pq_residual(
+            _emb(s, d)
+        ),
+        "knn_ivf_pq_residual_recall": lambda s, d: (
+            kmeans.knn_ivf_pq_residual_recall(_emb(s, d))
+        ),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
         "embedding_neardup_fps": lambda s, d: dedup.embedding_neardup_refined(
@@ -910,6 +924,8 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_matrix": oracles.source_quality_matrix_oracle(),
         "knn_ivf_pq": oracles.knn_ivf_pq_oracle(),
         "knn_ivf_pq_recall": oracles.knn_ivf_pq_recall_oracle(),
+        "knn_ivf_pq_residual": oracles.knn_ivf_pq_residual_oracle(),
+        "knn_ivf_pq_residual_recall": oracles.knn_ivf_pq_residual_recall_oracle(),
         "bloom_contamination": oracles.bloom_contamination_oracle(),
         "quality_classifier_score": oracles.quality_classifier_score_oracle(),
         "bigram_lift_top": oracles.bigram_lift_top_oracle(),

@@ -184,6 +184,8 @@ HEADLINE = [
     "source_overlap_matrix",
     "bucketed_join_revenue",
     "partitioned_daily_revenue",
+    "knn_ivf_pq_residual",
+    "knn_ivf_pq_residual_recall",
 ]
 
 

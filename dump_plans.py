@@ -94,6 +94,7 @@ SHOWCASE = [
     ("source_overlap_matrix", "source-pair containment: one gh-keyed collect_set agg (state bounded by the source dimension), map-side pair expansion, <= |sources|^2 cell rows; only the diagonal broadcast"),
     ("bucketed_join_revenue", "storage-bucketed fact-to-fact join: both scans pre-hashed into the same 8 buckets on the order key. At this dump's toy SF, AQE (correctly) broadcasts; the at-scale shape — SMJ with NO exchange under the join, ONE shuffle in the whole query — is pinned broadcast-disabled by test_bucketed_join_no_exchange_under_the_join"),
     ("partitioned_daily_revenue", "date-partitioned pruning: the day predicate lands in PartitionFilters — 1 of ~30 day directories opened, one rollup shuffle"),
+    ("knn_ivf_pq_residual", "residual IVF-PQ: coarse codebook + per-cell residual LUTs (nprobe*m*k rows/query) broadcast; candidate join shuffle (corpus-sized, never broadcast); decimal-exact ADC sums"),
 ]
 
 

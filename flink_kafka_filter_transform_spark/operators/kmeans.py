@@ -625,3 +625,212 @@ def knn_pq_recall(
             ).alias("recall_at_k"),
         )
     )
+
+
+def knn_ivf_pq_residual(
+    emb: DataFrame,
+    topk: int | None = None,
+    m: int = 4,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    n_cells: int = K_DEFAULT,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the actual FAISS IVFPQ design
+    (Jegou et al. 2011 §IV.B): PQ quantizes x - centroid(cell(x)),
+    not x. Residuals concentrate near the origin with far smaller
+    per-coordinate spread than raw vectors (the coarse step has
+    already explained the between-cell variance), so the same m x k
+    code budget spends its centroids on a tighter distribution —
+    lower quantization error, higher recall at identical index size.
+    The price is query-side: the ADC lookup table becomes
+    PER-PROBED-CELL (the query's residual differs per cell), nprobe x
+    m x k entries instead of m x k — still a bounded broadcast.
+
+    knn_ivf_pq (kept, unchanged) is the no-residual comparator; the
+    recall twin pair quantifies the design delta on the same corpus.
+
+    Scale shape: identical to knn_ivf_pq — coarse codebook, probe
+    set, residual sub-codebooks, and the per-cell LUTs broadcast
+    (nprobe*m*k rows per query, queries bounded by contract); the
+    residual subtraction is map-side (coarse is k rows); trainers
+    localCheckpoint sample-sized relations; the candidate relation is
+    the only wide one, aggregated by exact DECIMAL m-way sums.
+    Training duplicates _pq_codebooks' small Lloyd loop rather than
+    refactoring it into a shared helper: the raw-PQ family carries
+    fresh driver verdicts and a shared-helper change would re-gate
+    all of it for zero plan delta (the rotation clause-(b) rule).
+
+    Exactness note (shared by the whole kmeans family, verified
+    empirically here): Lloyd centroids differ between engines at the
+    last double ULP — DuckDB's DECIMAL(28,18)->DOUBLE conversion
+    double-rounds through int128 where the JVM converts in one
+    correctly-rounded step — so adc_d2 carries ULP-level noise that
+    the oracle comparison absorbs under the driver's %.9g canon
+    (residual vectors are full-mantissa doubles, unlike the
+    float32-exact raw inputs, which is why this op documents the
+    exposure the raw family merely inherits)."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    topk = params.KNN_K if topk is None else topk
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).localCheckpoint(eager=True)
+    coarse = vecs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
+    )
+    for _ in range(iters):
+        coarse = _update(vecs, _assign(vecs, coarse), coarse)
+    # freeze the trained codebook (k rows): every later stage (member
+    # assignment, residual subtraction, probing, query residuals)
+    # references it — un-frozen, each reference re-expands the whole
+    # Lloyd chain into the final plan (25 static SortMergeJoins vs 1)
+    coarse = coarse.localCheckpoint(eager=True)
+    member = _assign(vecs, coarse)
+
+    # residuals: rv = v - centroid[cell(v)], map-side (coarse is k rows)
+    resid = (
+        member.join(vecs, "vec_id")
+        .join(F.broadcast(coarse), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with("v", "centroid", lambda a, b: a - b).alias("rv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sub_len = (F.size("rv") / F.lit(m)).cast("int")
+    subs = []
+    for j in range(m):
+        svecs = resid.select(
+            "vec_id", F.slice("rv", j * sub_len + 1, sub_len).alias("v")
+        ).localCheckpoint(eager=True)
+        cents = svecs.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
+        )
+        for _ in range(iters):
+            cents = _update(svecs, _assign(svecs, cents), cents)
+        # same freeze for each trained sub-codebook (k rows)
+        subs.append((svecs, cents.localCheckpoint(eager=True)))
+
+    q = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("_d2").asc(), F.col("cid").asc())
+    probed = (
+        q.crossJoin(F.broadcast(coarse))
+        .select("q_id", "cid", "centroid", "qv", _sq_dist("qv", "centroid").alias("_d2"))
+        .withColumn("_cr", F.row_number().over(wp))
+        .filter(F.col("_cr") <= nprobe)
+        .select(
+            "q_id",
+            F.col("cid").alias("pcid"),
+            F.zip_with("qv", "centroid", lambda a, b: a - b).alias("qrv"),
+        )
+    )
+    # per-(query, probed cell) residual LUTs: nprobe*m*k rows/query
+    lut: DataFrame | None = None
+    enc: DataFrame | None = None
+    for j, (svecs, cents) in enumerate(subs):
+        e_j = _assign(svecs, cents).select(
+            F.lit(j).alias("j"), "vec_id", F.col("cid").alias("scid")
+        )
+        q_sub_len = (F.size("qrv") / F.lit(m)).cast("int")
+        l_j = (
+            probed.select(
+                "q_id",
+                "pcid",
+                F.slice("qrv", j * q_sub_len + 1, q_sub_len).alias("qs"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    cents.select(F.col("cid").alias("scid"), "centroid")
+                )
+            )
+            .select(
+                "q_id",
+                "pcid",
+                F.lit(j).alias("j"),
+                "scid",
+                _sq_dist("qs", "centroid").alias("pd2"),
+            )
+        )
+        enc = e_j if enc is None else enc.unionByName(e_j)
+        lut = l_j if lut is None else lut.unionByName(l_j)
+    assert enc is not None and lut is not None
+
+    cand = (
+        member.join(
+            F.broadcast(probed.select("q_id", F.col("pcid").alias("cid"))), "cid"
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("cid").alias("pcid"), "vec_id")
+    )
+    adc = (
+        cand.join(enc, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "pcid", "j", "scid"])
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum(F.col("pd2").cast("decimal(28,18)")).cast("double").alias("adc_d2")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "vec_id", "rank", "adc_d2")
+    )
+
+
+def knn_ivf_pq_residual_recall(
+    emb: DataFrame,
+    topk: int | None = None,
+    m: int = 4,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    n_cells: int = K_DEFAULT,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall@k of residual IVF-PQ against exact L2 top-k — read next
+    to knn_ivf_pq_recall, the pair quantifies what residual encoding
+    buys at identical index size (same m, k, n_cells, nprobe)."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    topk = params.KNN_K if topk is None else topk
+    approx = knn_ivf_pq_residual(
+        emb, topk=topk, m=m, k=k, iters=iters, n_cells=n_cells, nprobe=nprobe
+    )
+    full = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = full.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_d2").asc(), F.col("vec_id").asc())
+    exact = (
+        full.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _sq_dist("v", "qv").alias("_d2"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= topk)
+        .select("q_id", "vec_id")
+    )
+    hits = (
+        approx.select("q_id", "vec_id")
+        .join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("_n"), F.lit(0)).cast("double")
+                / F.lit(float(topk))
+            ).alias("recall_at_k"),
+        )
+    )

@@ -4622,3 +4622,203 @@ SELECT s.doc_id,
 FROM scn s JOIN scene_sizes z ON s.doc_id = z.doc_id
 GROUP BY s.doc_id
 """
+
+
+def knn_ivf_pq_residual_oracle(
+    topk: int | None = None,
+    m: int = 4,
+    k: int | None = None,
+    iters: int | None = None,
+    n_cells: int | None = None,
+    nprobe: int = 2,
+) -> str:
+    """Residual IVF-PQ twin (FAISS IVFPQ): the coarse Lloyd chain
+    (_kmeans_ctes), per-vector residuals vs the assigned coarse
+    centroid, per-subspace Lloyd chains over the RESIDUAL slices
+    (r-prefixed CTEs, materialized like the coarse chain), per-
+    (query, probed-cell) residual lookup tables, and the ADC sum over
+    cell-restricted candidates. Mirrors operators.kmeans.
+    knn_ivf_pq_residual's fold order, seeding, and tie-breaks."""
+    import re as _re
+
+    from flink_kafka_filter_transform_spark.operators.kmeans import (
+        ITERS_DEFAULT,
+        K_DEFAULT,
+    )
+
+    k = K_DEFAULT if k is None else k
+    iters = ITERS_DEFAULT if iters is None else iters
+    n_cells = K_DEFAULT if n_cells is None else n_cells
+    topk = params.KNN_K if topk is None else topk
+    nq = params.KNN_NUM_QUERIES
+
+    def fold(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(list_zip({a}, {b}),"
+            " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+            " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+        )
+
+    sub = "list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+    L = f"(len(rv) // {m})"
+    parts = [
+        f"""resid AS (
+  SELECT a.vec_id, a.cid, {sub.format(a="e.v", b="c.centroid")} AS rv
+  FROM afinal a JOIN e USING (vec_id) JOIN c{iters} c USING (cid)
+)"""
+    ]
+    for j in range(m):
+        parts.append(
+            f"re{j} AS (SELECT vec_id, rv[({j} * {L} + 1):(({j} + 1) * {L})] AS v FROM resid)"
+        )
+        parts.append(
+            f"rc{j}_0 AS (SELECT vec_id AS cid, v AS centroid FROM re{j} WHERE vec_id < {k})"
+        )
+        d = fold("e.v", "c.centroid")
+        for i in range(1, iters + 1):
+            prev = f"rc{j}_{i - 1}"
+            parts.append(
+                f"""ra{j}_{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {d} ASC, c.cid ASC) AS rn
+    FROM re{j} e CROSS JOIN {prev} c
+  ) r WHERE rn = 1
+)"""
+            )
+            parts.append(
+                f"""rs{j}_{i} AS (
+  SELECT cid, pos, CAST(SUM(CAST(val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS cv
+  FROM (
+    SELECT ra{j}_{i}.cid,
+      unnest(generate_series(1, len(e.v))) AS pos,
+      unnest(e.v) AS val
+    FROM ra{j}_{i} JOIN re{j} e USING (vec_id)
+  ) x GROUP BY cid, pos
+)"""
+            )
+            parts.append(
+                f"""rc{j}_{i} AS (
+  SELECT p.cid, coalesce(n.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS centroid FROM rs{j}_{i} GROUP BY cid) n
+  USING (cid)
+)"""
+            )
+        parts.append(
+            f"""raf{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {d} ASC, c.cid ASC) AS rn
+    FROM re{j} e CROSS JOIN rc{j}_{iters} c
+  ) r WHERE rn = 1
+)"""
+        )
+    renc = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, vec_id, cid AS scid FROM raf{j}" for j in range(m)
+    )
+    parts.append(f"renc AS (\n{renc}\n)")
+    qdist = fold("q.qv", "c.centroid")
+    parts.append(f"qv2 AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {nq})")
+    parts.append(
+        f"""rprobed AS (
+  SELECT q_id, cid FROM (
+    SELECT q.q_id, c.cid,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY {qdist} ASC, c.cid ASC) AS cr
+    FROM qv2 q CROSS JOIN c{iters} c
+  ) pr WHERE cr <= {nprobe}
+)"""
+    )
+    parts.append(
+        f"""qres AS (
+  SELECT p.q_id, p.cid AS pcid, {sub.format(a="q.qv", b="c.centroid")} AS qrv
+  FROM rprobed p JOIN qv2 q USING (q_id) JOIN c{iters} c USING (cid)
+)"""
+    )
+    QL = f"(len(qrv) // {m})"
+    sdist = fold("t.qs", "c.centroid")
+    rlut = "\nUNION ALL\n".join(
+        f"SELECT t.q_id, t.pcid, {j} AS j, c.cid AS scid, {sdist} AS pd2\n"
+        f"FROM (SELECT q_id, pcid, qrv[({j} * {QL} + 1):(({j} + 1) * {QL})] AS qs FROM qres) t "
+        f"CROSS JOIN rc{j}_{iters} c"
+        for j in range(m)
+    )
+    parts.append(f"rlut AS (\n{rlut}\n)")
+    parts.append(
+        f"""rcand AS (
+  SELECT p.q_id, a.cid AS pcid, a.vec_id
+  FROM afinal a JOIN rprobed p ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id
+)"""
+    )
+    parts.append(
+        f"""radc AS (
+  SELECT c.q_id, c.vec_id,
+         CAST(SUM(CAST(l.pd2 AS DECIMAL(28,18))) AS DOUBLE) AS adc_d2
+  FROM rcand c
+  JOIN renc n ON n.vec_id = c.vec_id
+  JOIN rlut l ON l.q_id = c.q_id AND l.pcid = c.pcid AND l.j = n.j AND l.scid = n.scid
+  GROUP BY c.q_id, c.vec_id
+)"""
+    )
+    tail = f"""
+SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rank, adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+  FROM radc
+) r WHERE rn <= {topk}
+"""
+    body = ",\n".join(parts)
+    # materialize the residual chain CTEs like _kmeans_ctes does for
+    # the coarse chain (DuckDB default inlining re-evaluates the whole
+    # prefix at every reference level)
+    body = _re.sub(
+        r"\b(resid|re\d+|rc\d+_\d+|ra\d+_\d+|rs\d+_\d+|raf\d+|renc|qv2|rprobed|qres|rlut|rcand|radc) AS \(",
+        r"\1 AS MATERIALIZED (",
+        body,
+    )
+    return _kmeans_ctes(n_cells, iters) + ",\n" + body + tail
+
+
+def knn_ivf_pq_residual_recall_oracle(
+    topk: int | None = None,
+    m: int = 4,
+    k: int | None = None,
+    iters: int | None = None,
+    n_cells: int | None = None,
+    nprobe: int = 2,
+) -> str:
+    """Recall twin for residual IVF-PQ — wraps the residual oracle's
+    result next to the exact L2 top-k (same shape as
+    knn_ivf_pq_recall_oracle)."""
+    topk = params.KNN_K if topk is None else topk
+    nq = params.KNN_NUM_QUERIES
+    dist_full = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(list_zip(q.v, e.v),"
+        " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+    inner = knn_ivf_pq_residual_oracle(
+        topk=topk, m=m, k=k, iters=iters, n_cells=n_cells, nprobe=nprobe
+    )
+    return f"""
+WITH ivfpqr AS ({inner}),
+ebase AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+exact_topk3 AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, e.vec_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist_full} ASC, e.vec_id ASC) AS rn
+    FROM (SELECT vec_id, v FROM ebase WHERE vec_id < {nq}) q
+    JOIN ebase e ON e.vec_id <> q.vec_id
+  ) r WHERE rn <= {topk}
+)
+SELECT q.q_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n, 0) AS DOUBLE) / {topk} AS recall_at_k
+FROM (SELECT DISTINCT q_id FROM exact_topk3) q
+LEFT JOIN (
+  SELECT i.q_id, count(*) AS n
+  FROM ivfpqr i JOIN exact_topk3 t ON t.q_id = i.q_id AND t.vec_id = i.vec_id
+  GROUP BY i.q_id
+) h USING (q_id)
+"""

@@ -915,6 +915,20 @@ def test_knn_ivf_pq_candidates_before_adc(spark, sf_dir):
     assert px.broadcast_hint_count(df) >= 3  # probe set + LUTs + codebooks
 
 
+def test_knn_ivf_pq_residual_candidates_before_adc(spark, sf_dir):
+    """Residual IVF-PQ keeps knn_ivf_pq's shape: coarse codebook,
+    probe set, per-probed-cell residual LUTs, and sub-codebooks all
+    ride broadcasts; the candidates x encoded-corpus join stays a
+    shuffle join (both sides corpus-sized — broadcasting either would
+    be the scale bug); the residual subtraction itself is map-side
+    (the coarse codebook join)."""
+    from flink_kafka_filter_transform_spark.operators import kmeans
+
+    df = kmeans.knn_ivf_pq_residual(load_table(spark, "embeddings", sf_dir))
+    assert px.sortmerge_join_count(df) <= 1
+    assert px.broadcast_hint_count(df) >= 3  # coarse + probe/LUT + enc-side
+
+
 def test_no_unreduced_big_table_broadcast_hints(spark, sf_dir):
     """100 TB hazard gate (VERDICT r5 item 3): no registered relational
     query may pin an SF-proportional table (supplier/customer/part/

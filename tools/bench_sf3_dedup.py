@@ -92,6 +92,9 @@ FAMILY = [
     # late r9: source-pair containment (collect_set bounded by the
     # source dimension; pairs expand from vocabulary-sized agg output)
     "source_overlap_matrix",
+    # late r9: residual-encoded IVF-PQ (frozen codebooks, per-cell
+    # LUTs; the candidate join is the one corpus-sized shuffle)
+    "knn_ivf_pq_residual",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused
