@@ -442,6 +442,14 @@ def main() -> None:
         kept.pop(next(reversed(kept)))  # drop the fastest remaining
     assert len(final_line) < 1900
     print(final_line)
+    # end-of-run reclaim of the session-lived layout twins
+    # (bucketed/partitioned external tables; their scratch is
+    # deliberately NOT face scratch — see _layout_scratch)
+    from flink_kafka_filter_transform_spark.operators.relational import (
+        cleanup_layout_scratch,
+    )
+
+    cleanup_layout_scratch(spark)
     spark.stop()
 
 

@@ -114,9 +114,17 @@ def main() -> None:
         f"`{SF_DIR}`); plan-quality assertions are enforced in "
         "`tests/test_plans.py`. Regenerate after operator changes.\n",
     ]
+    import re
+
     for name, why in SHOWCASE:
         df = qs[name](spark, SF_DIR)
         plan = px.explain_str(df, "simple").rstrip()
+        # mask per-session scratch paths (layout twins, face state) so
+        # regeneration is deterministic — a regenerate-and-compare file
+        # must not diff on mkdtemp suffixes (r9 review finding)
+        plan = re.sub(
+            r"/tmp/sgraft_[A-Za-z0-9_]+", "/tmp/sgraft_<scratch>", plan
+        )
         out.append(f"## {name}\n\n*{why}*\n\n```\n{plan}\n```\n")
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md"), "w") as f:

@@ -800,6 +800,20 @@ def knn_ivf_pq_residual_recall(
     approx = knn_ivf_pq_residual(
         emb, topk=topk, m=m, k=k, iters=iters, n_cells=n_cells, nprobe=nprobe
     )
+    return _recall_vs_exact(emb, approx, topk)
+
+
+def _recall_vs_exact(emb: DataFrame, approx: DataFrame, topk: int) -> DataFrame:
+    """Shared recall@k scaffold (exact L2 top-k, hits join, coalesced
+    per-query rollup) — extracted with knn_ivf_pq_residual_recall so
+    the scaffold isn't copied a THIRD time. knn_ivf_pq_recall and
+    knn_pq_recall keep their inline (character-identical) copies: both
+    carry fresh driver verdicts and rerouting them through a shared
+    helper is exactly the clause-(b) transitively-changed-call-graph
+    case the rotation policy makes expensive for zero plan delta —
+    fold them in whenever either next changes for its own reasons."""
+    from flink_kafka_filter_transform_spark.operators import params
+
     full = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )

@@ -154,6 +154,14 @@ def main() -> None:
     with open(os.path.join(ROOT, "BENCH_sf1.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"total_sec": out["total_sec"], "outliers": outliers}))
+    # end-of-run reclaim of the session-lived layout twins
+    # (bucketed/partitioned external tables; their scratch is
+    # deliberately NOT face scratch — see _layout_scratch)
+    from flink_kafka_filter_transform_spark.operators.relational import (
+        cleanup_layout_scratch,
+    )
+
+    cleanup_layout_scratch(spark)
     spark.stop()
 
 

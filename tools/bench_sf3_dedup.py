@@ -200,6 +200,14 @@ def main() -> None:
         json.dump(out, f, indent=1)
     print(json.dumps({"ratios": {n: r["ratio"] for n, r in results.items()},
                       "outliers": out["outliers"]}))
+    # end-of-run reclaim of the session-lived layout twins
+    # (bucketed/partitioned external tables; their scratch is
+    # deliberately NOT face scratch — see _layout_scratch)
+    from flink_kafka_filter_transform_spark.operators.relational import (
+        cleanup_layout_scratch,
+    )
+
+    cleanup_layout_scratch(spark)
     spark.stop()
 
 
