@@ -202,10 +202,6 @@ HEAD_ORDER: list[str] = [
     "knn_lsh",
     "embedding_neardup",
     "knn_ivf",
-    "knn_lsh_recall",
-    "knn_ivf_recall",
-    "knn_ivf_probe_sweep",
-    "q7_volume_shipping",
     # (q1_pricing_summary, frame_sample, multimodal_features,
     # mixture_sample_summary, and doc_chunks were the 28th-32nd
     # smoothing pulls; displaced by the bigram_surprisal,
@@ -218,9 +214,12 @@ HEAD_ORDER: list[str] = [
     # late-r9 gram_novelty_profile, audio_silence_segments,
     # bloom_stream_state, source_overlap_matrix,
     # bucketed_join_revenue, partitioned_daily_revenue,
-    # knn_ivf_pq_residual, and knn_ivf_pq_residual_recall debuts —
-    # all stay in the tail at age 3 and r10 owes 24 slots, still 26
-    # free)
+    # knn_ivf_pq_residual, and knn_ivf_pq_residual_recall debuts;
+    # knn_lsh_recall, knn_ivf_recall, knn_ivf_probe_sweep, and
+    # q7_volume_shipping were the 16th-19th, displaced by the
+    # knn_ivf_pq_rerank(_recall), gopher_quality_rules, and
+    # vocab_growth_curve debuts — all stay in the tail at age 3 and
+    # r10 owes 28 slots, still 22 free)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -282,6 +281,24 @@ HEAD_ORDER: list[str] = [
     # comparator) ---
     "knn_ivf_pq_residual",
     "knn_ivf_pq_residual_recall",
+    # knn_ivf_pq_rerank(_recall) = exact re-ranking of the ADC
+    # shortlist (the FAISS refine stage — coarse probe shrinks
+    # candidate COUNT, ADC shrinks candidate WIDTH, refine buys back
+    # ADC ordering error at |queries| x shortlist true-vector reads;
+    # the recall triple with knn_pq_recall / knn_ivf_pq_recall
+    # isolates quantization vs coarse vs shortlist-cut loss) ---
+    "knn_ivf_pq_rerank",
+    "knn_ivf_pq_rerank_recall",
+    # gopher_quality_rules = the published Gopher ruleset (Rae et al.
+    # 2021 §A1.1) as independent per-rule hit counts, every boundary
+    # integer-exact — the named-ruleset audit complement to
+    # quality_filter_funnel's cumulative composite ---
+    "gopher_quality_rules",
+    # vocab_growth_curve = Heaps-law token-type growth over doc_id
+    # buckets (new types + cumulative curves; the corpus-level
+    # data-exhaustion readout, gram_novelty_profile's rollup
+    # sibling) ---
+    "vocab_growth_curve",
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -577,6 +594,16 @@ def queries() -> dict[str, QueryFn]:
         "knn_ivf_pq_residual_recall": lambda s, d: (
             kmeans.knn_ivf_pq_residual_recall(_emb(s, d))
         ),
+        # refine-stage IVF-PQ (late r9): ADC shortlist -> exact L2
+        # re-rank over ONLY the shortlist's true vectors (the FAISS
+        # refine step); the recall twin closes the triple with
+        # knn_pq_recall / knn_ivf_pq_recall ===
+        "knn_ivf_pq_rerank": lambda s, d: kmeans.knn_ivf_pq_rerank(
+            _emb(s, d)
+        ),
+        "knn_ivf_pq_rerank_recall": lambda s, d: (
+            kmeans.knn_ivf_pq_rerank_recall(_emb(s, d))
+        ),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
         "embedding_neardup_fps": lambda s, d: dedup.embedding_neardup_refined(
@@ -868,6 +895,19 @@ def queries() -> dict[str, QueryFn]:
         # LM filter (unigram_surprisal's sibling), same integer-bit
         # discipline; debuts in the r9 head ===
         "bigram_surprisal": lambda s, d: text.bigram_surprisal(_docs(s, d)),
+        # the Gopher ruleset (Rae et al. 2021): independent per-rule
+        # hit counts, every boundary an integer comparison; the named-
+        # published-ruleset complement to quality_filter_funnel ===
+        "gopher_quality_rules": lambda s, d: text.gopher_quality_rules(
+            _docs(s, d)
+        ),
+        # Heaps-law vocabulary growth curve: per-id-bucket new token
+        # types + cumulative curves (the corpus-level "running out of
+        # data" readout; gram_novelty_profile's corpus-granular rollup
+        # sibling) ===
+        "vocab_growth_curve": lambda s, d: text.vocab_growth_curve(
+            _docs(s, d)
+        ),
         # audio near-dup: energy-contour fingerprint over the real WAV
         # decode, paired via the same factored chunk blocking — with
         # image_phash_pairs this completes the multimodal near-dup
@@ -926,6 +966,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_pq_recall": oracles.knn_ivf_pq_recall_oracle(),
         "knn_ivf_pq_residual": oracles.knn_ivf_pq_residual_oracle(),
         "knn_ivf_pq_residual_recall": oracles.knn_ivf_pq_residual_recall_oracle(),
+        "knn_ivf_pq_rerank": oracles.knn_ivf_pq_rerank_oracle(),
+        "knn_ivf_pq_rerank_recall": oracles.knn_ivf_pq_rerank_recall_oracle(),
         "bloom_contamination": oracles.bloom_contamination_oracle(),
         "quality_classifier_score": oracles.quality_classifier_score_oracle(),
         "bigram_lift_top": oracles.bigram_lift_top_oracle(),
@@ -1079,6 +1121,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": oracles.unigram_surprisal_oracle(),
         "image_phash_pairs": oracles.image_phash_pairs_oracle(),
         "bigram_surprisal": oracles.bigram_surprisal_oracle(),
+        "gopher_quality_rules": oracles.gopher_quality_rules_oracle(),
+        "vocab_growth_curve": oracles.vocab_growth_curve_oracle(),
         "audio_fingerprint_pairs": oracles.audio_fingerprint_pairs_oracle(),
         "audio_silence_segments": oracles.audio_silence_segments_oracle(),
         "video_frame_match_pairs": oracles.video_frame_match_pairs_oracle(),

@@ -186,6 +186,11 @@ HEADLINE = [
     "partitioned_daily_revenue",
     "knn_ivf_pq_residual",
     "knn_ivf_pq_residual_recall",
+    # round 9 (this-session additions)
+    "knn_ivf_pq_rerank",
+    "knn_ivf_pq_rerank_recall",
+    "gopher_quality_rules",
+    "vocab_growth_curve",
 ]
 
 
@@ -232,6 +237,8 @@ LOOP_QUERIES = {
     "pq_train_report",
     "knn_ivf_pq",
     "knn_ivf_pq_recall",
+    "knn_ivf_pq_rerank",       # r9: wraps the same coarse+PQ trainers
+    "knn_ivf_pq_rerank_recall",
     "bpe_merges",
     "dedup_survivors_quality",
     "embedding_neardup_fps",

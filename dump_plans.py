@@ -95,6 +95,9 @@ SHOWCASE = [
     ("bucketed_join_revenue", "storage-bucketed fact-to-fact join: both scans pre-hashed into the same 8 buckets on the order key. At this dump's toy SF, AQE (correctly) broadcasts; the at-scale shape — SMJ with NO exchange under the join, ONE shuffle in the whole query — is pinned broadcast-disabled by test_bucketed_join_no_exchange_under_the_join"),
     ("partitioned_daily_revenue", "date-partitioned pruning: the day predicate lands in PartitionFilters — 1 of ~30 day directories opened, one rollup shuffle"),
     ("knn_ivf_pq_residual", "residual IVF-PQ: coarse codebook + per-cell residual LUTs (nprobe*m*k rows/query) broadcast; candidate join shuffle (corpus-sized, never broadcast); decimal-exact ADC sums"),
+    ("knn_ivf_pq_rerank", "refine-stage IVF-PQ: the ADC shortlist (queries x shortlist rows, broadcast-sized BY CONSTRUCTION) and the query vectors ride broadcasts onto ONE true-vector corpus scan; the only sort-merge join stays the inherited ADC candidates x codes join"),
+    ("gopher_quality_rules", "published Gopher ruleset: all five integer-boundary flags + the survivor conjunction in ONE map pass, a single global agg emits 7 fixed-width rows — 1 shuffle, no join, 1 scan"),
+    ("vocab_growth_curve", "Heaps-law curve: corpus explodes ONCE into the token-keyed min(doc_id) agg (map-side combined); both rollups land on <= n_buckets rows, so the cumulative window is single-partition by construction; only the 1-row max-doc_id broadcasts"),
 ]
 
 

@@ -848,3 +848,95 @@ def _recall_vs_exact(emb: DataFrame, approx: DataFrame, topk: int) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+def knn_ivf_pq_rerank(
+    emb: DataFrame,
+    topk: int | None = None,
+    shortlist_mult: int = 4,
+    m: int = 4,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    n_cells: int = K_DEFAULT,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ with exact re-ranking (the FAISS ``refine`` stage,
+    Jegou et al. 2011 §V): the quantized ADC search returns a
+    SHORTLIST of ``shortlist_mult * topk`` candidates per query, then
+    the true (un-quantized) vectors of ONLY those candidates are
+    fetched and exact L2 re-ranks the shortlist down to ``topk``.
+    This is the standard third stage of a production billion-vector
+    deployment — coarse probe shrinks candidate COUNT, ADC shrinks
+    candidate WIDTH, and the refine step buys back ADC's ordering
+    errors at the cost of |queries| x shortlist true-vector reads
+    (bounded, query-proportional — never a corpus rescan).
+
+    Scale shape: the shortlist is <= KNN_NUM_QUERIES x shortlist rows
+    of (q_id, vec_id) — a broadcast-sized relation by construction —
+    so the true-vector fetch is ONE corpus scan with the broadcast
+    shortlist as a semi-join filter (at cluster scale this is the
+    point lookup against the vector store); queries themselves
+    (KNN_NUM_QUERIES rows) broadcast onto the survivors, and the
+    final per-query top-k windows over <= shortlist rows per query.
+    The exact distance can only fix ranking WITHIN the shortlist —
+    true neighbors lost by the coarse probe stay lost, which is what
+    knn_ivf_pq_rerank_recall reads out next to knn_ivf_pq_recall."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    topk = params.KNN_K if topk is None else topk
+    shortlist = shortlist_mult * topk
+    short = knn_ivf_pq(
+        emb, topk=shortlist, m=m, k=k, iters=iters, n_cells=n_cells, nprobe=nprobe
+    ).select("q_id", "vec_id")
+    full = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = full.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        full.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "vec_id", _sq_dist("v", "qv").alias("exact_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("exact_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "vec_id", "rank", "exact_d2")
+    )
+
+
+def knn_ivf_pq_rerank_recall(
+    emb: DataFrame,
+    topk: int | None = None,
+    shortlist_mult: int = 4,
+    m: int = 4,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    n_cells: int = K_DEFAULT,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall@k of the re-ranked IVF-PQ search against exact L2 top-k.
+    Read as a triple with knn_pq_recall (quantization loss alone) and
+    knn_ivf_pq_recall (quantization + coarse loss): rerank recovers
+    every shortlist-internal ADC ordering error, so the residual gap
+    to 1.0 is EXACTLY the coarse-probe loss plus true neighbors the
+    ADC ranked below the shortlist cut — the two quantities a
+    deployment tunes shortlist_mult and nprobe against."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    topk = params.KNN_K if topk is None else topk
+    approx = knn_ivf_pq_rerank(
+        emb,
+        topk=topk,
+        shortlist_mult=shortlist_mult,
+        m=m,
+        k=k,
+        iters=iters,
+        n_cells=n_cells,
+        nprobe=nprobe,
+    )
+    return _recall_vs_exact(emb, approx, topk)

@@ -1282,3 +1282,132 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
             ).alias("mean_surprisal_bits"),
         )
     )
+
+
+def gopher_quality_rules(docs: DataFrame) -> DataFrame:
+    """Per-rule hit counts for the Gopher quality heuristics (Rae et
+    al. 2021, "Scaling Language Models", §A1.1) — the named published
+    ruleset that C4/MassiveText-descended pipelines actually run, and
+    the rule-auditing complement to quality_filter_funnel: the funnel
+    applies the repo's composite score CUMULATIVELY in pipeline order,
+    this report counts each Gopher rule INDEPENDENTLY (the paper's own
+    presentation), which is how a curator spots one mis-tuned
+    threshold hiding behind an earlier stage.
+
+    Rules (document FAILS if the condition holds; every boundary is an
+    integer comparison — no float threshold can flip cross-engine):
+      1 word_count        n < 50 OR n > 100000
+      2 mean_word_length  outside [3, 10]: sum_len < 3n OR sum_len > 10n
+      3 symbol_ratio      10 * (count('#') + count('...')) > n
+      4 alpha_words       words containing an alphabetic char < 80%:
+                          5 * n_alpha < 4 * n
+      5 stopwords         fewer than 2 DISTINCT stop words present
+                          (params.STOPWORDS — the repo's tokenizer-
+                          matched list stands in for the paper's
+                          English function-word list)
+    Rows 0 ('all') and 6 ('pass_all') carry the corpus total and the
+    all-rules survivor count, so the report is self-normalizing.
+
+    Scale shape: ONE map pass computes all five flags per document
+    from shared array expressions (no per-rule operator join), then a
+    single global aggregation (7 fixed-width output rows) — the same
+    two-step shape as quality_filter_funnel, map-side combined, no
+    window, no broadcast."""
+    toks = tokens()
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in params.STOPWORDS])
+    n_stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(toks), stop_arr)
+    )
+
+    f1 = (n < 50) | (n > 100000)
+    f2 = (sum_len < 3 * n) | (sum_len > 10 * n)
+    f3 = F.lit(10) * (n_hash + n_ell.cast("int")) > n
+    f4 = F.lit(5) * n_alpha < F.lit(4) * n
+    f5 = n_stop_distinct < 2
+    flagged = docs.select(
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3"),
+        f4.alias("f4"), f5.alias("f5"),
+        (~f1 & ~f2 & ~f3 & ~f4 & ~f5).alias("ok"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[F.sum(F.col(f"f{i}").cast("long")).alias(f"n{i}") for i in range(1, 6)],
+        F.sum(F.col("ok").cast("long")).alias("n6"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(7, 0, 'all', n0, 1, 'word_count', n1, "
+            "2, 'mean_word_length', n2, 3, 'symbol_ratio', n3, "
+            "4, 'alpha_words', n4, 5, 'stopwords', n5, "
+            "6, 'pass_all', n6) AS (rule_no, rule, n_docs)"
+        )
+    )
+
+
+def vocab_growth_curve(docs: DataFrame, n_buckets: int = 20) -> DataFrame:
+    """Heaps-law vocabulary growth curve: documents in ingestion order
+    (doc_id) are cut into ``n_buckets`` equal-width id ranges, and each
+    bucket reports the tokens it adds and the token TYPES it is the
+    first to contribute, plus both cumulative curves — the corpus-level
+    "are we running out of new data" readout (Heaps 1978: V ~ n^beta;
+    a crawl whose cum_types curve flattens while cum_tokens grows is
+    re-crawling itself, the signal behind data-constrained scaling
+    analyses a la Muennighoff et al. 2023). The corpus-granular rollup
+    of the same first-occurrence signal gram_novelty_profile reads
+    per-document — unigram types here (the Heaps quantity), hashed
+    4-grams there, and neither derives from the other.
+
+    Scale shape: the exploded (token, doc_id) relation shuffles
+    EXACTLY ONCE — the token-keyed min(doc_id) aggregate, map-side
+    combined (min is the cheapest per-key state; a boilerplate token
+    in every document costs one aggregate row). Both rollups land on
+    <= n_buckets fixed-width rows, so the cumulative window runs over
+    n_buckets rows in one task BY CONSTRUCTION (the only single-
+    partition window in the family, and provably bounded). The max
+    doc_id is a 1-row aggregate broadcast onto both branches; tokens
+    aggregate as raw strings (no hash: unigram types are exact on both
+    engines, and the agg key is corpus-vocabulary-sized, not
+    corpus-sized)."""
+    toks_df = docs.select("doc_id", tokens().alias("t")).filter(
+        F.size("t") > 0
+    )
+    mx = toks_df.agg(F.max("doc_id").alias("_mx"))
+    bucket = F.expr(f"(doc_id * {n_buckets}) div (_mx + 1)").cast("int")
+    per_doc = toks_df.crossJoin(F.broadcast(mx)).select(
+        bucket.alias("bucket"), F.size("t").cast("bigint").alias("n_toks"), "t"
+    )
+    bt = per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("bucket_tokens"),
+    )
+    firsts = (
+        toks_df.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .crossJoin(F.broadcast(mx))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bt.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "bucket_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("bucket_tokens").over(w))
+        .withColumn("cum_types", F.sum("new_types").over(w))
+    )

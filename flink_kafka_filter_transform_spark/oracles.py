@@ -4822,3 +4822,161 @@ LEFT JOIN (
   GROUP BY i.q_id
 ) h USING (q_id)
 """
+
+
+def gopher_quality_rules_oracle() -> str:
+    """Independent per-rule Gopher hit counts — same integer-boundary
+    rules as the engine (word count / mean word length / symbol ratio /
+    alpha words / distinct stopwords), one flag pass + one rollup."""
+    stop = _sql_list(params.STOPWORDS)
+    return f"""
+WITH raw AS (SELECT doc_id, text, regexp_extract_all(text, '[^\\s]+') AS t FROM documents),
+flags AS (
+  SELECT
+    (len(t) < 50 OR len(t) > 100000) AS f1,
+    (list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, b) -> a + b) < 3 * len(t)
+     OR list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, b) -> a + b) > 10 * len(t)) AS f2,
+    (10 * ((length(text) - length(replace(text, '#', '')))
+           + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INT)) > len(t)) AS f3,
+    (5 * len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) < 4 * len(t)) AS f4,
+    (len(list_intersect(list_distinct(t), {stop})) < 2) AS f5
+  FROM raw
+),
+agg AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS n3,
+         sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS n4,
+         sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS n5,
+         sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND NOT f5 THEN 1 ELSE 0 END) AS n6
+  FROM flags
+)
+SELECT * FROM (
+  SELECT 0 AS rule_no, 'all' AS rule, CAST(n0 AS BIGINT) AS n_docs FROM agg
+  UNION ALL SELECT 1, 'word_count', CAST(n1 AS BIGINT) FROM agg
+  UNION ALL SELECT 2, 'mean_word_length', CAST(n2 AS BIGINT) FROM agg
+  UNION ALL SELECT 3, 'symbol_ratio', CAST(n3 AS BIGINT) FROM agg
+  UNION ALL SELECT 4, 'alpha_words', CAST(n4 AS BIGINT) FROM agg
+  UNION ALL SELECT 5, 'stopwords', CAST(n5 AS BIGINT) FROM agg
+  UNION ALL SELECT 6, 'pass_all', CAST(n6 AS BIGINT) FROM agg
+)
+"""
+
+
+def vocab_growth_curve_oracle(n_buckets: int = 20) -> str:
+    """Heaps-curve twin: equal-width doc_id buckets, token-keyed
+    min(doc_id) firsts, two rollups + cumulative windows."""
+    return f"""
+WITH {_TOKS_CTE},
+base AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+mx AS (SELECT max(doc_id) AS m FROM base),
+bt AS (
+  SELECT CAST((doc_id * {n_buckets}) // (m + 1) AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS bucket_tokens
+  FROM base, mx GROUP BY 1
+),
+firsts AS (
+  SELECT tok, min(doc_id) AS fd
+  FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+  GROUP BY tok
+),
+nt AS (
+  SELECT CAST((fd * {n_buckets}) // (m + 1) AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_types
+  FROM firsts, mx GROUP BY 1
+)
+SELECT bucket, n_docs, bucket_tokens,
+       CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(bucket_tokens) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+FROM bt LEFT JOIN nt USING (bucket)
+"""
+
+
+def knn_ivf_pq_rerank_oracle(
+    topk: int | None = None,
+    shortlist_mult: int = 4,
+    m: int = 4,
+    k: int | None = None,
+    iters: int | None = None,
+    n_cells: int | None = None,
+    nprobe: int = 2,
+) -> str:
+    """Refine-stage twin: knn_ivf_pq_oracle at topk = shortlist as a
+    CTE, exact L2 over the shortlist's true vectors, re-ranked top-k
+    (same left-to-right fold as every exact-distance oracle)."""
+    topk = params.KNN_K if topk is None else topk
+    shortlist = shortlist_mult * topk
+    dist_full = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(list_zip(q.v, e.v),"
+        " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+    inner = knn_ivf_pq_oracle(
+        topk=shortlist, m=m, k=k, iters=iters, n_cells=n_cells, nprobe=nprobe
+    )
+    return f"""
+WITH short AS ({inner}),
+ebase AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+scored AS (
+  SELECT s.q_id, s.vec_id, {dist_full} AS exact_d2
+  FROM short s
+  JOIN ebase e ON e.vec_id = s.vec_id
+  JOIN ebase q ON q.vec_id = s.q_id
+)
+SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rank, exact_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY exact_d2 ASC, vec_id ASC) AS rn
+  FROM scored
+) r WHERE rn <= {topk}
+"""
+
+
+def knn_ivf_pq_rerank_recall_oracle(
+    topk: int | None = None,
+    shortlist_mult: int = 4,
+    m: int = 4,
+    k: int | None = None,
+    iters: int | None = None,
+    n_cells: int | None = None,
+    nprobe: int = 2,
+) -> str:
+    """Recall twin for the re-ranked IVF-PQ search (same shape as
+    knn_ivf_pq_recall_oracle, wrapping the rerank oracle)."""
+    topk = params.KNN_K if topk is None else topk
+    nq = params.KNN_NUM_QUERIES
+    dist_full = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(list_zip(q.v, e.v),"
+        " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+    inner = knn_ivf_pq_rerank_oracle(
+        topk=topk, shortlist_mult=shortlist_mult, m=m, k=k,
+        iters=iters, n_cells=n_cells, nprobe=nprobe,
+    )
+    return f"""
+WITH ivfpqrr AS ({inner}),
+ebase AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+exact_topk4 AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, e.vec_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist_full} ASC, e.vec_id ASC) AS rn
+    FROM (SELECT vec_id, v FROM ebase WHERE vec_id < {nq}) q
+    JOIN ebase e ON e.vec_id <> q.vec_id
+  ) r WHERE rn <= {topk}
+)
+SELECT q.q_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n, 0) AS DOUBLE) / {float(topk)} AS recall_at_k
+FROM (SELECT DISTINCT q_id FROM exact_topk4) q
+LEFT JOIN (
+  SELECT i.q_id, count(*) AS n
+  FROM ivfpqrr i JOIN exact_topk4 t ON t.q_id = i.q_id AND t.vec_id = i.vec_id
+  GROUP BY i.q_id
+) h USING (q_id)
+"""

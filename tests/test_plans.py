@@ -1244,3 +1244,49 @@ def test_video_scene_cuts_is_map_only(spark, sf_dir):
     assert px.count_shuffles(df) == 0
     plan = px.explain_str(df, "simple")
     assert "MapInPandas" in plan
+
+
+def test_gopher_quality_rules_single_pass(spark, sf_dir):
+    """All five Gopher flags plus the survivor conjunction ride ONE
+    map pass into a single global aggregation — no joins, no second
+    corpus scan, exactly one shuffle (the 1-row agg exchange)."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.gopher_quality_rules(load_table(spark, "documents", sf_dir, rebalance=False))
+    assert px.count_shuffles(df) == 1
+    plan = px.explain_str(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_vocab_growth_curve_explodes_corpus_once(spark, sf_dir):
+    """The exploded (token, doc_id) relation is shuffled exactly once
+    (the token-keyed min(doc_id) aggregate, map-side combined): the
+    plan carries ONE Generate(explode) node, every post-rollup
+    relation is <= n_buckets rows, and the only pinned broadcasts are
+    the 1-row max-doc_id aggregate feeding both branches."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.vocab_growth_curve(load_table(spark, "documents", sf_dir, rebalance=False))
+    plan = px.explain_str(df, "simple")
+    assert plan.count("Generate explode") == 1
+    # no corpus-sized relation may broadcast: the hints are the 1-row
+    # max aggregate (x2) only
+    assert not px.unreduced_big_table_broadcast_hints(df)
+    # the cumulative window and the bucket join run over <= n_buckets
+    # rows; the whole plan stays within a fixed exchange budget
+    assert px.count_shuffles(df) <= 8
+
+
+def test_knn_ivf_pq_rerank_shortlist_rides_broadcasts(spark, sf_dir):
+    """The refine stage must NOT rescan or reshuffle the corpus: the
+    shortlist (<= queries x shortlist rows by construction) and the
+    query vectors join the true-vector scan as broadcasts, so the only
+    permissible sort-merge join remains the inner ADC candidates x
+    encoded-corpus join inherited from knn_ivf_pq."""
+    from flink_kafka_filter_transform_spark.operators import kmeans
+
+    df = kmeans.knn_ivf_pq_rerank(load_table(spark, "embeddings", sf_dir))
+    assert px.sortmerge_join_count(df) <= 1
+    # knn_ivf_pq's codebooks/probe/LUT broadcasts + shortlist + queries
+    assert px.broadcast_hint_count(df) >= 5

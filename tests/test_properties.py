@@ -986,3 +986,88 @@ def test_winnowing_pairs_guarantee_and_identity_score(spark):
     # ranking: the identical pair shares every fingerprint, so it
     # leads the (n_shared desc, doc_a, doc_b) total order
     assert (rows[0]["doc_a"], rows[0]["doc_b"]) == (0, 2)
+
+
+def test_gopher_rules_each_rule_fires_independently(spark):
+    """Four hand-built documents, each engineered to trip a known
+    subset of the five Gopher rules — the per-rule counts must match
+    the hand computation exactly (every boundary is an integer
+    comparison, so there is no tolerance)."""
+    from flink_kafka_filter_transform_spark.operators.text import gopher_quality_rules
+
+    # doc 0: 60 tokens, mean len in [3,10], alphabetic, "the"+"a"
+    #        present -> passes every rule
+    good = "the a " + " ".join(["data"] * 58)
+    # doc 1: 10 tokens (fails word_count only; stopwords still ok)
+    short = "the a " + " ".join(["data"] * 8)
+    # doc 2: 60 '##' tokens -> fails mean_word_length (2 < 3),
+    #        symbol_ratio (120 hashes), alpha_words, stopwords
+    hashes = " ".join(["##"] * 60)
+    # doc 3: 60 numeric tokens -> fails alpha_words + stopwords
+    nums = " ".join(["12345"] * 60)
+    docs = spark.createDataFrame(
+        [(0, good), (1, short), (2, hashes), (3, nums)],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["rule"]: r["n_docs"] for r in gopher_quality_rules(docs).collect()}
+    assert got == {
+        "all": 4,
+        "word_count": 1,       # doc 1
+        "mean_word_length": 1, # doc 2
+        "symbol_ratio": 1,     # doc 2
+        "alpha_words": 2,      # docs 2, 3
+        "stopwords": 2,        # docs 2, 3
+        "pass_all": 1,         # doc 0
+    }
+
+
+def test_vocab_growth_curve_conserves_types_and_tokens(spark, sf_dir):
+    """Bucket-local new_types must sum to the corpus type count, both
+    cumulative curves must be monotone and end at the global totals,
+    and a token type is counted ONLY in its first bucket."""
+    from flink_kafka_filter_transform_spark.operators.text import tokens, vocab_growth_curve
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir, rebalance=False)
+    rows = sorted(vocab_growth_curve(docs).collect(), key=lambda r: r["bucket"])
+    toks = docs.select(F.explode(tokens()).alias("t"))
+    n_types = toks.select("t").distinct().count()
+    n_tokens = toks.count()
+    assert sum(r["new_types"] for r in rows) == n_types
+    assert rows[-1]["cum_types"] == n_types
+    assert rows[-1]["cum_tokens"] == n_tokens
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cum_tokens"] == prev["cum_tokens"] + cur["bucket_tokens"]
+        assert cur["cum_types"] == prev["cum_types"] + cur["new_types"]
+
+
+def test_knn_ivf_pq_rerank_is_exact_over_the_shortlist(spark, sf_dir):
+    """The refine stage's output must (a) be a subset of the ADC
+    shortlist it re-ranks, and (b) carry the TRUE squared L2 distance
+    for every surviving pair — recomputed here with numpy."""
+    from flink_kafka_filter_transform_spark.operators import kmeans
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir, rebalance=False)
+    shortlist = {
+        (r["q_id"], r["vec_id"])
+        for r in kmeans.knn_ivf_pq(emb, topk=40).collect()
+    }
+    rer = kmeans.knn_ivf_pq_rerank(emb, topk=10, shortlist_mult=4).collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in rer:
+        assert (r["q_id"], r["vec_id"]) in shortlist
+        true_d2 = sum(
+            (float(x) - float(y)) ** 2
+            for x, y in zip(vecs[r["q_id"]], vecs[r["vec_id"]])
+        )
+        assert abs(r["exact_d2"] - true_d2) < 1e-6 * max(true_d2, 1.0)
+    # per query the ranks are 1..k over ascending exact_d2
+    by_q: dict = {}
+    for r in rer:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a["exact_d2"] <= b["exact_d2"] for a, b in zip(rs, rs[1:]))
