@@ -198,9 +198,6 @@ HEAD_ORDER: list[str] = [
     "kmeans_clusters",
     "kmeans_cluster_sizes",
     "q6_forecast_revenue",
-    "knn_brute",
-    "knn_lsh",
-    "embedding_neardup",
     "knn_ivf",
     # (q1_pricing_summary, frame_sample, multimodal_features,
     # mixture_sample_summary, and doc_chunks were the 28th-32nd
@@ -218,8 +215,10 @@ HEAD_ORDER: list[str] = [
     # knn_lsh_recall, knn_ivf_recall, knn_ivf_probe_sweep, and
     # q7_volume_shipping were the 16th-19th, displaced by the
     # knn_ivf_pq_rerank(_recall), gopher_quality_rules, and
-    # vocab_growth_curve debuts — all stay in the tail at age 3 and
-    # r10 owes 28 slots, still 22 free)
+    # vocab_growth_curve debuts; knn_brute, knn_lsh, and
+    # embedding_neardup were the 13th-15th, displaced by the
+    # knn_sq8(_recall) and neardup_kcore debuts — all stay in the
+    # tail at age 3 and r10 owes 31 slots, still 19 free)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -299,6 +298,15 @@ HEAD_ORDER: list[str] = [
     # data-exhaustion readout, gram_novelty_profile's rollup
     # sibling) ---
     "vocab_growth_curve",
+    # knn_sq8(_recall) = the FAISS SQ8 scalar-quantizer tier: per-dim
+    # corpus-trained [min,max], 1-byte codes, search on codes; recall
+    # twin reads against knn_pq_recall at matched code budget ---
+    "knn_sq8",
+    "knn_sq8_recall",
+    # neardup_kcore = k-core peeling of the near-dup graph (fourth
+    # member of the iterative template family) — the density audit
+    # that says where transitive-closure clustering is safe ---
+    "neardup_kcore",
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -503,6 +511,9 @@ def queries() -> dict[str, QueryFn]:
             load_table(s, "events", d)
         ),
         "neardup_triangles": lambda s, d: graph.neardup_triangles(_docs(s, d)),
+        # k-core of the near-dup graph (late r9): iterative peeling —
+        # where transitive-closure clustering is structurally safe ===
+        "neardup_kcore": lambda s, d: graph.neardup_kcore(_docs(s, d)),
         # === (r5 history) HEAD: new in round 5 (must debut in the head) ===
         "q8_market_share": lambda s, d: relational.q8_market_share(
             load_table(s, "lineitem", d),
@@ -604,6 +615,11 @@ def queries() -> dict[str, QueryFn]:
         "knn_ivf_pq_rerank_recall": lambda s, d: (
             kmeans.knn_ivf_pq_rerank_recall(_emb(s, d))
         ),
+        # SQ8 scalar-quantizer search (late r9): per-dim [min,max]
+        # trained corpus-wide, search entirely on 1-byte codes — the
+        # quantizer tier between raw vectors and PQ ===
+        "knn_sq8": lambda s, d: similarity.knn_sq8(_emb(s, d)),
+        "knn_sq8_recall": lambda s, d: similarity.knn_sq8_recall(_emb(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
         "embedding_neardup_fps": lambda s, d: dedup.embedding_neardup_refined(
@@ -961,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_length_filter": oracles.adaptive_length_filter_oracle(),
         "event_path_report": oracles.event_path_report_oracle(),
         "neardup_triangles": oracles.neardup_triangles_oracle(),
+        "neardup_kcore": oracles.neardup_kcore_oracle(),
         "source_quality_matrix": oracles.source_quality_matrix_oracle(),
         "knn_ivf_pq": oracles.knn_ivf_pq_oracle(),
         "knn_ivf_pq_recall": oracles.knn_ivf_pq_recall_oracle(),
@@ -968,6 +985,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_pq_residual_recall": oracles.knn_ivf_pq_residual_recall_oracle(),
         "knn_ivf_pq_rerank": oracles.knn_ivf_pq_rerank_oracle(),
         "knn_ivf_pq_rerank_recall": oracles.knn_ivf_pq_rerank_recall_oracle(),
+        "knn_sq8": oracles.knn_sq8_oracle(),
+        "knn_sq8_recall": oracles.knn_sq8_recall_oracle(),
         "bloom_contamination": oracles.bloom_contamination_oracle(),
         "quality_classifier_score": oracles.quality_classifier_score_oracle(),
         "bigram_lift_top": oracles.bigram_lift_top_oracle(),

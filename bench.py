@@ -191,6 +191,9 @@ HEADLINE = [
     "knn_ivf_pq_rerank_recall",
     "gopher_quality_rules",
     "vocab_growth_curve",
+    "knn_sq8",
+    "knn_sq8_recall",
+    "neardup_kcore",
 ]
 
 

@@ -98,6 +98,8 @@ SHOWCASE = [
     ("knn_ivf_pq_rerank", "refine-stage IVF-PQ: the ADC shortlist (queries x shortlist rows, broadcast-sized BY CONSTRUCTION) and the query vectors ride broadcasts onto ONE true-vector corpus scan; the only sort-merge join stays the inherited ADC candidates x codes join"),
     ("gopher_quality_rules", "published Gopher ruleset: all five integer-boundary flags + the survivor conjunction in ONE map pass, a single global agg emits 7 fixed-width rows — 1 shuffle, no join, 1 scan"),
     ("vocab_growth_curve", "Heaps-law curve: corpus explodes ONCE into the token-keyed min(doc_id) agg (map-side combined); both rollups land on <= n_buckets rows, so the cumulative window is single-partition by construction; only the 1-row max-doc_id broadcasts"),
+    ("knn_sq8", "SQ8 scalar-quantizer search: per-dim training stats collapse to ONE broadcast row; encoding map-side; one pass over the code table with query codes broadcast — zero sort-merge joins"),
+    ("neardup_kcore", "k-core peeling: persisted symmetrized edges semi-joined against checkpointed survivors each round (stable vertex partitioning), one map-side-combined degree agg + a 1-row count fixpoint per round"),
 ]
 
 

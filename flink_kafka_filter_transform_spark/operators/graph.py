@@ -372,3 +372,125 @@ def supply_chain_pagerank(
         .orderBy(F.col("rank_scaled").desc(), F.col("node_type"), F.col("key"))
         .limit(topk)
     )
+
+
+def kcore(
+    vertices: DataFrame, edges: DataFrame, k: int = 2, max_iter: int = 12
+) -> DataFrame:
+    """k-core via iterative peeling: repeatedly drop vertices whose
+    degree among the SURVIVORS is < k until a fixpoint. vertices:
+    (id); edges: (src, dst), undirected (symmetrized here). Returns
+    every input vertex as (id, in_kcore, core_degree) where
+    core_degree is the vertex's degree inside the final core (0
+    outside it).
+
+    Convergence is a survivor-COUNT fixpoint: the survivor set is
+    monotone non-increasing under peeling, so count-unchanged <=> no
+    vertex was dropped <=> every survivor already has core degree
+    >= k. Exhausting ``max_iter`` without convergence RAISES (the
+    connected_components rule: a silently unconverged core would
+    overstate density). Peeling removes >= 1 vertex per non-final
+    round, but near-dup graphs converge in a few rounds: their
+    clusters are clique-ish, and a clique either survives whole or
+    dissolves in one round.
+
+    Scale shape — the same discipline as connected_components: the
+    symmetrized edge relation is persisted ONCE and every iteration
+    joins it against a localCheckpoint'd survivor set (two semi-joins
+    to keep only surviving endpoints — both hash-partitioned on the
+    vertex id, the same partitioning every round) followed by one
+    map-side-combined count aggregate; the convergence check is a
+    1-row count. Nothing broadcasts (the edge relation is
+    corpus-pair-sized; survivor sets start vertex-sized)."""
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .persist()
+    )
+    surv = vertices.select("id").localCheckpoint(eager=True)
+    prev_n = surv.count()
+    deg = None
+    for _ in range(max_iter):
+        alive = (
+            sym.join(surv, sym["src"] == surv["id"], "left_semi")
+            .join(
+                surv.withColumnRenamed("id", "_dst_id"),
+                F.col("dst") == F.col("_dst_id"),
+                "left_semi",
+            )
+        )
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree"))
+        new = deg.filter(F.col("core_degree") >= k).select(
+            F.col("src").alias("id")
+        )
+        new = new.localCheckpoint(eager=True)
+        cur_n = new.count()
+        surv = new
+        if cur_n == prev_n:
+            break
+        prev_n = cur_n
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"kcore did not converge within {max_iter} peeling rounds — "
+            "raising rather than returning an overdense pseudo-core"
+        )
+    # final core degrees: recompute against the CONVERGED survivors
+    # (at the fixpoint the last deg was computed against this same
+    # set, but re-deriving keeps the readout correct even when the
+    # loop exits on the first pass)
+    alive = (
+        sym.join(surv, sym["src"] == surv["id"], "left_semi")
+        .join(
+            surv.withColumnRenamed("id", "_dst_id"),
+            F.col("dst") == F.col("_dst_id"),
+            "left_semi",
+        )
+    )
+    final_deg = alive.groupBy("src").agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+    out = (
+        vertices.select("id")
+        .join(surv.withColumn("_in", F.lit(True)), "id", "left")
+        .join(final_deg.withColumnRenamed("src", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("_in", F.lit(False)).alias("in_kcore"),
+            F.coalesce("core_degree", F.lit(0)).cast("bigint").alias("core_degree"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    return out
+
+
+def neardup_kcore(docs: DataFrame, k: int = 2) -> DataFrame:
+    """k-core decomposition of the near-dup graph — the density audit
+    BETWEEN neardup_triangles' single global census and
+    neardup_clusters' transitive closure: the 2-core is exactly the
+    part of the graph where clustering by connected components is
+    structurally safe (every member is held by >= 2 independent
+    near-dup edges), while vertices OUTSIDE it hang off the cluster by
+    one borderline pair — the A~B~C chains where transitive closure
+    over-merges (Lee et al. 2021's false-positive chain caveat). The
+    production use: run CC only inside the k-core, re-audit the
+    peeled fringe at a stricter threshold.
+
+    Per ORIGINAL near-dup-graph vertex: (doc_id, in_kcore,
+    core_degree). Fourth member of the iterative template family
+    (kmeans / pagerank / CC / peeling), same persisted-edges +
+    checkpointed-state discipline."""
+    from flink_kafka_filter_transform_spark.operators.dedup import minhash_lsh_pairs
+
+    e = minhash_lsh_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return kcore(verts, e, k=k).select(
+        F.col("id").alias("doc_id"), "in_kcore", "core_degree"
+    )

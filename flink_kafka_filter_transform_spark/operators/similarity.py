@@ -285,3 +285,100 @@ def knn_filtered(emb: DataFrame, k: int = params.KNN_K) -> DataFrame:
         )
     )
     return _topk(scored, k)
+
+
+def _sq8_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension SQ8 training reduced to ONE row: mins / maxs /
+    spans2 (= ((mx-mn)/255)^2, the per-dim squared de-quantization
+    step) as position-ordered arrays — broadcast-sized regardless of
+    corpus size (dims x 24 bytes)."""
+    v = F.col("embedding").cast("array<double>")
+    dims = emb.select(F.posexplode(v).alias("pos", "x"))
+    stats = dims.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform("s", lambda s: s.mn).alias("mins"),
+        F.transform("s", lambda s: s.mx).alias("maxs"),
+        F.transform(
+            "s",
+            lambda s: ((s.mx - s.mn) / F.lit(255.0))
+            * ((s.mx - s.mn) / F.lit(255.0)),
+        ).alias("spans2"),
+    )
+
+
+def _sq8_codes(emb: DataFrame, stats_row: DataFrame) -> DataFrame:
+    """8-bit codes c_d = floor((x_d - min_d) * 255 / (max_d - min_d)
+    + 0.5) — constant dims collapse to code 0 (their span2 is 0, so
+    they can't contribute distance either way)."""
+    v = F.col("embedding").cast("array<double>")
+    code = F.transform(
+        v,
+        lambda x, i: F.when(
+            F.element_at("maxs", i + 1) > F.element_at("mins", i + 1),
+            F.floor(
+                (x - F.element_at("mins", i + 1))
+                * F.lit(255.0)
+                / (F.element_at("maxs", i + 1) - F.element_at("mins", i + 1))
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return emb.crossJoin(F.broadcast(stats_row)).select(
+        "vec_id", code.alias("c"), "spans2"
+    )
+
+
+def knn_sq8(emb: DataFrame, k: int = params.KNN_K) -> DataFrame:
+    """Scalar-quantized search (the FAISS SQ8 index family — the one
+    quantizer tier this engine didn't yet cover next to PQ/IVF-PQ):
+    every dimension is trained to a global [min, max] over the corpus
+    and stored as ONE byte, and search runs entirely on codes —
+    d2 = sum_d span2_d * (cq_d - cx_d)^2, i.e. exact L2 between the
+    de-quantized reconstructions. At 100 TB the point is scan WIDTH:
+    the code table is 1/8 the bytes of float64 vectors (1/4 of
+    float32) with none of PQ's codebook training, the standard middle
+    rung between raw vectors and PQ.
+
+    Scale shape: training is one posexplode + a dims-row aggregate
+    folded to a SINGLE broadcast row (mins/maxs/spans2 arrays);
+    encoding is map-side; the scan stays one pass over the code table
+    with the 5 query code rows broadcast (knn_brute's shape, narrower
+    rows). Integer code deltas keep the distance sum exact up to the
+    shared double fold contract."""
+    stats_row = _sq8_stats(emb)
+    codes = _sq8_codes(emb, stats_row)
+    qc = codes.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("c").alias("qc")
+    )
+    diff2 = F.transform(
+        F.zip_with("c", "qc", lambda a, b: a - b),
+        lambda dd, i: (dd * dd).cast("double") * F.element_at("spans2", i + 1),
+    )
+    d2 = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        codes.join(F.broadcast(qc), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", d2.alias("sq8_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sq8_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "sq8_d2")
+    )
+
+
+def knn_sq8_recall(emb: DataFrame, k: int = params.KNN_K) -> DataFrame:
+    """Recall@k of SQ8 search against exact L2 top-k — read next to
+    knn_pq_recall at matched code budget: SQ8 spends 1 byte/dim
+    uniformly, PQ spends m sub-codebook bytes/vector; which recall is
+    higher on a given corpus decides the quantizer tier."""
+    from flink_kafka_filter_transform_spark.operators.kmeans import _recall_vs_exact
+
+    approx = knn_sq8(emb, k=k)
+    return _recall_vs_exact(emb, approx, k)

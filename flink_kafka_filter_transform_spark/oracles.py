@@ -4980,3 +4980,126 @@ LEFT JOIN (
   GROUP BY i.q_id
 ) h USING (q_id)
 """
+
+
+def knn_sq8_oracle(k: int | None = None) -> str:
+    """SQ8 twin: per-dim [min,max] trained over the corpus, 8-bit
+    codes via the identical floor(+0.5) expression, code-space L2
+    d2 = sum span2_d * (cq_d - cx_d)^2 with the shared left-to-right
+    double fold."""
+    k = params.KNN_K if k is None else k
+    nq = params.KNN_NUM_QUERIES
+    return f"""
+WITH eb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+dims AS (
+  SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx
+  FROM eb, unnest(generate_series(1, len(v))) AS t(i)
+  GROUP BY i
+),
+arrs AS (
+  SELECT list(mn ORDER BY pos) AS mins,
+         list(mx ORDER BY pos) AS maxs,
+         list(((mx - mn) / 255.0) * ((mx - mn) / 255.0) ORDER BY pos) AS spans2
+  FROM dims
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(v)),
+           i -> CAST(CASE WHEN maxs[i] > mins[i]
+                     THEN floor((v[i] - mins[i]) * 255.0 / (maxs[i] - mins[i]) + 0.5)
+                     ELSE 0 END AS INT)) AS c
+  FROM eb, arrs
+),
+scored AS (
+  SELECT q.vec_id AS q_id, x.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, len(q.c)),
+             i -> CAST((q.c[i] - x.c[i]) * (q.c[i] - x.c[i]) AS DOUBLE) * a.spans2[i])),
+           (acc, x2) -> acc + x2) AS sq8_d2
+  FROM codes x
+  JOIN (SELECT * FROM codes WHERE vec_id < {nq}) q ON x.vec_id <> q.vec_id
+  CROSS JOIN arrs a
+)
+SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rank, sq8_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sq8_d2 ASC, vec_id ASC) AS rn
+  FROM scored
+) r WHERE rn <= {k}
+"""
+
+
+def knn_sq8_recall_oracle(k: int | None = None) -> str:
+    """Recall twin for SQ8 search (same wrap as the other recall
+    oracles: approx CTE next to exact L2 top-k)."""
+    k = params.KNN_K if k is None else k
+    nq = params.KNN_NUM_QUERIES
+    dist_full = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(list_zip(q.v, e.v),"
+        " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH sq8 AS ({knn_sq8_oracle(k=k)}),
+ebase AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+exact_topk5 AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, e.vec_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist_full} ASC, e.vec_id ASC) AS rn
+    FROM (SELECT vec_id, v FROM ebase WHERE vec_id < {nq}) q
+    JOIN ebase e ON e.vec_id <> q.vec_id
+  ) r WHERE rn <= {k}
+)
+SELECT q.q_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n, 0) AS DOUBLE) / {float(k)} AS recall_at_k
+FROM (SELECT DISTINCT q_id FROM exact_topk5) q
+LEFT JOIN (
+  SELECT i.q_id, count(*) AS n
+  FROM sq8 i JOIN exact_topk5 t ON t.q_id = i.q_id AND t.vec_id = i.vec_id
+  GROUP BY i.q_id
+) h USING (q_id)
+"""
+
+
+def neardup_kcore_oracle(k: int = 2, iters: int = 12) -> str:
+    """k-core twin: the peeling fixpoint unrolled as a CTE chain
+    (s0 -> s{iters}; the kmeans-oracle treatment of iterative
+    algorithms) over the minhash pairs CTE. At the fixpoint every
+    extra unrolled round is an identity, so a fixed unroll >= the
+    engine's convergence round count agrees exactly — the engine
+    RAISES if it fails to converge within the same bound."""
+    parts = [
+        f"pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_oracle()}) p)",
+        "e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""s{t + 1} AS MATERIALIZED (
+  SELECT e.src AS id FROM e
+  JOIN s{t} a ON e.src = a.id
+  JOIN s{t} b ON e.dst = b.id
+  GROUP BY e.src HAVING count(*) >= {k}
+)"""
+        )
+    fin = f"s{iters}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+deg AS (
+  SELECT e.src AS id, CAST(count(*) AS BIGINT) AS core_degree
+  FROM e
+  JOIN {fin} a ON e.src = a.id
+  JOIN {fin} b ON e.dst = b.id
+  GROUP BY e.src
+)
+SELECT v.id AS doc_id,
+       m.id IS NOT NULL AS in_kcore,
+       CAST(coalesce(deg.core_degree, 0) AS BIGINT) AS core_degree
+FROM s0 v
+LEFT JOIN {fin} m ON v.id = m.id
+LEFT JOIN deg ON v.id = deg.id
+"""
+    )

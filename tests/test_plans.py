@@ -1290,3 +1290,44 @@ def test_knn_ivf_pq_rerank_shortlist_rides_broadcasts(spark, sf_dir):
     assert px.sortmerge_join_count(df) <= 1
     # knn_ivf_pq's codebooks/probe/LUT broadcasts + shortlist + queries
     assert px.broadcast_hint_count(df) >= 5
+
+
+def test_knn_sq8_trains_one_row_and_scans_codes_once(spark, sf_dir):
+    """SQ8 discipline: the per-dim training statistics collapse to a
+    single broadcast row (mins/maxs/spans2 arrays) and search is one
+    pass over the code table with the query codes broadcast — no
+    sort-merge join anywhere (knn_brute's shape on 1/8-width rows)."""
+    from flink_kafka_filter_transform_spark.operators import similarity
+
+    df = similarity.knn_sq8(load_table(spark, "embeddings", sf_dir))
+    assert px.sortmerge_join_count(df) == 0
+    assert px.broadcast_hint_count(df) >= 2  # stats row + query codes
+    assert not px.unreduced_big_table_broadcast_hints(df)
+
+
+def test_neardup_kcore_output_matches_peeling_semantics(spark, sf_dir):
+    """Every in-core vertex must report core_degree >= k (that IS the
+    fixpoint condition), every out-of-core vertex reports 0, and the
+    core must be closed: recomputing degrees over the reported core
+    members from the raw pair list reproduces core_degree exactly."""
+    from flink_kafka_filter_transform_spark.operators import graph
+    from flink_kafka_filter_transform_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, "documents", sf_dir, rebalance=False)
+    rows = graph.neardup_kcore(docs, k=2).collect()
+    core = {r["doc_id"] for r in rows if r["in_kcore"]}
+    for r in rows:
+        if r["in_kcore"]:
+            assert r["core_degree"] >= 2
+        else:
+            assert r["core_degree"] == 0
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()
+    from collections import Counter
+
+    deg = Counter()
+    for p in pairs:
+        if p["doc_a"] in core and p["doc_b"] in core:
+            deg[p["doc_a"]] += 1
+            deg[p["doc_b"]] += 1
+    for r in rows:
+        assert deg.get(r["doc_id"], 0) == r["core_degree"]

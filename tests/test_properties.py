@@ -1071,3 +1071,25 @@ def test_knn_ivf_pq_rerank_is_exact_over_the_shortlist(spark, sf_dir):
         rs.sort(key=lambda r: r["rank"])
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         assert all(a["exact_d2"] <= b["exact_d2"] for a, b in zip(rs, rs[1:]))
+
+
+def test_kcore_peels_chains_keeps_cliques(spark):
+    """The semantic distinction the operator exists for: a triangle
+    (clique) survives 2-core peeling wholesale; a chain hanging off
+    it peels away vertex by vertex — including the chain's attachment
+    making a second-round peel (0-1-2 triangle, 2-3-4 tail: 3 has
+    degree 2 until 4 peels, so convergence needs the ITERATION)."""
+    from flink_kafka_filter_transform_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], "src BIGINT, dst BIGINT"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(5)], "id BIGINT")
+    got = {r["id"]: (r["in_kcore"], r["core_degree"]) for r in kcore(verts, edges, k=2).collect()}
+    assert got == {
+        0: (True, 2),
+        1: (True, 2),
+        2: (True, 2),   # its third edge (to 3) is outside the core
+        3: (False, 0),
+        4: (False, 0),
+    }
