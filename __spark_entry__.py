@@ -196,8 +196,6 @@ HEAD_ORDER: list[str] = [
     "knn_ivf_kmeans",
     "embedding_neardup_fps",
     "kmeans_clusters",
-    "kmeans_cluster_sizes",
-    "q6_forecast_revenue",
     "knn_ivf",
     # (q1_pricing_summary, frame_sample, multimodal_features,
     # mixture_sample_summary, and doc_chunks were the 28th-32nd
@@ -217,8 +215,10 @@ HEAD_ORDER: list[str] = [
     # knn_ivf_pq_rerank(_recall), gopher_quality_rules, and
     # vocab_growth_curve debuts; knn_brute, knn_lsh, and
     # embedding_neardup were the 13th-15th, displaced by the
-    # knn_sq8(_recall) and neardup_kcore debuts — all stay in the
-    # tail at age 3 and r10 owes 31 slots, still 19 free)
+    # knn_sq8(_recall) and neardup_kcore debuts; kmeans_cluster_sizes
+    # and q6_forecast_revenue were the 11th-12th, displaced by the
+    # knn_ivf_filtered(_recall) debuts — all stay in the tail at age 3
+    # and r10 owes 33 slots, still 17 free)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -307,6 +307,12 @@ HEAD_ORDER: list[str] = [
     # member of the iterative template family) — the density audit
     # that says where transitive-closure clustering is safe ---
     "neardup_kcore",
+    # knn_ivf_filtered(_recall) = filtered ANN through the index:
+    # label predicate inside the probed-cell join, widened probing
+    # (filter_probe_mult) as the selectivity compensation; recall vs
+    # the exact FILTERED top-k ---
+    "knn_ivf_filtered",
+    "knn_ivf_filtered_recall",
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -620,6 +626,14 @@ def queries() -> dict[str, QueryFn]:
         # quantizer tier between raw vectors and PQ ===
         "knn_sq8": lambda s, d: similarity.knn_sq8(_emb(s, d)),
         "knn_sq8_recall": lambda s, d: similarity.knn_sq8_recall(_emb(s, d)),
+        # filtered IVF (late r9): the WHERE clause runs THROUGH the
+        # index — label predicate in the probed-cell candidate join,
+        # widened probing as the selectivity compensation; recall twin
+        # reads against the exact FILTERED top-k ===
+        "knn_ivf_filtered": lambda s, d: kmeans.knn_ivf_filtered(_emb(s, d)),
+        "knn_ivf_filtered_recall": lambda s, d: (
+            kmeans.knn_ivf_filtered_recall(_emb(s, d))
+        ),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
         "embedding_neardup_fps": lambda s, d: dedup.embedding_neardup_refined(
@@ -987,6 +1001,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_pq_rerank_recall": oracles.knn_ivf_pq_rerank_recall_oracle(),
         "knn_sq8": oracles.knn_sq8_oracle(),
         "knn_sq8_recall": oracles.knn_sq8_recall_oracle(),
+        "knn_ivf_filtered": oracles.knn_ivf_filtered_oracle(),
+        "knn_ivf_filtered_recall": oracles.knn_ivf_filtered_recall_oracle(),
         "bloom_contamination": oracles.bloom_contamination_oracle(),
         "quality_classifier_score": oracles.quality_classifier_score_oracle(),
         "bigram_lift_top": oracles.bigram_lift_top_oracle(),

@@ -194,6 +194,8 @@ HEADLINE = [
     "knn_sq8",
     "knn_sq8_recall",
     "neardup_kcore",
+    "knn_ivf_filtered",
+    "knn_ivf_filtered_recall",
 ]
 
 
@@ -242,6 +244,8 @@ LOOP_QUERIES = {
     "knn_ivf_pq_recall",
     "knn_ivf_pq_rerank",       # r9: wraps the same coarse+PQ trainers
     "knn_ivf_pq_rerank_recall",
+    "knn_ivf_filtered",        # r9: same coarse Lloyd trainer
+    "knn_ivf_filtered_recall",
     "bpe_merges",
     "dedup_survivors_quality",
     "embedding_neardup_fps",

@@ -100,6 +100,7 @@ SHOWCASE = [
     ("vocab_growth_curve", "Heaps-law curve: corpus explodes ONCE into the token-keyed min(doc_id) agg (map-side combined); both rollups land on <= n_buckets rows, so the cumulative window is single-partition by construction; only the 1-row max-doc_id broadcasts"),
     ("knn_sq8", "SQ8 scalar-quantizer search: per-dim training stats collapse to ONE broadcast row; encoding map-side; one pass over the code table with query codes broadcast — zero sort-merge joins"),
     ("neardup_kcore", "k-core peeling: persisted symmetrized edges semi-joined against checkpointed survivors each round (stable vertex partitioning), one map-side-combined degree agg + a 1-row count fixpoint per round"),
+    ("knn_ivf_filtered", "filtered IVF: the label predicate runs THROUGH the index — inside the broadcast probed-cells join, widened probing as the selectivity compensation; no post-filter pass, no extra scan"),
 ]
 
 

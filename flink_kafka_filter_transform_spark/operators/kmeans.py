@@ -940,3 +940,138 @@ def knn_ivf_pq_rerank_recall(
         nprobe=nprobe,
     )
     return _recall_vs_exact(emb, approx, topk)
+
+
+def knn_ivf_filtered(
+    emb: DataFrame,
+    k_neighbors: int = 5,
+    n_cells: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    nprobe: int = 2,
+    filter_probe_mult: int = 2,
+) -> DataFrame:
+    """FILTERED IVF search — vector search with a WHERE clause running
+    through the index instead of around it: candidates must live in a
+    probed k-means cell AND carry the query's label. This is the
+    filtered-ANN problem every production retrieval system hits
+    (similarity.knn_filtered documents the pre- vs post-filter trap;
+    this operator is its INDEX-side resolution): post-filtering an
+    unfiltered top-k starves filter-minority queries, while
+    pre-filtering inside the index keeps k results whenever the probed
+    cells hold k matching vectors.
+
+    The selectivity compensation: a filter that keeps 1/s of the
+    corpus also keeps ~1/s of every cell, so filtered probing scans
+    ``filter_probe_mult * nprobe`` cells (the widened-probe rule used
+    by FAISS IDSelector / ACORN-style deployments — deterministic
+    here, mirrored in the oracle; the recall twin quantifies what the
+    widening buys back).
+
+    Scale shape: identical to knn_ivf_kmeans — codebook + probe set
+    broadcast, corpus scanned once, candidates restricted to probed
+    cells — with the label predicate applied IN the same candidate
+    join (no second scan, no post-filter pass); per-query work is
+    bounded by probed-cell membership intersected with the label."""
+    from flink_kafka_filter_transform_spark.functions.vectors import cosine_similarity
+    from flink_kafka_filter_transform_spark.operators import params
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = vecs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
+    )
+    for _ in range(iters):
+        cents = _update(vecs, _assign(vecs, cents), cents)
+    member = _assign(vecs, cents)
+
+    q = emb.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    eff_nprobe = filter_probe_mult * nprobe
+    wp = Window.partitionBy("q_id").orderBy(F.col("_cs").desc(), F.col("cid").asc())
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "q_vec", "q_label", "cid",
+            cosine_similarity("q_vec", "centroid").alias("_cs"),
+        )
+        .withColumn("_cr", F.row_number().over(wp))
+        .filter(F.col("_cr") <= eff_nprobe)
+        .select("q_id", "q_vec", "q_label", "cid")
+    )
+    scored = (
+        emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        .join(member.select("vec_id", "cid"), "vec_id")
+        .join(
+            F.broadcast(probed.withColumnRenamed("cid", "p_cid")),
+            (F.col("cid") == F.col("p_cid")) & (F.col("label") == F.col("q_label")),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine_similarity("v", "q_vec").alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("q_id", "vec_id", "rank", "cos_sim")
+    )
+
+
+def knn_ivf_filtered_recall(
+    emb: DataFrame,
+    k_neighbors: int = 5,
+    n_cells: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    nprobe: int = 2,
+    filter_probe_mult: int = 2,
+) -> DataFrame:
+    """Recall@k of filtered IVF against the exact FILTERED top-k (the
+    knn_filtered semantics — same label predicate, full scan): the
+    number that says whether widened probing (filter_probe_mult)
+    compensates the filter's per-cell thinning, per query."""
+    from flink_kafka_filter_transform_spark.functions.vectors import cosine_similarity
+    from flink_kafka_filter_transform_spark.operators import params
+
+    approx = knn_ivf_filtered(
+        emb, k_neighbors=k_neighbors, n_cells=n_cells, iters=iters,
+        nprobe=nprobe, filter_probe_mult=filter_probe_mult,
+    )
+    q = emb.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        emb.join(F.broadcast(q), F.col("label") == F.col("q_label"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            cosine_similarity("embedding", "q_vec").alias("cos_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_neighbors)
+        .select("q_id", "vec_id")
+    )
+    hits = (
+        approx.select("q_id", "vec_id")
+        .join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("_n"), F.lit(0)).cast("double")
+                / F.lit(float(k_neighbors))
+            ).alias("recall_at_k"),
+        )
+    )

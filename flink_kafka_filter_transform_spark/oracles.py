@@ -5103,3 +5103,88 @@ LEFT JOIN {fin} m ON v.id = m.id
 LEFT JOIN deg ON v.id = deg.id
 """
     )
+
+
+def knn_ivf_filtered_oracle(
+    k_neighbors: int = 5,
+    n_cells: int | None = None,
+    iters: int | None = None,
+    nprobe: int = 2,
+    filter_probe_mult: int = 2,
+) -> str:
+    """Filtered-IVF twin: knn_ivf_kmeans_oracle's coarse chain with
+    the label predicate in the SAME candidate join and the widened
+    (filter_probe_mult * nprobe) probe rule."""
+    from flink_kafka_filter_transform_spark.operators.kmeans import ITERS_DEFAULT, K_DEFAULT
+
+    n_cells = K_DEFAULT if n_cells is None else n_cells
+    iters = ITERS_DEFAULT if iters is None else iters
+    eff = filter_probe_mult * nprobe
+    c_cos = cosine_sql("q.q_vec", "c.centroid")
+    cos = cosine_sql("e2.v", "p.q_vec")
+    return f"""
+{_kmeans_ctes(n_cells, iters)},
+el AS (SELECT vec_id, label FROM embeddings),
+q AS (
+  SELECT e.vec_id AS q_id, e.v AS q_vec, el.label AS q_label
+  FROM e JOIN el ON e.vec_id = el.vec_id
+  WHERE e.vec_id < {params.KNN_NUM_QUERIES}
+),
+probedf AS (
+  SELECT q_id, q_vec, q_label, cid FROM (
+    SELECT q.q_id, q.q_vec, q.q_label, c.cid,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY {c_cos} DESC, c.cid ASC) AS cr
+    FROM q CROSS JOIN c{iters} c
+  ) pr WHERE cr <= {eff}
+),
+scoredf AS (
+  SELECT p.q_id, e2.vec_id, {cos} AS cos_sim
+  FROM e e2
+  JOIN el ON e2.vec_id = el.vec_id
+  JOIN afinal m ON e2.vec_id = m.vec_id
+  JOIN probedf p ON m.cid = p.cid AND el.label = p.q_label
+  WHERE e2.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scoredf
+) r WHERE rank <= {k_neighbors}
+"""
+
+
+def knn_ivf_filtered_recall_oracle(
+    k_neighbors: int = 5,
+    n_cells: int | None = None,
+    iters: int | None = None,
+    nprobe: int = 2,
+    filter_probe_mult: int = 2,
+) -> str:
+    """Recall twin vs the exact FILTERED top-k (label predicate on the
+    full scan — the knn_filtered semantics)."""
+    inner = knn_ivf_filtered_oracle(
+        k_neighbors=k_neighbors, n_cells=n_cells, iters=iters,
+        nprobe=nprobe, filter_probe_mult=filter_probe_mult,
+    )
+    cosf = cosine_sql("e.v", "q.q_vec")
+    nq = params.KNN_NUM_QUERIES
+    return f"""
+WITH ivff AS ({inner}),
+ebase AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+exact_topkf AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY {cosf} DESC, e.vec_id ASC) AS rn
+    FROM (SELECT vec_id AS q_id, label AS q_label, v AS q_vec FROM ebase WHERE vec_id < {nq}) q
+    JOIN ebase e ON e.vec_id <> q.q_id AND e.label = q.q_label
+  ) r WHERE rn <= {k_neighbors}
+)
+SELECT q.q_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n, 0) AS DOUBLE) / {float(k_neighbors)} AS recall_at_k
+FROM (SELECT DISTINCT q_id FROM exact_topkf) q
+LEFT JOIN (
+  SELECT i.q_id, count(*) AS n
+  FROM ivff i JOIN exact_topkf t ON t.q_id = i.q_id AND t.vec_id = i.vec_id
+  GROUP BY i.q_id
+) h USING (q_id)
+"""

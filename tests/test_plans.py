@@ -1331,3 +1331,19 @@ def test_neardup_kcore_output_matches_peeling_semantics(spark, sf_dir):
             deg[p["doc_b"]] += 1
     for r in rows:
         assert deg.get(r["doc_id"], 0) == r["core_degree"]
+
+
+def test_knn_ivf_filtered_predicate_inside_candidate_join(spark, sf_dir):
+    """Filtered IVF: the label predicate must run THROUGH the index —
+    inside the broadcast probed-cells join, not as a post-filter scan.
+    The plan keeps knn_ivf_kmeans's shape (codebook/probe broadcasts,
+    corpus scanned once, assignment join the only wide join) and adds
+    NO extra exchange or scan for the filter."""
+    from flink_kafka_filter_transform_spark.operators import kmeans
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    plain = kmeans.knn_ivf_kmeans(emb)
+    filt = kmeans.knn_ivf_filtered(emb)
+    assert px.count_shuffles(filt) <= px.count_shuffles(plain) + 1
+    assert px.broadcast_hint_count(filt) >= 2  # codebook + probe set
+    assert not px.unreduced_big_table_broadcast_hints(filt)

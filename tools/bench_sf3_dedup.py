@@ -95,6 +95,18 @@ FAMILY = [
     # late r9: residual-encoded IVF-PQ (frozen codebooks, per-cell
     # LUTs; the candidate join is the one corpus-sized shuffle)
     "knn_ivf_pq_residual",
+    # late r9 (second batch): the refine-stage rerank (shortlist
+    # broadcast onto one true-vector scan — should track
+    # knn_ivf_pq_residual's curve), the SQ8 code-table scan, the
+    # Gopher one-pass ruleset, the Heaps-curve single-explode, and
+    # k-core peeling (pairs + iterative survivor semi-joins — the CC
+    # loop's scaling sibling)
+    "knn_ivf_pq_rerank",
+    "knn_ivf_filtered",
+    "knn_sq8",
+    "gopher_quality_rules",
+    "vocab_growth_curve",
+    "neardup_kcore",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused
