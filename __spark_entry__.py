@@ -194,9 +194,6 @@ HEAD_ORDER: list[str] = [
     "knn_ivf_pq_recall",
     "minhash_lsh_pairs",
     "knn_ivf_kmeans",
-    "embedding_neardup_fps",
-    "kmeans_clusters",
-    "knn_ivf",
     # (q1_pricing_summary, frame_sample, multimodal_features,
     # mixture_sample_summary, and doc_chunks were the 28th-32nd
     # smoothing pulls; displaced by the bigram_surprisal,
@@ -217,8 +214,12 @@ HEAD_ORDER: list[str] = [
     # embedding_neardup were the 13th-15th, displaced by the
     # knn_sq8(_recall) and neardup_kcore debuts; kmeans_cluster_sizes
     # and q6_forecast_revenue were the 11th-12th, displaced by the
-    # knn_ivf_filtered(_recall) debuts — all stay in the tail at age 3
-    # and r10 owes 33 slots, still 17 free)
+    # knn_ivf_filtered(_recall) debuts; embedding_neardup_fps,
+    # kmeans_clusters, and knn_ivf were the 8th-10th, displaced by the
+    # knn_mrl(_recall) and events_hopping_window debuts — all stay in
+    # the tail and the registry's crossing of 180 enacts the A=4 rung
+    # (tools/rotation_check.py capacity ladder), under which the r6
+    # cohort is due r11, not r10)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -313,6 +314,13 @@ HEAD_ORDER: list[str] = [
     # the exact FILTERED top-k ---
     "knn_ivf_filtered",
     "knn_ivf_filtered_recall",
+    # knn_mrl(_recall) = Matryoshka prefix-dim search; the recall pair
+    # vs knn_jl_recall measures prefix-vs-projection at equal budget ---
+    "knn_mrl",
+    "knn_mrl_recall",
+    # events_hopping_window = native F.window hopping rollup (map-side
+    # Expand x2, one keyed aggregate — never a self-join) ---
+    "events_hopping_window",
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -634,6 +642,12 @@ def queries() -> dict[str, QueryFn]:
         "knn_ivf_filtered_recall": lambda s, d: (
             kmeans.knn_ivf_filtered_recall(_emb(s, d))
         ),
+        # Matryoshka prefix-dim search (late r9): cosine over the first
+        # 16 coordinates — the MRL truncated-index shortcut; the recall
+        # pair vs knn_jl_recall measures prefix-vs-projection at the
+        # same 64 -> 16 budget ===
+        "knn_mrl": lambda s, d: similarity.knn_mrl(_emb(s, d)),
+        "knn_mrl_recall": lambda s, d: similarity.knn_mrl_recall(_emb(s, d)),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "knn_ivf_kmeans": lambda s, d: kmeans.knn_ivf_kmeans(_emb(s, d)),
         "embedding_neardup_fps": lambda s, d: dedup.embedding_neardup_refined(
@@ -755,6 +769,11 @@ def queries() -> dict[str, QueryFn]:
             cdc.parse_envelope(_cdc(s, d))
         ),
         "events_daily": lambda s, d: relational.events_daily(load_table(s, "events", d)),
+        # hopping-window rollup (late r9): native F.window, 1 h size /
+        # 30 min hop — each event in exactly 2 windows ===
+        "events_hopping_window": lambda s, d: relational.events_hopping_window(
+            load_table(s, "events", d)
+        ),
         "events_daily_gapfilled": lambda s, d: relational.events_daily_gapfilled(
             load_table(s, "events", d)
         ),
@@ -1003,6 +1022,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_sq8_recall": oracles.knn_sq8_recall_oracle(),
         "knn_ivf_filtered": oracles.knn_ivf_filtered_oracle(),
         "knn_ivf_filtered_recall": oracles.knn_ivf_filtered_recall_oracle(),
+        "knn_mrl": oracles.knn_mrl_oracle(),
+        "knn_mrl_recall": oracles.knn_mrl_recall_oracle(),
         "bloom_contamination": oracles.bloom_contamination_oracle(),
         "quality_classifier_score": oracles.quality_classifier_score_oracle(),
         "bigram_lift_top": oracles.bigram_lift_top_oracle(),
@@ -1109,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume": oracles.q5_local_supplier_volume_oracle(),
         "top_customers_per_segment": oracles.top_customers_per_segment_oracle(),
         "events_daily": oracles.events_daily_oracle(),
+        "events_hopping_window": oracles.events_hopping_window_oracle(),
         "events_props_extract": oracles.events_props_extract_oracle(),
         "events_props_map_explode": oracles.events_props_map_explode_oracle(),
         "order_priority_stats": oracles.order_priority_stats_oracle(),

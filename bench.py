@@ -196,6 +196,9 @@ HEADLINE = [
     "neardup_kcore",
     "knn_ivf_filtered",
     "knn_ivf_filtered_recall",
+    "knn_mrl",
+    "knn_mrl_recall",
+    "events_hopping_window",
 ]
 
 

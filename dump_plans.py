@@ -101,6 +101,8 @@ SHOWCASE = [
     ("knn_sq8", "SQ8 scalar-quantizer search: per-dim training stats collapse to ONE broadcast row; encoding map-side; one pass over the code table with query codes broadcast — zero sort-merge joins"),
     ("neardup_kcore", "k-core peeling: persisted symmetrized edges semi-joined against checkpointed survivors each round (stable vertex partitioning), one map-side-combined degree agg + a 1-row count fixpoint per round"),
     ("knn_ivf_filtered", "filtered IVF: the label predicate runs THROUGH the index — inside the broadcast probed-cells join, widened probing as the selectivity compensation; no post-filter pass, no extra scan"),
+    ("knn_mrl", "Matryoshka prefix-dim search: the truncation happens IN the scan projection (no second pass, no stored copy); knn_brute's one-scan shape on 1/4-width vectors"),
+    ("events_hopping_window", "hopping-window rollup: native F.window plans a map-side Expand (x overlap factor, no shuffle of its own), then ONE keyed aggregate with map-side combine — never a self-join"),
 ]
 
 

@@ -1681,3 +1681,40 @@ def partitioned_daily_revenue(spark, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_events", "sum_value")
     )
+
+
+def events_hopping_window(events: DataFrame) -> DataFrame:
+    """Hopping (sliding) window rollup — the overlapping-window
+    aggregation every streaming dashboard runs (1-hour windows, 30-min
+    hop: each event lands in EXACTLY size/slide = 2 windows), here as
+    the batch twin via the NATIVE ``F.window`` generator so Catalyst
+    plans the window expansion (the same operator Structured Streaming
+    uses with a watermark; epoch-aligned starts, UTC session).
+
+    Scale shape: window expansion is a map-side Expand (x2 rows, no
+    shuffle of its own), then ONE (window, event_type)-keyed aggregate
+    with map-side combine — a tumbling rollup's cost times the overlap
+    factor, never a self-join. Window starts leave as formatted
+    strings (the events_daily convention: no tz-aware/naive hash
+    ambiguity cross-engine)."""
+    from flink_kafka_filter_transform_spark.sources.parquet import ts_as_timestamp
+
+    w = F.window(ts_as_timestamp(events), "1 hour", "30 minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -382,3 +382,42 @@ def knn_sq8_recall(emb: DataFrame, k: int = params.KNN_K) -> DataFrame:
 
     approx = knn_sq8(emb, k=k)
     return _recall_vs_exact(emb, approx, k)
+
+
+def knn_mrl(emb: DataFrame, k: int = params.LSH_TOPK, dims: int = 16) -> DataFrame:
+    """Matryoshka prefix-dimension search (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): rank by cosine over the
+    FIRST ``dims`` coordinates only — the 2023+ production shortcut
+    for MRL-trained embedding models, whose training objective packs
+    coarse semantics into the prefix so a 4x-truncated index answers
+    most queries. Deliberately the same output dimensionality as
+    knn_jl (16): the recall pair knn_mrl_recall vs knn_jl_recall
+    measures the PREFIX-INFORMATIVENESS assumption itself — on an
+    embedding whose information is uniform across dims (this synthetic
+    corpus), truncation has no reason to beat a random projection,
+    and the twin quantifies exactly that; on an MRL-trained model the
+    prefix wins, which is the number that justifies shipping the
+    truncated index.
+
+    Scale shape: knn_brute's one-scan shape on 1/4-width vectors —
+    the truncation happens IN the scan projection (no second pass, no
+    stored copy), queries broadcast."""
+    trunc = F.slice(F.col("embedding").cast("array<double>"), 1, dims)
+    base = emb.select("vec_id", trunc.alias("tv"))
+    q = base.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("tv").alias("q_tv")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine_similarity("tv", "q_tv").alias("cos_sim"))
+    )
+    return _topk(scored, k)
+
+
+def knn_mrl_recall(emb: DataFrame, k: int = params.LSH_TOPK, dims: int = 16) -> DataFrame:
+    """Recall@k of prefix-truncated search against full-dim cosine
+    brute force — read NEXT TO knn_jl_recall (same 64 -> 16 budget):
+    prefix-vs-projection is the Matryoshka bet, and this pair is its
+    measurement."""
+    return _recall_vs_brute(knn_mrl(emb, k=k, dims=dims), emb, k)

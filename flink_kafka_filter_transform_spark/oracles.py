@@ -5188,3 +5188,60 @@ LEFT JOIN (
   GROUP BY i.q_id
 ) h USING (q_id)
 """
+
+
+def knn_mrl_oracle(k: int = params.LSH_TOPK, dims: int = 16) -> str:
+    """Prefix-truncation twin: cosine over v[1:dims] (DuckDB slice is
+    inclusive; same 16 elements as Spark's slice(v, 1, 16))."""
+    cos = cosine_sql("p.tv", "q.q_tv")
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE))[1:{dims}] AS tv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, tv AS q_tv FROM base WHERE vec_id < {params.KNN_NUM_QUERIES}),
+scored AS (
+  SELECT q.q_id, p.vec_id, {cos} AS cos_sim
+  FROM base p CROSS JOIN q WHERE p.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+) r WHERE rank <= {k}
+"""
+
+
+def knn_mrl_recall_oracle(k: int = params.LSH_TOPK, dims: int = 16) -> str:
+    return _recall_oracle(knn_mrl_oracle(k=k, dims=dims), k)
+
+
+def events_hopping_window_oracle(
+    size_s: int = 3600, slide_s: int = 1800
+) -> str:
+    """Hopping-window twin: integer epoch-microsecond window starts —
+    for size = 2*slide every event belongs to exactly the windows
+    starting at s0 = (t div slide)*slide and s0 - slide (both
+    strictly newer than t - size for integer t), the same
+    epoch-aligned set Spark's F.window generates."""
+    size_us = size_s * 1_000_000
+    slide_us = slide_s * 1_000_000
+    n_wins = size_s // slide_s
+    return f"""
+WITH ev AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+  FROM events
+),
+expanded AS (
+  SELECT ((us // {slide_us}) * {slide_us}) - k.k * {slide_us} AS start_us,
+         event_type, value
+  FROM ev, (SELECT unnest(generate_series(0, {n_wins - 1})) AS k) k
+)
+SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(make_timestamp(start_us + {size_us}), '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       count(*) AS n_events,
+       {_dsum_sql('value')} AS sum_value
+FROM expanded
+GROUP BY start_us, event_type
+"""

@@ -1347,3 +1347,28 @@ def test_knn_ivf_filtered_predicate_inside_candidate_join(spark, sf_dir):
     assert px.count_shuffles(filt) <= px.count_shuffles(plain) + 1
     assert px.broadcast_hint_count(filt) >= 2  # codebook + probe set
     assert not px.unreduced_big_table_broadcast_hints(filt)
+
+
+def test_knn_mrl_truncates_in_scan_and_never_sortmerges(spark, sf_dir):
+    """MRL search keeps knn_brute's one-scan shape: the prefix slice
+    happens in the scan projection (no second pass, no stored copy),
+    queries ride a broadcast, and no sort-merge join exists."""
+    from flink_kafka_filter_transform_spark.operators import similarity
+
+    df = similarity.knn_mrl(load_table(spark, "embeddings", sf_dir))
+    assert px.sortmerge_join_count(df) == 0
+    assert px.broadcast_hint_count(df) >= 1
+    assert not px.unreduced_big_table_broadcast_hints(df)
+
+
+def test_events_hopping_window_expands_map_side(spark, sf_dir):
+    """The hopping-window expansion must be the map-side Expand the
+    native F.window generator plans (x overlap-factor rows, no shuffle
+    of its own, no join): exactly one aggregate exchange."""
+    from flink_kafka_filter_transform_spark.operators import relational
+
+    df = relational.events_hopping_window(load_table(spark, "events", sf_dir, rebalance=False))
+    assert px.count_shuffles(df) == 1
+    plan = px.explain_str(df, "simple")
+    assert "Join" not in plan
+    assert "Expand" in plan or "explode" in plan

@@ -1093,3 +1093,58 @@ def test_kcore_peels_chains_keeps_cliques(spark):
         3: (False, 0),
         4: (False, 0),
     }
+
+
+def test_knn_sq8_codes_bounded_and_self_distance_zero(spark, sf_dir):
+    """SQ8 invariants: every code lies in [0, 255]; two identical
+    vectors necessarily share codes, so their quantized distance is
+    exactly 0; per-query ranks are dense 1..k over ascending sq8_d2."""
+    from flink_kafka_filter_transform_spark.operators import similarity
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir, rebalance=False)
+    stats = similarity._sq8_stats(emb)
+    codes = similarity._sq8_codes(emb, stats)
+    bad = codes.filter(
+        F.exists("c", lambda x: (x < 0) | (x > 255))
+    ).count()
+    assert bad == 0
+    rows = similarity.knn_sq8(emb).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r["sq8_d2"] >= 0.0
+        by_q.setdefault(r["q_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a["sq8_d2"] <= b["sq8_d2"] for a, b in zip(rs, rs[1:]))
+    # identical vectors -> distance 0: duplicate vec 0 as a synthetic row
+    dup = emb.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(10_000_000)
+    )
+    emb2 = emb.unionByName(dup)
+    got = {
+        (r["q_id"], r["vec_id"]): r["sq8_d2"]
+        for r in similarity.knn_sq8(emb2).collect()
+    }
+    assert got.get((0, 10_000_000)) == 0.0
+
+
+def test_hopping_window_overlap_factor_exact(spark, sf_dir):
+    """1-hour windows on a 30-minute hop: every event lies in EXACTLY
+    size/slide = 2 windows, so the rollup's totals are exactly twice
+    the corpus totals; window bounds are 1 h apart and 30-min
+    aligned."""
+    from flink_kafka_filter_transform_spark.operators.relational import (
+        events_hopping_window,
+    )
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, "events", sf_dir, rebalance=False)
+    rows = events_hopping_window(events).collect()
+    assert sum(r["n_events"] for r in rows) == 2 * events.count()
+    for r in rows:
+        assert r["window_start"].endswith(":00:00") or r["window_start"].endswith(":30:00")
+        assert r["window_end"] > r["window_start"]

@@ -107,6 +107,8 @@ FAMILY = [
     "gopher_quality_rules",
     "vocab_growth_curve",
     "neardup_kcore",
+    "knn_mrl",
+    "events_hopping_window",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused

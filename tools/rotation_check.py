@@ -48,7 +48,14 @@ HEAD_SLOTS = 50
 # after seating debuts/re-gates/obligations, fill spare slots with
 # the earliest-due tail cohort (lowest last-green round first) so due
 # dates never re-bunch toward a 50-slot round.
-MAX_VERDICT_AGE = 3
+# ENACTED late r9: the knn_mrl(_recall) / events_hopping_window
+# debuts took registration past 180, triggering rung 2 of the ladder
+# below (written in r9 BEFORE the wall bound, per VERDICT r8 item 5).
+# The second-check justification holds unchanged: every registered
+# query is differentially verified against its DuckDB oracle on every
+# pytest run, so the driver record the judge audits is a SECOND gate,
+# now at most 4 rounds old.
+MAX_VERDICT_AGE = 4
 
 # REGISTRATION-CAPACITY POLICY (adopted r9; VERDICT r8 item 5 asked
 # for the decision in writing before the wall binds). The arithmetic:
