@@ -247,6 +247,8 @@ LOOP_QUERIES = {
     "knn_ivf_pq_recall",
     "knn_ivf_pq_rerank",       # r9: wraps the same coarse+PQ trainers
     "knn_ivf_pq_rerank_recall",
+    "knn_ivf_pq_residual",     # r9: same trainer class (per-cell LUT Lloyd chains)
+    "knn_ivf_pq_residual_recall",
     "knn_ivf_filtered",        # r9: same coarse Lloyd trainer
     "knn_ivf_filtered_recall",
     "bpe_merges",

@@ -409,7 +409,6 @@ def kcore(
     )
     surv = vertices.select("id").localCheckpoint(eager=True)
     prev_n = surv.count()
-    deg = None
     for _ in range(max_iter):
         alive = (
             sym.join(surv, sym["src"] == surv["id"], "left_semi")
