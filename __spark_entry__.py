@@ -187,7 +187,6 @@ HEAD_ORDER: list[str] = [
     # order_priority_stats, window_function_showcase,
     # q4_order_priority_semi — all cheap map/tiny-join shapes) plus
     # that round's debuts/re-gates ---
-    "bloom_contamination",
     "bigram_lift_top",
     "source_quality_matrix",
     "knn_ivf_pq",
@@ -219,7 +218,9 @@ HEAD_ORDER: list[str] = [
     # knn_mrl(_recall) and events_hopping_window debuts — all stay in
     # the tail and the registry's crossing of 180 enacts the A=4 rung
     # (tools/rotation_check.py capacity ladder), under which the r6
-    # cohort is due r11, not r10)
+    # cohort is due r11, not r10; bloom_contamination was the 7th,
+    # displaced by the events_retention_cohorts debut — same r11 due
+    # date)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -321,6 +322,9 @@ HEAD_ORDER: list[str] = [
     # events_hopping_window = native F.window hopping rollup (map-side
     # Expand x2, one keyed aggregate — never a self-join) ---
     "events_hopping_window",
+    # events_retention_cohorts = the retention triangle: min-day
+    # cohorts, partition-reusing join, <= |days| x (max_k+1) rows ---
+    "events_retention_cohorts",
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -774,6 +778,11 @@ def queries() -> dict[str, QueryFn]:
         "events_hopping_window": lambda s, d: relational.events_hopping_window(
             load_table(s, "events", d)
         ),
+        # cohort retention triangle (late r9): first-seen-day cohorts,
+        # per-(cohort, k) distinct active users ===
+        "events_retention_cohorts": lambda s, d: (
+            relational.events_retention_cohorts(load_table(s, "events", d))
+        ),
         "events_daily_gapfilled": lambda s, d: relational.events_daily_gapfilled(
             load_table(s, "events", d)
         ),
@@ -1131,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_per_segment": oracles.top_customers_per_segment_oracle(),
         "events_daily": oracles.events_daily_oracle(),
         "events_hopping_window": oracles.events_hopping_window_oracle(),
+        "events_retention_cohorts": oracles.events_retention_cohorts_oracle(),
         "events_props_extract": oracles.events_props_extract_oracle(),
         "events_props_map_explode": oracles.events_props_map_explode_oracle(),
         "order_priority_stats": oracles.order_priority_stats_oracle(),

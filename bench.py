@@ -199,6 +199,7 @@ HEADLINE = [
     "knn_mrl",
     "knn_mrl_recall",
     "events_hopping_window",
+    "events_retention_cohorts",
 ]
 
 

@@ -1718,3 +1718,37 @@ def events_hopping_window(events: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def events_retention_cohorts(events: DataFrame, max_k: int = 14) -> DataFrame:
+    """Cohort retention — the classic product-analytics rollup this
+    surface didn't yet cover (funnels, sessions, and paths are here;
+    retention triangles are their standard companion): users are
+    cohorted by their FIRST-seen day, and cell (cohort_day, k) counts
+    the cohort members active again k days later (k = 0 is cohort
+    size; k <= ``max_k`` bounds the triangle's width).
+
+    Scale shape: one user-keyed min aggregate (map-side combined)
+    builds the first-seen relation; it joins back user-keyed — the
+    SAME partitioning the aggregate just produced, so at scale the
+    join reuses the shuffle rather than adding one; the per-cell
+    distinct-user count shuffles fixed-width (cohort_day, k, user_id)
+    triples and the output is <= |days| x (max_k + 1) rows. Nothing
+    broadcasts by hint: the first-seen relation is user-cardinality
+    (corpus-scale), exactly the thing the broadcast rule forbids."""
+    from flink_kafka_filter_transform_spark.sources.parquet import ts_as_micros
+
+    day = (ts_as_micros(events) / F.lit(86_400_000_000)).cast("bigint")
+    ev = events.select("user_id", day.alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("k"),
+        )
+        .filter(F.col("k") <= max_k)
+        .groupBy("cohort_day", "k")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

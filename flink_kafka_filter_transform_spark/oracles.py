@@ -5245,3 +5245,21 @@ SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM expanded
 GROUP BY start_us, event_type
 """
+
+
+def events_retention_cohorts_oracle(max_k: int = 14) -> str:
+    """Retention-triangle twin: integer epoch-day buckets, min-day
+    cohorts, per-(cohort, k) distinct users."""
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT f.cohort_day, e.day - f.cohort_day AS k,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM ev e JOIN first f USING (user_id)
+WHERE e.day - f.cohort_day <= {max_k}
+GROUP BY f.cohort_day, k
+"""

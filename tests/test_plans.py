@@ -1372,3 +1372,19 @@ def test_events_hopping_window_expands_map_side(spark, sf_dir):
     plan = px.explain_str(df, "simple")
     assert "Join" not in plan
     assert "Expand" in plan or "explode" in plan
+
+
+def test_retention_cohorts_join_reuses_user_partitioning(spark, sf_dir):
+    """The first-seen relation joins back on the SAME user_id key its
+    aggregate just shuffled by — no broadcast hint (the relation is
+    user-cardinality, corpus-scale), no extra scan beyond the two
+    branches, bounded output."""
+    from flink_kafka_filter_transform_spark.operators import relational
+
+    df = relational.events_retention_cohorts(
+        load_table(spark, "events", sf_dir, rebalance=False)
+    )
+    assert px.broadcast_hint_count(df) == 0
+    assert not px.unreduced_big_table_broadcast_hints(df)
+    plan = px.explain_str(df, "simple")
+    assert plan.count("FileScan") <= 2

@@ -1148,3 +1148,21 @@ def test_hopping_window_overlap_factor_exact(spark, sf_dir):
     for r in rows:
         assert r["window_start"].endswith(":00:00") or r["window_start"].endswith(":30:00")
         assert r["window_end"] > r["window_start"]
+
+
+def test_retention_cohorts_triangle_invariants(spark, sf_dir):
+    """Retention can only shrink or hold: no cell exceeds its cohort's
+    k=0 size; k=0 cell counts equal the number of users first seen
+    that day; k is never negative."""
+    from flink_kafka_filter_transform_spark.operators.relational import (
+        events_retention_cohorts,
+    )
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    events = load_table(spark, "events", sf_dir, rebalance=False)
+    rows = events_retention_cohorts(events).collect()
+    size = {r["cohort_day"]: r["n_active"] for r in rows if r["k"] == 0}
+    for r in rows:
+        assert r["k"] >= 0
+        assert r["cohort_day"] in size  # every cohort has its k=0 row
+        assert r["n_active"] <= size[r["cohort_day"]]
