@@ -187,8 +187,6 @@ HEAD_ORDER: list[str] = [
     # order_priority_stats, window_function_showcase,
     # q4_order_priority_semi — all cheap map/tiny-join shapes) plus
     # that round's debuts/re-gates ---
-    "bigram_lift_top",
-    "source_quality_matrix",
     "knn_ivf_pq",
     "knn_ivf_pq_recall",
     "minhash_lsh_pairs",
@@ -220,7 +218,9 @@ HEAD_ORDER: list[str] = [
     # (tools/rotation_check.py capacity ladder), under which the r6
     # cohort is due r11, not r10; bloom_contamination was the 7th,
     # displaced by the events_retention_cohorts debut — same r11 due
-    # date)
+    # date; bigram_lift_top and source_quality_matrix were the 5th-6th,
+    # displaced by the doc_hash_embedding / doc_text_knn debuts, same
+    # r11 due date)
     # --- NEW in r9 (debut in the head per the rotation policy):
     # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
     # paired via the factored simhash chunk blocking — the multimodal
@@ -325,6 +325,11 @@ HEAD_ORDER: list[str] = [
     # events_retention_cohorts = the retention triangle: min-day
     # cohorts, partition-reusing join, <= |days| x (max_k+1) rows ---
     "events_retention_cohorts",
+    # doc_hash_embedding / doc_text_knn = the text -> similarity
+    # bridge: hashing-trick doc vectors (sparse long format, integer)
+    # and corpus cosine top-k, exact to the one final division ---
+    "doc_hash_embedding",
+    "doc_text_knn",
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -953,6 +958,13 @@ def queries() -> dict[str, QueryFn]:
         # LM filter (unigram_surprisal's sibling), same integer-bit
         # discipline; debuts in the r9 head ===
         "bigram_surprisal": lambda s, d: text.bigram_surprisal(_docs(s, d)),
+        # hashing-trick doc vectors + text-corpus cosine search (late
+        # r9): the text -> similarity bridge, integer-exact to the one
+        # final division ===
+        "doc_hash_embedding": lambda s, d: text.doc_hash_embedding(
+            _docs(s, d)
+        ),
+        "doc_text_knn": lambda s, d: text.doc_text_knn(_docs(s, d)),
         # the Gopher ruleset (Rae et al. 2021): independent per-rule
         # hit counts, every boundary an integer comparison; the named-
         # published-ruleset complement to quality_filter_funnel ===
@@ -1188,6 +1200,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": oracles.unigram_surprisal_oracle(),
         "image_phash_pairs": oracles.image_phash_pairs_oracle(),
         "bigram_surprisal": oracles.bigram_surprisal_oracle(),
+        "doc_hash_embedding": oracles.doc_hash_embedding_oracle(),
+        "doc_text_knn": oracles.doc_text_knn_oracle(),
         "gopher_quality_rules": oracles.gopher_quality_rules_oracle(),
         "vocab_growth_curve": oracles.vocab_growth_curve_oracle(),
         "audio_fingerprint_pairs": oracles.audio_fingerprint_pairs_oracle(),

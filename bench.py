@@ -200,6 +200,8 @@ HEADLINE = [
     "knn_mrl_recall",
     "events_hopping_window",
     "events_retention_cohorts",
+    "doc_hash_embedding",
+    "doc_text_knn",
 ]
 
 

@@ -104,6 +104,7 @@ SHOWCASE = [
     ("knn_mrl", "Matryoshka prefix-dim search: the truncation happens IN the scan projection (no second pass, no stored copy); knn_brute's one-scan shape on 1/4-width vectors"),
     ("events_hopping_window", "hopping-window rollup: native F.window plans a map-side Expand (x overlap factor, no shuffle of its own), then ONE keyed aggregate with map-side combine — never a self-join"),
     ("events_retention_cohorts", "retention triangle: user-keyed min agg, join-back reuses the same user partitioning, distinct rollup to <= |days| x (max_k+1) rows; zero broadcasts (first-seen is corpus-scale)"),
+    ("doc_text_knn", "text-corpus cosine search: sparse idx equi-join IS the candidate generator (no cross join); query rows + norms broadcast; integer dot/norms, one double division per pair"),
 ]
 
 

@@ -1411,3 +1411,94 @@ def vocab_growth_curve(docs: DataFrame, n_buckets: int = 20) -> DataFrame:
         .withColumn("cum_tokens", F.sum("bucket_tokens").over(w))
         .withColumn("cum_types", F.sum("new_types").over(w))
     )
+
+
+def doc_hash_embedding(docs: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature-hashed document vectors (the hashing trick, Weinberger
+    et al. 2009): every token lands in bucket h mod dim with sign +1/-1
+    taken from the hash's NEXT bit, summed per document — a
+    deterministic, model-free doc embedding that bridges the text
+    stack to the similarity stack (all other ANN here runs on the
+    synthetic embeddings table; this one is computed FROM the corpus).
+    Emitted SPARSE in long format (doc_id, idx, value) — integer
+    values, no array-typed output (the driver-contract hashability
+    rule embedding_quantize documents). Signed buckets keep the
+    estimator unbiased under collisions (the paper's point), and
+    INTEGER values keep every downstream dot product exact.
+
+    Scale shape: one explode + one (doc_id, idx)-keyed integer sum,
+    map-side combined; <= dim non-zero rows per document out. ``dim``
+    must be a power of two so bucket and sign are bit fields of ONE
+    hash (h mod dim / bit log2(dim)) — no second hash pass."""
+    assert dim & (dim - 1) == 0, "dim must be a power of two"
+    shift = dim.bit_length() - 1
+    h = portable_hash64("tok")
+    e = docs.select("doc_id", F.explode(tokens()).alias("tok")).select(
+        "doc_id",
+        F.pmod(h, F.lit(dim)).cast("int").alias("idx"),
+        F.when(
+            F.shiftright(h, shift).bitwiseAND(F.lit(1)) == 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    return (
+        e.groupBy("doc_id", "idx")
+        .agg(F.sum("sign").cast("bigint").alias("value"))
+        .filter(F.col("value") != 0)
+    )
+
+
+def doc_text_knn(docs: DataFrame, k: int = 5, dim: int = 64) -> DataFrame:
+    """Similarity search over the TEXT corpus itself: cosine top-k
+    between documents using the feature-hashed vectors — "find me
+    documents like this one" without an embedding model. Query set =
+    doc_id < KNN_NUM_QUERIES (the vec_id convention).
+
+    Everything before the FINAL division is INTEGER-EXACT: the dot
+    product joins the two sparse relations on idx and sums integer
+    products; squared norms are integer sums; cosine becomes
+    dot / sqrt(CAST(na2 * nb2 AS DOUBLE)) — one double op per pair,
+    so no fold-order contract is even needed.
+
+    Scale shape: the corpus-side sparse relation shuffles once (the
+    embedding aggregate); the 5 query docs' sparse rows broadcast onto
+    an idx equi-join (never an all-pairs cross join — the sparse idx
+    join IS the candidate generator); norms ride the same aggregate
+    shape; per-query top-k windows over scored pairs only."""
+    from flink_kafka_filter_transform_spark.operators import params
+
+    emb = doc_hash_embedding(docs, dim=dim)
+    norms = emb.groupBy("doc_id").agg(
+        F.sum(F.col("value") * F.col("value")).cast("bigint").alias("n2")
+    )
+    q = emb.filter(F.col("doc_id") < params.KNN_NUM_QUERIES).select(
+        F.col("doc_id").alias("q_id"), "idx", F.col("value").alias("q_value")
+    )
+    dots = (
+        emb.join(F.broadcast(q), "idx")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("value") * F.col("q_value")).cast("bigint").alias("dot"))
+    )
+    qn = norms.select(F.col("doc_id").alias("q_id"), F.col("n2").alias("q_n2"))
+    scored = (
+        dots.join(norms, "doc_id")
+        .join(F.broadcast(qn), "q_id")
+        .select(
+            "q_id",
+            "doc_id",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("n2") * F.col("q_n2")).cast("double"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "doc_id", "rank", "cos_sim")
+    )

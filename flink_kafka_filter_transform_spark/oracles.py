@@ -5263,3 +5263,48 @@ FROM ev e JOIN first f USING (user_id)
 WHERE e.day - f.cohort_day <= {max_k}
 GROUP BY f.cohort_day, k
 """
+
+
+def _doc_hash_emb_cte(dim: int = 64) -> str:
+    gh = portable_hash64_sql("tok")
+    return f"""{_TOKS_CTE},
+hv AS (SELECT doc_id, {gh} AS h FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+emb AS (
+  SELECT doc_id, CAST(h % {dim} AS INT) AS idx,
+         CAST(sum(CASE WHEN ((h // {dim}) & 1) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS value
+  FROM hv GROUP BY doc_id, idx
+  HAVING sum(CASE WHEN ((h // {dim}) & 1) = 0 THEN 1 ELSE -1 END) <> 0
+)"""
+
+
+def doc_hash_embedding_oracle(dim: int = 64) -> str:
+    """Hashing-trick twin: bucket = h mod dim, sign = bit log2(dim) of
+    the SAME portable hash, integer sums, zeros dropped."""
+    return f"WITH {_doc_hash_emb_cte(dim)}\nSELECT doc_id, idx, value FROM emb"
+
+
+def doc_text_knn_oracle(k: int = 5, dim: int = 64) -> str:
+    """Text-corpus cosine top-k twin over the hashed vectors: integer
+    sparse dot + integer norms, ONE double division per pair."""
+    nq = params.KNN_NUM_QUERIES
+    return f"""
+WITH {_doc_hash_emb_cte(dim)},
+norms AS (SELECT doc_id, CAST(sum(value * value) AS BIGINT) AS n2 FROM emb GROUP BY doc_id),
+q AS (SELECT doc_id AS q_id, idx, value AS q_value FROM emb WHERE doc_id < {nq}),
+dots AS (
+  SELECT q.q_id, e.doc_id, CAST(sum(e.value * q.q_value) AS BIGINT) AS dot
+  FROM emb e JOIN q ON e.idx = q.idx AND e.doc_id <> q.q_id
+  GROUP BY q.q_id, e.doc_id
+),
+scored AS (
+  SELECT d.q_id, d.doc_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.n2 * qn.n2 AS DOUBLE)) AS cos_sim
+  FROM dots d
+  JOIN norms n ON n.doc_id = d.doc_id
+  JOIN norms qn ON qn.doc_id = d.q_id
+)
+SELECT q_id, doc_id, rank, cos_sim FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) r WHERE rank <= {k}
+"""

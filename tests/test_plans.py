@@ -1388,3 +1388,17 @@ def test_retention_cohorts_join_reuses_user_partitioning(spark, sf_dir):
     assert not px.unreduced_big_table_broadcast_hints(df)
     plan = px.explain_str(df, "simple")
     assert plan.count("FileScan") <= 2
+
+
+def test_doc_text_knn_sparse_join_never_cross_joins(spark, sf_dir):
+    """The sparse idx equi-join IS the candidate generator: no
+    cartesian/nested-loop over the corpus, the 5 query docs' sparse
+    rows and norms ride broadcasts, the corpus-side embedding
+    aggregate is the only wide shuffle family."""
+    from flink_kafka_filter_transform_spark.operators import text
+
+    df = text.doc_text_knn(load_table(spark, "documents", sf_dir, rebalance=False))
+    plan = px.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert px.broadcast_hint_count(df) >= 2  # query rows + query norms
+    assert not px.unreduced_big_table_broadcast_hints(df)

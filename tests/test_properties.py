@@ -1166,3 +1166,21 @@ def test_retention_cohorts_triangle_invariants(spark, sf_dir):
         assert r["k"] >= 0
         assert r["cohort_day"] in size  # every cohort has its k=0 row
         assert r["n_active"] <= size[r["cohort_day"]]
+
+
+def test_doc_text_knn_identical_docs_rank_first(spark):
+    """Two identical documents must find each other at cos_sim 1.0
+    rank 1 (integer dot == integer norm product), and a disjoint-vocab
+    document shares no hash bucket signs systematically — its cos_sim
+    against the pair stays below 1."""
+    from flink_kafka_filter_transform_spark.operators.text import doc_text_knn
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, a), (5, a), (6, "totally different words entirely here now")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = doc_text_knn(docs, k=2).collect()
+    got = {(r["q_id"], r["doc_id"]): r for r in rows}
+    assert got[(0, 5)]["rank"] == 1
+    assert got[(0, 5)]["cos_sim"] == 1.0
