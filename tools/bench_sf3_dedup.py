@@ -109,6 +109,8 @@ FAMILY = [
     "neardup_kcore",
     "knn_mrl",
     "events_hopping_window",
+    "events_retention_cohorts",
+    "doc_text_knn",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused
