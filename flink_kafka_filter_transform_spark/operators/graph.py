@@ -401,7 +401,16 @@ def kcore(
     vertex id, the same partitioning every round) followed by one
     map-side-combined count aggregate; the convergence check is a
     1-row count. Nothing broadcasts (the edge relation is
-    corpus-pair-sized; survivor sets start vertex-sized)."""
+    corpus-pair-sized; survivor sets start vertex-sized).
+
+    Oracle-coverage note (r9 ADVICE): the registered neardup_kcore
+    oracle derives its vertex universe from EDGE ENDPOINTS, which is
+    exhaustive for that query (its vertices ARE the pair-list
+    endpoints). This generic operator reports every row of the
+    caller-supplied ``vertices`` relation — isolated vertices included
+    as (in_kcore=false, core_degree=0). A future registration against
+    a vertex table with isolated vertices must extend its oracle with
+    the vertex relation as a CTE, or the row sets will diverge."""
     sym = (
         edges.select("src", "dst")
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

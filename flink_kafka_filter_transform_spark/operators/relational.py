@@ -1738,8 +1738,13 @@ def events_retention_cohorts(events: DataFrame, max_k: int = 14) -> DataFrame:
     (corpus-scale), exactly the thing the broadcast rule forbids."""
     from flink_kafka_filter_transform_spark.sources.parquet import ts_as_micros
 
-    day = (ts_as_micros(events) / F.lit(86_400_000_000)).cast("bigint")
-    ev = events.select("user_id", day.alias("day"))
+    # Integer DIV, not double `/` + cast (r9 ADVICE): micros above 2^53
+    # (or a day-boundary rounding edge) could bucket differently than
+    # the oracle's exact `//` — the repo's cross-engine discipline is
+    # transcendental- and float-free wherever the oracle is.
+    ev = events.select(
+        "user_id", ts_as_micros(events).alias("_us")
+    ).select("user_id", F.expr("_us DIV 86400000000").alias("day"))
     first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         ev.join(first, "user_id")

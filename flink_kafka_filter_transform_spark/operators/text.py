@@ -1298,7 +1298,14 @@ def gopher_quality_rules(docs: DataFrame) -> DataFrame:
     integer comparison — no float threshold can flip cross-engine):
       1 word_count        n < 50 OR n > 100000
       2 mean_word_length  outside [3, 10]: sum_len < 3n OR sum_len > 10n
-      3 symbol_ratio      10 * (count('#') + count('...')) > n
+      3 symbol_ratio      EITHER symbol alone exceeds ratio 0.1 of
+                          words (Rae et al. test '#' and '...'
+                          separately): 10 * n_hash > n OR
+                          10 * n_ellipsis > n; the ellipsis side is
+                          kept integer-exact as 10 * 3*n_ell_chars >
+                          3 * n (r9 ADVICE: the prior combined-sum
+                          form flagged docs the paper's per-symbol
+                          rule passes)
       4 alpha_words       words containing an alphabetic char < 80%:
                           5 * n_alpha < 4 * n
       5 stopwords         fewer than 2 DISTINCT stop words present
@@ -1317,9 +1324,12 @@ def gopher_quality_rules(docs: DataFrame) -> DataFrame:
     n = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
-    n_ell = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
-    ) / F.lit(3)
+    # chars removed by deleting every '...' = 3 * n_ellipsis; compare
+    # 10 * (3*n_ell) > 3 * n so the ellipsis ratio never touches a
+    # division (integer-exact on both engines)
+    n_ell3 = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("..."))
+    )
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     stop_arr = F.array(*[F.lit(s) for s in params.STOPWORDS])
     n_stop_distinct = F.size(
@@ -1328,7 +1338,7 @@ def gopher_quality_rules(docs: DataFrame) -> DataFrame:
 
     f1 = (n < 50) | (n > 100000)
     f2 = (sum_len < 3 * n) | (sum_len > 10 * n)
-    f3 = F.lit(10) * (n_hash + n_ell.cast("int")) > n
+    f3 = (F.lit(10) * n_hash > n) | (F.lit(10) * n_ell3 > F.lit(3) * n)
     f4 = F.lit(5) * n_alpha < F.lit(4) * n
     f5 = n_stop_distinct < 2
     flagged = docs.select(

@@ -4114,6 +4114,80 @@ LEFT JOIN maxrun m USING (doc_id)
 """
 
 
+def substring_dedup_rewrite_oracle(k: int = 32) -> str:
+    """Duplicate-span removal (Lee et al. 2021's cleaned-corpus
+    output): cut positions = window occurs in a lower-doc_id doc,
+    covered char intervals merged by the sorted-position lag rule,
+    kept text = ordered string_agg of the complement segments — the
+    same gaps-and-islands chain as the Spark operator
+    (operators.dedup.substring_dedup_rewrite)."""
+    h = portable_hash64_sql(f"substr(text, CAST(pos AS INT), {k})")
+    return f"""
+WITH pg AS (
+  SELECT doc_id, pos, {h} AS gh
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - {k - 1})) AS pos
+    FROM documents
+    WHERE length(text) >= {k}
+  )
+),
+firstdoc AS (SELECT gh, min(doc_id) AS mn FROM pg GROUP BY gh),
+cut AS (
+  SELECT doc_id, pos FROM pg JOIN firstdoc USING (gh) WHERE doc_id > mn
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {k}
+              THEN 0 ELSE 1 END AS new_grp
+  FROM cut
+),
+grps AS (
+  SELECT doc_id, pos,
+         sum(new_grp) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, grp, min(pos) AS s, max(pos) + {k - 1} AS e
+  FROM grps GROUP BY doc_id, grp
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS rm
+  FROM spans GROUP BY doc_id
+),
+segs AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+         s - 1 AS ke, s AS ord
+  FROM spans
+  UNION ALL
+  SELECT mx.doc_id, mx.e + 1 AS ks, length(d.text) AS ke,
+         2147483647 AS ord
+  FROM (SELECT doc_id, max(e) AS e FROM spans GROUP BY doc_id) mx
+  JOIN documents d USING (doc_id)
+),
+rebuilt AS (
+  SELECT s.doc_id,
+         string_agg(substr(d.text, CAST(s.ks AS INT),
+                           CAST(greatest(s.ke - s.ks + 1, 0) AS INT)),
+                    '' ORDER BY s.ord) AS clean_text
+  FROM segs s JOIN documents d USING (doc_id)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+  CAST(length(d.text) AS BIGINT) AS orig_chars,
+  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans_removed,
+  CAST(coalesce(p.rm, 0) AS BIGINT) AS chars_removed,
+  coalesce(r.clean_text, d.text) AS clean_text,
+  CAST(length(coalesce(r.clean_text, d.text)) AS BIGINT) AS clean_chars
+FROM documents d
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def dedup_stream_state_oracle() -> str:
     """First-seen streaming ledger face: the final state equals exact
     corpus dedup — min-doc_id survivor and suppressed-copy count per
@@ -4836,8 +4910,8 @@ flags AS (
     (len(t) < 50 OR len(t) > 100000) AS f1,
     (list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, b) -> a + b) < 3 * len(t)
      OR list_reduce(list_prepend(0, list_transform(t, x -> length(x))), (a, b) -> a + b) > 10 * len(t)) AS f2,
-    (10 * ((length(text) - length(replace(text, '#', '')))
-           + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INT)) > len(t)) AS f3,
+    (10 * (length(text) - length(replace(text, '#', ''))) > len(t)
+     OR 10 * (length(text) - length(replace(text, '...', ''))) > 3 * len(t)) AS f3,
     (5 * len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) < 4 * len(t)) AS f4,
     (len(list_intersect(list_distinct(t), {stop})) < 2) AS f5
   FROM raw
@@ -5307,4 +5381,83 @@ SELECT q_id, doc_id, rank, cos_sim FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, doc_id ASC) AS INTEGER) AS rank
   FROM scored
 ) r WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization / host profile (r10) — operators.web
+# ---------------------------------------------------------------------------
+
+
+def _url_canon_cte() -> str:
+    """Shared canonicalization chain: the raw-URL derivation template
+    (operators.web.URL_EXPR, dialect-valid verbatim) plus the
+    IDENTICAL regex steps the Spark map stage applies."""
+    from flink_kafka_filter_transform_spark.operators.web import URL_EXPR
+
+    return f"""
+raw AS (
+  SELECT doc_id, source, {URL_EXPR} AS url FROM documents
+),
+parts AS (
+  SELECT doc_id, source, url,
+    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+    regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1) AS auth,
+    regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, source, url, host,
+    scheme || '://' || host ||
+    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443')
+         THEN '' ELSE ':' || port END ||
+    CASE WHEN pc = '' THEN '/' ELSE pc END ||
+    CASE WHEN qc = '' THEN '' ELSE '?' || qc END AS canonical_url
+  FROM (
+    SELECT doc_id, source, url, scheme,
+      regexp_replace(regexp_replace(lower(auth), ':[0-9]+$', ''),
+                     '^www\\.', '') AS host,
+      regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+      regexp_replace(path, '(/index\\.html|/)$', '') AS pc,
+      coalesce(array_to_string(
+        list_filter(str_split(query, '&'),
+          t -> t <> '' AND NOT regexp_matches(t, '^(utm_|fbclid=|gclid=)')),
+        '&'), '') AS qc
+    FROM parts
+  )
+)"""
+
+
+def url_canonical_dedup_oracle() -> str:
+    """Duplicate canonical-URL groups: identical regex chain, one
+    canonical_url-keyed rollup, group-size >= 2 filter
+    (operators.web.url_canonical_dedup)."""
+    return f"""
+WITH {_url_canon_cte()}
+SELECT canonical_url,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+  min(doc_id) AS first_doc_id
+FROM canon
+GROUP BY canonical_url
+HAVING count(*) >= 2
+"""
+
+
+def host_profile_oracle() -> str:
+    """Per-host crawl profile: one host-keyed rollup + arithmetic
+    projection (operators.web.host_profile)."""
+    return f"""
+WITH {_url_canon_cte()}
+SELECT host,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical_urls,
+  CAST(count(*) - count(DISTINCT canonical_url) AS BIGINT) AS n_dup_docs,
+  CAST(count(*) - count(DISTINCT canonical_url) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS dup_ratio,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM canon
+GROUP BY host
 """
