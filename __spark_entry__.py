@@ -31,6 +31,7 @@ from flink_kafka_filter_transform_spark.operators import (
     sketch,
     text,
     vectorprep,
+    web,
 )
 from flink_kafka_filter_transform_spark.sources.cdc_fixture import RULES, cdc_events_df, rules_df
 from flink_kafka_filter_transform_spark.sources.parquet import load_table
@@ -151,185 +152,97 @@ def entry(spark: SparkSession) -> DataFrame:
 # neardup_clusters, dedup_survivors, dedup_survivors_quality (the CC
 # consumers; their r6-green verdicts predate the loop change).
 HEAD_ORDER: list[str] = [
-    # === r9 head ===
-    # --- the 14 r5-cohort rotation obligations (tools/rotation_check
-    # flagged them at round open: verdict age hits the v2 limit) ---
-    "orders_top10",
-    "embedding_normalized_norms",
-    "embedding_quantize",
-    "jl_projection_distortion",
-    "knn_jl",
-    "knn_jl_recall",
-    "salted_event_counts",
-    "event_value_percentiles",
-    "revenue_rollup",
-    "pii_redact",
-    "repetition_ratios",
-    "q12_shipping_delay",
-    "q15_top_supplier",
-    "q21_waiting_orders",
-    # --- clause (b) re-gates: changed THIS round (r9). Values
-    # identical (CI parity green), plans changed:
-    # substring_dedup_stats replaced the gh shared-mark window with a
-    # map-side-combined groupBy(gh) aggregate + AQE-splittable join
-    # (the hot-key straggler fix, VERDICT r8 item 3);
-    # containment_pairs' prefix length moved from float floor-division
-    # to the BIGINT `div` operator (r8 ADVICE item 1) ---
-    "substring_dedup_stats",
-    "containment_pairs",
-    # --- SMOOTHING RULE fill (second exercise; rotation_check.py:48):
-    # the r6-verdict cohort is 43 strong and due at r10 in one wave —
-    # pull 32 forward now so r10 owes only the 11 left in the tail
-    # (scalar_function_showcase, weighted_avg_by_type,
-    # sentence_split_rows, q3_shipping_priority,
-    # q5_local_supplier_volume, top_customers_per_segment,
-    # events_props_extract, events_props_map_explode,
-    # order_priority_stats, window_function_showcase,
-    # q4_order_priority_semi — all cheap map/tiny-join shapes) plus
-    # that round's debuts/re-gates ---
-    "knn_ivf_pq",
-    "knn_ivf_pq_recall",
-    "minhash_lsh_pairs",
-    "knn_ivf_kmeans",
-    # (q1_pricing_summary, frame_sample, multimodal_features,
-    # mixture_sample_summary, and doc_chunks were the 28th-32nd
-    # smoothing pulls; displaced by the bigram_surprisal,
-    # audio_fingerprint_pairs, video_frame_match_pairs,
-    # video_scene_cuts, and phash_stream_state debuts; media_resize,
-    # training_mixture_report, bigram_top_pairs,
-    # events_group_reservoir, q13_customer_distribution,
-    # q18_large_volume_orders, q10_returned_items, and
-    # q9_product_nation_profit were the 20th-27th, displaced by the
-    # late-r9 gram_novelty_profile, audio_silence_segments,
-    # bloom_stream_state, source_overlap_matrix,
-    # bucketed_join_revenue, partitioned_daily_revenue,
-    # knn_ivf_pq_residual, and knn_ivf_pq_residual_recall debuts;
-    # knn_lsh_recall, knn_ivf_recall, knn_ivf_probe_sweep, and
-    # q7_volume_shipping were the 16th-19th, displaced by the
-    # knn_ivf_pq_rerank(_recall), gopher_quality_rules, and
-    # vocab_growth_curve debuts; knn_brute, knn_lsh, and
-    # embedding_neardup were the 13th-15th, displaced by the
-    # knn_sq8(_recall) and neardup_kcore debuts; kmeans_cluster_sizes
-    # and q6_forecast_revenue were the 11th-12th, displaced by the
-    # knn_ivf_filtered(_recall) debuts; embedding_neardup_fps,
-    # kmeans_clusters, and knn_ivf were the 8th-10th, displaced by the
-    # knn_mrl(_recall) and events_hopping_window debuts — all stay in
-    # the tail and the registry's crossing of 180 enacts the A=4 rung
-    # (tools/rotation_check.py capacity ladder), under which the r6
-    # cohort is due r11, not r10; bloom_contamination was the 7th,
-    # displaced by the events_retention_cohorts debut — same r11 due
-    # date; bigram_lift_top and source_quality_matrix were the 5th-6th,
-    # displaced by the doc_hash_embedding / doc_text_knn debuts, same
-    # r11 due date)
-    # --- NEW in r9 (debut in the head per the rotation policy):
-    # image_phash_pairs = 60-bit dHash over the REAL PPM decode path,
-    # paired via the factored simhash chunk blocking — the multimodal
-    # near-dup (VERDICT r8 item 6) ---
-    "image_phash_pairs",
-    # bigram_surprisal = stupid-backoff bigram LM quality score,
-    # integer-exact (VERDICT r8 item 7) ---
-    "bigram_surprisal",
-    # audio_fingerprint_pairs = energy-contour fingerprint near-dup
-    # over the real WAV decode (image_phash_pairs' audio sibling) ---
-    "audio_fingerprint_pairs",
-    # video_frame_match_pairs = per-frame dHash over a real multi-
-    # frame container demux, capped frame-hash equi-join, matched-
-    # frame threshold — completes the image/audio/video near-dup
-    # triad ---
-    "video_frame_match_pairs",
-    # video_scene_cuts = map-only scene segmentation over per-frame
-    # dHashes (cut = adjacent-frame Hamming > threshold) ---
-    "video_scene_cuts",
-    # phash_stream_state = the incremental image-fingerprint index
-    # face (the first streaming face over the multimodal stack) ---
-    "phash_stream_state",
-    # --- clause (b): simhash_pairs' blocking/verify moved into the
-    # shared dedup.hamming_chunk_pairs helper this round (pure code
-    # motion, values and plan identical; CI parity green) — re-gated
-    # per the changed-call-graph rule ---
-    "simhash_pairs",
-    # --- late-r9 debuts (seats freed by the media_resize /
-    # training_mixture_report displacement noted above): ---
-    # gram_novelty_profile = first-occurrence n-gram novelty (the
-    # "who was first" complement to crossdoc_ngram_overlap's "is it
-    # shared"; the incremental-crawl exhaustion readout) ---
-    "gram_novelty_profile",
-    # audio_silence_segments = VAD-style run-length segmentation over
-    # frame energies from the real RIFF/PCM16 decode (the speech-
-    # pipeline utterance cutter; audio analog of video_scene_cuts) ---
-    "audio_silence_segments",
-    # bloom_stream_state = OR-merge Bloom membership face — completes
-    # incremental upkeep for all three sketch families (HLL max / CMS
-    # sum / Bloom or); the O(1)-state pre-filter in front of
-    # dedup_stream_state's exact ledger ---
-    "bloom_stream_state",
-    # source_overlap_matrix = corpus-level source-pair n-gram
-    # containment (the mixture designer's mirror detector; source-
-    # granular complement to the per-doc overlap profiles) ---
-    "source_overlap_matrix",
-    # bucketed_join_revenue = storage-bucketed co-located fact-to-fact
-    # join (pay the shuffle at write time, every later join on the
-    # bucket key is exchange-free — the layout tier of the join-
-    # strategy ladder) ---
-    "bucketed_join_revenue",
-    # partitioned_daily_revenue = date-partitioned layout twin
-    # (partition pruning for scans — bucketing's sibling: 1 of 30
-    # day directories read, plan-gated PartitionFilters) ---
-    "partitioned_daily_revenue",
-    # knn_ivf_pq_residual(_recall) = residual-encoded IVF-PQ (the
-    # FAISS IVFPQ design: PQ quantizes x - centroid(cell(x)),
-    # per-probed-cell LUTs; knn_ivf_pq kept as the no-residual
-    # comparator) ---
-    "knn_ivf_pq_residual",
-    "knn_ivf_pq_residual_recall",
-    # knn_ivf_pq_rerank(_recall) = exact re-ranking of the ADC
-    # shortlist (the FAISS refine stage — coarse probe shrinks
-    # candidate COUNT, ADC shrinks candidate WIDTH, refine buys back
-    # ADC ordering error at |queries| x shortlist true-vector reads;
-    # the recall triple with knn_pq_recall / knn_ivf_pq_recall
-    # isolates quantization vs coarse vs shortlist-cut loss) ---
-    "knn_ivf_pq_rerank",
-    "knn_ivf_pq_rerank_recall",
-    # gopher_quality_rules = the published Gopher ruleset (Rae et al.
-    # 2021 §A1.1) as independent per-rule hit counts, every boundary
-    # integer-exact — the named-ruleset audit complement to
-    # quality_filter_funnel's cumulative composite ---
-    "gopher_quality_rules",
-    # vocab_growth_curve = Heaps-law token-type growth over doc_id
-    # buckets (new types + cumulative curves; the corpus-level
-    # data-exhaustion readout, gram_novelty_profile's rollup
-    # sibling) ---
-    "vocab_growth_curve",
-    # knn_sq8(_recall) = the FAISS SQ8 scalar-quantizer tier: per-dim
-    # corpus-trained [min,max], 1-byte codes, search on codes; recall
-    # twin reads against knn_pq_recall at matched code budget ---
-    "knn_sq8",
-    "knn_sq8_recall",
-    # neardup_kcore = k-core peeling of the near-dup graph (fourth
-    # member of the iterative template family) — the density audit
-    # that says where transitive-closure clustering is safe ---
-    "neardup_kcore",
-    # knn_ivf_filtered(_recall) = filtered ANN through the index:
-    # label predicate inside the probed-cell join, widened probing
-    # (filter_probe_mult) as the selectivity compensation; recall vs
-    # the exact FILTERED top-k ---
-    "knn_ivf_filtered",
-    "knn_ivf_filtered_recall",
-    # knn_mrl(_recall) = Matryoshka prefix-dim search; the recall pair
-    # vs knn_jl_recall measures prefix-vs-projection at equal budget ---
-    "knn_mrl",
-    "knn_mrl_recall",
-    # events_hopping_window = native F.window hopping rollup (map-side
-    # Expand x2, one keyed aggregate — never a self-join) ---
-    "events_hopping_window",
-    # events_retention_cohorts = the retention triangle: min-day
-    # cohorts, partition-reusing join, <= |days| x (max_k+1) rows ---
+    # === r10 head ===
+    # --- the 39 r6-verdict rotation obligations (the largest cohort
+    # of the series; tools/rotation_check forecast them at r9 close —
+    # at A=4 their verdicts hit the age limit at r11, so they gate
+    # NOW; smoothing can't help a cohort this size, which is exactly
+    # why the registration-capacity ladder caps growth) ---
+    "bloom_contamination",
+    "bigram_lift_top",
+    "source_quality_matrix",
+    "embedding_neardup_fps",
+    "kmeans_clusters",
+    "kmeans_cluster_sizes",
+    "q6_forecast_revenue",
+    "knn_brute",
+    "knn_lsh",
+    "embedding_neardup",
+    "knn_ivf",
+    "knn_lsh_recall",
+    "knn_ivf_recall",
+    "knn_ivf_probe_sweep",
+    "q7_volume_shipping",
+    "q9_product_nation_profit",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "q13_customer_distribution",
+    "events_group_reservoir",
+    "bigram_top_pairs",
+    "training_mixture_report",
+    "media_resize",
+    "doc_chunks",
+    "mixture_sample_summary",
+    "scalar_function_showcase",
+    "weighted_avg_by_type",
+    "sentence_split_rows",
+    "multimodal_features",
+    "frame_sample",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers_per_segment",
+    "events_props_extract",
+    "events_props_map_explode",
+    "order_priority_stats",
+    "window_function_showcase",
+    "q4_order_priority_semi",
+    # --- NEW in r10 (debut in the head per the rotation policy): ---
+    # substring_dedup_rewrite = duplicate-span REMOVAL (Lee et al.
+    # 2021's cleaned-corpus output; the substring family's capstone —
+    # VERDICT r9 item 3) ---
+    "substring_dedup_rewrite",
+    # url_canonical_dedup + host_profile = URL/host canonicalization
+    # family (the crawl pipeline's first pass; the one LLM-data family
+    # with zero coverage — VERDICT r9 item 4; URL fixture derived
+    # in-query from doc_id, the cdc_fixture discipline) ---
+    "url_canonical_dedup",
+    "host_profile",
+    # afp_stream_state = audio-fingerprint index face; closes the
+    # multimodal streaming pair (VERDICT r9 item 6) ---
+    "afp_stream_state",
+    # --- clause (b) re-gates: changed THIS round (r10). Values
+    # identical or semantics deliberately corrected, plans/code
+    # changed:
+    # events_retention_cohorts: epoch day moved to integer DIV (r9
+    # ADVICE item 1);
+    # gopher_quality_rules: rule 3 split into per-symbol ratios (r9
+    # ADVICE item 2 — engine AND oracle changed in lockstep);
+    # substring_dedup_stats: skew_safe gained the AUTO hot-gram probe
+    # (VERDICT r9 item 5; default plan unchanged below the flip
+    # threshold, pinned by test_plans);
+    # phash_stream_state: its batch body moved into the shared
+    # _fingerprint_index_batch engine the new afp face reuses (pure
+    # code motion, pytest-pinned) ---
     "events_retention_cohorts",
-    # doc_hash_embedding / doc_text_knn = the text -> similarity
-    # bridge: hashing-trick doc vectors (sparse long format, integer)
-    # and corpus cosine top-k, exact to the one final division ---
-    "doc_hash_embedding",
-    "doc_text_knn",
+    "gopher_quality_rules",
+    "substring_dedup_stats",
+    "phash_stream_state",
+    # normalized_exact_dedup = CCNet normalize-then-hash dedup key
+    # (the reformatted-copy class exact_dedup misses); unfiltered
+    # group relation so the driver hash pins the whole normalization
+    # chain ---
+    "normalized_exact_dedup",
+    # url_blocklist_report = first-match URL blocklist over canonical
+    # urls (C4's URL-filter pass; the CDC router's ordered-rule
+    # semantics at crawl grain) ---
+    "url_blocklist_report",
+    # --- SMOOTHING RULE fill (rotation_check.py:48): the r7-verdict
+    # cohort (49 queries) is due r12 in one wave; one pull (the two
+    # late-r10 debuts above displaced the other two planned pulls —
+    # cdc_filter_deletes/cdc_route stay in the tail, due r12 with
+    # their cohort) ---
+    "cdc_parse",
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -1007,6 +920,36 @@ def queries() -> dict[str, QueryFn]:
         # pair log equals the one-shot image_phash_pairs, so it shares
         # that oracle; debuts in the r9 head ===
         "phash_stream_state": streaming_pipeline.phash_stream_state,
+        # === new in r10: the duplicate-span REMOVAL capstone (Lee et
+        # al. 2021's cleaned-corpus output over the substring family's
+        # shared-window relation), the URL/host canonicalization
+        # family (the crawl pipeline's first pass — VERDICT r9 item
+        # 4), and the audio fingerprint streaming face closing the
+        # multimodal streaming pair (item 6); all debut in the r10
+        # head ===
+        "substring_dedup_rewrite": lambda s, d: dedup.substring_dedup_rewrite(
+            _docs(s, d)
+        ),
+        "url_canonical_dedup": lambda s, d: web.url_canonical_dedup(_docs(s, d)),
+        "host_profile": lambda s, d: web.host_profile(_docs(s, d)),
+        # streaming face: documents drained through afp_index_sink —
+        # the incremental audio-fingerprint chunk index; the drained
+        # pair log equals the one-shot audio_fingerprint_pairs, so it
+        # shares that oracle ===
+        "afp_stream_state": streaming_pipeline.afp_stream_state,
+        # normalization-robust exact dedup (CCNet's normalize-then-
+        # hash key): unfiltered group relation so the driver hash
+        # verifies the whole normalization chain; debuts in the r10
+        # head ===
+        "normalized_exact_dedup": lambda s, d: dedup.normalized_exact_dedup(
+            _docs(s, d)
+        ),
+        # first-match URL blocklist over canonical urls (C4's URL
+        # filter pass; routing semantics, gopher-report shape);
+        # debuts in the r10 head ===
+        "url_blocklist_report": lambda s, d: web.url_blocklist_report(
+            _docs(s, d)
+        ),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -1212,4 +1155,13 @@ def oracle_sql() -> dict[str, str]:
         # emitted in its later member's batch), so the SAME oracle
         # gates both — like dedup_stream_state vs exact_dedup
         "phash_stream_state": oracles.image_phash_pairs_oracle(),
+        # === r10 ===
+        "substring_dedup_rewrite": oracles.substring_dedup_rewrite_oracle(),
+        "url_canonical_dedup": oracles.url_canonical_dedup_oracle(),
+        "host_profile": oracles.host_profile_oracle(),
+        # afp face: drained log equals audio_fingerprint_pairs (same
+        # pair-in-later-batch protocol as the phash face)
+        "afp_stream_state": oracles.audio_fingerprint_pairs_oracle(),
+        "normalized_exact_dedup": oracles.normalized_exact_dedup_oracle(),
+        "url_blocklist_report": oracles.url_blocklist_report_oracle(),
     }

@@ -202,6 +202,15 @@ HEADLINE = [
     "events_retention_cohorts",
     "doc_hash_embedding",
     "doc_text_knn",
+    # round 10 additions: duplicate-span removal capstone, URL/host
+    # canonicalization family, audio-fingerprint index face (faces
+    # section)
+    "substring_dedup_rewrite",
+    "url_canonical_dedup",
+    "host_profile",
+    "normalized_exact_dedup",
+    "url_blocklist_report",
+    "afp_stream_state",
 ]
 
 
@@ -269,6 +278,7 @@ LOOP_EXTRA_REPS = 2
 # (the r7 headline absorbed 9.2 s of lsh_stream_state debut and read
 # as a suite regression). BENCH_full.json carries both sections.
 FACE_QUERIES = {
+    "afp_stream_state",
     "phash_stream_state",
     "dedup_stream_state",
     "bloom_stream_state",
@@ -463,6 +473,12 @@ def main() -> None:
             break
         kept.pop(next(reversed(kept)))  # drop the fastest remaining
     assert len(final_line) < 1900
+    # r10 (VERDICT r9 item 7 / What's-wrong 4): name the tail-budget
+    # omissions explicitly in the committed sidecar so cross-round
+    # audits are mechanical — the stdout line carries only the count.
+    full["queries_omitted_names"] = sorted(set(timings) - set(kept))
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
     print(final_line)
     # end-of-run reclaim of the session-lived layout twins
     # (bucketed/partitioned external tables; their scratch is

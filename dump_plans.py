@@ -27,7 +27,7 @@ SHOWCASE = [
     ("tfidf_top_terms", "no pinned broadcast of the unbounded vocabulary; AQE decides by size"),
     ("minhash_lsh_pairs", "banded LSH: candidate join only within buckets, never all-pairs"),
     ("ngram_jaccard_pairs", "r8: banded-LSH candidates (shared with minhash_lsh_pairs) + lossless length-bound prune BEFORE the gram arrays join"),
-    ("substring_dedup_stats", "stride-1 window hashes: ONE corpus pass (single posexplode), shared mark = min/max gh window — the measured 2-6x winner over the 'skew-safe' agg+rejoin at every A/B point incl. the boilerplate corpus (BENCH_substring_boiler.json; skew_safe=True keeps the AQE-splittable variant); islands window over SHARED rows only, closed-form totals"),
+    ("substring_dedup_stats", "stride-1 window hashes: ONE corpus pass (single posexplode), shared mark = min/max gh window — the measured 2-6x winner over the 'skew-safe' agg+rejoin at every A/B point incl. the boilerplate corpus (BENCH_substring_boiler.json); r10: skew_safe=None AUTO-selects via the sampled hot-gram probe, flipping to the AQE-splittable variant past ~1e8 positions/gram; islands window over SHARED rows only, closed-form totals"),
     ("winnowing_overlap", "winnowing: one doc-keyed sort window for the w-min, fp-keyed agg; no broadcast"),
     ("containment_pairs", "prefix-filtered containment join: df agg + rank window + posting equi-join (8-byte hash keys), positional+size bounds BEFORE the pair exists, arrays ship only for survivors; no broadcast, no cartesian"),
     ("winnowing_pairs", "MOSS pair ranking: bucket-capped fp self-join, TakeOrderedAndProject top-N (no global sort, no ranking window)"),
@@ -78,16 +78,15 @@ SHOWCASE = [
     ("video_frame_match_pairs", "video near-dup: real container demux + per-frame dHash in one Arrow stage; capped frame-hash buckets, map-side pair expansion, matched-frame threshold — no join operator in the plan at all"),
     ("video_scene_cuts", "video scene segmentation: demux + decode + dHash + adjacent-frame Hamming + run fold in ONE map-only Arrow stage, zero exchanges (a video's frames arrive together in its blob)"),
     ("split_leakage_report", "eval-integrity audit: LSH-bounded pairs + persisted-edge CC + map-only split composed in one plan; report aggregates to 3 rows, leaked_pairs_final provably 0"),
-    # the streaming sink faces (hll/cms/ivf/scd2/lsh/phash/
-    # bloom_stream_state) are deliberately absent: their query fns
-    # DRAIN a real stream before returning the state reader, so a
-    # plan dump would show only the trivial final state scan — the
-    # sink plans are asserted in tests/test_streaming.py instead. dedup_stream_state (the r8
-    # face) gets the one exception below so PLANS.md carries a section
-    # per VERDICT r8 item 4: the dumped plan is the post-drain ledger
-    # read (max-revision pick over _batch_id partitions); the
-    # maintenance plan itself is the applyInPandasWithState sink gated
-    # in tests/test_streaming.py.
+    # Streaming sink faces: their query fns DRAIN a real stream before
+    # returning the state reader, so a dumped plan shows only the
+    # final state/pair-log scan — the maintenance plans are asserted
+    # in tests/test_streaming.py. PLANS.md still carries a section per
+    # face (VERDICT r8 item 4 established the convention with
+    # dedup_stream_state; r9 item 7 extended it to every face) with
+    # the caveat stated in each section's why-line. hll/cms/ivf/scd2/
+    # lsh faces predate the convention and remain covered by their
+    # sink gates; the newer faces get sections below.
     ("dedup_stream_state", "first-seen dedup ledger FACE: dumped plan = the post-drain published-state read (max-revision row per hash over _batch_id partitions); the incremental maintenance plan is the applyInPandasWithState sink, gated in tests/test_streaming.py"),
     ("gram_novelty_profile", "first-occurrence novelty: the exploded relation shuffles EXACTLY ONCE (gh-keyed min agg); novel counts roll up the agg's own vocabulary-sized output, never joining the corpus back; only a doc-keyed join of two per-doc relations"),
     ("audio_silence_segments", "VAD segmentation: decode + framing + energy + threshold + run-length fold in ONE map-only Arrow stage, zero exchanges; ~10 fixed-width rows per clip"),
@@ -105,6 +104,20 @@ SHOWCASE = [
     ("events_hopping_window", "hopping-window rollup: native F.window plans a map-side Expand (x overlap factor, no shuffle of its own), then ONE keyed aggregate with map-side combine — never a self-join"),
     ("events_retention_cohorts", "retention triangle: user-keyed min agg, join-back reuses the same user partitioning, distinct rollup to <= |days| x (max_k+1) rows; zero broadcasts (first-seen is corpus-scale)"),
     ("doc_text_knn", "text-corpus cosine search: sparse idx equi-join IS the candidate generator (no cross join); query rows + norms broadcast; integer dot/norms, one double division per pair"),
+    ("doc_hash_embedding", "hashing-trick doc vectors: tokenize + hash + signed bucket sum in one exploded pass, ONE (doc_id, idx)-keyed aggregate — no vocabulary relation, no join, no broadcast (r9 PLANS gap, VERDICT r9 item 7)"),
+    # r10 debuts
+    ("substring_dedup_rewrite", "duplicate-span removal: ONE corpus posexplode, single min-over-gh window marks cut positions, islands lag/cumsum over CUT rows only, splice = Catalyst HOF fold over each doc's span array — text shuffles exactly once (the span join back onto documents); AUTO hot-gram gate swaps in the AQE-splittable agg plan past the straggle line"),
+    ("url_canonical_dedup", "URL dedup groups: regex canonicalization entirely in the map stage (whole-stage codegen), ONE canonical_url-keyed aggregate — no join, no broadcast (canonical URLs are corpus-sized)"),
+    ("host_profile", "per-host crawl profile: same map stage, ONE host-keyed aggregate with two count-distinct expansions; Zipfian host skew lands in map-side combine, never a window"),
+    ("normalized_exact_dedup", "CCNet normalize-then-hash dedup: the regex normalization chain rides the map stage (codegen), ONE hash-keyed aggregate — raw text never shuffles, no join, no broadcast"),
+    ("url_blocklist_report", "first-match URL blocklist: canonicalization + CASE chain in one map pass, ONE global conditional aggregate, 5 fixed rows via stack — no join, no broadcast"),
+    # streaming faces with PLANS sections (VERDICT r9 item 7): as with
+    # dedup_stream_state, the dumped plan is the POST-DRAIN published
+    # state/pair-log read; the incremental maintenance plans are gated
+    # in tests/test_streaming.py.
+    ("phash_stream_state", "image-index FACE: dumped plan = the post-drain pair-log read (_batch_id partitions); the per-batch chunk/cap/probe/verify plan is the shared _fingerprint_index_batch engine, gated in tests/test_streaming.py"),
+    ("afp_stream_state", "audio-index FACE (r10): dumped plan = the post-drain pair-log read; same shared-engine maintenance plan as the image face, proven once in tests/test_streaming.py"),
+    ("bloom_stream_state", "Bloom membership FACE: dumped plan = the final <= 64-register state read; the OR-merge maintenance plan (replay- and duplicate-delivery-idempotent by algebra) is gated in tests/test_streaming.py"),
 ]
 
 

@@ -64,6 +64,64 @@ def exact_dedup(docs: DataFrame, key_col: str = "text") -> DataFrame:
     )
 
 
+# Normalization chain shared with the oracle: lowercase, ASCII
+# punctuation -> space (POSIX punct = the same 32 chars in Java regex
+# \p{Punct} and RE2 [[:punct:]]), whitespace runs squashed, trimmed.
+# Kept deliberately conservative (no unicode folding, no stemming):
+# the point is catching REFORMATTED copies — case, punctuation,
+# wrapping — not paraphrase (that is the near-dup family's job).
+_NORM_PUNCT_SPARK = r"\p{Punct}"
+_NORM_PUNCT_DUCK = "[[:punct:]]"
+
+
+def normalized_text(col: Column) -> Column:
+    """The CCNet-style normalization map stage (pure codegen)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), _NORM_PUNCT_SPARK, " "),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def normalized_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Normalization-robust exact duplicate groups — the CCNet/C4
+    dedup key (Wenzek et al. 2019 normalize text before hashing
+    paragraphs): lowercase + punctuation-strip + whitespace-squash,
+    THEN the 60-bit content hash. Catches the trivially-reformatted
+    copy class exact_dedup misses by construction (same words,
+    different case/punctuation/wrapping) while staying one hash
+    groupBy. One row per normalized group (exact_dedup's unfiltered
+    shape — the fixture corpus has no exact copies, so a dup-only
+    filter would gate on an empty relation; emitting every group
+    makes the driver hash verify the ENTIRE normalization chain
+    cross-engine): the normalized-content hash, the copy count, how
+    many RAW spellings collapsed (n_raw_variants < n_copies is the
+    reformatted-copy signal), and the min-doc_id survivor.
+
+    Scale shape: exact_dedup's exactly — normalization is a map-stage
+    regex chain in whole-stage codegen, then ONE hash-keyed aggregate
+    (16-byte shuffle rows: hash + doc_id + a raw-text hash for the
+    variant count — the raw TEXT never shuffles); no join, no window,
+    no broadcast."""
+    norm_hash = portable_hash64(normalized_text(F.col("text")))
+    raw_hash = portable_hash64(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            norm_hash.alias("norm_hash"),
+            raw_hash.alias("_raw"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.countDistinct("_raw").cast("bigint").alias("n_raw_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -1117,8 +1175,53 @@ def minhash_band_sweep(
 # ---------------------------------------------------------------------------
 
 
+def _hot_gram_estimate(
+    docs: DataFrame, k: int, probe_fraction: float, probe_seed: int
+) -> int:
+    """Estimated position count of the corpus' HOTTEST k-gram, from a
+    Bernoulli document sample: sample ``probe_fraction`` of docs,
+    count positions per window hash, extrapolate the max by
+    1/fraction. One cheap job (the probe touches ~fraction of the
+    corpus' chars; the operators it guards touch all of them several
+    times over), used by substring_dedup_stats/rewrite's AUTO strategy
+    selection — the r9 verdict's ask that something *selects* the
+    skew-safe plan when a near-universal boilerplate gram would
+    serialize the default plan's gh window into one straggler task.
+    A gram hot enough to matter (~1e8+ positions at 100 TB) is by
+    construction visible in any non-trivial sample."""
+    c = F.col("text")
+    win = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (k - 1)),
+        lambda i: F.substring(c, i, k),
+    )
+    row = (
+        docs.filter(F.length(c) >= k)
+        .sample(fraction=probe_fraction, seed=probe_seed)
+        .select(F.explode(win).alias("gram"))
+        .groupBy(portable_hash64("gram").alias("gh"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()
+    )
+    mx = row[0]["mx"] if row and row[0]["mx"] is not None else 0
+    return int(mx / probe_fraction)
+
+
+# Flip line for the AUTO strategy: the A/B (BENCH_substring_boiler.
+# json) showed the default window plan wins everywhere EXCEPT when one
+# single k-gram's stride-1 position set rivals a task budget — the
+# straggle line is ~1e8 positions for one gram (min/max windows spill
+# rather than OOM below that).
+HOT_GRAM_POSITIONS = 100_000_000
+
+
 def substring_dedup_stats(
-    docs: DataFrame, k: int = 32, skew_safe: bool = False
+    docs: DataFrame,
+    k: int = 32,
+    skew_safe: bool | None = None,
+    hot_gram_threshold: int = HOT_GRAM_POSITIONS,
+    probe_fraction: float = 0.01,
+    probe_seed: int = 7,
 ) -> DataFrame:
     """Per-document exact-SUBSTRING duplication profile: every char
     position opens a ``k``-char window, and a position counts as
@@ -1148,13 +1251,24 @@ def substring_dedup_stats(
     array, with stride-1 resolution; docs shorter than ``k`` chars
     have no window and are excluded (mirrored in the oracle).
 
-    ``skew_safe``: False (default) marks shared positions with a
-    window over gh — one corpus pass, 2-6x faster at every measured
-    point (BENCH_substring_boiler.json) but serializes a corpus-hot
-    gram's positions into one (spillable) task; True trades a second
-    corpus map pass for an AQE-splittable groupBy+rejoin — reserve it
-    for corpora where one k-gram is expected in ~1e8+ positions.
+    ``skew_safe``: False marks shared positions with a window over gh
+    — one corpus pass, 2-6x faster at every measured point
+    (BENCH_substring_boiler.json) but serializes a corpus-hot gram's
+    positions into one (spillable) task; True trades a second corpus
+    map pass for an AQE-splittable groupBy+rejoin — the structural
+    escape for corpora where one k-gram lands ~1e8+ positions. None
+    (default, r10: the r9 verdict's auto-selection ask) probes a
+    ``probe_fraction`` document sample for the hottest gram and flips
+    to the safe plan iff its extrapolated position count exceeds
+    ``hot_gram_threshold`` — the probe is one sample-sized job, both
+    plans are value-identical (CI-pinned), so the gate can only trade
+    wall time, never rows.
     """
+    if skew_safe is None:
+        skew_safe = (
+            _hot_gram_estimate(docs, k, probe_fraction, probe_seed)
+            > hot_gram_threshold
+        )
     c = F.col("text")
     win = F.transform(
         F.sequence(F.lit(1), F.length(c) - (k - 1)),
@@ -1262,6 +1376,151 @@ def substring_dedup_stats(
             .cast("bigint")
             .alias("max_shared_substr_chars"),
         )
+    )
+
+
+def substring_dedup_rewrite(
+    docs: DataFrame,
+    k: int = 32,
+    skew_safe: bool | None = None,
+    hot_gram_threshold: int = HOT_GRAM_POSITIONS,
+    probe_fraction: float = 0.01,
+    probe_seed: int = 7,
+) -> DataFrame:
+    """Exact-substring duplicate-span REMOVAL — the actual output of
+    Lee et al. 2021 (arXiv:2107.06499, the suffix-array dedup run on
+    C4/RealNews): substring_dedup_stats PROFILES which char windows
+    are cross-doc duplicated; this operator emits the CLEANED CORPUS,
+    cutting every duplicated span and keeping the FIRST occurrence
+    (the gram's min-doc_id document keeps its copy verbatim; every
+    later document loses the covered chars). Returned per doc:
+    (doc_id, orig_chars, n_spans_removed, chars_removed, clean_text,
+    clean_chars) — docs without duplicated spans (and docs shorter
+    than ``k``) pass through unchanged, a fully-duplicated doc
+    collapses to the empty string.
+
+    Span semantics: a position is CUT when its k-char window occurs in
+    some lower-doc_id document (min(doc_id) over the window hash <
+    this doc_id — "first occurrence wins" at document grain, the
+    deterministic distributed stand-in for the paper's suffix-order
+    tie-break). Cut position p covers chars [p, p+k-1]; covered char
+    intervals are merged by the sorted-positions rule (a cut position
+    extends the open interval iff it starts within k chars of the
+    previous cut — positions are sorted, so interval ends are
+    monotone and a lag test is exact), and the kept text is the
+    concatenation of the complement segments — the gaps-and-islands
+    rewrite, mirrored step for step in the DuckDB oracle.
+
+    Distributed shape (the stats op's discipline end to end): windows
+    travel as 60-bit hashes, text shuffles EXACTLY ONCE (the per-doc
+    span-array join back onto documents); the cut-marking strategy is
+    the same measured window-vs-agg choice as substring_dedup_stats
+    (``skew_safe``: None = auto via the sampled hot-gram probe); the
+    islands lag/cumsum windows run over CUT positions only (a small
+    fraction of the corpus at healthy dup rates); the splice itself is
+    a Catalyst HOF fold over each doc's sorted span array — map-side,
+    no UDF, no driver loop."""
+    if skew_safe is None:
+        skew_safe = (
+            _hot_gram_estimate(docs, k, probe_fraction, probe_seed)
+            > hot_gram_threshold
+        )
+    c = F.col("text")
+    win = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (k - 1)),
+        lambda i: F.substring(c, i, k),
+    )
+    pg = (
+        docs.filter(F.length(c) >= k)
+        .select("doc_id", F.posexplode(win).alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            portable_hash64("gram").alias("gh"),
+        )
+    )
+    if skew_safe:
+        first_doc = pg.groupBy("gh").agg(F.min("doc_id").alias("_mn"))
+        cut = (
+            pg.join(first_doc, "gh")
+            .filter(F.col("doc_id") > F.col("_mn"))
+            .select("doc_id", "pos")
+        )
+    else:
+        wgh = Window.partitionBy("gh")
+        cut = (
+            pg.withColumn("_mn", F.min("doc_id").over(wgh))
+            .filter(F.col("doc_id") > F.col("_mn"))
+            .select("doc_id", "pos")
+        )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        cut.withColumn("_lag", F.lag("pos").over(wd))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_lag").isNull() | (F.col("pos") - F.col("_lag") > k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("grp", F.sum("_new").over(wd))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k - 1)).alias("e"),
+        )
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("s"), F.col("e")))
+        ).alias("spans"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans_removed"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("chars_removed"),
+    )
+    # the fold keeps (end of last removed span, text kept so far);
+    # each span appends the gap before it, the finish lambda appends
+    # the tail after the last span
+    spliced = F.aggregate(
+        F.col("spans"),
+        F.struct(
+            F.lit(0).cast("bigint").alias("prev"), F.lit("").alias("acc")
+        ),
+        lambda acc, sp: F.struct(
+            sp["e"].cast("bigint").alias("prev"),
+            F.concat(
+                acc["acc"],
+                F.substring(
+                    F.col("text"),
+                    (acc["prev"] + 1).cast("int"),
+                    (sp["s"] - acc["prev"] - 1).cast("int"),
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.substring(
+                F.col("text"),
+                (acc["prev"] + 1).cast("int"),
+                (F.length("text") - acc["prev"]).cast("int"),
+            ),
+        ),
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("orig_chars"),
+            F.coalesce("n_spans_removed", F.lit(0))
+            .cast("bigint")
+            .alias("n_spans_removed"),
+            F.coalesce("chars_removed", F.lit(0))
+            .cast("bigint")
+            .alias("chars_removed"),
+            F.when(F.col("spans").isNull(), F.col("text"))
+            .otherwise(spliced)
+            .alias("clean_text"),
+        )
+        .withColumn("clean_chars", F.length("clean_text").cast("bigint"))
     )
 
 

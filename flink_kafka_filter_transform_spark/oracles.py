@@ -5461,3 +5461,55 @@ SELECT host,
 FROM canon
 GROUP BY host
 """
+
+
+def normalized_exact_dedup_oracle() -> str:
+    """Normalization-robust exact dedup: identical lowercase /
+    POSIX-punct-to-space / whitespace-squash / trim chain (RE2
+    [[:punct:]] and Java \\p{Punct} are the same 32 ASCII chars), then
+    the hash groupBy (operators.dedup.normalized_exact_dedup)."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), "
+        "'[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    hn = portable_hash64_sql(norm)
+    hr = portable_hash64_sql("text")
+    return f"""
+SELECT {hn} AS norm_hash,
+  CAST(count(*) AS BIGINT) AS n_copies,
+  CAST(count(DISTINCT {hr}) AS BIGINT) AS n_raw_variants,
+  min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def url_blocklist_report_oracle() -> str:
+    """First-match URL blocklist counts over canonical URLs — same
+    CASE chain as operators.web.url_blocklist_report."""
+    return f"""
+WITH {_url_canon_cte()},
+r AS (
+  SELECT CASE
+    WHEN host = 'h3.example.com' THEN 1
+    WHEN regexp_matches(canonical_url, '/page1[0-9]([?]|$)') THEN 2
+    WHEN regexp_matches(canonical_url, '[?&]ref=7($|&)') THEN 3
+    ELSE 0 END AS r
+  FROM canon
+),
+agg AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN r = 3 THEN 1 ELSE 0 END) AS n3,
+         sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS n4
+  FROM r
+)
+SELECT * FROM (
+  SELECT 0 AS rule_no, 'all' AS rule, CAST(n0 AS BIGINT) AS n_docs FROM agg
+  UNION ALL SELECT 1, 'blocked_mirror_host', CAST(n1 AS BIGINT) FROM agg
+  UNION ALL SELECT 2, 'blocked_spam_path', CAST(n2 AS BIGINT) FROM agg
+  UNION ALL SELECT 3, 'blocked_param', CAST(n3 AS BIGINT) FROM agg
+  UNION ALL SELECT 4, 'allowed', CAST(n4 AS BIGINT) FROM agg
+)
+"""

@@ -1402,3 +1402,87 @@ def test_doc_text_knn_sparse_join_never_cross_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert px.broadcast_hint_count(df) >= 2  # query rows + query norms
     assert not px.unreduced_big_table_broadcast_hints(df)
+
+
+def test_substring_rewrite_plan_discipline(spark, sf_dir):
+    """The rewrite inherits the stats op's measured discipline: the
+    corpus posexplode runs ONCE, the shared-mark is a single gh window
+    (min only — first-occurrence needs no max), the islands lag/cumsum
+    windows run over doc_id partitions of CUT rows only, and nothing
+    broadcasts (window hashes and documents are both corpus-sized).
+    skew_safe=True swaps the gh window for the map-side-combined
+    min aggregate + rejoin and re-evaluates the posexplode on the
+    probe side — the structural trade the A/B measured."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    df = dedup.substring_dedup_rewrite(docs, skew_safe=False)
+    plan = px.explain_str(df, "simple")
+    assert plan.count("posexplode") == 1
+    assert plan.count("windowspecdefinition(gh") == 1  # min only
+    assert px.broadcast_hint_count(df) == 0
+    safe = dedup.substring_dedup_rewrite(docs, skew_safe=True)
+    plan_safe = px.explain_str(safe, "simple")
+    assert plan_safe.count("windowspecdefinition(gh") == 0
+    assert "partial_min(doc_id" in plan_safe
+    assert px.broadcast_hint_count(safe) == 0
+
+
+def test_substring_auto_gate_flips_on_hot_gram(spark):
+    """The r10 AUTO strategy gate (VERDICT r9 item 5): on a
+    boilerplate corpus whose hottest gram's extrapolated position
+    count exceeds the threshold, the operator must SELECT the
+    skew-safe aggregate plan; with the production threshold the same
+    corpus stays on the measured-faster window plan. Values are
+    identical either way (test_substring_dedup_stats_strategies_agree
+    / test_substring_rewrite_strategies_agree pin that)."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    boiler = "EVERY-DOC-CARRIES-THIS-EXACT-BOILERPLATE-HEADER-BLOCK!!"
+    rows = [(i, boiler + f" tail {i} " + "pad" * 10) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    flipped = dedup.substring_dedup_stats(
+        docs, hot_gram_threshold=10, probe_fraction=1.0
+    )
+    plan = px.explain_str(flipped, "simple")
+    assert "partial_min(doc_id" in plan
+    assert plan.count("windowspecdefinition(gh") == 0
+    stays = dedup.substring_dedup_stats(docs, probe_fraction=1.0)
+    plan = px.explain_str(stays, "simple")
+    assert plan.count("windowspecdefinition(gh") == 2
+    # the rewrite shares the same gate
+    flipped = dedup.substring_dedup_rewrite(
+        docs, hot_gram_threshold=10, probe_fraction=1.0
+    )
+    assert "partial_min(doc_id" in px.explain_str(flipped, "simple")
+
+
+def test_url_family_broadcasts_nothing(spark, sf_dir):
+    """canonical_url and host are corpus-cardinality keys at 100 TB
+    (a crawl's URL set IS the corpus): both profile queries must be
+    pure map + one keyed aggregate — no broadcast hint, no join, and
+    exactly one exchange up to the aggregate's partial/final split."""
+    from flink_kafka_filter_transform_spark.operators import web
+
+    docs = load_table(spark, "documents", sf_dir)
+    for fn in (
+        web.url_canonical_dedup,
+        web.host_profile,
+        web.url_blocklist_report,
+    ):
+        df = fn(docs)
+        assert px.broadcast_hint_count(df) == 0
+        plan = px.explain_str(df, "simple")
+        assert "Join" not in plan  # map + aggregate only
+
+
+def test_normalized_exact_dedup_plan(spark, sf_dir):
+    """Normalize-then-hash dedup keeps exact_dedup's shape: the regex
+    chain is a map stage, ONE hash-keyed aggregate, no join, no
+    broadcast; the raw text column never appears in an exchange."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.normalized_exact_dedup(load_table(spark, "documents", sf_dir))
+    assert px.broadcast_hint_count(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "Join" not in plan

@@ -1184,3 +1184,218 @@ def test_doc_text_knn_identical_docs_rank_first(spark):
     got = {(r["q_id"], r["doc_id"]): r for r in rows}
     assert got[(0, 5)]["rank"] == 1
     assert got[(0, 5)]["cos_sim"] == 1.0
+
+
+def test_substring_rewrite_exact_copy_empties_later_doc(spark):
+    """Lee et al. span removal at the extreme: an exact duplicate pair
+    shares every window, so the LATER doc collapses to '' while the
+    FIRST-occurrence doc passes through verbatim; an unrelated doc and
+    a sub-window doc are untouched."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "совершенно другой текст without any shared span at all here ok"
+    rows = [(0, dup), (1, dup), (2, uniq), (3, "short doc")]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        r["doc_id"]: r
+        for r in substring_dedup_rewrite(docs, k=32, skew_safe=False).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}  # every doc is re-emitted
+    assert got[0]["clean_text"] == dup and got[0]["chars_removed"] == 0
+    assert got[1]["clean_text"] == "" and got[1]["clean_chars"] == 0
+    assert got[1]["chars_removed"] == len(dup)
+    assert got[1]["n_spans_removed"] == 1
+    assert got[2]["clean_text"] == uniq
+    assert got[3]["clean_text"] == "short doc"  # < k: no window opens
+
+
+def test_substring_rewrite_splices_embedded_span(spark):
+    """A 40-char span shared at different offsets is cut from the
+    later doc EXACTLY (closed-form splice: surroundings survive, the
+    covered chars [first cut pos, last cut pos + k - 1] go), keeping
+    the first-occurrence doc verbatim."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    span = "SHARED-BOILERPLATE-SPAN-OF-40-CHARSxxxx!"
+    assert len(span) == 40
+    a = "a" * 20 + span + "b" * 20
+    b = "c" * 20 + span + "d" * 20
+    docs = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in substring_dedup_rewrite(docs, k=32, skew_safe=False).collect()
+    }
+    assert got[0]["clean_text"] == a  # first occurrence keeps its copy
+    # doc 1: shared windows start at positions 21..29 (inside the
+    # span), covering chars [21, 29 + 31] = the span exactly
+    assert got[1]["clean_text"] == "c" * 20 + "d" * 20
+    assert got[1]["chars_removed"] == 40
+    assert got[1]["n_spans_removed"] == 1
+    # profile arithmetic holds: clean + removed = orig
+    assert got[1]["clean_chars"] + got[1]["chars_removed"] == got[1]["orig_chars"]
+
+
+def test_substring_rewrite_merges_overlapping_islands(spark):
+    """Two cut runs whose k-char coverage overlaps (cut positions p
+    and p' with p < p' <= p + k) must merge into ONE removed interval
+    — the lag-rule merge, exercised by a doc where a kept position
+    separates two shared runs by less than k chars."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    # S is 42 chars; doc 0 carries S's first 32 chars, doc 1 its last
+    # 32 (10-char shift), doc 2 carries S whole — so doc 2's cut
+    # positions are 21 (vs doc 0) and 31 (vs doc 1): 10 apart, their
+    # k-char coverage overlaps, ONE merged interval covering S exactly
+    # must come out.
+    S = "QWERTYUIOPASDFGHJKLZXCVBNM1234567890qwerty"
+    assert len(S) == 42
+    blk1, blk2 = S[:32], S[10:]
+    d0 = "x" * 40 + blk1 + "y" * 40
+    d1 = "u" * 40 + blk2 + "v" * 40
+    d2 = "m" * 20 + S + "n" * 20
+    docs = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2)], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in substring_dedup_rewrite(docs, k=32, skew_safe=False).collect()
+    }
+    assert got[2]["n_spans_removed"] == 1  # merged, not two islands
+    assert got[2]["clean_text"] == "m" * 20 + "n" * 20
+    assert got[2]["chars_removed"] == 42
+    assert got[0]["clean_text"] == d0  # each block's first occurrence
+    assert got[1]["clean_text"] == d1
+
+
+def test_substring_rewrite_strategies_agree(spark, sf_dir):
+    """Window and skew-safe cut-marking are plans over one semantics —
+    identical rows on the fixture corpus (parity covers the default
+    path; this pins the escape hatch AND the auto gate's no-flip
+    branch to it)."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    a = (
+        dedup.substring_dedup_rewrite(docs, skew_safe=False)
+        .orderBy("doc_id")
+        .collect()
+    )
+    b = (
+        dedup.substring_dedup_rewrite(docs, skew_safe=True)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_url_canonicalize_rules_fire(spark):
+    """Each canonicalization rule on a known doc_id residue: scheme/
+    host case, www, default vs non-default port, index.html and
+    trailing slash, tracking-param removal, fragment removal."""
+    from flink_kafka_filter_transform_spark.operators.web import url_canonicalize
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", f"src{i}", 1) for i in (0, 1, 2, 3, 4, 5)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    got = {r["doc_id"]: r for r in url_canonicalize(docs).collect()}
+    # doc 0: HTTP-case+www+:80+index.html+utm+fragment all collapse
+    assert got[0]["canonical_url"] == "http://h0.example.com/page0?ref=0"
+    assert got[0]["host"] == "h0.example.com"
+    # doc 1: https default :443 stripped, trailing slash stripped,
+    # trailing utm_campaign dropped but leading ref kept
+    assert got[1]["canonical_url"] == "https://h1.example.com/page1?ref=1"
+    # doc 3: no query at all
+    assert got[3]["canonical_url"] == "https://h3.example.com/page3"
+    # doc 5: NON-default :8080 survives canonicalization
+    assert got[5]["canonical_url"] == "https://h5.example.com:8080/page5?ref=5"
+
+
+def test_url_canonical_dedup_groups_mod140(spark):
+    """The fixture derivation's residues (2,7,20,5,10) all divide 140,
+    so doc_ids congruent mod 140 form one canonical group — with 420
+    docs every group has exactly 3 members and a deterministic min
+    survivor."""
+    from flink_kafka_filter_transform_spark.operators.web import (
+        url_canonical_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", f"src{i % 20}", 1) for i in range(420)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    rows = url_canonical_dedup(docs).collect()
+    assert len(rows) == 140
+    assert all(r["n_docs"] == 3 for r in rows)
+    assert {r["first_doc_id"] for r in rows} == set(range(140))
+
+
+def test_normalized_exact_dedup_collapses_reformatting(spark):
+    """Case, punctuation, and whitespace reformattings of one text
+    must land in ONE normalized group (n_copies 3, all raw spellings
+    distinct, min-doc survivor), while a different text stays its own
+    group — the copy class exact_dedup misses by construction."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+
+    rows = [
+        (0, "Hello, World!  This is FINE."),
+        (1, "hello world this is fine"),
+        (2, "HELLO  WORLD -- this is... fine"),
+        (3, "a different document entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = sorted(
+        normalized_exact_dedup(docs).collect(), key=lambda r: r["keep_doc_id"]
+    )
+    assert len(got) == 2
+    big, single = got
+    assert big["n_copies"] == 3
+    assert big["n_raw_variants"] == 3
+    assert big["keep_doc_id"] == 0
+    assert single["n_copies"] == 1 and single["keep_doc_id"] == 3
+
+
+def test_url_blocklist_first_match_partitions_corpus(spark):
+    """First-match-wins semantics: the per-rule counts partition the
+    corpus (all = sum of blocked + allowed), and each rule's count
+    matches its residue class minus earlier-rule captures."""
+    from flink_kafka_filter_transform_spark.operators.web import (
+        url_blocklist_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", f"src{i % 20}", 1) for i in range(420)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    got = {r["rule"]: r["n_docs"] for r in url_blocklist_report(docs).collect()}
+    assert got["all"] == 420
+    assert (
+        got["blocked_mirror_host"]
+        + got["blocked_spam_path"]
+        + got["blocked_param"]
+        + got["allowed"]
+        == 420
+    )
+    # rule 1: doc_id % 7 == 3 -> 60 of 420
+    assert got["blocked_mirror_host"] == 60
+    # rule 2: pages 10-19 (doc_id % 20 in 10..19 -> 210) minus those
+    # already taken by the host rule (id%7==3 AND id%20>=10 -> 30)
+    assert got["blocked_spam_path"] == 210 - 30
+    # rule 3: ref=7 -> id%20==7 (21 docs; %5==2 so the query IS
+    # present and page7 is outside rule 2's 10-19 band) minus the
+    # host-rule overlap (id≡3 mod 7 AND id≡7 mod 20: one class mod
+    # 140 -> 3 docs)
+    assert got["blocked_param"] == 21 - 3
+    assert got["allowed"] == 420 - 60 - 180 - 18

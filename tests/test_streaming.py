@@ -1575,3 +1575,60 @@ def test_phash_index_sink_cross_batch_pairs_match_batch_operator(spark, sf_dir):
         ).collect()
     }
     assert face == batch and len(batch) > 0
+
+
+def test_afp_index_sink_replay_same_batch_id_idempotent(
+    spark, sf_dir, tmp_path_factory
+):
+    """AFP face replay discipline: the shared _fingerprint_index_batch
+    engine must overwrite its own chunk partition / ccounts version /
+    pair partition on replay — the phash replay contract, re-proven
+    through the audio hash stage."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    b0 = docs.filter(SF.col("doc_id") % 2 == 0)
+    b1 = docs.filter(SF.col("doc_id") % 2 == 1)
+    state = str(tmp_path_factory.mktemp("afp_replay_state"))
+    out = str(tmp_path_factory.mktemp("afp_replay_out"))
+    sp._afp_index_batch(b0, 0, state, out)
+    sp._afp_index_batch(b1, 1, state, out)
+    chunks_before = spark.read.parquet(f"{state}/chunks").count()
+    counts_before = {
+        (r.ci, r.ck, r._n)
+        for r in spark.read.parquet(f"{state}/ccounts_v1").collect()
+    }
+    pairs_before = {
+        (r.doc_a, r.doc_b, r.hamming) for r in spark.read.parquet(out).collect()
+    }
+    sp._afp_index_batch(b1, 1, state, out)  # replay
+    assert spark.read.parquet(f"{state}/chunks").count() == chunks_before
+    counts_after = {
+        (r.ci, r.ck, r._n)
+        for r in spark.read.parquet(f"{state}/ccounts_v1").collect()
+    }
+    pairs_after = {
+        (r.doc_a, r.doc_b, r.hamming) for r in spark.read.parquet(out).collect()
+    }
+    assert counts_after == counts_before
+    assert pairs_after == pairs_before and len(pairs_before) > 0
+
+
+def test_afp_index_sink_cross_batch_pairs_match_batch_operator(spark, sf_dir):
+    """The drained AFP face equals the one-shot batch operator
+    audio_fingerprint_pairs — pair emitted in its later member's
+    batch, no pair lost or duplicated across the micro-batch split."""
+    from flink_kafka_filter_transform_spark.operators import multimodal
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    face = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in sp.afp_stream_state(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in multimodal.audio_fingerprint_pairs(
+            load_table(spark, "documents", sf_dir)
+        ).collect()
+    }
+    assert face == batch and len(batch) > 0

@@ -111,6 +111,18 @@ FAMILY = [
     "events_hopping_window",
     "events_retention_cohorts",
     "doc_text_knn",
+    # r10 debuts: duplicate-span removal (stride-1 position volume +
+    # the one text-shuffling span join — substring_dedup_stats'
+    # scaling sibling with a splice stage), the URL/host family (pure
+    # map + one agg each — should be flat-linear), the CCNet
+    # normalize-then-hash key (exact_dedup's curve), and the audio
+    # index face (drain cost scales with the corpus drained)
+    "substring_dedup_rewrite",
+    "url_canonical_dedup",
+    "host_profile",
+    "url_blocklist_report",
+    "normalized_exact_dedup",
+    "afp_stream_state",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused

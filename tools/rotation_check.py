@@ -82,6 +82,26 @@ MAX_VERDICT_AGE = 4
 #      changed-semantics head seat.
 # Heads from r10 on are authored against this ladder; the live Q and
 # forecast printed by main() say which rung applies.
+#
+# r10 CHECK-IN (VERDICT r9 item 8 — the r10-r12 forecast in writing):
+# registration lands at 192 after the r10 debuts (186 + 6; r10 added
+# LESS than the ~15/round landing-zone cap this note adopts as the
+# growth policy while A=4 holds). The wave structure ahead:
+#   r10 head: 39 r6-cohort obligations + 6 debuts + 4 re-gates +
+#             1 smoothing pull from the 49-strong r7 cohort = 50.
+#   r11: ZERO obligated slots (the r7 cohort's age is exactly 4 —
+#        due r12). The r11 head therefore SHOULD seat ~48 of the
+#        48 remaining r7-cohort queries as smoothing pulls (plus
+#        that round's debuts/re-gates), or r12 owes the whole wave
+#        at once — the r10 lesson: big cohorts are the price of
+#        past 50-slot rounds, and smoothing is how they amortize.
+#   r12: whatever r11 leaves of the r7 cohort, plus nothing else
+#        until the 48-strong r8 cohort comes due r13.
+# Capacity: at Q=192 the steady-state obligation is ceil(192/5)=39;
+# the wall (obligation 46 = head saturation at A=4) binds at Q=230.
+# At <= 15 adds/round that is ~r13 — the freeze-and-fold rung (3)
+# above governs there; the fold candidates remain the *_showcase trio
+# and recall twins that can absorb their base op's columns.
 
 # One-round debut deferrals: a query registered when the upcoming
 # head's 50 slots are ALL taken by never-verified debuts + rotation
