@@ -237,12 +237,14 @@ HEAD_ORDER: list[str] = [
     # urls (C4's URL-filter pass; the CDC router's ordered-rule
     # semantics at crawl grain) ---
     "url_blocklist_report",
-    # --- SMOOTHING RULE fill (rotation_check.py:48): the r7-verdict
-    # cohort (49 queries) is due r12 in one wave; one pull (the two
-    # late-r10 debuts above displaced the other two planned pulls —
-    # cdc_filter_deletes/cdc_route stay in the tail, due r12 with
-    # their cohort) ---
-    "cdc_parse",
+    # char_entropy_profile = zeroth-order char-entropy bound (the
+    # compressibility quality signal, integer whole-bits) ---
+    "char_entropy_profile",
+    # (no smoothing pulls this round: the seven debuts + four
+    # re-gates + 39 obligations fill all 50 slots. The r7 cohort's
+    # full 49 stay due r12; the r11 head — 0 obligated slots, 50
+    # free — MUST seat ~49 of them per the smoothing rule, see the
+    # r10 check-in note in tools/rotation_check.py.) ---
 ]
 
 # === r8 head (HISTORY — the r8 driver gated these 50; kept for the
@@ -950,6 +952,20 @@ def queries() -> dict[str, QueryFn]:
         "url_blocklist_report": lambda s, d: web.url_blocklist_report(
             _docs(s, d)
         ),
+        # zeroth-order char-entropy bound — the integer-exact
+        # compressibility quality signal; debuts in the r10 head ===
+        "char_entropy_profile": lambda s, d: text.char_entropy_profile(
+            _docs(s, d)
+        ),
+        # the dedup CASCADE funnel (url -> normalized-exact -> minhash
+        # pair rule, production order); registered when the r10 head
+        # was already full (39 obligations + 7 debuts + 4 re-gates) —
+        # carries the ONE-ROUND deferral (tools/rotation_check.py
+        # ALLOWED_PENDING_DEBUTS, granted r10), MUST debut in the r11
+        # head ===
+        "dedup_cascade_report": lambda s, d: dedup.dedup_cascade_report(
+            _docs(s, d)
+        ),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -1164,4 +1180,6 @@ def oracle_sql() -> dict[str, str]:
         "afp_stream_state": oracles.audio_fingerprint_pairs_oracle(),
         "normalized_exact_dedup": oracles.normalized_exact_dedup_oracle(),
         "url_blocklist_report": oracles.url_blocklist_report_oracle(),
+        "char_entropy_profile": oracles.char_entropy_profile_oracle(),
+        "dedup_cascade_report": oracles.dedup_cascade_report_oracle(),
     }

@@ -210,6 +210,8 @@ HEADLINE = [
     "host_profile",
     "normalized_exact_dedup",
     "url_blocklist_report",
+    "char_entropy_profile",
+    "dedup_cascade_report",
     "afp_stream_state",
 ]
 

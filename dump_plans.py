@@ -111,6 +111,8 @@ SHOWCASE = [
     ("host_profile", "per-host crawl profile: same map stage, ONE host-keyed aggregate with two count-distinct expansions; Zipfian host skew lands in map-side combine, never a window"),
     ("normalized_exact_dedup", "CCNet normalize-then-hash dedup: the regex normalization chain rides the map stage (codegen), ONE hash-keyed aggregate — raw text never shuffles, no join, no broadcast"),
     ("url_blocklist_report", "first-match URL blocklist: canonicalization + CASE chain in one map pass, ONE global conditional aggregate, 5 fixed rows via stack — no join, no broadcast"),
+    ("char_entropy_profile", "char-entropy compressibility signal: one char explode, (doc,ch)-keyed count with map-side combine, doc-keyed floor-log2 rollup — two aggregate shuffles, no join, no broadcast"),
+    ("dedup_cascade_report", "dedup cascade funnel: url/normalized stages are one keyed agg + one partitioning-reusing semi-join each; the banded-LSH pair op rides in unchanged; one conditional rollup emits 4 fixed rows"),
     # streaming faces with PLANS sections (VERDICT r9 item 7): as with
     # dedup_stream_state, the dumped plan is the POST-DRAIN published
     # state/pair-log read; the incremental maintenance plans are gated

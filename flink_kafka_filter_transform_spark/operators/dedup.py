@@ -1651,3 +1651,97 @@ def winnowing_overlap(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
             ).alias("shared_fp_fraction"),
         )
     )
+
+
+def dedup_cascade_report(docs: DataFrame) -> DataFrame:
+    """The dedup CASCADE in production order, as one auditable funnel:
+    stage 1 URL dedup (cheapest — no content reads), stage 2
+    normalized-exact dedup, stage 3 MinHash near-dup — each stage's
+    keep-rule applied among the PREVIOUS stage's survivors, reporting
+    (stage_no, stage, n_docs, n_chars) per stage including the raw
+    corpus row. This is quality_filter_funnel's dedup-side sibling
+    and the composition readout a pipeline owner actually schedules:
+    the marginal yield of each successively-more-expensive stage (a
+    stage that removes nothing at 100 TB is a stage you stop paying
+    for).
+
+    Keep-rules, all min-doc_id-first and deterministic: stage 1 keeps
+    each canonical URL's smallest doc_id (operators.web chain);
+    stage 2 keeps each normalized-content hash's smallest SURVIVING
+    doc_id; stage 3 applies the PAIR rule over the corpus-wide
+    verified MinHash pair list (minhash_lsh_pairs): drop a doc iff it
+    pairs with a SMALLER doc_id that survived stage 2 — the pair
+    rule, NOT transitive closure (dedup_survivors owns the CC
+    variant; the pair rule needs no iteration and is what a one-pass
+    cascade deploys; neardup_kcore reads out where the two disagree).
+
+    Scale shape: stages 1-2 are one keyed aggregate + one
+    partitioning-reusing semi-join each; stage 3 reuses the banded-LSH
+    pair op unchanged (its own gates apply) and adds one doc-keyed
+    semi/anti join pair; the report is ONE pass over (doc_id, length)
+    with three doc-keyed survivor flags folded into a conditional
+    aggregate emitting 4 fixed rows. Nothing broadcasts beyond the
+    pair op's own bounded relations."""
+    from flink_kafka_filter_transform_spark.operators.web import url_canonicalize
+
+    c = url_canonicalize(docs).select("doc_id", "canonical_url")
+    url_min = c.groupBy("canonical_url").agg(F.min("doc_id").alias("_m"))
+    s1 = (
+        c.join(url_min, "canonical_url")
+        .filter(F.col("doc_id") == F.col("_m"))
+        .select("doc_id")
+    )
+    norm = (
+        docs.join(s1, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            portable_hash64(normalized_text(F.col("text"))).alias("nh"),
+        )
+    )
+    norm_min = norm.groupBy("nh").agg(F.min("doc_id").alias("_m"))
+    s2 = (
+        norm.join(norm_min, "nh")
+        .filter(F.col("doc_id") == F.col("_m"))
+        .select("doc_id")
+    )
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    dropped3 = (
+        pairs.join(
+            s2.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(dropped3, "doc_id", "left_anti")
+    base = docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("nc")
+    )
+    flagged = (
+        base.join(s1.withColumn("f1", F.lit(1)), "doc_id", "left")
+        .join(s2.withColumn("f2", F.lit(1)), "doc_id", "left")
+        .join(s3.withColumn("f3", F.lit(1)), "doc_id", "left")
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("nc").alias("c0"),
+        *[
+            x
+            for i in (1, 2, 3)
+            for x in (
+                F.sum(F.col(f"f{i}")).alias(f"d{i}"),
+                F.sum(F.col(f"f{i}") * F.col("nc")).alias(f"c{i}"),
+            )
+        ],
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 0, 'corpus', d0, c0, 1, 'url_dedup', d1, c1, "
+            "2, 'normalized_exact', d2, c2, 3, 'minhash_neardup', d3, c3) "
+            "AS (stage_no, stage, n_docs, n_chars)"
+        )
+    ).select(
+        "stage_no",
+        "stage",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )

@@ -1512,3 +1512,61 @@ def doc_text_knn(docs: DataFrame, k: int = 5, dim: int = 64) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("q_id", "doc_id", "rank", "cos_sim")
     )
+
+def char_entropy_profile(docs: DataFrame) -> DataFrame:
+    """Per-document zeroth-order CHARACTER entropy bound — the
+    compressibility quality signal (RedPajama/Dolma ship a zlib
+    compression-ratio signal; the zeroth-order entropy coder bound is
+    its model-free core, and unlike zlib it is computable EXACTLY in
+    both engines): for each doc, sum over characters of
+    count * floor(log2(n / count)) whole bits (the repo's established
+    integer-bit discipline: length(bin(n DIV c)) - 1 — no
+    transcendentals, bit-identical cross-engine). A low bits-per-char
+    reading is a repetitive/boilerplate doc (keyboard mashing, menu
+    spam); a high one approaches the charset's capacity. Reported:
+    total chars, distinct chars, the entropy-bound bits, and integer
+    millibits per char (1000 * bits DIV n — the filterable signal).
+
+    Distinct from unigram_surprisal (token-grain surprisal under the
+    CORPUS unigram LM — a cross-doc frequency signal): this is each
+    document against its OWN char distribution, the self-information
+    readout compression approximates. Scale shape: one char explode
+    (same row volume as the substring family's windows at k=1), a
+    (doc_id, ch)-keyed count with map-side combine, then a doc-keyed
+    rollup — two aggregate shuffles, no join, no window, no
+    broadcast."""
+    c = F.col("text")
+    chars = (
+        docs.filter(F.length(c) > 0)
+        .select(
+            "doc_id",
+            F.length(c).cast("bigint").alias("n"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(c)),
+                    lambda i: F.substring(c, i, 1),
+                )
+            ).alias("ch"),
+        )
+    )
+    per_char = chars.groupBy("doc_id", "n", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bits = F.length(F.bin(F.expr("n DIV cnt"))) - F.lit(1)
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.sum(F.col("cnt") * bits).cast("bigint").alias("entropy_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            "entropy_bits",
+            F.expr("(1000 * entropy_bits) DIV n_chars").alias(
+                "millibits_per_char"
+            ),
+        )
+    )

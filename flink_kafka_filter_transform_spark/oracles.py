@@ -5513,3 +5513,92 @@ SELECT * FROM (
   UNION ALL SELECT 4, 'allowed', CAST(n4 AS BIGINT) FROM agg
 )
 """
+
+
+def char_entropy_profile_oracle() -> str:
+    """Zeroth-order char-entropy bound, integer bits — identical
+    explode / per-char count / floor-log2 rollup as the Spark operator
+    (operators.text.char_entropy_profile)."""
+    return """
+WITH chars AS (
+  SELECT doc_id, length(text) AS n, substr(text, CAST(i AS INT), 1) AS ch
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+    FROM documents WHERE length(text) > 0
+  )
+),
+per_char AS (
+  SELECT doc_id, n, ch, count(*) AS cnt FROM chars GROUP BY 1, 2, 3
+),
+perdoc AS (
+  SELECT doc_id,
+    CAST(min(n) AS BIGINT) AS n_chars,
+    CAST(count(*) AS BIGINT) AS n_distinct_chars,
+    CAST(sum(cnt * (length(bin(n // cnt)) - 1)) AS BIGINT) AS entropy_bits
+  FROM per_char GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_distinct_chars, entropy_bits,
+  CAST((1000 * entropy_bits) // n_chars AS BIGINT) AS millibits_per_char
+FROM perdoc
+"""
+
+
+def dedup_cascade_report_oracle() -> str:
+    """Cascade funnel twin: url-canonical min survivors -> normalized
+    min among survivors -> MinHash pair rule (smaller S2-surviving
+    partner drops the doc), one conditional rollup to 4 rows
+    (operators.dedup.dedup_cascade_report). The pair relation is the
+    full minhash_lsh_pairs oracle, subqueried whole — the
+    split_leakage composition pattern."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), "
+        "'[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    hn = portable_hash64_sql(norm)
+    return f"""
+WITH {_url_canon_cte()},
+url_min AS (SELECT canonical_url, min(doc_id) AS m FROM canon GROUP BY 1),
+s1 AS (
+  SELECT c.doc_id FROM canon c JOIN url_min u USING (canonical_url)
+  WHERE c.doc_id = u.m
+),
+norm AS (
+  SELECT d.doc_id, {hn} AS nh FROM documents d JOIN s1 USING (doc_id)
+),
+norm_min AS (SELECT nh, min(doc_id) AS m FROM norm GROUP BY nh),
+s2 AS (
+  SELECT n.doc_id FROM norm n JOIN norm_min m USING (nh)
+  WHERE n.doc_id = m.m
+),
+pairs AS (SELECT doc_a, doc_b FROM ({minhash_lsh_pairs_oracle()}) p),
+dropped3 AS (
+  SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
+  JOIN s2 ON s2.doc_id = p.doc_a
+),
+s3 AS (
+  SELECT doc_id FROM s2
+  WHERE doc_id NOT IN (SELECT doc_id FROM dropped3)
+),
+base AS (SELECT doc_id, length(text) AS nc FROM documents),
+agg AS (
+  SELECT
+    count(*) AS d0, sum(nc) AS c0,
+    sum(CASE WHEN s1.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS d1,
+    sum(CASE WHEN s1.doc_id IS NOT NULL THEN nc ELSE 0 END) AS c1,
+    sum(CASE WHEN s2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS d2,
+    sum(CASE WHEN s2.doc_id IS NOT NULL THEN nc ELSE 0 END) AS c2,
+    sum(CASE WHEN s3.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS d3,
+    sum(CASE WHEN s3.doc_id IS NOT NULL THEN nc ELSE 0 END) AS c3
+  FROM base
+  LEFT JOIN s1 USING (doc_id)
+  LEFT JOIN s2 USING (doc_id)
+  LEFT JOIN s3 USING (doc_id)
+)
+SELECT * FROM (
+  SELECT 0 AS stage_no, 'corpus' AS stage, CAST(d0 AS BIGINT) AS n_docs,
+         CAST(c0 AS BIGINT) AS n_chars FROM agg
+  UNION ALL SELECT 1, 'url_dedup', CAST(d1 AS BIGINT), CAST(c1 AS BIGINT) FROM agg
+  UNION ALL SELECT 2, 'normalized_exact', CAST(d2 AS BIGINT), CAST(c2 AS BIGINT) FROM agg
+  UNION ALL SELECT 3, 'minhash_neardup', CAST(d3 AS BIGINT), CAST(c3 AS BIGINT) FROM agg
+)
+"""

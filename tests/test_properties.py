@@ -1399,3 +1399,70 @@ def test_url_blocklist_first_match_partitions_corpus(spark):
     # 140 -> 3 docs)
     assert got["blocked_param"] == 21 - 3
     assert got["allowed"] == 420 - 60 - 180 - 18
+
+
+def test_char_entropy_profile_closed_forms(spark):
+    """Exact whole-bit entropy bounds on closed-form docs: a
+    single-char doc costs 0 bits, a 2-symbol balanced doc exactly 1
+    bit/char, a 4-distinct-char doc exactly 2 bits/char — and the
+    repetitive doc scores LOWEST, the compressibility ordering the
+    signal exists to provide."""
+    from flink_kafka_filter_transform_spark.operators.text import (
+        char_entropy_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in char_entropy_profile(docs).collect()}
+    assert got[0]["entropy_bits"] == 0 and got[0]["millibits_per_char"] == 0
+    assert got[1]["entropy_bits"] == 4 and got[1]["millibits_per_char"] == 1000
+    assert got[2]["entropy_bits"] == 8 and got[2]["millibits_per_char"] == 2000
+    assert got[0]["n_distinct_chars"] == 1 and got[2]["n_distinct_chars"] == 4
+    assert (
+        got[0]["millibits_per_char"]
+        < got[1]["millibits_per_char"]
+        < got[2]["millibits_per_char"]
+    )
+
+
+def test_dedup_cascade_funnel_monotone_and_rules(spark):
+    """Cascade semantics on a closed-form corpus: the funnel is
+    monotone non-increasing; URL dedup keeps the min doc of each
+    canonical group; the normalized stage collapses a reformatted
+    copy AMONG URL SURVIVORS; and a doc whose only near-dup partner
+    was already dropped at an earlier stage SURVIVES stage 3 (the
+    pair rule consults stage-2 survivors, not the raw pair list)."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        dedup_cascade_report,
+    )
+
+    # doc_ids chosen mod-140-congruent in pairs: (0, 140) share a
+    # canonical URL; 140 is dropped at stage 1 regardless of content.
+    # Docs 1 and 2 are reformatted copies (normalized-equal) on
+    # DIFFERENT canonical urls -> both survive stage 1, doc 2 drops at
+    # stage 2.
+    base = "spark filter window batch stream merge sort join hash scan " * 4
+    rows = [
+        (0, base + "alpha"),
+        (140, "totally different content that only shares its url group"),
+        (1, "Hello, World! This is fine. " + base),
+        (2, "hello world this is fine " + base),
+        (3, "unique content about completely other topics and words here"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", f"src{i % 20}", len(t)) for i, t in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    got = {r["stage_no"]: r for r in dedup_cascade_report(docs).collect()}
+    assert got[0]["n_docs"] == 5
+    assert got[1]["n_docs"] == 4          # 140 dropped by URL group
+    assert got[2]["n_docs"] == 3          # 2 dropped by normalization
+    assert got[3]["n_docs"] <= got[2]["n_docs"]
+    assert (
+        got[0]["n_chars"]
+        >= got[1]["n_chars"]
+        >= got[2]["n_chars"]
+        >= got[3]["n_chars"]
+    )

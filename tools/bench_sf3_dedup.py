@@ -122,6 +122,8 @@ FAMILY = [
     "host_profile",
     "url_blocklist_report",
     "normalized_exact_dedup",
+    "char_entropy_profile",
+    "dedup_cascade_report",
     "afp_stream_state",
 ]
 

@@ -84,11 +84,11 @@ MAX_VERDICT_AGE = 4
 # forecast printed by main() say which rung applies.
 #
 # r10 CHECK-IN (VERDICT r9 item 8 — the r10-r12 forecast in writing):
-# registration lands at 192 after the r10 debuts (186 + 6; r10 added
+# registration lands at 193 after the r10 debuts (186 + 7; r10 added
 # LESS than the ~15/round landing-zone cap this note adopts as the
 # growth policy while A=4 holds). The wave structure ahead:
-#   r10 head: 39 r6-cohort obligations + 6 debuts + 4 re-gates +
-#             1 smoothing pull from the 49-strong r7 cohort = 50.
+#   r10 head: 39 r6-cohort obligations + 7 debuts + 4 re-gates = 50
+#             (no smoothing room left this round).
 #   r11: ZERO obligated slots (the r7 cohort's age is exactly 4 —
 #        due r12). The r11 head therefore SHOULD seat ~48 of the
 #        48 remaining r7-cohort queries as smoothing pulls (plus
@@ -97,7 +97,7 @@ MAX_VERDICT_AGE = 4
 #        past 50-slot rounds, and smoothing is how they amortize.
 #   r12: whatever r11 leaves of the r7 cohort, plus nothing else
 #        until the 48-strong r8 cohort comes due r13.
-# Capacity: at Q=192 the steady-state obligation is ceil(192/5)=39;
+# Capacity: at Q=193 the steady-state obligation is ceil(193/5)=39;
 # the wall (obligation 46 = head saturation at A=4) binds at Q=230.
 # At <= 15 adds/round that is ~r13 — the freeze-and-fold rung (3)
 # above governs there; the fold candidates remain the *_showcase trio
@@ -116,6 +116,11 @@ ALLOWED_PENDING_DEBUTS: dict[str, int] = {
     # in the r7 head; r7 granted three: lsh_stream_state /
     # bm25_top_docs / unigram_surprisal — debuted in the r8 head. All
     # entries deleted per the contract.)
+    # r10 grant: the r10 head is saturated (39 r6-cohort obligations
+    # + 7 debuts + 4 re-gates); the late-r10 cascade-funnel debut
+    # waits at tail-top exactly one round and MUST gate in the r11
+    # head (which the forecast shows has 0 obligated slots).
+    "dedup_cascade_report": 10,
 }
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
