@@ -966,6 +966,13 @@ def queries() -> dict[str, QueryFn]:
         "dedup_cascade_report": lambda s, d: dedup.dedup_cascade_report(
             _docs(s, d)
         ),
+        # ANALYZE-style per-column profiling of the orders table
+        # (generic relational.table_profile); registered past the
+        # saturated r10 head — one-round deferral (granted r10), MUST
+        # debut in the r11 head ===
+        "orders_profile": lambda s, d: relational.table_profile(
+            load_table(s, "orders", d)
+        ),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -1182,4 +1189,5 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist_report": oracles.url_blocklist_report_oracle(),
         "char_entropy_profile": oracles.char_entropy_profile_oracle(),
         "dedup_cascade_report": oracles.dedup_cascade_report_oracle(),
+        "orders_profile": oracles.orders_profile_oracle(),
     }

@@ -212,6 +212,7 @@ HEADLINE = [
     "url_blocklist_report",
     "char_entropy_profile",
     "dedup_cascade_report",
+    "orders_profile",
     "afp_stream_state",
 ]
 

@@ -113,6 +113,7 @@ SHOWCASE = [
     ("url_blocklist_report", "first-match URL blocklist: canonicalization + CASE chain in one map pass, ONE global conditional aggregate, 5 fixed rows via stack — no join, no broadcast"),
     ("char_entropy_profile", "char-entropy compressibility signal: one char explode, (doc,ch)-keyed count with map-side combine, doc-keyed floor-log2 rollup — two aggregate shuffles, no join, no broadcast"),
     ("dedup_cascade_report", "dedup cascade funnel: url/normalized stages are one keyed agg + one partitioning-reusing semi-join each; the banded-LSH pair op rides in unchanged; one conditional rollup emits 4 fixed rows"),
+    ("orders_profile", "per-column profiling: every statistic folds into ONE global aggregate over ONE scan (count-distincts expand into the standard multi-phase partial), stack emits |columns| rows — no join, no broadcast"),
     # streaming faces with PLANS sections (VERDICT r9 item 7): as with
     # dedup_stream_state, the dumped plan is the POST-DRAIN published
     # state/pair-log read; the incremental maintenance plans are gated

@@ -1757,3 +1757,96 @@ def events_retention_cohorts(events: DataFrame, max_k: int = 14) -> DataFrame:
         .groupBy("cohort_day", "k")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+def table_profile(df: DataFrame) -> DataFrame:
+    """ANALYZE-style data-profiling readout — one row per COLUMN of
+    the input relation: row count, null count, exact distinct count,
+    min/max (string-typed columns and formatted timestamps in
+    min_str/max_str, numerics as doubles in min_num/max_num) — the
+    landing-data audit every ingestion pipeline runs before trusting
+    a new drop (schema drift shows as a dtype change, a broken feed
+    as a null-count spike, an ID collision as n_distinct < n_rows).
+
+    Scale shape: ONE corpus scan — every per-column statistic folds
+    into a single global aggregate (count/sum are map-side combined;
+    each count(DISTINCT col) expands into Spark's standard
+    multi-phase partial plan, one expand pass for all of them), then
+    a stack() projection emits |columns| fixed-width rows. No join,
+    no window, no broadcast. At 100 TB the exact distinct counts are
+    the expensive part — swap count_distinct for
+    approx_count_distinct (HLL, one pass, mergeable) when 2% error
+    is acceptable; the oracle contract here is EXACT, so the
+    registered query keeps the exact form.
+
+    Timestamps format through the events_daily convention
+    (yyyy-MM-dd HH:mm:ss) so min_str/max_str carry no cross-engine
+    fractional-second ambiguity."""
+    numeric = {"bigint", "int", "smallint", "tinyint", "double", "float", "decimal"}
+    aggs: list = [F.count(F.lit(1)).alias("_rows")]
+    names: list[str] = []
+    dtypes: dict[str, str] = {}
+    for field in df.schema.fields:
+        c = field.name
+        t = field.dataType.simpleString()
+        # report NTZ/LTZ variants as plain 'timestamp': the dtype cell
+        # is a cross-engine label, and DuckDB's view of the same
+        # parquet column says TIMESTAMP
+        if t.startswith("timestamp"):
+            t = "timestamp"
+        names.append(c)
+        dtypes[c] = t
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+        if t in numeric:
+            aggs.append(F.min(c).cast("double").alias(f"_mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"_mx_{c}"))
+        elif t == "timestamp":
+            fmt = "yyyy-MM-dd HH:mm:ss"
+            aggs.append(
+                F.date_format(F.min(c), fmt).alias(f"_mns_{c}")
+            )
+            aggs.append(
+                F.date_format(F.max(c), fmt).alias(f"_mxs_{c}")
+            )
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"_mns_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"_mxs_{c}"))
+    agg = df.agg(*aggs)
+    parts = []
+    for c in names:
+        t = dtypes[c]
+        is_num = t in numeric
+        parts.append(
+            ", ".join(
+                [
+                    f"'{c}'",
+                    f"'{t}'",
+                    "_rows",
+                    f"_nn_{c}",
+                    f"_nd_{c}",
+                    "CAST(NULL AS STRING)" if is_num else f"_mns_{c}",
+                    "CAST(NULL AS STRING)" if is_num else f"_mxs_{c}",
+                    f"_mn_{c}" if is_num else "CAST(NULL AS DOUBLE)",
+                    f"_mx_{c}" if is_num else "CAST(NULL AS DOUBLE)",
+                ]
+            )
+        )
+    stack = (
+        f"stack({len(names)}, " + ", ".join(parts) +
+        ") AS (column_name, dtype, n_rows, n_nulls, n_distinct, "
+        "min_str, max_str, min_num, max_num)"
+    )
+    return agg.select(F.expr(stack)).select(
+        "column_name",
+        "dtype",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_str",
+        "max_str",
+        "min_num",
+        "max_num",
+    )

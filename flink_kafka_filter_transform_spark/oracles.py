@@ -5602,3 +5602,39 @@ SELECT * FROM (
   UNION ALL SELECT 3, 'minhash_neardup', CAST(d3 AS BIGINT), CAST(c3 AS BIGINT) FROM agg
 )
 """
+
+
+def orders_profile_oracle() -> str:
+    """Per-column profiling rows for the orders table — the same
+    count / null / exact-distinct / min-max statistics as
+    operators.relational.table_profile, one SELECT block per column
+    (timestamps via strftime to the events_daily format)."""
+    blocks = []
+    for col, dtype in [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ]:
+        if dtype in ("bigint", "double"):
+            mn_s, mx_s = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+            mn_n = f"CAST(min({col}) AS DOUBLE)"
+            mx_n = f"CAST(max({col}) AS DOUBLE)"
+        elif dtype == "timestamp":
+            mn_s = f"strftime(min({col}), '%Y-%m-%d %H:%M:%S')"
+            mx_s = f"strftime(max({col}), '%Y-%m-%d %H:%M:%S')"
+            mn_n, mx_n = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        else:
+            mn_s, mx_s = f"min({col})", f"max({col})"
+            mn_n, mx_n = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        blocks.append(f"""
+  SELECT '{col}' AS column_name, '{dtype}' AS dtype,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+    CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+    {mn_s} AS min_str, {mx_s} AS max_str,
+    {mn_n} AS min_num, {mx_n} AS max_num
+  FROM orders""")
+    return "SELECT * FROM (" + "\n  UNION ALL".join(blocks) + "\n)"

@@ -1486,3 +1486,17 @@ def test_normalized_exact_dedup_plan(spark, sf_dir):
     assert px.broadcast_hint_count(df) == 0
     plan = px.explain_str(df, "simple")
     assert "Join" not in plan
+
+
+def test_orders_profile_single_scan_no_join(spark, sf_dir):
+    """Every per-column statistic folds into one aggregate over ONE
+    scan of the table — no join, no window, no broadcast; the
+    count-distinct columns expand into Spark's standard multi-phase
+    partial aggregation, not per-column scans."""
+    from flink_kafka_filter_transform_spark.operators import relational
+
+    df = relational.table_profile(load_table(spark, "orders", sf_dir))
+    assert px.broadcast_hint_count(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") + plan.count("Scan parquet") <= 2

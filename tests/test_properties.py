@@ -1466,3 +1466,27 @@ def test_dedup_cascade_funnel_monotone_and_rules(spark):
         >= got[2]["n_chars"]
         >= got[3]["n_chars"]
     )
+
+
+def test_table_profile_statistics_exact(spark):
+    """Closed-form profile: nulls, distincts, min/max per dtype
+    branch (numeric vs string), and the n_distinct < n_rows duplicate
+    signal the profiler exists to surface."""
+    from flink_kafka_filter_transform_spark.operators.relational import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 3.5), (4, "b", 0.5)],
+        "k BIGINT, s STRING, v DOUBLE",
+    )
+    got = {r["column_name"]: r for r in table_profile(df).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_nulls"] == 0
+    assert got["k"]["n_distinct"] == 3  # the duplicate-key signal
+    assert got["k"]["min_num"] == 1.0 and got["k"]["max_num"] == 4.0
+    assert got["k"]["min_str"] is None
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
+    assert got["s"]["min_num"] is None
+    assert got["v"]["n_nulls"] == 1
+    assert got["v"]["min_num"] == 0.5 and got["v"]["max_num"] == 3.5

@@ -121,6 +121,7 @@ ALLOWED_PENDING_DEBUTS: dict[str, int] = {
     # waits at tail-top exactly one round and MUST gate in the r11
     # head (which the forecast shows has 0 obligated slots).
     "dedup_cascade_report": 10,
+    "orders_profile": 10,
 }
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
