@@ -1490,3 +1490,21 @@ def test_table_profile_statistics_exact(spark):
     assert got["s"]["min_num"] is None
     assert got["v"]["n_nulls"] == 1
     assert got["v"]["min_num"] == 0.5 and got["v"]["max_num"] == 3.5
+
+
+def test_hot_gram_estimate_exact_at_full_fraction(spark):
+    """The AUTO gate's probe at probe_fraction=1.0 returns EXACTLY the
+    hottest gram's position count (extrapolation divides by 1): 10
+    docs sharing one verbatim 32-char header contribute 10 positions
+    of its single full window; the estimate must say 10, not a
+    sample-noise neighborhood — pinning the arithmetic the flip
+    threshold consumes."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        _hot_gram_estimate,
+    )
+
+    header = "THE-EXACT-SHARED-HEADER-32-CHARS"
+    assert len(header) == 32
+    rows = [(i, header + f" unique tail number {i} padding") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    assert _hot_gram_estimate(docs, 32, 1.0, 7) == 10
