@@ -23,6 +23,7 @@ from flink_kafka_filter_transform_spark.operators import (
     extensibility,
     graph,
     kmeans,
+    linkage,
     multimodal,
     rangejoin,
     relational,
@@ -973,6 +974,30 @@ def queries() -> dict[str, QueryFn]:
         "orders_profile": lambda s, d: relational.table_profile(
             load_table(s, "orders", d)
         ),
+        # interval x interval OVERLAP join (third temporal-join member
+        # after asof and the point-in-window range join): per-supplier
+        # transit-interval overlap profile, bucketed-equi rewrite +
+        # bucket-ownership exactly-once vs the NAIVE inequality-join
+        # oracle; registered past the saturated r10 head — one-round
+        # deferral (granted r10), MUST debut in the r11 head ===
+        "interval_overlap_pairs": lambda s, d: rangejoin.interval_overlap_pairs(
+            load_table(s, "lineitem", d)
+        ),
+        # record linkage / entity resolution: symmetric-delete
+        # (SymSpell) deletion-neighborhood blocking + built-in
+        # levenshtein verify, exact recall for distance <= 1, vs the
+        # naive quadratic oracle; one-round deferral (granted r10),
+        # MUST debut in the r11 head ===
+        "name_edit_neighbors": lambda s, d: linkage.name_edit_neighbors(
+            load_table(s, "customer", d)
+        ),
+        # Z-ordered layout 2-D box scan — completes the storage trio
+        # (buckets / date partitions / Morton clustering); values
+        # layout-invariant vs the plain filtered rollup oracle, the
+        # I/O effect measured from real parquet footers in test_plans;
+        # one-round deferral (granted r10), MUST debut in the r11
+        # head ===
+        "zordered_box_scan": relational.zordered_box_scan,
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -1190,4 +1215,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy_profile": oracles.char_entropy_profile_oracle(),
         "dedup_cascade_report": oracles.dedup_cascade_report_oracle(),
         "orders_profile": oracles.orders_profile_oracle(),
+        "interval_overlap_pairs": oracles.interval_overlap_pairs_oracle(),
+        "name_edit_neighbors": oracles.name_edit_neighbors_oracle(),
+        "zordered_box_scan": oracles.zordered_box_scan_oracle(),
     }

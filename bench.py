@@ -214,6 +214,11 @@ HEADLINE = [
     "dedup_cascade_report",
     "orders_profile",
     "afp_stream_state",
+    # late-r10 additions: temporal-join trio capstone, record-linkage
+    # debut, storage-trio Z-order member
+    "interval_overlap_pairs",
+    "name_edit_neighbors",
+    "zordered_box_scan",
 ]
 
 

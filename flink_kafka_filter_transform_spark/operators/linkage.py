@@ -1,0 +1,119 @@
+"""Record linkage / entity resolution — blocked fuzzy matching of
+entity names, the classic master-data problem (the same customer keyed
+twice with a typo) and a training-data need the dedup family doesn't
+cover: document dedup keys on CONTENT similarity (shingles, hashes),
+linkage keys on short IDENTIFIER strings where one wrong character IS
+the duplicate signal and Jaccard over shingles is far too coarse.
+
+Blocking strategy: the SYMMETRIC DELETE neighborhood (SymSpell, Garbe
+2012 — public algorithm): each string's block keys are itself plus
+every one-character-deletion variant. Two strings within Levenshtein
+distance 1 ALWAYS share a key —
+
+  * equal strings share the identity variant,
+  * a substitution pair shares the variant deleting the substituted
+    position from both,
+  * an insert/delete pair shares the shorter string itself —
+
+so candidate recall for d <= 1 is EXACT (no probabilistic miss like
+LSH), while candidate volume stays ~(L+1) keys per row instead of the
+naive all-pairs join. Verification is the built-in ``levenshtein``
+(JVM-side, whole-stage codegen) — blocked-then-verified, the same
+generate/verify shape as minhash_lsh_pairs.
+
+The DuckDB oracle is the NAIVE quadratic join (fine at sf0.01), so the
+deletion-neighborhood blocking is differentially checked against
+direct edit-distance semantics, not against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Skew guard, same role and default as LSH_BUCKET_CAP's family: a block
+# key shared by more than this many DISTINCT entities is degenerate
+# (for name data that means a mass-duplicated placeholder like "N/A" —
+# linking everything to everything is noise, not signal) and is
+# dropped. Sized so it never fires on the customer fixture at any
+# tested sf (deletion-variant blocks there are <= ~20 names — the
+# one-sided above-cap divergence rule the LSH ops document applies).
+EDIT_BLOCK_CAP = 1000
+
+
+def deletion_variants(col: str):
+    """array<string>: the string itself + every one-char-deletion
+    variant, deduplicated (deleting any of a run of equal characters
+    yields the same variant — e.g. the leading-zero run in zero-padded
+    ids — and duplicate keys would only re-emit the same candidate).
+    Pure Catalyst HOF over ``sequence`` — no UDF, codegen'd."""
+    return F.array_distinct(
+        F.expr(
+            f"concat(array({col}), transform(sequence(1, length({col})), i -> "
+            f"concat(substring({col}, 1, i - 1), "
+            f"substring({col}, i + 1, length({col})))))"
+        )
+    )
+
+
+def edit_distance_pairs(
+    rows: DataFrame,
+    key_col: str,
+    name_col: str,
+    *,
+    block_cap: int = EDIT_BLOCK_CAP,
+) -> DataFrame:
+    """All pairs of rows whose ``name_col`` values are within
+    Levenshtein distance 1, as (a_<key>, b_<key>, distance) with
+    a < b. Generic over any (key, string) relation.
+
+    Plan shape: one explode (fan-out <= L+1 variants per row, bounded
+    by string length), ONE shuffle keyed by variant into
+    collect_set'd blocks (the hamming_chunk_pairs bucket-collect
+    layout — the upstream is a single cheap scan and block size is
+    capped, so map-side pair expansion beats a self-join here), pairs
+    expanded from each sorted block, distinct (a pair can share
+    several variants), then the exact verify filter. No broadcast, no
+    cartesian, nothing corpus-sized on the driver."""
+    ak, bk = f"a_{key_col}", f"b_{key_col}"
+    ex = rows.select(
+        F.col(key_col).alias("k"), F.col(name_col).alias("nm")
+    ).filter(F.col("nm").isNotNull()).select(
+        "k", "nm", F.explode(deletion_variants("nm")).alias("variant")
+    )
+    blocks = (
+        ex.groupBy("variant")
+        .agg(F.array_sort(F.collect_set(F.struct("k", "nm"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= block_cap))
+    )
+    cand = (
+        blocks.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
+                    "struct(a.k AS ak, a.nm AS anm, "
+                    "b.k AS bk, b.nm AS bnm))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ak", "p.anm", "p.bk", "p.bnm")
+        .distinct()
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein("anm", "bnm"))
+        .filter(F.col("distance") <= 1)
+        .select(
+            F.col("ak").alias(ak),
+            F.col("bk").alias(bk),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )
+
+
+def name_edit_neighbors(customer: DataFrame) -> DataFrame:
+    """Customer names within one edit of each other — the entity-
+    resolution readout over the customer master (zero-padded
+    sequential names make the expected pair set closed-form: exactly
+    the id pairs differing in one decimal digit)."""
+    return edit_distance_pairs(customer, "c_custkey", "c_name")

@@ -1850,3 +1850,95 @@ def table_profile(df: DataFrame) -> DataFrame:
         "min_num",
         "max_num",
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-ordered layout + 2-D box scan (r10) — third storage-layout member
+# ---------------------------------------------------------------------------
+
+# 2-D box predicate: a part range x a date range, the canonical
+# "this product family, this year" analytic slice. The part range must
+# exist at EVERY sf (the fixture's partkey domain scales with sf —
+# 0..199 at sf0.001), and the day bounds are epoch days (integer DIV
+# of micros — the float-free discipline) for calendar 1997, inside the
+# fixture's 1995..2001 shipdate span; all four constants are mirrored
+# into the oracle from here.
+ZBOX_PART_LO, ZBOX_PART_HI = 16, 48
+ZBOX_DAY_LO, ZBOX_DAY_HI = 9862, 10226
+ZORDER_N_FILES = 16
+_DAY_US = 86_400_000_000
+
+
+def _zordered_lineitem_table(spark, sf_dir: str) -> str:
+    """Materialize lineitem ONCE per session Z-ORDERED on
+    (l_partkey, ship_day): sinks.write_zordered_parquet interleaves
+    the two normalized key columns' bits and range-clusters on the
+    Morton value, so each parquet file owns a compact square-ish
+    region of the (part, day) plane — the multi-dimensional layout
+    decision that completes the storage trio (buckets delete the join
+    shuffle, date partitions delete the scan for ONE bounded column,
+    Z-order makes min/max skipping selective on EITHER of two columns
+    at once; a single-column sort nails one dimension and leaves the
+    other spanning the whole domain in every file)."""
+    import hashlib
+
+    from flink_kafka_filter_transform_spark.sinks import write_zordered_parquet
+    from flink_kafka_filter_transform_spark.sources.parquet import (
+        load_table,
+        ts_as_micros,
+    )
+
+    tok = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"sgraft_z_lineitem_{tok}"
+
+    def write(path: str) -> None:
+        li = load_table(spark, "lineitem", sf_dir)
+        df = li.select(
+            "l_partkey",
+            ts_as_micros(li, "l_shipdate").alias("_us"),
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+        ).select(
+            "l_partkey",
+            F.expr(f"_us DIV {_DAY_US}").alias("ship_day"),
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+        )
+        write_zordered_parquet(
+            df, path, "l_partkey", "ship_day", n_files=ZORDER_N_FILES
+        )
+        spark.sql(f"CREATE TABLE {t} USING parquet LOCATION '{path}'")
+
+    _ensure_layout_table(spark, t, "sgraft_zorder_", write)
+    return t
+
+
+def zordered_box_scan(spark, sf_dir: str) -> DataFrame:
+    """Per-returnflag revenue inside a 2-D (part x day) box off the
+    Z-ordered twin: both range predicates reach the parquet reader as
+    PushedFilters (plan-gated), and because the files are clustered on
+    the interleaved key, footer min/max statistics skip the files
+    whose (part, day) region misses the box — tests/test_plans
+    measures files actually opened < ZORDER_N_FILES from the real
+    footers, not from the plan. Values are layout-invariant, so the
+    oracle is the plain filtered rollup over raw lineitem; what
+    Z-ordering changes is the I/O, which is the point."""
+    t = _zordered_lineitem_table(spark, sf_dir)
+    li = spark.table(t).filter(
+        (F.col("l_partkey") >= ZBOX_PART_LO)
+        & (F.col("l_partkey") <= ZBOX_PART_HI)
+        & (F.col("ship_day") >= ZBOX_DAY_LO)
+        & (F.col("ship_day") <= ZBOX_DAY_HI)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .select("l_returnflag", "n_rows", "revenue")
+    )

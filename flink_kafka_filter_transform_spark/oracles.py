@@ -5638,3 +5638,77 @@ def orders_profile_oracle() -> str:
     {mn_n} AS min_num, {mx_n} AS max_num
   FROM orders""")
     return "SELECT * FROM (" + "\n  UNION ALL".join(blocks) + "\n)"
+
+
+def interval_overlap_pairs_oracle() -> str:
+    """NAIVE interval inequality self-join — checks the bucketed +
+    ownership-deduped rewrite against direct overlap semantics (fine
+    at sf0.01; that quadratic cost is exactly what the rewrite
+    removes). Duration arithmetic and the composite iid mirror
+    operators.rangejoin.lineitem_transit_intervals."""
+    from flink_kafka_filter_transform_spark.operators.rangejoin import (
+        TRANSIT_MOD_DAYS,
+    )
+
+    return f"""
+WITH iv AS (
+  SELECT l_suppkey,
+         l_orderkey * 8 + l_linenumber AS iid,
+         CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS BIGINT)
+           AS start_day,
+         CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000
+              + 1 + (l_orderkey + l_linenumber) % {TRANSIT_MOD_DAYS} AS BIGINT)
+           AS end_day
+  FROM lineitem
+)
+SELECT a.l_suppkey AS l_suppkey,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(least(a.end_day, b.end_day) - greatest(a.start_day, b.start_day) + 1)
+       AS BIGINT) AS sum_overlap_days,
+  CAST(max(least(a.end_day, b.end_day) - greatest(a.start_day, b.start_day) + 1)
+       AS BIGINT) AS max_overlap_days
+FROM iv a JOIN iv b
+  ON a.l_suppkey = b.l_suppkey AND a.iid < b.iid
+ AND a.start_day <= b.end_day AND b.start_day <= a.end_day
+GROUP BY a.l_suppkey
+"""
+
+
+def name_edit_neighbors_oracle() -> str:
+    """NAIVE quadratic name join — checks the symmetric-delete
+    blocking against direct Levenshtein semantics (the length
+    pre-filter only cheapens the oracle; |len(a)-len(b)| > 1 already
+    implies distance > 1)."""
+    return """
+SELECT a.c_custkey AS a_c_custkey, b.c_custkey AS b_c_custkey,
+  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS distance
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def zordered_box_scan_oracle() -> str:
+    """Layout-invariant twin of the Z-ordered 2-D box scan: values
+    cannot depend on the storage layout, so the oracle is the plain
+    filtered rollup; what Z-ordering changes is only file-level I/O
+    (min/max skipping, measured from real footers in the plan test).
+    Box constants mirror operators.relational.ZBOX_*."""
+    from flink_kafka_filter_transform_spark.operators.relational import (
+        ZBOX_DAY_HI,
+        ZBOX_DAY_LO,
+        ZBOX_PART_HI,
+        ZBOX_PART_LO,
+    )
+
+    return f"""
+SELECT l_returnflag,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+WHERE l_partkey BETWEEN {ZBOX_PART_LO} AND {ZBOX_PART_HI}
+  AND CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS BIGINT)
+      BETWEEN {ZBOX_DAY_LO} AND {ZBOX_DAY_HI}
+GROUP BY l_returnflag
+"""

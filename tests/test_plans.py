@@ -1500,3 +1500,102 @@ def test_orders_profile_single_scan_no_join(spark, sf_dir):
     plan = px.explain_str(df, "simple")
     assert "Join" not in plan
     assert plan.count("FileScan") + plan.count("Scan parquet") <= 2
+
+
+def test_interval_overlap_join_is_equi_bucketed(spark, sf_dir):
+    """The interval-overlap join must reach the executor as an EQUI
+    join on (supplier, day-bucket) — never a nested loop over the raw
+    inequality predicate — and with the broadcast threshold disabled
+    (simulating corpus-scale statistics) neither side may broadcast:
+    both sides ARE the corpus. The overlap + ownership predicates ride
+    the equi-join as post-filters."""
+    from flink_kafka_filter_transform_spark.operators import rangejoin
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = rangejoin.interval_overlap_pairs(load_table(spark, "lineitem", sf_dir))
+        plan = px.explain_str(df, "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert px.broadcast_hint_count(df) == 0
+        assert not px.has_broadcast_join(df)
+        assert px.sortmerge_join_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_interval_overlap_fanout_bounded(spark, sf_dir):
+    """Bucket width exceeds the max interval length, so the explode
+    fan-out is provably <= 2 rows per interval — measured on the real
+    relation, not assumed."""
+    from flink_kafka_filter_transform_spark.operators import rangejoin
+
+    iv = rangejoin.lineitem_transit_intervals(load_table(spark, "lineitem", sf_dir))
+    B = rangejoin.OVERLAP_BUCKET_DAYS
+    worst = iv.select(
+        (F.expr(f"end_day DIV {B}") - F.expr(f"start_day DIV {B}") + 1).alias("n")
+    ).agg(F.max("n")).collect()[0][0]
+    assert worst <= 2
+
+
+def test_name_edit_neighbors_plan(spark, sf_dir):
+    """Symmetric-delete linkage is generate/verify with NO join
+    operator at all: explode variants, ONE variant-keyed aggregate
+    into capped blocks, map-side pair expansion, distinct, levenshtein
+    filter. Nothing broadcasts; the naive quadratic join never appears
+    in the plan."""
+    from flink_kafka_filter_transform_spark.operators import linkage
+
+    df = linkage.name_edit_neighbors(load_table(spark, "customer", sf_dir))
+    plan = px.explain_str(df, "simple")
+    assert "Join" not in plan
+    assert px.broadcast_hint_count(df) == 0
+    assert "levenshtein" in plan
+
+
+def test_zordered_box_scan_pushes_both_dims_and_skips_files(spark, sf_dir):
+    """Both box predicates must reach the parquet reader as
+    PushedFilters, and — measured from the REAL footers, the
+    test_sinks discipline — the Z-ordered layout must leave some files
+    whose (part, day) bounding box misses the query box entirely (the
+    files min/max pruning skips). A single-column sort would nail one
+    dimension and leave the other spanning the full domain in every
+    file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flink_kafka_filter_transform_spark.operators import relational as rel
+
+    df = rel.zordered_box_scan(spark, sf_dir)
+    pf = " ".join(px.pushed_filters(df))
+    assert "l_partkey" in pf and "ship_day" in pf
+
+    t = rel._zordered_lineitem_table(spark, sf_dir)
+    location = None
+    for row in spark.sql(f"DESCRIBE FORMATTED {t}").collect():
+        if row[0].strip().lower() == "location":
+            location = row[1]
+    assert location
+    files = glob.glob(location.replace("file:", "") + "/*.parquet")
+    assert len(files) > 1
+    overlapping = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        p_mn = min(md.row_group(g).column(cols["l_partkey"]).statistics.min for g in range(md.num_row_groups))
+        p_mx = max(md.row_group(g).column(cols["l_partkey"]).statistics.max for g in range(md.num_row_groups))
+        d_mn = min(md.row_group(g).column(cols["ship_day"]).statistics.min for g in range(md.num_row_groups))
+        d_mx = max(md.row_group(g).column(cols["ship_day"]).statistics.max for g in range(md.num_row_groups))
+        if (
+            p_mx >= rel.ZBOX_PART_LO
+            and p_mn <= rel.ZBOX_PART_HI
+            and d_mx >= rel.ZBOX_DAY_LO
+            and d_mn <= rel.ZBOX_DAY_HI
+        ):
+            overlapping += 1
+    assert 0 < overlapping < len(files), (
+        f"{overlapping}/{len(files)} files overlap the box — Z-order "
+        "should leave skippable files"
+    )

@@ -1508,3 +1508,129 @@ def test_hot_gram_estimate_exact_at_full_fraction(spark):
     rows = [(i, header + f" unique tail number {i} padding") for i in range(10)]
     docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
     assert _hot_gram_estimate(docs, 32, 1.0, 7) == 10
+
+
+# ---------------------------------------------------------------------------
+# Interval x interval overlap join (r10): bucketed + ownership rewrite
+# vs the naive quadratic formulation on arbitrary small interval sets
+# ---------------------------------------------------------------------------
+
+_intervals = st.lists(
+    # (supplier, start_day, duration) — durations up to the operator's
+    # max (TRANSIT_MOD_DAYS) so bucket-boundary cases are exercised
+    st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(1, 14)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_intervals)
+def test_interval_overlap_bucketing_equals_naive(spark_prop, rows):
+    from flink_kafka_filter_transform_spark.operators.rangejoin import (
+        OVERLAP_BUCKET_DAYS,
+    )
+
+    B = OVERLAP_BUCKET_DAYS
+    # naive python reference over the same intervals
+    iv = [(s, i, st_, st_ + d) for i, (s, st_, d) in enumerate(rows)]
+    expect = {}
+    for x in range(len(iv)):
+        for y in range(x + 1, len(iv)):
+            a, b = iv[x], iv[y]
+            if a[0] != b[0]:
+                continue
+            lo, hi = max(a[2], b[2]), min(a[3], b[3])
+            if lo <= hi:
+                days = hi - lo + 1
+                n, s_, m = expect.get(a[0], (0, 0, 0))
+                expect[a[0]] = (n + 1, s_ + days, max(m, days))
+    # the engine path: same bucketed/ownership pipeline as
+    # interval_overlap_pairs, applied to an arbitrary interval relation
+    df = spark_prop.createDataFrame(
+        [(s, i, st_, en) for (s, i, st_, en) in iv],
+        "l_suppkey INT, iid INT, start_day INT, end_day INT",
+    )
+    ex = df.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(F.expr(f"start_day DIV {B}"), F.expr(f"end_day DIV {B}"))
+        ),
+    )
+    left = ex.select(
+        F.col("l_suppkey").alias("suppkey"), "_bucket",
+        F.col("iid").alias("a_iid"),
+        F.col("start_day").alias("a_start"), F.col("end_day").alias("a_end"),
+    )
+    right = ex.select(
+        F.col("l_suppkey").alias("suppkey"), "_bucket",
+        F.col("iid").alias("b_iid"),
+        F.col("start_day").alias("b_start"), F.col("end_day").alias("b_end"),
+    )
+    got = {
+        r["suppkey"]: (r["n"], r["s"], r["m"])
+        for r in (
+            left.join(right, ["suppkey", "_bucket"])
+            .filter(
+                (F.col("a_iid") < F.col("b_iid"))
+                & (F.col("a_start") <= F.col("b_end"))
+                & (F.col("b_start") <= F.col("a_end"))
+                & (F.col("_bucket") == F.expr(f"greatest(a_start, b_start) DIV {B}"))
+            )
+            .select(
+                "suppkey",
+                (F.least("a_end", "b_end") - F.greatest("a_start", "b_start") + F.lit(1)).alias("d"),
+            )
+            .groupBy("suppkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("d").alias("s"), F.max("d").alias("m"))
+            .collect()
+        )
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Symmetric-delete record linkage (r10): exact recall for distance <= 1
+# ---------------------------------------------------------------------------
+
+_names = st.lists(
+    st.text(alphabet="ab0", min_size=0, max_size=5),
+    min_size=0,
+    max_size=8,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(names=_names)
+def test_edit_distance_pairs_equals_naive(spark_prop, names):
+    """Deletion-neighborhood blocking has EXACT recall for d <= 1:
+    engine pairs == the naive quadratic reference, including ties
+    (equal strings, d=0), inserts/deletes (length +-1), and
+    substitutions — over a tiny alphabet chosen to force collisions."""
+    from flink_kafka_filter_transform_spark.operators.linkage import (
+        edit_distance_pairs,
+    )
+
+    rows = [(i, nm) for i, nm in enumerate(names)]
+    expect = {
+        (a[0], b[0], _lev(a[1], b[1]))
+        for x, a in enumerate(rows)
+        for b in rows[x + 1 :]
+        if _lev(a[1], b[1]) <= 1
+    }
+    df = spark_prop.createDataFrame(rows, "custkey INT, name STRING")
+    got = {
+        (r["a_custkey"], r["b_custkey"], r["distance"])
+        for r in edit_distance_pairs(df, "custkey", "name").collect()
+    }
+    assert got == expect

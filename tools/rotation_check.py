@@ -122,6 +122,13 @@ ALLOWED_PENDING_DEBUTS: dict[str, int] = {
     # head (which the forecast shows has 0 obligated slots).
     "dedup_cascade_report": 10,
     "orders_profile": 10,
+    # r10 late-batch grants (same saturation): the temporal-join
+    # capstone, the record-linkage family debut, and the storage-trio
+    # Z-order member. All three MUST gate in the r11 head (forecast:
+    # 0 obligated slots there).
+    "interval_overlap_pairs": 10,
+    "name_edit_neighbors": 10,
+    "zordered_box_scan": 10,
 }
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
