@@ -159,7 +159,17 @@ def interval_overlap_pairs(lineitem: DataFrame) -> DataFrame:
     AQE skew handling, whereas a collected array's quadratic expansion
     runs in one task. The oracle is the NAIVE inequality join, so the
     bucketing + ownership rewrite is differentially checked against
-    direct semantics, not against itself."""
+    direct semantics, not against itself.
+
+    The join is PINNED to shuffle_hash (the token_frequency_score
+    rule): both sides are the corpus by construction, so broadcast is
+    wrong at every real scale — and Catalyst's size estimate through
+    the explode is unreliable enough to pick it (measured at sf1: the
+    static plan broadcast the 12M-row exploded side and ran 22.9 s;
+    the same query at sf3, tipped over the threshold into a shuffle
+    join, ran 15.3 s on 3x the data — the cliff this hint deletes).
+    AQE's skew-join handling applies to shuffled hash joins, so the
+    hot-cell split argument above survives the pin."""
     iv = lineitem_transit_intervals(lineitem)
     B = OVERLAP_BUCKET_DAYS
     ex = iv.withColumn(
@@ -186,7 +196,7 @@ def interval_overlap_pairs(lineitem: DataFrame) -> DataFrame:
         F.least("a_end", "b_end") - F.greatest("a_start", "b_start") + F.lit(1)
     )
     pairs = (
-        left.join(right, ["suppkey", "_bucket"])
+        left.join(right.hint("shuffle_hash"), ["suppkey", "_bucket"])
         .filter(
             (F.col("a_iid") < F.col("b_iid"))
             & (F.col("a_start") <= F.col("b_end"))

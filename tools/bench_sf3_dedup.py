@@ -125,6 +125,17 @@ FAMILY = [
     "char_entropy_profile",
     "dedup_cascade_report",
     "afp_stream_state",
+    # late-r10 debuts: interval overlap (pair volume tracks per-cell
+    # density — constant-per-supplier in this fixture, so expect
+    # ~linear in row count), symmetric-delete linkage (variant volume
+    # linear; block sizes bounded by true near-dup counts), and the
+    # Z-order box scan (min kept = the MEMOIZED-twin pruned scan —
+    # the one-time clustered write lands in rep 1 and is excluded by
+    # the min, so the curve tracks the query's I/O, which is the
+    # layout's point).
+    "interval_overlap_pairs",
+    "name_edit_neighbors",
+    "zordered_box_scan",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused
