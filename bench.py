@@ -219,6 +219,7 @@ HEADLINE = [
     "interval_overlap_pairs",
     "name_edit_neighbors",
     "zordered_box_scan",
+    "events_gapfill",
 ]
 
 
