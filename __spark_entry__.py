@@ -998,14 +998,6 @@ def queries() -> dict[str, QueryFn]:
         # one-round deferral (granted r10), MUST debut in the r11
         # head ===
         "zordered_box_scan": relational.zordered_box_scan,
-        # time-series DENSIFICATION (gap-fill): contiguous (type, day)
-        # scaffold from a broadcast 1-row bounds relation, zero-filled
-        # left join — the resample-prerequisite op Spark lacks as a
-        # built-in; one-round deferral (granted r10), MUST debut in
-        # the r11 head ===
-        "events_gapfill": lambda s, d: relational.events_gapfill(
-            load_table(s, "events", d)
-        ),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -1226,5 +1218,4 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap_pairs": oracles.interval_overlap_pairs_oracle(),
         "name_edit_neighbors": oracles.name_edit_neighbors_oracle(),
         "zordered_box_scan": oracles.zordered_box_scan_oracle(),
-        "events_gapfill": oracles.events_gapfill_oracle(),
     }

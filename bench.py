@@ -219,7 +219,6 @@ HEADLINE = [
     "interval_overlap_pairs",
     "name_edit_neighbors",
     "zordered_box_scan",
-    "events_gapfill",
 ]
 
 

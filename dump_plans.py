@@ -117,7 +117,6 @@ SHOWCASE = [
     ("interval_overlap_pairs", "interval x interval overlap (r10): day-axis bucketing restores an EQUI join on (supplier, bucket) — fan-out <= 2 buckets/interval — overlap + bucket-ownership predicates ride as post-filters (exactly-once without a distinct); the naive per-key nested loop never appears. PINNED shuffle_hash (both sides ARE the corpus): Catalyst's size estimate through the explode broadcast 12M rows at sf1 — 22.9 s vs 4.7 s once pinned; AQE skew-split still applies to shuffled hash joins"),
     ("name_edit_neighbors", "symmetric-delete record linkage (r10): variant explode (fan-out <= len+1) -> ONE variant-keyed aggregate into capped blocks -> map-side pair expansion -> distinct -> built-in levenshtein verify; NO join operator in the plan, nothing broadcasts"),
     ("zordered_box_scan", "Z-ordered 2-D box scan (r10): both range predicates reach the reader as PushedFilters over the Morton-clustered twin; file-level min/max skipping measured from real footers in test_plans (the storage trio's multi-dimensional member)"),
-    ("events_gapfill", "time-series densification (r10): corpus collapses first (one map-combined (type, day) count); the contiguous scaffold generates from a broadcast 1-ROW bounds relation (the only pinned broadcast) — output-sized join, zero-filled left side"),
     # streaming faces with PLANS sections (VERDICT r9 item 7): as with
     # dedup_stream_state, the dumped plan is the POST-DRAIN published
     # state/pair-log read; the incremental maintenance plans are gated

@@ -1943,43 +1943,3 @@ def zordered_box_scan(spark, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "n_rows", "revenue")
     )
 
-
-def events_gapfill(events: DataFrame) -> DataFrame:
-    """Time-series DENSIFICATION (gap-fill) — the warehouse op Spark
-    has no built-in for: per (event_type, day) event counts where the
-    day axis is made CONTIGUOUS over the corpus's [min_day, max_day]
-    span, zero-filling (type, day) cells with no events. Every
-    time-series consumer needs this before resampling, window
-    smoothing, or charting — a missing day silently reads as "no
-    row", which a moving average treats very differently from 0.
-
-    Scale shape: the corpus collapses FIRST (one map-side-combined
-    (type, day) count — the only corpus-sized shuffle); the scaffold
-    is built from a broadcast 1-ROW bounds relation crossed with the
-    distinct type dimension, with the day axis generated by
-    ``sequence`` + explode — so scaffold cardinality is |types| x
-    |days| (OUTPUT-sized, never corpus-sized), and the final left
-    join runs between two output-sized relations (AQE free to pick
-    its strategy). The only pinned broadcast is the 1-row bounds —
-    the broadcast rule's bounded-relation case. Day arithmetic is
-    integer DIV of epoch micros (the float-free cross-engine
-    discipline)."""
-    from flink_kafka_filter_transform_spark.sources.parquet import ts_as_micros
-
-    e = events.select(
-        "event_type", ts_as_micros(events).alias("_us")
-    ).select("event_type", F.expr("_us DIV 86400000000").alias("day"))
-    counts = e.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    bounds = e.agg(F.min("day").alias("_mn"), F.max("day").alias("_mx"))
-    types = e.select("event_type").distinct()
-    scaffold = types.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("day"),
-    )
-    return scaffold.join(counts, ["event_type", "day"], "left").select(
-        "event_type",
-        "day",
-        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
-    )

@@ -5713,24 +5713,3 @@ WHERE l_partkey BETWEEN {ZBOX_PART_LO} AND {ZBOX_PART_HI}
 GROUP BY l_returnflag
 """
 
-
-def events_gapfill_oracle() -> str:
-    """Densified (type, day) counts: the scaffold is the distinct-type
-    x contiguous-day cross, left-joined to the per-cell counts —
-    integer epoch-day arithmetic mirroring the operator."""
-    return """
-WITH e AS (
-  SELECT event_type,
-         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
-  FROM events
-),
-b AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
-days AS (SELECT CAST(unnest(range(mn, mx + 1)) AS BIGINT) AS day FROM b),
-types AS (SELECT DISTINCT event_type FROM e),
-c AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2)
-SELECT t.event_type, d.day,
-       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
-FROM types t
-CROSS JOIN days d
-LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day
-"""

@@ -1596,17 +1596,3 @@ def test_zordered_box_scan_pushes_both_dims_and_skips_files(spark, sf_dir):
         "should leave skippable files"
     )
 
-
-def test_events_gapfill_scaffold_is_output_sized(spark, sf_dir):
-    """Gap-fill's corpus pass must collapse FIRST (one map-side-
-    combined (type, day) count); the densified scaffold is generated
-    from a broadcast 1-ROW bounds relation (the only pinned broadcast,
-    and a reduced one), so nothing corpus-sized is ever pinned and the
-    final join runs between output-sized relations."""
-    from flink_kafka_filter_transform_spark.operators import relational
-
-    df = relational.events_gapfill(load_table(spark, "events", sf_dir))
-    assert px.broadcast_hint_count(df) == 1  # the 1-row bounds only
-    assert px.unreduced_big_table_broadcast_hints(df) == []
-    plan = px.explain_str(df, "simple")
-    assert "CartesianProduct" not in plan

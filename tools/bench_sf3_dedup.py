@@ -136,9 +136,6 @@ FAMILY = [
     "interval_overlap_pairs",
     "name_edit_neighbors",
     "zordered_box_scan",
-    # gap-fill: one corpus-collapsing agg + an output-sized scaffold
-    # join — should track events_daily's flat-linear curve
-    "events_gapfill",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused

@@ -86,13 +86,17 @@ MAX_VERDICT_AGE = 4
 # r10 CHECK-IN (VERDICT r9 item 8 — the r10-r12 forecast in writing):
 # registration lands at 193 after the r10 debuts (186 + 7; r10 added
 # LESS than the ~15/round landing-zone cap this note adopts as the
-# growth policy while A=4 holds). LATE-r10 amendment: six more
+# growth policy while A=4 holds). LATE-r10 amendment: five more
 # registrations landed past the saturated head (cascade/profile +
-# the interval/linkage/zorder batch + gap-fill), taking Q to 199 —
-# r10's total adds are 13, still under the 15/round cap; all six
-# carry the one-round deferral and are r11 head obligations, so the
-# r11 smoothing arithmetic below shifts from ~48 free to ~42 after
-# debuts/re-gates. The wave structure ahead:
+# the interval/linkage/zorder batch), taking Q to 198 — r10's total
+# adds are 12, still under the 15/round cap; all five carry the
+# one-round deferral and are r11 head obligations, so the r11
+# smoothing arithmetic below shifts from ~48 free to ~43 after
+# debuts/re-gates. (A 13th add, events_gapfill, was built, verified
+# green, and then WITHDRAWN the same session: events_daily_gapfilled
+# already registers the densification surface — the capacity policy's
+# no-redundant-variants rule applies to new work too.) The wave
+# structure ahead:
 #   r10 head: 39 r6-cohort obligations + 7 debuts + 4 re-gates = 50
 #             (no smoothing room left this round).
 #   r11: ZERO obligated slots (the r7 cohort's age is exactly 4 —
@@ -135,8 +139,6 @@ ALLOWED_PENDING_DEBUTS: dict[str, int] = {
     "interval_overlap_pairs": 10,
     "name_edit_neighbors": 10,
     "zordered_box_scan": 10,
-    # r10 late grant: time-series gap-fill (densification).
-    "events_gapfill": 10,
 }
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
