@@ -77,3 +77,37 @@ def test_route_when_chain_honors_dialect(spark):
     }
     assert got["tab_42"] == "out"
     assert got["tab_٤٢"] is None  # Rust regex would say "out"
+
+
+def test_levenshtein_dialect_ascii_only_contract(spark):
+    """Cross-engine levenshtein contract (the linkage family's verify
+    function): Spark's levenshtein counts CHARACTERS while DuckDB's
+    counts BYTES — measured: levenshtein('café', 'cafe') = 1 in Spark,
+    2 in DuckDB (é is two UTF-8 bytes). The two agree exactly on
+    ASCII, which is why name_edit_neighbors' oracle is valid: the
+    customer-name fixture is pure ASCII at every sf (asserted here on
+    the test corpus), and linkage.edit_distance_pairs' docstring
+    scopes the oracle contract to ASCII identifiers. A non-ASCII
+    corpus diverges at the ORACLE, not the engine — Spark's
+    char-based distance is the correct semantics (pinned below)."""
+    import duckdb
+
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+    from tests.conftest import SF_DIR
+
+    # 1. Spark's semantics are char-based (the correct ones)
+    df = spark.createDataFrame([("café", "cafe")], "a STRING, b STRING")
+    assert df.select(F.levenshtein("a", "b")).collect()[0][0] == 1
+    # 2. DuckDB's are byte-based — the measured divergence this test
+    # exists to document (if a DuckDB upgrade makes this 1, the
+    # ASCII-only scoping below can be retired)
+    con = duckdb.connect()
+    assert con.sql("SELECT levenshtein('café', 'cafe')").fetchall()[0][0] == 2
+    # 3. the fixture the oracle gates on is pure ASCII, so the
+    # engines agree wherever the driver compares them
+    non_ascii = (
+        load_table(spark, "customer", SF_DIR)
+        .filter(~F.col("c_name").rlike("^[\\x00-\\x7F]*$"))
+        .count()
+    )
+    assert non_ascii == 0
