@@ -1634,3 +1634,51 @@ def test_edit_distance_pairs_equals_naive(spark_prop, names):
         for r in edit_distance_pairs(df, "custkey", "name").collect()
     }
     assert got == expect
+
+
+
+def test_interval_overlap_hot_supplier_exact(spark_prop):
+    """Hot-key shape check: ONE supplier holding hundreds of mutually
+    overlapping intervals (the skew case the bucketed join must
+    survive — a dense supplier-fortnight cell) still produces the
+    exact naive answer. 300 intervals packed into a ~60-day span give
+    thousands of overlapping pairs through many bucket-boundary
+    crossings; dedup correctness rests entirely on the ownership rule,
+    since most pairs' intervals co-occur in SEVERAL buckets."""
+    import datetime
+
+    from flink_kafka_filter_transform_spark.operators.rangejoin import (
+        interval_overlap_pairs,
+    )
+
+    rows = []  # (l_orderkey, l_linenumber, start_day) — one supplier
+    for i in range(300):
+        rows.append((i + 1, i % 7, (i * 7) % 60))
+    # brute-force reference using the OPERATOR's duration law:
+    # dur = 1 + (l_orderkey + l_linenumber) % 14
+    iv = [
+        (ok * 8 + ln, st, st + 1 + (ok + ln) % 14)
+        for (ok, ln, st) in rows
+    ]
+    n_pairs = sum_days = max_days = 0
+    for x in range(len(iv)):
+        for y in range(x + 1, len(iv)):
+            a, b = (iv[x], iv[y]) if iv[x][0] < iv[y][0] else (iv[y], iv[x])
+            lo, hi = max(a[1], b[1]), min(a[2], b[2])
+            if lo <= hi:
+                n_pairs += 1
+                sum_days += hi - lo + 1
+                max_days = max(max_days, hi - lo + 1)
+    li = spark_prop.createDataFrame(
+        [
+            (ok, 7, ln,
+             datetime.datetime(1970, 1, 1) + datetime.timedelta(days=st))
+            for (ok, ln, st) in rows
+        ],
+        "l_orderkey LONG, l_suppkey LONG, l_linenumber INT, l_shipdate TIMESTAMP",
+    )
+    got = interval_overlap_pairs(li).collect()
+    assert len(got) == 1 and got[0]["l_suppkey"] == 7
+    assert (
+        got[0]["n_pairs"], got[0]["sum_overlap_days"], got[0]["max_overlap_days"]
+    ) == (n_pairs, sum_days, max_days)
