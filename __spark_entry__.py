@@ -153,6 +153,94 @@ def entry(spark: SparkSession) -> DataFrame:
 # neardup_clusters, dedup_survivors, dedup_survivors_quality (the CC
 # consumers; their r6-green verdicts predate the loop change).
 HEAD_ORDER: list[str] = [
+    # === r11 head ===
+    # --- SEATING: the 5 late-r10 registrations that carried the
+    # one-round ALLOWED_PENDING_DEBUTS deferral (granted r10, due
+    # NOW; entries deleted from tools/rotation_check.py with this
+    # head per the contract). All five were judge-gated green at
+    # sf0.01 in the r10 verdict, so this is seating, not debugging.
+    "dedup_cascade_report",
+    "orders_profile",
+    "interval_overlap_pairs",
+    "name_edit_neighbors",
+    "zordered_box_scan",
+    # --- SMOOTHING pulls: the r7-verdict cohort (49 strong) hits
+    # the A=4 age limit at r12 in one wave — the r10 lesson is that
+    # 50-slot waves leave no debut room, so the r11 head absorbs 45
+    # of them now (the 4 left for r12 — q17_small_quantity,
+    # q20_potential_promotion, q22_idle_rich_customers,
+    # daily_reconciliation — keep r12's obligation small; r11 debuts
+    # and re-gates displace more of this fill as they land, each
+    # displacement named below). ---
+    "cdc_parse",
+    "cdc_filter_deletes",
+    "cdc_route",
+    "cdc_route_join",
+    "cdc_counts_inbound",
+    "cdc_counts_outbound",
+    "cdc_outgoing",
+    "cdc_materialize",
+    "cdc_scd2_history",
+    "scd2_stream_state",
+    "exact_dedup",
+    "crossdoc_ngram_overlap",
+    "token_pack_report",
+    "source_vocab_divergence",
+    "bpe_merges",
+    "jpeg_color_decode",
+    "png_decode",
+    "media_decode",
+    "events_daily",
+    "events_daily_gapfilled",
+    "events_last_purchase",
+    "events_sessionized",
+    "events_sessionized_native",
+    "purchases_with_recent_clicks",
+    "events_stratified_sample",
+    # --- NEW in r11 (debut in the head per the rotation policy):
+    # ivo_stream_state = streaming interval-overlap twin (VERDICT r10
+    # item 7); displaces daily_funnel from the r7 fill (due r12). ---
+    "ivo_stream_state",
+    "quality_filter_funnel",
+    "tfidf_top_terms",
+    "contamination_check",
+    "hll_distinct_users",
+    "hll_distinct_orders",
+    "hll_rollup_users",
+    "cms_token_counts",
+    "histogram_quantiles",
+    "histogram_quantiles_by_type",
+    "documents_split_summary",
+    "customers_without_orders",
+    "orders_above_customer_avg",
+    "user_value_moving_avg",
+    "q14_promo_revenue",
+    # --- NEW in r11 (debut in the head per the rotation policy):
+    # vfp_stream_state = video frame-fingerprint index face (VERDICT
+    # r10 item 5); displaces value_outliers_by_type from the r7 fill
+    # (due r12). ---
+    "vfp_stream_state",
+    # --- NEW in r11 (debut in the head per the rotation policy):
+    # semdedup_text_prune = SemDeDup composed onto corpus-derived
+    # hashing-trick vectors (VERDICT r10 item 6); displaces
+    # events_pivot from the r7 fill (due r12). ---
+    "semdedup_text_prune",
+    # --- RE-GATES (values changed this round): the URL fixture moved
+    # to corpus-cardinality derivation (doc_id DIV 4 canonical groups,
+    # doc_id DIV 20 hosts — VERDICT r10 item 4), changing every URL
+    # row and the blocklist rule patterns; dedup_cascade_report (whose
+    # stage 1 is the URL dedup) is already seated above. These three
+    # displace events_unpivot / users_purchase_except_error /
+    # users_purchase_intersect_error from the r7 fill (due r12). ---
+    "url_canonical_dedup",
+    "host_profile",
+    "url_blocklist_report",
+]
+
+# === r10 head (HISTORY — the r10 driver gated these 50 green,
+# CORRECTNESS_r10.json; kept for the provenance comments the rotation
+# policy requires) ===
+_R10_HEAD_HISTORY: list[str] = [
     # === r10 head ===
     # --- the 39 r6-verdict rotation obligations (the largest cohort
     # of the series; tools/rotation_check forecast them at r9 close —
@@ -497,6 +585,10 @@ def queries() -> dict[str, QueryFn]:
         ),
         "segment_dedup_stats": lambda s, d: dedup.segment_dedup_stats(_docs(s, d)),
         "semdedup_prune": lambda s, d: dedup.semdedup_prune(_emb(s, d)),
+        # SemDeDup straight from text: hashing-trick vectors densified
+        # and pruned — no embedding model/table in the loop (r11,
+        # VERDICT r10 item 6)
+        "semdedup_text_prune": lambda s, d: dedup.semdedup_text_prune(_docs(s, d)),
         "temperature_mixture_report": lambda s, d: sampling.temperature_mixture_report(
             _docs(s, d)
         ),
@@ -940,6 +1032,10 @@ def queries() -> dict[str, QueryFn]:
         # pair log equals the one-shot audio_fingerprint_pairs, so it
         # shares that oracle ===
         "afp_stream_state": streaming_pipeline.afp_stream_state,
+        # video frame-fingerprint index face — completes the
+        # multimodal near-dup triad's streaming story (r11, VERDICT
+        # r10 item 5)
+        "vfp_stream_state": streaming_pipeline.vfp_stream_state,
         # normalization-robust exact dedup (CCNet's normalize-then-
         # hash key): unfiltered group relation so the driver hash
         # verifies the whole normalization chain; debuts in the r10
@@ -983,6 +1079,10 @@ def queries() -> dict[str, QueryFn]:
         "interval_overlap_pairs": lambda s, d: rangejoin.interval_overlap_pairs(
             load_table(s, "lineitem", d)
         ),
+        # streaming twin of the interval-overlap join: day-bucket
+        # ownership + pair-in-later-batch, supplier-cardinality
+        # monoid state (r11, VERDICT r10 item 7)
+        "ivo_stream_state": streaming_pipeline.ivo_stream_state,
         # record linkage / entity resolution: symmetric-delete
         # (SymSpell) deletion-neighborhood blocking + built-in
         # levenshtein verify, exact recall for distance <= 1, vs the
@@ -1067,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_parts": oracles.q11_important_parts_oracle(),
         "segment_dedup_stats": oracles.segment_dedup_stats_oracle(),
         "semdedup_prune": oracles.semdedup_prune_oracle(),
+        "semdedup_text_prune": oracles.semdedup_text_prune_oracle(),
         "temperature_mixture_report": oracles.temperature_mixture_report_oracle(),
         "supply_chain_pagerank": oracles.supply_chain_pagerank_oracle(),
         "dsir_proxy_weights": oracles.dsir_proxy_weights_oracle(),
@@ -1210,12 +1311,14 @@ def oracle_sql() -> dict[str, str]:
         # afp face: drained log equals audio_fingerprint_pairs (same
         # pair-in-later-batch protocol as the phash face)
         "afp_stream_state": oracles.audio_fingerprint_pairs_oracle(),
+        "vfp_stream_state": oracles.video_frame_match_pairs_oracle(),
         "normalized_exact_dedup": oracles.normalized_exact_dedup_oracle(),
         "url_blocklist_report": oracles.url_blocklist_report_oracle(),
         "char_entropy_profile": oracles.char_entropy_profile_oracle(),
         "dedup_cascade_report": oracles.dedup_cascade_report_oracle(),
         "orders_profile": oracles.orders_profile_oracle(),
         "interval_overlap_pairs": oracles.interval_overlap_pairs_oracle(),
+        "ivo_stream_state": oracles.interval_overlap_pairs_oracle(),
         "name_edit_neighbors": oracles.name_edit_neighbors_oracle(),
         "zordered_box_scan": oracles.zordered_box_scan_oracle(),
     }

@@ -117,12 +117,16 @@ SHOWCASE = [
     ("interval_overlap_pairs", "interval x interval overlap (r10): day-axis bucketing restores an EQUI join on (supplier, bucket) — fan-out <= 2 buckets/interval — overlap + bucket-ownership predicates ride as post-filters (exactly-once without a distinct); the naive per-key nested loop never appears. PINNED shuffle_hash (both sides ARE the corpus): Catalyst's size estimate through the explode broadcast 12M rows at sf1 — 22.9 s vs 4.7 s once pinned; AQE skew-split still applies to shuffled hash joins"),
     ("name_edit_neighbors", "symmetric-delete record linkage (r10): variant explode (fan-out <= len+1) -> ONE variant-keyed aggregate into capped blocks -> map-side pair expansion -> distinct -> built-in levenshtein verify; NO join operator in the plan, nothing broadcasts"),
     ("zordered_box_scan", "Z-ordered 2-D box scan (r10): both range predicates reach the reader as PushedFilters over the Morton-clustered twin; file-level min/max skipping measured from real footers in test_plans (the storage trio's multi-dimensional member)"),
+    # r11 debuts
+    ("semdedup_text_prune", "SemDeDup from TEXT (r11): hashing-trick sparse vectors densify via ONE map_from_entries aggregate + sequence/transform fill (no pivot join), then semdedup_prune's chain unchanged — codebook broadcasts per Lloyd step, pair join cluster-blocked, report aggregates to k rows"),
     # streaming faces with PLANS sections (VERDICT r9 item 7): as with
     # dedup_stream_state, the dumped plan is the POST-DRAIN published
     # state/pair-log read; the incremental maintenance plans are gated
     # in tests/test_streaming.py.
     ("phash_stream_state", "image-index FACE: dumped plan = the post-drain pair-log read (_batch_id partitions); the per-batch chunk/cap/probe/verify plan is the shared _fingerprint_index_batch engine, gated in tests/test_streaming.py"),
     ("afp_stream_state", "audio-index FACE (r10): dumped plan = the post-drain pair-log read; same shared-engine maintenance plan as the image face, proven once in tests/test_streaming.py"),
+    ("vfp_stream_state", "video-index FACE (r11): dumped plan = the post-drain pair-log read; the per-batch demux/cap/probe/COUNT maintenance plan (the triad's count path — exact fh matching, >= VID_MIN_MATCH) is gated in tests/test_streaming.py"),
+    ("ivo_stream_state", "interval-overlap FACE (r11): dumped plan = the final supplier-cardinality osum state read; the per-batch bucketed/ownership probe + sum-merged monoid rollup (pinned shuffle_hash) is gated in tests/test_streaming.py"),
     ("bloom_stream_state", "Bloom membership FACE: dumped plan = the final <= 64-register state read; the OR-merge maintenance plan (replay- and duplicate-delivery-idempotent by algebra) is gated in tests/test_streaming.py"),
 ]
 

@@ -612,6 +612,64 @@ def semdedup_prune(
     )
 
 
+def semdedup_text_prune(
+    docs: DataFrame,
+    dim: int = 64,
+    k: int | None = None,
+    iters: int = 2,
+    threshold: float = params.SEMDEDUP_TEXT_THRESHOLD,
+    train_denom: int = params.SEMDEDUP_TRAIN_DENOM,
+) -> DataFrame:
+    """SemDeDup straight from TEXT (VERDICT r10 item 6): the hashing-
+    trick document vectors (text.doc_hash_embedding — deterministic,
+    model-free, integer-valued) densified to ``dim`` coordinates and
+    fed through the SAME sample-trained k-means + within-cluster pair
+    prune as semdedup_prune. This is the composition a real pipeline
+    runs when no embedding model is in the loop: semantic-cluster
+    pruning whose vectors are derived FROM the corpus being pruned,
+    not read from a side table.
+
+    Densify: the sparse (doc_id, idx, value) relation pivots to a
+    fixed-width array via ONE map_from_entries aggregate + a
+    sequence/transform fill — no join, no pivot shuffle beyond the
+    embedding aggregate itself. Docs whose every bucket summed to
+    zero (no tokens, or exact sign cancellation) have no sparse rows
+    and are excluded on BOTH engines by construction.
+
+    Scale shape inherits semdedup_prune's revised design: adaptive
+    cell count (clustering IS the blocking), 1/``train_denom``
+    training sample, centroids broadcast, pair join within cells
+    only. The extra text stage is one explode + one map-side-combined
+    integer aggregate; the hash-embedding chain is re-evaluated by
+    the count probe and the two assignment passes (cheap map/agg
+    lineage — persisting it would cost more executor memory at 100 TB
+    than recomputing a codegen'd regexp+hash scan).
+
+    Threshold is params.SEMDEDUP_TEXT_THRESHOLD (0.80), not the
+    embedding-space 0.30 — see the params.py note."""
+    from flink_kafka_filter_transform_spark.operators.text import doc_hash_embedding
+
+    sparse = doc_hash_embedding(docs, dim=dim)
+    dense = (
+        sparse.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("idx", "value"))).alias("m")
+        )
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)).cast(
+                    "double"
+                ),
+            ).alias("embedding"),
+        )
+    )
+    return semdedup_prune(
+        dense, k=k, iters=iters, threshold=threshold, train_denom=train_denom
+    )
+
+
 # ---------------------------------------------------------------------------
 # Character n-gram Jaccard (single-minhash blocking)
 # ---------------------------------------------------------------------------

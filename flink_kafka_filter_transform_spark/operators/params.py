@@ -91,6 +91,13 @@ LSH_TOPK = 5
 # iters * N * cells; the single full-corpus assignment that remains is
 # the IVF list-building pass every deployment pays once.
 SEMDEDUP_TRAIN_DENOM = 16
+# Pair threshold for SemDeDup over the HASHING-TRICK text vectors
+# (semdedup_text_prune): bag-of-words hash vectors of same-domain
+# synthetic docs are far more correlated than the isotropic synthetic
+# embeddings, so the 0.30 embedding threshold would prune half the
+# corpus; 0.80 targets the reformatted/near-copy band (exact copies
+# land at 1.0, unrelated docs in this fixture sit well below).
+SEMDEDUP_TEXT_THRESHOLD = 0.80
 
 # --- Bloom filter membership sketch ----------------------------------------
 # 64 registers x 62 usable bits/register = 3968-bit filter. 62 (not 64)

@@ -172,10 +172,18 @@ def interval_overlap_pairs(lineitem: DataFrame) -> DataFrame:
     hot-cell split argument above survives the pin."""
     iv = lineitem_transit_intervals(lineitem)
     B = OVERLAP_BUCKET_DAYS
+    # floor(x / B), NOT x DIV B (r10 ADVICE): DIV truncates toward
+    # zero, so days -1..-B would share bucket 0 with days 0..B-1 and
+    # the ownership predicate would mis-assign pre-1970 intervals.
+    # Floor-division keeps bucket boundaries uniform across zero; for
+    # the non-negative TPC-H fixture the two agree, so gated values
+    # are unchanged (the hypothesis twin now runs negative days).
     ex = iv.withColumn(
         "_bucket",
         F.explode(
-            F.sequence(F.expr(f"start_day DIV {B}"), F.expr(f"end_day DIV {B}"))
+            F.sequence(
+                F.expr(f"floor(start_day / {B})"), F.expr(f"floor(end_day / {B})")
+            )
         ),
     )
     left = ex.select(
@@ -201,7 +209,7 @@ def interval_overlap_pairs(lineitem: DataFrame) -> DataFrame:
             (F.col("a_iid") < F.col("b_iid"))
             & (F.col("a_start") <= F.col("b_end"))
             & (F.col("b_start") <= F.col("a_end"))
-            & (F.col("_bucket") == F.expr(f"greatest(a_start, b_start) DIV {B}"))
+            & (F.col("_bucket") == F.expr(f"floor(greatest(a_start, b_start) / {B})"))
         )
         .select("suppkey", overlap_days.alias("overlap_days"))
     )

@@ -12,12 +12,29 @@ The documents fixture has no url column, so the URL is *derived* from
 DuckDB (the sources/cdc_fixture.py discipline) — the derivation is
 deliberately adversarial: mixed-case schemes and hosts, www prefixes,
 default and non-default ports, ``/index.html`` and trailing-slash
-suffixes, tracking params in three arrangements, and fragments, all
-keyed to residues of doc_id so every canonicalization rule fires on a
-known subset and collides into known duplicate groups (residues
-2,7,20,5,10 all divide 140, so doc_ids congruent mod 140 share one
-canonical URL while their RAW urls differ — groups of 3-4 at the
-fixture's 500 docs).
+suffixes, tracking params in two arrangements, and fragments.
+
+CORPUS-CARDINALITY (reworked r11, VERDICT r10 item 4 — the r10
+derivation keyed everything to fixed doc_id residues, so the URL
+space was 140 canonicals / 7 hosts at EVERY sf and the sf3 scaling
+rows exercised only the scan, never aggregate-state growth): the
+canonical group is ``g = doc_id DIV 4`` (consecutive quads of docs
+share ONE canonical URL under four distinct raw spellings keyed to
+``v = doc_id % 4``), and the host is ``doc_id DIV 20`` (five
+canonical pages per host). Canonical-URL count is N/4 and host count
+is N/20 — both LINEAR in the corpus, so the per-key aggregates the
+profile queries run now have state that grows with sf, which is what
+the sf1/sf3 shuffle/wall rows must witness for the map-side-combine
+claim to be a measurement. Group size stays a constant 4 (the
+realistic crawl shape: dup-group size is set by mirror spelling, not
+corpus size). Variant spelling: v=0 lowercase + trailing ``/`` on
+``g%3=0`` groups + ``ref&utm_campaign`` query arrangement; v=1
+uppercase scheme + ``www.`` + ``/index.html`` on ``g%7=0`` groups;
+v=2 uppercase host + redundant default port (+``#top`` on ``g%8=0``);
+v=3 ``utm_source``-first query + ``#sec2`` fragment. Group-level
+facts (shared by all four variants, hence canonical): scheme =
+``g%2`` (http/https), permanent non-default ``:8080`` on ``g%10=5``
+groups, ``?ref=g%20`` present on ``g%3=1`` groups.
 
 Canonicalization (each step an engine built-in, regex-extracted so the
 DuckDB oracle applies the IDENTICAL patterns):
@@ -47,24 +64,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # --- fixture derivation: one template, both dialects ----------------------
-# (STRING is a VARCHAR alias in DuckDB, so the cast text is shared.)
-URL_EXPR = """
-CASE doc_id % 4 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'
-     WHEN 2 THEN 'HTTP://' ELSE 'HTTPS://' END
-|| CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
-|| CASE WHEN doc_id % 5 = 0
-        THEN upper('h' || CAST(doc_id % 7 AS STRING) || '.example.com')
-        ELSE 'h' || CAST(doc_id % 7 AS STRING) || '.example.com' END
-|| CASE doc_id % 10 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
-        WHEN 5 THEN ':8080' ELSE '' END
-|| '/page' || CAST(doc_id % 20 AS STRING)
-|| CASE doc_id % 7 WHEN 0 THEN '/index.html' WHEN 1 THEN '/' ELSE '' END
-|| CASE doc_id % 5
-        WHEN 0 THEN '?utm_source=feed&ref=' || CAST(doc_id % 20 AS STRING)
-        WHEN 1 THEN '?ref=' || CAST(doc_id % 20 AS STRING) || '&utm_campaign=x'
-        WHEN 2 THEN '?ref=' || CAST(doc_id % 20 AS STRING)
+# (STRING is a VARCHAR alias in DuckDB, so the cast text is shared;
+# floor(x / k) is double-precision-exact for doc_id < 2^52 and is the
+# division spelling BOTH dialects integer-round identically — Spark's
+# DIV is not DuckDB syntax, DuckDB's // is not Spark's.)
+_G = "CAST(floor(doc_id / 4) AS BIGINT)"  # canonical group, N/4 of them
+_V = "(doc_id % 4)"  # raw spelling variant within the group
+_H = "CAST(floor(doc_id / 20) AS BIGINT)"  # host id, N/20 of them
+URL_EXPR = f"""
+CASE WHEN {_V} = 1 THEN CASE WHEN {_G} % 2 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END
+     ELSE CASE WHEN {_G} % 2 = 0 THEN 'http://' ELSE 'https://' END END
+|| CASE WHEN {_V} = 1 THEN 'www.' ELSE '' END
+|| CASE WHEN {_V} = 2
+        THEN upper('h' || CAST({_H} AS STRING) || '.example.com')
+        ELSE 'h' || CAST({_H} AS STRING) || '.example.com' END
+|| CASE WHEN {_G} % 10 = 5 THEN ':8080'
+        WHEN {_V} = 2 THEN CASE WHEN {_G} % 2 = 0 THEN ':80' ELSE ':443' END
         ELSE '' END
-|| CASE WHEN doc_id % 8 = 0 THEN '#sec2' ELSE '' END
+|| '/page' || CAST({_G} AS STRING)
+|| CASE WHEN {_V} = 1 AND {_G} % 7 = 0 THEN '/index.html'
+        WHEN {_V} = 0 AND {_G} % 3 = 0 THEN '/' ELSE '' END
+|| CASE WHEN {_G} % 3 = 1 AND {_V} = 3
+             THEN '?utm_source=feed&ref=' || CAST({_G} % 20 AS STRING)
+        WHEN {_G} % 3 = 1 AND {_V} = 0
+             THEN '?ref=' || CAST({_G} % 20 AS STRING) || '&utm_campaign=x'
+        WHEN {_G} % 3 = 1
+             THEN '?ref=' || CAST({_G} % 20 AS STRING)
+        WHEN {_V} = 3 THEN '?utm_source=feed'
+        ELSE '' END
+|| CASE WHEN {_V} = 3 THEN '#sec2'
+        WHEN {_V} = 2 AND {_G} % 8 = 0 THEN '#top' ELSE '' END
 """.strip().replace("\n", " ")
 
 # Shared regex vocabulary (Java and RE2 agree on all of these —
@@ -202,10 +231,15 @@ def host_profile(docs: DataFrame) -> DataFrame:
 # family, rule 3 a blocked query param; first match wins, so the
 # per-rule counts are a PARTITION of the corpus (all = blocked
 # rows + allowed), which is what makes the report auditable.
+# Rules are residue-PATTERN based (not single-key equality) so each
+# rule's hit count scales WITH the corpus-cardinality URL space —
+# mirror-farm hosts are every host id ending in 3 (~10% of hosts),
+# the spam path family every page id ending in 7 (~10% of groups),
+# the blocked param the ref=4 classes.
 BLOCKLIST = [
-    ("blocked_mirror_host", "host = h3.example.com"),
-    ("blocked_spam_path", "path ~ /page1[0-9]$"),
-    ("blocked_param", "query has ref=7"),
+    ("blocked_mirror_host", "host ~ ^h[0-9]*3[.]example[.]com$"),
+    ("blocked_spam_path", "canonical path ~ /page[0-9]*7$"),
+    ("blocked_param", "query has ref=4"),
 ]
 
 
@@ -224,9 +258,9 @@ def url_blocklist_report(docs: DataFrame) -> DataFrame:
     window."""
     c = url_canonicalize(docs)
     rule = (
-        F.when(F.col("host") == "h3.example.com", F.lit(1))
-        .when(F.col("canonical_url").rlike("/page1[0-9]([?]|$)"), F.lit(2))
-        .when(F.col("canonical_url").rlike("[?&]ref=7($|&)"), F.lit(3))
+        F.when(F.col("host").rlike("^h[0-9]*3[.]example[.]com$"), F.lit(1))
+        .when(F.col("canonical_url").rlike("/page[0-9]*7([?]|$)"), F.lit(2))
+        .when(F.col("canonical_url").rlike("[?&]ref=4($|&)"), F.lit(3))
         .otherwise(F.lit(0))
     )
     agg = c.select(rule.alias("r")).agg(

@@ -3633,13 +3633,21 @@ def semdedup_prune_oracle(
     iters: int = 2,
     threshold: float | None = None,
     train_denom: int | None = None,
+    e_cte: str | None = None,
+    count_relation: str = "embeddings",
 ) -> str:
     """SemDeDup prune ledger: replay the engine's SAMPLE-TRAINED
     k-means trajectory (adaptive cell count from the full corpus,
     Lloyd rounds over the 1/denom hash-sample + first-k seeds, ONE
     full-corpus assignment), compute centroid similarity per member,
     apply the SAME per-pair loser rule (keep lower cent_sim; ties keep
-    lower vec_id), aggregate per cluster."""
+    lower vec_id), aggregate per cluster.
+
+    ``e_cte`` overrides the vector-source CTE chain (must end by
+    defining ``e(vec_id, v)``) and ``count_relation`` names the
+    relation the adaptive-k count runs over — the hook
+    semdedup_text_prune_oracle uses to swap the embeddings table for
+    the corpus-derived hash vectors."""
     from flink_kafka_filter_transform_spark.functions.vectors import cosine_sql
 
     thr = params.EMB_NEARDUP_THRESHOLD if threshold is None else threshold
@@ -3649,7 +3657,7 @@ def semdedup_prune_oracle(
         if k is not None
         else (
             "(SELECT GREATEST(1, CAST(CEIL(COUNT(*) / "
-            f"{params.EMB_CELL_TARGET_ROWS}.0) AS BIGINT)) FROM embeddings)"
+            f"{params.EMB_CELL_TARGET_ROWS}.0) AS BIGINT)) FROM {count_relation})"
         )
     )
     h = portable_hash64_sql("CAST(vec_id AS VARCHAR)")
@@ -3660,7 +3668,9 @@ def semdedup_prune_oracle(
         " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
     )
     parts = [
-        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        e_cte
+        if e_cte is not None
+        else "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
         f"smp AS (SELECT * FROM e WHERE {h} % {denom} = 0 OR vec_id < {k_sql})",
         f"c0 AS (SELECT vec_id AS cid, v AS centroid FROM e WHERE vec_id < {k_sql})",
     ]
@@ -3729,6 +3739,39 @@ SELECT a.cid AS cluster_id,
 FROM afinal a LEFT JOIN dropped d USING (vec_id)
 GROUP BY a.cid
 """
+
+
+def semdedup_text_prune_oracle(
+    dim: int = 64,
+    iters: int = 2,
+    threshold: float | None = None,
+    train_denom: int | None = None,
+) -> str:
+    """SemDeDup over the corpus-derived hashing-trick vectors
+    (operators.dedup.semdedup_text_prune): the doc_hash_embedding CTE
+    chain densified to ``dim`` coordinates (zeros filled, docs with no
+    sparse rows excluded — both engines by construction), then the
+    IDENTICAL sample-trained k-means + pair-prune chain as
+    semdedup_prune_oracle, with adaptive k counted over the dense
+    relation and the text-space threshold."""
+    thr = params.SEMDEDUP_TEXT_THRESHOLD if threshold is None else threshold
+    e_cte = f"""{_doc_hash_emb_cte(dim)},
+dd AS (SELECT DISTINCT doc_id FROM emb),
+pos AS (SELECT unnest(generate_series(0, {dim - 1})) AS pos),
+e AS (
+  SELECT dd.doc_id AS vec_id,
+         list(CAST(coalesce(s.value, 0) AS DOUBLE) ORDER BY pos.pos) AS v
+  FROM dd CROSS JOIN pos
+  LEFT JOIN emb s ON s.doc_id = dd.doc_id AND s.idx = pos.pos
+  GROUP BY dd.doc_id
+)"""
+    return semdedup_prune_oracle(
+        iters=iters,
+        threshold=thr,
+        train_denom=train_denom,
+        e_cte=e_cte,
+        count_relation="e",
+    )
 
 
 def temperature_mixture_report_oracle() -> str:
@@ -5491,9 +5534,9 @@ def url_blocklist_report_oracle() -> str:
 WITH {_url_canon_cte()},
 r AS (
   SELECT CASE
-    WHEN host = 'h3.example.com' THEN 1
-    WHEN regexp_matches(canonical_url, '/page1[0-9]([?]|$)') THEN 2
-    WHEN regexp_matches(canonical_url, '[?&]ref=7($|&)') THEN 3
+    WHEN regexp_matches(host, '^h[0-9]*3[.]example[.]com$') THEN 1
+    WHEN regexp_matches(canonical_url, '/page[0-9]*7([?]|$)') THEN 2
+    WHEN regexp_matches(canonical_url, '[?&]ref=4($|&)') THEN 3
     ELSE 0 END AS r
   FROM canon
 ),

@@ -1359,6 +1359,314 @@ def _afp_index_batch(
     )
 
 
+def vfp_index_sink(
+    stream_docs: DataFrame, state_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataStreamWriter:
+    """Incremental VIDEO near-duplicate detection — the frame-
+    fingerprint index maintained across micro-batches, the streaming
+    face of operators.multimodal.video_frame_match_pairs and the last
+    member of the multimodal near-dup triad to get one (r11, VERDICT
+    r10 item 5; image and audio share _fingerprint_index_batch).
+
+    The video op differs from the Hamming pair: a doc carries MANY
+    frame fingerprints, matching is EXACT fh equality (no hamming
+    verify), and the pair survives at >= VID_MIN_MATCH shared frames
+    — so the shared engine's distinct()-then-verify shape doesn't
+    apply and this sink keeps the COUNT path instead:
+
+    per batch: (1) real demux + per-frame dHash for arriving videos
+    (the IDENTICAL video_frame_hashes Arrow stage), DISTINCT (doc,
+    fh); (2) accumulated per-fh distinct-doc counts maintained as
+    sum-merged ``fcounts_v{batch_id}`` (disjoint batches make the
+    distinct-doc count a plain sum — the bcounts/ccounts protocol:
+    strictly-pre-batch prev, recompute-on-replay); buckets whose
+    ACCUMULATED occupancy exceeds VID_FRAME_CAP are dropped from
+    both sides before any pairing (boilerplate frames: intro cards /
+    black frames); (3) per-fh match rows = within-batch bucket-
+    collect expansion UNION batch-vs-index fh probes — one row per
+    shared under-cap frame hash; (4) ONE pair-keyed count aggregate
+    >= VID_MIN_MATCH. Because a doc's frames all arrive in its one
+    batch, the LATER member's batch sees every shared fh of the
+    pair, so each pair is emitted exactly once with its COMPLETE
+    matched-frame count — no partial-count state, no cross-batch
+    pair dedup.
+
+    After the drain the pair log equals video_frame_match_pairs
+    (same DuckDB oracle), with the standing one-sided cap-boundary
+    caveat of the sibling faces (a bucket crossing the cap
+    mid-stream cannot retract already-emitted pairs; unreachable at
+    driver scale and CI-differentially checked every run).
+
+    Replay discipline: pair log and frame index publish as
+    ``_batch_id`` dynamic-overwrite partitions, fcounts as versioned
+    relations — an at-least-once replay overwrites its own writes.
+
+    Scale shape per batch: demux/decode is the map-only Arrow stage
+    (frame pixels never shuffle; 16-byte (doc_id, fh) rows do); the
+    index probe is an fh equi-join that a real deployment prunes by
+    fh-hash partitioning; cap decisions are map-side-combined counts;
+    the pair aggregate is bounded by capped-bucket expansion."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _vfp_index_batch(batch_df, batch_id, state_dir, out_dir)
+
+    return stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def _vfp_index_batch(
+    batch_df: DataFrame, batch_id: int, state_dir: str, out_dir: str
+) -> None:
+    """One vfp_index_sink micro-batch (module-level for replay
+    tests); see the sink docstring for the protocol."""
+    from flink_kafka_filter_transform_spark.operators import params
+    from flink_kafka_filter_transform_spark.operators.multimodal import (
+        video_frame_hashes,
+    )
+
+    spark = batch_df.sparkSession
+    # The frame relation feeds three consumers (bucket counts, the
+    # within-batch buckets, the index probe, the state append);
+    # unpersisted, each would re-run the demux+decode Arrow stage.
+    fr = video_frame_hashes(batch_df).select("doc_id", "fh").distinct().persist()
+    bn = fr.groupBy("fh").agg(F.count(F.lit(1)).alias("_n"))
+    v = _latest_state_version(spark, state_dir, "fcounts", before=batch_id)
+    prev = (
+        spark.read.parquet(f"{state_dir}/fcounts_v{v}") if v is not None else None
+    )
+    totals = (
+        bn
+        if prev is None
+        else prev.unionByName(bn).groupBy("fh").agg(F.sum("_n").alias("_n"))
+    )
+    totals.write.mode("overwrite").parquet(f"{state_dir}/fcounts_v{batch_id}")
+    over_cap = F.broadcast(
+        spark.read.parquet(f"{state_dir}/fcounts_v{batch_id}")
+        .filter(F.col("_n") > params.VID_FRAME_CAP)
+        .select("fh")
+    )
+    new = fr.join(over_cap, ["fh"], "left_anti")
+    within = (
+        new.groupBy("fh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
+                    "struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    if _hadoop_path_exists(spark, f"{state_dir}/frames"):
+        idx = (
+            spark.read.parquet(f"{state_dir}/frames")
+            .filter(F.col("_batch_id") < batch_id)
+            .drop("_batch_id")
+        )
+        old = idx.join(over_cap, ["fh"], "left_anti")
+        # index docs and batch docs are disjoint, so least/greatest
+        # orients each cross pair deterministically and one row per
+        # shared fh survives — exactly the count contribution the
+        # batch operator's bucket expansion produces.
+        cross = (
+            old.alias("a")
+            .join(new.alias("b"), "fh")
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+        )
+        match_rows = within.unionByName(cross)
+    else:
+        match_rows = within
+    pairs = (
+        match_rows.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= params.VID_MIN_MATCH)
+    )
+    pairs.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(out_dir)
+    (
+        fr.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(f"{state_dir}/frames")
+    )
+    fr.unpersist()
+    _write_latest_pointer(spark, state_dir, batch_id)
+
+
+def ivo_overlap_sink(
+    stream_lineitem: DataFrame, state_dir: str, checkpoint_dir: str
+) -> DataStreamWriter:
+    """Incremental interval-overlap profile — the streaming twin of
+    operators.rangejoin.interval_overlap_pairs (r11, VERDICT r10
+    item 7), closing the temporal family's streaming story.
+
+    The batch op's two exactly-once devices port directly to the
+    micro-batch protocol:
+
+    - DAY-BUCKET OWNERSHIP dedups bucket multiplicity: only the
+      bucket holding greatest(a_start, b_start) emits a pair — and
+      both intervals were exploded into that bucket, so the equi-join
+      finds the pair there whichever batches its members arrived in.
+    - PAIR-IN-LATER-BATCH dedups batch multiplicity (the fingerprint
+      faces' rule): within-batch pairs come from the batch's
+      self-join (a_iid < b_iid), cross-batch pairs from the
+      batch-vs-index probe (_batch_id < batch_id) — an interval
+      lands in exactly one batch, so the two sources partition the
+      pair space. Cross pairs need NO orientation: the overlap
+      predicate, the ownership test, and overlap_days are all
+      symmetric, and iids are disjoint across batches.
+
+    Maintained state is SUPPLIER-cardinality, not pair-cardinality:
+    the per-supplier (n_pairs, sum_overlap_days, max_overlap_days)
+    rollup is a commutative monoid (sum / sum / max), maintained as
+    sum-merged ``osum_v{batch_id}`` versions under the bcounts
+    protocol (strictly-pre-batch prev, recompute-on-replay), plus the
+    exploded interval index under ``_batch_id`` dynamic-overwrite
+    partitions. After the drain the published rollup equals the
+    one-shot batch operator — the same naive-inequality DuckDB oracle
+    checks the bucketing, the ownership rule, AND the micro-batch
+    split in one differential gate.
+
+    Scale shape per batch: the probe is an equi-join on (suppkey,
+    _bucket) pinned shuffle_hash (the batch op's measured-cliff rule:
+    both sides are corpus-sized by construction and Catalyst's
+    estimate through the explode is unreliable); AQE skew-splits hot
+    (supplier, fortnight) cells; a real deployment prunes the index
+    read by bucket-range partitioning since a batch only probes the
+    buckets its own intervals touch."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _ivo_overlap_batch(batch_df, batch_id, state_dir)
+
+    return stream_lineitem.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def _ivo_overlap_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
+    """One ivo_overlap_sink micro-batch (module-level for replay
+    tests); see the sink docstring for the protocol."""
+    from flink_kafka_filter_transform_spark.operators.rangejoin import (
+        OVERLAP_BUCKET_DAYS,
+        lineitem_transit_intervals,
+    )
+
+    spark = batch_df.sparkSession
+    B = OVERLAP_BUCKET_DAYS
+    ex = (
+        lineitem_transit_intervals(batch_df)
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"floor(start_day / {B})"),
+                    F.expr(f"floor(end_day / {B})"),
+                )
+            ),
+        )
+        .persist()
+    )
+    overlap_pred = (
+        (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end"))
+        & (
+            F.col("_bucket")
+            == F.expr(f"floor(greatest(a_start, b_start) / {B})")
+        )
+    )
+    overlap_days = (
+        F.least("a_end", "b_end") - F.greatest("a_start", "b_start") + F.lit(1)
+    )
+    left = ex.select(
+        F.col("l_suppkey").alias("suppkey"),
+        "_bucket",
+        F.col("iid").alias("a_iid"),
+        F.col("start_day").alias("a_start"),
+        F.col("end_day").alias("a_end"),
+    )
+    right = ex.select(
+        F.col("l_suppkey").alias("suppkey"),
+        "_bucket",
+        F.col("iid").alias("b_iid"),
+        F.col("start_day").alias("b_start"),
+        F.col("end_day").alias("b_end"),
+    )
+    within = (
+        left.join(right.hint("shuffle_hash"), ["suppkey", "_bucket"])
+        .filter((F.col("a_iid") < F.col("b_iid")) & overlap_pred)
+        .select("suppkey", overlap_days.alias("overlap_days"))
+    )
+    if _hadoop_path_exists(spark, f"{state_dir}/iv"):
+        idx = (
+            spark.read.parquet(f"{state_dir}/iv")
+            .filter(F.col("_batch_id") < batch_id)
+            .drop("_batch_id")
+            .select(
+                F.col("suppkey"),
+                "_bucket",
+                F.col("iid").alias("a_iid"),
+                F.col("start_day").alias("a_start"),
+                F.col("end_day").alias("a_end"),
+            )
+        )
+        # a_iid != b_iid mirrors the batch op's strict a_iid < b_iid:
+        # iids are NOT unique in the fixture (duplicate (orderkey,
+        # linenumber) rows), and same-iid pairs are excluded from the
+        # pair space on both engines — without this, two same-iid rows
+        # landing in different batches would emit a self-pair the
+        # batch operator never counts.
+        cross = (
+            idx.join(right.hint("shuffle_hash"), ["suppkey", "_bucket"])
+            .filter((F.col("a_iid") != F.col("b_iid")) & overlap_pred)
+            .select("suppkey", overlap_days.alias("overlap_days"))
+        )
+        match_rows = within.unionByName(cross)
+    else:
+        match_rows = within
+    delta = match_rows.groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("overlap_days").alias("sum_overlap_days"),
+        F.max("overlap_days").alias("max_overlap_days"),
+    )
+    v = _latest_state_version(spark, state_dir, "osum", before=batch_id)
+    totals = delta
+    if v is not None:
+        prev = spark.read.parquet(f"{state_dir}/osum_v{v}")
+        totals = (
+            prev.unionByName(delta)
+            .groupBy("suppkey")
+            .agg(
+                F.sum("n_pairs").alias("n_pairs"),
+                F.sum("sum_overlap_days").alias("sum_overlap_days"),
+                F.max("max_overlap_days").alias("max_overlap_days"),
+            )
+        )
+    totals.write.mode("overwrite").parquet(f"{state_dir}/osum_v{batch_id}")
+    (
+        ex.select("l_suppkey", "iid", "start_day", "end_day", "_bucket")
+        .withColumnRenamed("l_suppkey", "suppkey")
+        .withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(f"{state_dir}/iv")
+    )
+    ex.unpersist()
+    _write_latest_pointer(spark, state_dir, batch_id)
+
+
 # ---------------------------------------------------------------------------
 # Driver-checkable batch faces for the maintenance sinks
 # ---------------------------------------------------------------------------
@@ -1703,6 +2011,65 @@ def afp_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stream, ckpt: afp_index_sink(stream, state, out, ckpt),
     )
     return spark.read.parquet(out).select("doc_a", "doc_b", "hamming")
+
+
+def vfp_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (r11): the documents table drained through
+    vfp_index_sink — real PPM demux + per-frame dHash per micro-batch,
+    per-fh match rows from the within-batch bucket expansion UNION
+    batch-vs-index frame probes, ONE pair-keyed count aggregate at
+    >= VID_MIN_MATCH — returning the accumulated pair log (doc_a,
+    doc_b, n_matched). A doc's frames all arrive in its one batch, so
+    the later member's batch emits each pair exactly once with its
+    complete matched-frame count; after the drain the log equals the
+    one-shot batch operator video_frame_match_pairs, which is what the
+    shared DuckDB oracle computes (cap-boundary caveat cannot occur at
+    driver scale). Completes the multimodal near-dup triad's streaming
+    story (VERDICT r10 item 5)."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    scratch = _face_scratch(spark, "sgraft_vfp_stream_")
+    state, out = f"{scratch}/state", f"{scratch}/pairs"
+    _drain_through_sink(
+        docs,
+        scratch,
+        lambda stream, ckpt: vfp_index_sink(stream, state, out, ckpt),
+    )
+    return spark.read.parquet(out).select("doc_a", "doc_b", "n_matched")
+
+
+def ivo_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (r11): the lineitem table drained through
+    ivo_overlap_sink — transit intervals bucketed on the day axis per
+    micro-batch, within-batch self-join pairs UNION batch-vs-index
+    probes under the symmetric ownership predicate, per-supplier
+    monoid rollup sum-merged across batches — returning the final
+    published (l_suppkey, n_pairs, sum_overlap_days,
+    max_overlap_days) relation. Pair-in-later-batch + bucket
+    ownership make each overlapping pair count exactly once, so after
+    the drain the rollup equals the one-shot batch operator
+    interval_overlap_pairs — checked by the SAME naive-inequality
+    DuckDB oracle (VERDICT r10 item 7)."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"
+    )
+    scratch = _face_scratch(spark, "sgraft_ivo_stream_")
+    state = f"{scratch}/state"
+    _drain_through_sink(
+        li,
+        scratch,
+        lambda stream, ckpt: ivo_overlap_sink(stream, state, ckpt),
+    )
+    v = _read_latest_pointer(spark, state, prefix="osum")
+    return spark.read.parquet(f"{state}/osum_v{v}").select(
+        F.col("suppkey").alias("l_suppkey"),
+        "n_pairs",
+        "sum_overlap_days",
+        "max_overlap_days",
+    )
 
 
 def dedup_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1530,7 +1530,9 @@ def test_interval_overlap_fanout_bounded(spark, sf_dir):
     iv = rangejoin.lineitem_transit_intervals(load_table(spark, "lineitem", sf_dir))
     B = rangejoin.OVERLAP_BUCKET_DAYS
     worst = iv.select(
-        (F.expr(f"end_day DIV {B}") - F.expr(f"start_day DIV {B}") + 1).alias("n")
+        (
+            F.expr(f"floor(end_day / {B})") - F.expr(f"floor(start_day / {B})") + 1
+        ).alias("n")
     ).agg(F.max("n")).collect()[0][0]
     assert worst <= 2
 
@@ -1574,7 +1576,14 @@ def test_zordered_box_scan_pushes_both_dims_and_skips_files(spark, sf_dir):
         if row[0].strip().lower() == "location":
             location = row[1]
     assert location
-    files = glob.glob(location.replace("file:", "") + "/*.parquet")
+    # urlparse, not str.replace (r10 ADVICE): "file:" anywhere else in
+    # the string must not be stripped, and file:// URIs with authority
+    # components need .path, not a prefix chop.
+    from urllib.parse import urlparse
+
+    parsed = urlparse(location)
+    local = parsed.path if parsed.scheme else location
+    files = glob.glob(local + "/*.parquet")
     assert len(files) > 1
     overlapping = 0
     for f in files:

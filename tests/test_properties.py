@@ -1305,27 +1305,38 @@ def test_url_canonicalize_rules_fire(spark):
     from flink_kafka_filter_transform_spark.operators.web import url_canonicalize
 
     docs = spark.createDataFrame(
-        [(i, "t", "en", f"src{i}", 1) for i in (0, 1, 2, 3, 4, 5)],
+        [
+            (i, "t", "en", f"src{i}", 1)
+            for i in (0, 1, 2, 3, 4, 5, 6, 7, 20, 21, 22, 23)
+        ],
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
     )
     got = {r["doc_id"]: r for r in url_canonicalize(docs).collect()}
-    # doc 0: HTTP-case+www+:80+index.html+utm+fragment all collapse
-    assert got[0]["canonical_url"] == "http://h0.example.com/page0?ref=0"
-    assert got[0]["host"] == "h0.example.com"
-    # doc 1: https default :443 stripped, trailing slash stripped,
-    # trailing utm_campaign dropped but leading ref kept
-    assert got[1]["canonical_url"] == "https://h1.example.com/page1?ref=1"
-    # doc 3: no query at all
-    assert got[3]["canonical_url"] == "https://h3.example.com/page3"
-    # doc 5: NON-default :8080 survives canonicalization
-    assert got[5]["canonical_url"] == "https://h5.example.com:8080/page5?ref=5"
+    # group g=0 (docs 0-3, http, no query): trailing slash (v0),
+    # HTTP-case+www+index.html (v1), upper-host+:80+#top (v2, g%8=0),
+    # utm-only query+#sec2 (v3) ALL collapse to one canonical
+    for i in (0, 1, 2, 3):
+        assert got[i]["canonical_url"] == "http://h0.example.com/page0"
+        assert got[i]["host"] == "h0.example.com"
+    # the four raw spellings are genuinely distinct
+    assert len({got[i]["url"] for i in (0, 1, 2, 3)}) == 4
+    # group g=1 (docs 4-7, https, ref=1 query): ref&utm_campaign (v0),
+    # HTTPS+www (v1), upper-host+:443 (v2), utm_source-first (v3)
+    for i in (4, 5, 6, 7):
+        assert got[i]["canonical_url"] == "https://h0.example.com/page1?ref=1"
+    assert len({got[i]["url"] for i in (4, 5, 6, 7)}) == 4
+    # group g=5 (docs 20-23): NON-default :8080 survives in canonical
+    for i in (20, 21, 22, 23):
+        assert got[i]["canonical_url"] == "https://h1.example.com:8080/page5"
+        assert got[i]["host"] == "h1.example.com"
 
 
-def test_url_canonical_dedup_groups_mod140(spark):
-    """The fixture derivation's residues (2,7,20,5,10) all divide 140,
-    so doc_ids congruent mod 140 form one canonical group — with 420
-    docs every group has exactly 3 members and a deterministic min
-    survivor."""
+def test_url_canonical_dedup_groups_of_four(spark):
+    """Corpus-cardinality fixture: each consecutive doc quad is ONE
+    canonical group under four distinct raw spellings — with 420 docs
+    that is 105 groups of exactly 4, survivor = the quad's first
+    doc_id, and the canonical-URL space GROWS with the corpus (the
+    r11 rework's whole point)."""
     from flink_kafka_filter_transform_spark.operators.web import (
         url_canonical_dedup,
     )
@@ -1335,9 +1346,10 @@ def test_url_canonical_dedup_groups_mod140(spark):
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
     )
     rows = url_canonical_dedup(docs).collect()
-    assert len(rows) == 140
-    assert all(r["n_docs"] == 3 for r in rows)
-    assert {r["first_doc_id"] for r in rows} == set(range(140))
+    assert len(rows) == 105
+    assert all(r["n_docs"] == 4 for r in rows)
+    assert all(r["n_raw_variants"] == 4 for r in rows)
+    assert {r["first_doc_id"] for r in rows} == set(range(0, 420, 4))
 
 
 def test_normalized_exact_dedup_collapses_reformatting(spark):
@@ -1388,20 +1400,39 @@ def test_url_blocklist_first_match_partitions_corpus(spark):
         + got["allowed"]
         == 420
     )
-    # rule 1: doc_id % 7 == 3 -> 60 of 420
-    assert got["blocked_mirror_host"] == 60
-    # rule 2: pages 10-19 (doc_id % 20 in 10..19 -> 210) minus those
-    # already taken by the host rule (id%7==3 AND id%20>=10 -> 30)
-    assert got["blocked_spam_path"] == 210 - 30
-    # rule 3: ref=7 -> id%20==7 (21 docs; %5==2 so the query IS
-    # present and page7 is outside rule 2's 10-19 band) minus the
-    # host-rule overlap (id≡3 mod 7 AND id≡7 mod 20: one class mod
-    # 140 -> 3 docs)
-    assert got["blocked_param"] == 21 - 3
-    assert got["allowed"] == 420 - 60 - 180 - 18
+    # rule 1 (host id ends in 3): host ids 3 and 13 in range (23 needs
+    # doc 460+) -> docs 60-79 and 260-279 -> 40
+    assert got["blocked_mirror_host"] == 40
+    # rule 2 (page id ends in 7): g in {7,17,..,97} is 10 groups; g=17
+    # (docs 68-71) and g=67 (docs 268-271) already taken by rule 1 ->
+    # 8 groups x 4 docs
+    assert got["blocked_spam_path"] == 32
+    # rule 3 (ref=4): ref present iff g%3==1 and equal to 4 iff
+    # g%20==4 -> g ≡ 4 (mod 60): g in {4, 64} -> 8 docs, neither in
+    # an earlier rule's class
+    assert got["blocked_param"] == 8
+    assert got["allowed"] == 420 - 40 - 32 - 8
 
 
-def test_char_entropy_profile_closed_forms(spark):
+def test_semdedup_text_prune_drops_exact_copy(spark):
+    """Closed-form corpus: an exact duplicate pair lands on identical
+    hash vectors (cosine 1.0 >= threshold) so exactly one of the two
+    is pruned (tie rule keeps the lower doc_id), while vocabulary-
+    disjoint docs survive — and the ledger covers every doc."""
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        semdedup_text_prune,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta " * 3),
+        (1, "alpha beta gamma delta epsilon zeta " * 3),
+        (2, "mercury venus orbit planet telescope astronomy"),
+        (3, "crimson harvest tractor field barley oats"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = semdedup_text_prune(docs).collect()
+    assert sum(r["n_vectors"] for r in got) == 4
+    assert sum(r["n_dropped"] for r in got) == 1
     """Exact whole-bit entropy bounds on closed-form docs: a
     single-char doc costs 0 bits, a 2-symbol balanced doc exactly 1
     bit/char, a 4-distinct-char doc exactly 2 bits/char — and the
@@ -1438,18 +1469,18 @@ def test_dedup_cascade_funnel_monotone_and_rules(spark):
         dedup_cascade_report,
     )
 
-    # doc_ids chosen mod-140-congruent in pairs: (0, 140) share a
-    # canonical URL; 140 is dropped at stage 1 regardless of content.
-    # Docs 1 and 2 are reformatted copies (normalized-equal) on
-    # DIFFERENT canonical urls -> both survive stage 1, doc 2 drops at
-    # stage 2.
+    # doc_ids chosen in the same doc_id-DIV-4 quad: (0, 1) share a
+    # canonical URL; 1 is dropped at stage 1 regardless of content.
+    # Docs 4 and 8 are reformatted copies (normalized-equal) on
+    # DIFFERENT canonical urls (groups 1 and 2) -> both survive stage
+    # 1, doc 8 drops at stage 2.
     base = "spark filter window batch stream merge sort join hash scan " * 4
     rows = [
         (0, base + "alpha"),
-        (140, "totally different content that only shares its url group"),
-        (1, "Hello, World! This is fine. " + base),
-        (2, "hello world this is fine " + base),
-        (3, "unique content about completely other topics and words here"),
+        (1, "totally different content that only shares its url group"),
+        (4, "Hello, World! This is fine. " + base),
+        (8, "hello world this is fine " + base),
+        (12, "unique content about completely other topics and words here"),
     ]
     docs = spark.createDataFrame(
         [(i, t, "en", f"src{i % 20}", len(t)) for i, t in rows],
@@ -1457,8 +1488,8 @@ def test_dedup_cascade_funnel_monotone_and_rules(spark):
     )
     got = {r["stage_no"]: r for r in dedup_cascade_report(docs).collect()}
     assert got[0]["n_docs"] == 5
-    assert got[1]["n_docs"] == 4          # 140 dropped by URL group
-    assert got[2]["n_docs"] == 3          # 2 dropped by normalization
+    assert got[1]["n_docs"] == 4          # doc 1 dropped by URL group
+    assert got[2]["n_docs"] == 3          # doc 8 dropped by normalization
     assert got[3]["n_docs"] <= got[2]["n_docs"]
     assert (
         got[0]["n_chars"]
@@ -1517,8 +1548,11 @@ def test_hot_gram_estimate_exact_at_full_fraction(spark):
 
 _intervals = st.lists(
     # (supplier, start_day, duration) — durations up to the operator's
-    # max (TRANSIT_MOD_DAYS) so bucket-boundary cases are exercised
-    st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(1, 14)),
+    # max (TRANSIT_MOD_DAYS) so bucket-boundary cases are exercised;
+    # start days span NEGATIVE values (pre-1970 epoch days) since the
+    # r11 floor-division fix: x DIV B would collapse days -1..-B into
+    # bucket 0 and break ownership there (r10 ADVICE)
+    st.tuples(st.integers(0, 2), st.integers(-40, 40), st.integers(1, 14)),
     min_size=0,
     max_size=12,
 )
@@ -1554,7 +1588,9 @@ def test_interval_overlap_bucketing_equals_naive(spark_prop, rows):
     ex = df.withColumn(
         "_bucket",
         F.explode(
-            F.sequence(F.expr(f"start_day DIV {B}"), F.expr(f"end_day DIV {B}"))
+            F.sequence(
+                F.expr(f"floor(start_day / {B})"), F.expr(f"floor(end_day / {B})")
+            )
         ),
     )
     left = ex.select(
@@ -1575,7 +1611,7 @@ def test_interval_overlap_bucketing_equals_naive(spark_prop, rows):
                 (F.col("a_iid") < F.col("b_iid"))
                 & (F.col("a_start") <= F.col("b_end"))
                 & (F.col("b_start") <= F.col("a_end"))
-                & (F.col("_bucket") == F.expr(f"greatest(a_start, b_start) DIV {B}"))
+                & (F.col("_bucket") == F.expr(f"floor(greatest(a_start, b_start) / {B})"))
             )
             .select(
                 "suppkey",
@@ -1587,6 +1623,39 @@ def test_interval_overlap_bucketing_equals_naive(spark_prop, rows):
         )
     }
     assert got == expect
+
+
+def test_name_edit_block_cap_headroom(spark, sf_dir):
+    """EDIT_BLOCK_CAP silently drops over-cap variant blocks while the
+    naive DuckDB oracle has no cap — a one-sided divergence that would
+    fail the driver gate if a fixture ever produced a degenerate
+    block. The docstring claims blocks stay <= ~20 on the customer
+    fixture; this MEASURES it (the ASCII-pin discipline of
+    test_regex_dialect.py): the largest distinct-entity variant block
+    must sit far under the cap (r10 ADVICE)."""
+    from flink_kafka_filter_transform_spark.operators.linkage import (
+        EDIT_BLOCK_CAP,
+        deletion_variants,
+    )
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    cust = load_table(spark, "customer", sf_dir)
+    ex = cust.select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("nm")
+    ).filter(F.col("nm").isNotNull()).select(
+        "k", F.explode(deletion_variants("nm")).alias("variant")
+    )
+    worst = (
+        ex.groupBy("variant")
+        .agg(F.countDistinct("k").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert worst <= EDIT_BLOCK_CAP // 10, (
+        f"largest variant block {worst} is within 10x of EDIT_BLOCK_CAP "
+        f"{EDIT_BLOCK_CAP}: the one-sided cap divergence is no longer "
+        "safely unreachable on this fixture"
+    )
 
 
 # ---------------------------------------------------------------------------

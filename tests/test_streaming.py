@@ -1632,3 +1632,117 @@ def test_afp_index_sink_cross_batch_pairs_match_batch_operator(spark, sf_dir):
         ).collect()
     }
     assert face == batch and len(batch) > 0
+
+
+def test_vfp_index_sink_replay_same_batch_id_idempotent(
+    spark, sf_dir, tmp_path_factory
+):
+    """Replaying a video frame-index batch must overwrite its own
+    frame partition and fcounts version (duplicate frame rows would
+    inflate accumulated buckets toward VID_FRAME_CAP and re-propose
+    pairs) and re-emit the identical pair partition — the phash/afp
+    replay contract, re-proven through the COUNT-aggregation path."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    b0 = docs.filter(SF.col("doc_id") % 2 == 0)
+    b1 = docs.filter(SF.col("doc_id") % 2 == 1)
+    state = str(tmp_path_factory.mktemp("vfp_replay_state"))
+    out = str(tmp_path_factory.mktemp("vfp_replay_out"))
+    sp._vfp_index_batch(b0, 0, state, out)
+    sp._vfp_index_batch(b1, 1, state, out)
+    frames_before = spark.read.parquet(f"{state}/frames").count()
+    counts_before = {
+        (r.fh, r._n) for r in spark.read.parquet(f"{state}/fcounts_v1").collect()
+    }
+    pairs_before = {
+        (r.doc_a, r.doc_b, r.n_matched)
+        for r in spark.read.parquet(out).collect()
+    }
+    sp._vfp_index_batch(b1, 1, state, out)  # replay
+    assert spark.read.parquet(f"{state}/frames").count() == frames_before
+    counts_after = {
+        (r.fh, r._n) for r in spark.read.parquet(f"{state}/fcounts_v1").collect()
+    }
+    pairs_after = {
+        (r.doc_a, r.doc_b, r.n_matched)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert counts_after == counts_before
+    assert pairs_after == pairs_before and len(pairs_before) > 0
+
+
+def test_vfp_index_sink_cross_batch_pairs_match_batch_operator(spark, sf_dir):
+    """The drained video face equals the one-shot batch operator
+    video_frame_match_pairs — each pair emitted once, in its later
+    member's batch, with the COMPLETE matched-frame count (group-mates
+    have consecutive doc_ids, so the drain's file split puts most
+    pairs across micro-batches)."""
+    from flink_kafka_filter_transform_spark.operators import multimodal
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    face = {
+        (r.doc_a, r.doc_b, r.n_matched)
+        for r in sp.vfp_stream_state(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.n_matched)
+        for r in multimodal.video_frame_match_pairs(
+            load_table(spark, "documents", sf_dir)
+        ).collect()
+    }
+    assert face == batch and len(batch) > 0
+
+
+def test_ivo_overlap_sink_replay_same_batch_id_idempotent(
+    spark, sf_dir, tmp_path_factory
+):
+    """Replaying an interval-overlap batch must overwrite its own iv
+    partition and recompute its osum version from the strictly-pre-
+    batch prev (sum-merged counts double on a re-APPEND, not on a
+    recompute) — the bcounts replay contract through the temporal
+    join."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"
+    )
+    b0 = li.filter(SF.col("l_orderkey") % 2 == 0)
+    b1 = li.filter(SF.col("l_orderkey") % 2 == 1)
+    state = str(tmp_path_factory.mktemp("ivo_replay_state"))
+    sp._ivo_overlap_batch(b0, 0, state)
+    sp._ivo_overlap_batch(b1, 1, state)
+    iv_before = spark.read.parquet(f"{state}/iv").count()
+    osum_before = {
+        (r.suppkey, r.n_pairs, r.sum_overlap_days, r.max_overlap_days)
+        for r in spark.read.parquet(f"{state}/osum_v1").collect()
+    }
+    sp._ivo_overlap_batch(b1, 1, state)  # replay
+    assert spark.read.parquet(f"{state}/iv").count() == iv_before
+    osum_after = {
+        (r.suppkey, r.n_pairs, r.sum_overlap_days, r.max_overlap_days)
+        for r in spark.read.parquet(f"{state}/osum_v1").collect()
+    }
+    assert osum_after == osum_before and len(osum_before) > 0
+
+
+def test_ivo_overlap_sink_cross_batch_equals_batch_operator(spark, sf_dir):
+    """The drained interval-overlap face equals the one-shot batch
+    operator interval_overlap_pairs: bucket ownership dedups bucket
+    multiplicity, pair-in-later-batch dedups batch multiplicity, and
+    the supplier rollup is a monoid — so the micro-batch split is
+    invisible in the final state."""
+    from flink_kafka_filter_transform_spark.operators import rangejoin
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    face = {
+        (r.l_suppkey, r.n_pairs, r.sum_overlap_days, r.max_overlap_days)
+        for r in sp.ivo_stream_state(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.l_suppkey, r.n_pairs, r.sum_overlap_days, r.max_overlap_days)
+        for r in rangejoin.interval_overlap_pairs(
+            load_table(spark, "lineitem", sf_dir)
+        ).collect()
+    }
+    assert face == batch and len(batch) > 0

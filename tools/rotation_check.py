@@ -113,6 +113,23 @@ MAX_VERDICT_AGE = 4
 # above governs there; the fold candidates remain the *_showcase trio
 # and recall twins that can absorb their base op's columns.
 
+# r11 CHECK-IN (VERDICT r10 item 3 — the capacity deficit resolved in
+# writing and in code): the r10-close forecast showed r12 at -4 free
+# slots, but that number ASSUMED the stale r10 HEAD_ORDER as the r11
+# head. The lever pulled is SMOOTHING, not retirement and not a cap:
+# the r11 head seats the 5 never-gated late-r10 registrations plus 39
+# of the 49-strong r7 cohort (plus 3 debuts + 3 URL re-gates), so r12
+# owes only the 10 deferred r7 names — forecast after authoring: r12
+# = 10 obligated / 40 free. Registration grew by 3 this round
+# (semdedup_text_prune, vfp_stream_state, ivo_stream_state; Q=201),
+# well under the 15/round landing-zone cap; the freeze-and-fold rung
+# binds at Q=230 (obligation 46), i.e. not before ~r13 at this rate.
+# The *_showcase trio stays registered per rung 3's rule (each maps
+# to a SURVEY §2 inventory row); fold candidates are unchanged if the
+# wall approaches. Wave structure: r12 = 10 r7 leftovers (+ that
+# round's debuts/re-gates + ~35 smoothing pulls from the 48-strong r8
+# cohort due r13); r13 = the r8 remainder.
+#
 # One-round debut deferrals: a query registered when the upcoming
 # head's 50 slots are ALL taken by never-verified debuts + rotation
 # obligations + changed-semantics re-gates may wait at tail-top for
@@ -124,21 +141,11 @@ MAX_VERDICT_AGE = 4
 ALLOWED_PENDING_DEBUTS: dict[str, int] = {
     # (r6 granted two: scd2_stream_state / jpeg_color_decode — debuted
     # in the r7 head; r7 granted three: lsh_stream_state /
-    # bm25_top_docs / unigram_surprisal — debuted in the r8 head. All
-    # entries deleted per the contract.)
-    # r10 grant: the r10 head is saturated (39 r6-cohort obligations
-    # + 7 debuts + 4 re-gates); the late-r10 cascade-funnel debut
-    # waits at tail-top exactly one round and MUST gate in the r11
-    # head (which the forecast shows has 0 obligated slots).
-    "dedup_cascade_report": 10,
-    "orders_profile": 10,
-    # r10 late-batch grants (same saturation): the temporal-join
-    # capstone, the record-linkage family debut, and the storage-trio
-    # Z-order member. All three MUST gate in the r11 head (forecast:
-    # 0 obligated slots there).
-    "interval_overlap_pairs": 10,
-    "name_edit_neighbors": 10,
-    "zordered_box_scan": 10,
+    # bm25_top_docs / unigram_surprisal — debuted in the r8 head;
+    # r10 granted five: dedup_cascade_report / orders_profile /
+    # interval_overlap_pairs / name_edit_neighbors / zordered_box_scan
+    # — all seated in the r11 head. All entries deleted per the
+    # contract.)
 }
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -125,6 +125,20 @@ def main() -> None:
     if only is not None and os.path.exists(path):
         with open(path) as f:
             payload = json.load(f)
+        # refuse a merge that would misattribute rows measured under
+        # different settings to this run's top-level sf_dir/cpus (r10
+        # ADVICE): --only against a file from another SF/CPU config
+        # must go to a fresh file instead.
+        if payload.get("sf_dir") != SF_DIR or payload.get("cpus") != CPUS:
+            print(
+                f"SHUFFLE_AUDIT.json was measured at sf_dir="
+                f"{payload.get('sf_dir')} cpus={payload.get('cpus')}, "
+                f"current run is sf_dir={SF_DIR} cpus={CPUS}: refusing "
+                "the --only merge (move the old file aside or rerun "
+                "without --only)",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
     payload.update(
         {
             "sf_dir": SF_DIR,
