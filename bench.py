@@ -219,6 +219,11 @@ HEADLINE = [
     "interval_overlap_pairs",
     "name_edit_neighbors",
     "zordered_box_scan",
+    # round 11 additions: SemDeDup over corpus-derived hash vectors,
+    # plus the video-index and interval-overlap faces (faces section)
+    "semdedup_text_prune",
+    "vfp_stream_state",
+    "ivo_stream_state",
 ]
 
 
@@ -275,6 +280,7 @@ LOOP_QUERIES = {
     "dedup_survivors_quality",
     "embedding_neardup_fps",
     "split_leakage_report",  # r8: CC localCheckpoint loop consumer
+    "semdedup_text_prune",   # r11: wraps semdedup_prune's trainer loop
 }
 LOOP_EXTRA_REPS = 2
 
@@ -287,6 +293,8 @@ LOOP_EXTRA_REPS = 2
 # as a suite regression). BENCH_full.json carries both sections.
 FACE_QUERIES = {
     "afp_stream_state",
+    "vfp_stream_state",
+    "ivo_stream_state",
     "phash_stream_state",
     "dedup_stream_state",
     "bloom_stream_state",

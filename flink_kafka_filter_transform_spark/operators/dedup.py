@@ -640,10 +640,18 @@ def semdedup_text_prune(
     cell count (clustering IS the blocking), 1/``train_denom``
     training sample, centroids broadcast, pair join within cells
     only. The extra text stage is one explode + one map-side-combined
-    integer aggregate; the hash-embedding chain is re-evaluated by
-    the count probe and the two assignment passes (cheap map/agg
-    lineage — persisting it would cost more executor memory at 100 TB
-    than recomputing a codegen'd regexp+hash scan).
+    integer aggregate, and the DENSE relation is locally checkpointed
+    ONCE: semdedup's chain evaluates its vector input ~6 times (count
+    probe, training filter, two assignment passes, both pair-join
+    sides), and re-running the tokenize/hash/aggregate lineage each
+    time measured 12.2 s isolated at sf0.1 vs ~9.5 s checkpointed
+    (the smp localCheckpoint precedent inside semdedup_prune); the
+    remaining wall is the within-cell pair join — bag-of-words hash
+    vectors cluster SKEWED (the sf0.01 ledger splits 325/175), so hot
+    cells carry most of the quadratic-within-cell work, an attribute
+    of the vector space, not the plan. The checkpoint holds dim x 8
+    bytes per doc — 512 B/doc at dim=64, far smaller than the text
+    it replaces.
 
     Threshold is params.SEMDEDUP_TEXT_THRESHOLD (0.80), not the
     embedding-space 0.30 — see the params.py note."""
@@ -664,7 +672,7 @@ def semdedup_text_prune(
                 ),
             ).alias("embedding"),
         )
-    )
+    ).localCheckpoint(eager=True)
     return semdedup_prune(
         dense, k=k, iters=iters, threshold=threshold, train_denom=train_denom
     )

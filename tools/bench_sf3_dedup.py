@@ -136,6 +136,15 @@ FAMILY = [
     "interval_overlap_pairs",
     "name_edit_neighbors",
     "zordered_box_scan",
+    # r11 debuts: SemDeDup over corpus-derived hash vectors (hash-
+    # embedding agg + the cluster-blocked pair join — semdedup_prune's
+    # curve plus one explode/agg stage), the video-index face (drain
+    # cost scales with the corpus drained, like its siblings), and the
+    # interval-overlap face (per-batch bucketed probes against a
+    # growing index — the index probe volume is what to watch).
+    "semdedup_text_prune",
+    "vfp_stream_state",
+    "ivo_stream_state",
 ]
 
 # Ops whose superlinear sf3 ratio is ATTRIBUTED — measured, root-caused
