@@ -731,6 +731,24 @@ def test_semdedup_centroids_broadcast_pairs_cluster_blocked(spark, sf_dir):
     assert px.broadcast_hint_count(df) >= 3
 
 
+def test_semdedup_text_prune_plan(spark, sf_dir):
+    """The text variant inherits semdedup_prune's gated shape through
+    the checkpointed dense relation: the embedding chain is evaluated
+    ONCE (the visible plan reads checkpointed rows, no documents scan
+    downstream of the densify), centroid relations broadcast, and the
+    pair join stays cluster-blocked — no cartesian."""
+    from flink_kafka_filter_transform_spark.operators import dedup
+
+    df = dedup.semdedup_text_prune(load_table(spark, "documents", sf_dir))
+    plan = px.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    # the localCheckpoint swallowed the tokenize/hash/densify lineage:
+    # every downstream consumer reads the checkpointed RDD, so the raw
+    # corpus is not re-scanned per consumer
+    assert plan.count("Scan parquet") == 0
+    assert px.broadcast_hint_count(df) >= 3
+
+
 def test_temperature_mixture_single_corpus_scan(spark, sf_dir):
     """The corpus is scanned once and never shuffled for the report:
     one source-keyed aggregate, then the 1-row (total, max) broadcast
