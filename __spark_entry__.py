@@ -200,6 +200,14 @@ HEAD_ORDER: list[str] = [
     # --- NEW in r11 (debut in the head per the rotation policy):
     # ivo_stream_state = streaming interval-overlap twin (VERDICT r10
     # item 7); displaces daily_funnel from the r7 fill (due r12). ---
+    # (clause-(b) note for the late-r11 dedup refactor: the shared
+    # overlap helpers in rangejoin.py are gated by BOTH
+    # interval_overlap_pairs and ivo_stream_state in this head; the
+    # shared SORTED_PAIR_EXPANSION in multimodal.py — pure code
+    # motion out of video_frame_match_pairs — is gated by its head
+    # representative vfp_stream_state, whose drained log must equal
+    # the batch operator through that very expression; CI parity
+    # re-hashes video_frame_match_pairs itself every pytest run.)
     "ivo_stream_state",
     "quality_filter_funnel",
     "tfidf_top_terms",

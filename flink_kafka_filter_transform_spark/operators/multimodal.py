@@ -1708,6 +1708,19 @@ def _synth_video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         )
 
 
+# Map-side pair expansion over a sorted doc_id bucket array (r11
+# review: one source of truth — the expression encodes a subtle
+# contract pairing transform's 0-based lambda index with slice's
+# 1-based offset, and the streaming face's drained-log==batch-op
+# equivalence requires both consumers to stay byte-identical).
+# Consumers: video_frame_match_pairs and streaming._vfp_index_batch.
+SORTED_PAIR_EXPANSION = (
+    "flatten(transform(ds, (a, i) -> "
+    "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
+    "struct(a AS doc_a, b AS doc_b))))"
+)
+
+
 def video_frame_hashes(docs: DataFrame) -> DataFrame:
     """documents -> group-structured multi-frame PPM containers ->
     REAL demux + per-frame decode -> 60-bit dHash per frame. One
@@ -1747,13 +1760,7 @@ def video_frame_match_pairs(docs: DataFrame) -> DataFrame:
         F.array_sort(F.collect_list("doc_id")).alias("ds")
     ).filter((F.size("ds") >= 2) & (F.size("ds") <= params.VID_FRAME_CAP))
     pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (a, i) -> "
-                "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
-                "struct(a AS doc_a, b AS doc_b))))"
-            )
-        ).alias("p")
+        F.explode(F.expr(SORTED_PAIR_EXPANSION)).alias("p")
     ).select("p.doc_a", "p.doc_b")
     return (
         pairs.groupBy("doc_a", "doc_b")

@@ -129,6 +129,62 @@ def lineitem_transit_intervals(lineitem: DataFrame) -> DataFrame:
     )
 
 
+# --- shared bucketing machinery (r11 review): the batch operator and
+# the streaming face (streaming.pipeline._ivo_overlap_batch) must use
+# BYTE-IDENTICAL bucket assignment, side projections, ownership
+# predicate, and overlap arithmetic — exactly-once depends on it, and
+# the r11 DIV-to-floor fix had to touch every copy. These helpers are
+# the single source of truth so drift is impossible.
+
+
+def overlap_bucketed(iv: DataFrame) -> DataFrame:
+    """Explode intervals into the day-axis buckets they touch.
+    floor(x / B), NOT x DIV B: DIV truncates toward zero, so days
+    -1..-B would share bucket 0 with days 0..B-1 and the ownership
+    predicate would mis-assign pre-1970 intervals; floor keeps bucket
+    boundaries uniform across zero (the hypothesis twin runs negative
+    days)."""
+    B = OVERLAP_BUCKET_DAYS
+    return iv.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"floor(start_day / {B})"), F.expr(f"floor(end_day / {B})")
+            )
+        ),
+    )
+
+
+def overlap_side(ex: DataFrame, prefix: str) -> DataFrame:
+    """One side of the (supplier, bucket) equi-join, columns prefixed
+    ``a_``/``b_``."""
+    return ex.select(
+        F.col("l_suppkey").alias("suppkey"),
+        "_bucket",
+        F.col("iid").alias(f"{prefix}_iid"),
+        F.col("start_day").alias(f"{prefix}_start"),
+        F.col("end_day").alias(f"{prefix}_end"),
+    )
+
+
+def overlap_pred():
+    """Exact overlap + bucket-OWNERSHIP predicate (symmetric in the
+    a/b sides): only the bucket containing greatest(a_start, b_start)
+    emits a pair — both intervals contain that day, so both were
+    exploded into that bucket and each pair survives exactly once."""
+    B = OVERLAP_BUCKET_DAYS
+    return (
+        (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end"))
+        & (F.col("_bucket") == F.expr(f"floor(greatest(a_start, b_start) / {B})"))
+    )
+
+
+def overlap_days():
+    """Inclusive-day overlap length (symmetric)."""
+    return F.least("a_end", "b_end") - F.greatest("a_start", "b_start") + F.lit(1)
+
+
 def interval_overlap_pairs(lineitem: DataFrame) -> DataFrame:
     """Per-supplier overlap profile of transit intervals: for every
     pair of SAME-supplier lineitems whose [start_day, end_day] spans
@@ -170,48 +226,13 @@ def interval_overlap_pairs(lineitem: DataFrame) -> DataFrame:
     join, ran 15.3 s on 3x the data — the cliff this hint deletes).
     AQE's skew-join handling applies to shuffled hash joins, so the
     hot-cell split argument above survives the pin."""
-    iv = lineitem_transit_intervals(lineitem)
-    B = OVERLAP_BUCKET_DAYS
-    # floor(x / B), NOT x DIV B (r10 ADVICE): DIV truncates toward
-    # zero, so days -1..-B would share bucket 0 with days 0..B-1 and
-    # the ownership predicate would mis-assign pre-1970 intervals.
-    # Floor-division keeps bucket boundaries uniform across zero; for
-    # the non-negative TPC-H fixture the two agree, so gated values
-    # are unchanged (the hypothesis twin now runs negative days).
-    ex = iv.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.expr(f"floor(start_day / {B})"), F.expr(f"floor(end_day / {B})")
-            )
-        ),
-    )
-    left = ex.select(
-        F.col("l_suppkey").alias("suppkey"),
-        "_bucket",
-        F.col("iid").alias("a_iid"),
-        F.col("start_day").alias("a_start"),
-        F.col("end_day").alias("a_end"),
-    )
-    right = ex.select(
-        F.col("l_suppkey").alias("suppkey"),
-        "_bucket",
-        F.col("iid").alias("b_iid"),
-        F.col("start_day").alias("b_start"),
-        F.col("end_day").alias("b_end"),
-    )
-    overlap_days = (
-        F.least("a_end", "b_end") - F.greatest("a_start", "b_start") + F.lit(1)
-    )
+    ex = overlap_bucketed(lineitem_transit_intervals(lineitem))
+    left = overlap_side(ex, "a")
+    right = overlap_side(ex, "b")
     pairs = (
         left.join(right.hint("shuffle_hash"), ["suppkey", "_bucket"])
-        .filter(
-            (F.col("a_iid") < F.col("b_iid"))
-            & (F.col("a_start") <= F.col("b_end"))
-            & (F.col("b_start") <= F.col("a_end"))
-            & (F.col("_bucket") == F.expr(f"floor(greatest(a_start, b_start) / {B})"))
-        )
-        .select("suppkey", overlap_days.alias("overlap_days"))
+        .filter((F.col("a_iid") < F.col("b_iid")) & overlap_pred())
+        .select("suppkey", overlap_days().alias("overlap_days"))
     )
     return (
         pairs.groupBy("suppkey")

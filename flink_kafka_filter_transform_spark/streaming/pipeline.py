@@ -1422,6 +1422,7 @@ def _vfp_index_batch(
     tests); see the sink docstring for the protocol."""
     from flink_kafka_filter_transform_spark.operators import params
     from flink_kafka_filter_transform_spark.operators.multimodal import (
+        SORTED_PAIR_EXPANSION,
         video_frame_hashes,
     )
 
@@ -1451,15 +1452,7 @@ def _vfp_index_batch(
         new.groupBy("fh")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (a, i) -> "
-                    "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
-                    "struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
-        )
+        .select(F.explode(F.expr(SORTED_PAIR_EXPANSION)).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )
     if _hadoop_path_exists(spark, f"{state_dir}/frames"):
@@ -1559,54 +1552,25 @@ def _ivo_overlap_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> No
     """One ivo_overlap_sink micro-batch (module-level for replay
     tests); see the sink docstring for the protocol."""
     from flink_kafka_filter_transform_spark.operators.rangejoin import (
-        OVERLAP_BUCKET_DAYS,
         lineitem_transit_intervals,
+        overlap_bucketed,
+        overlap_days,
+        overlap_pred,
+        overlap_side,
     )
 
     spark = batch_df.sparkSession
-    B = OVERLAP_BUCKET_DAYS
-    ex = (
-        lineitem_transit_intervals(batch_df)
-        .withColumn(
-            "_bucket",
-            F.explode(
-                F.sequence(
-                    F.expr(f"floor(start_day / {B})"),
-                    F.expr(f"floor(end_day / {B})"),
-                )
-            ),
-        )
-        .persist()
-    )
-    overlap_pred = (
-        (F.col("a_start") <= F.col("b_end"))
-        & (F.col("b_start") <= F.col("a_end"))
-        & (
-            F.col("_bucket")
-            == F.expr(f"floor(greatest(a_start, b_start) / {B})")
-        )
-    )
-    overlap_days = (
-        F.least("a_end", "b_end") - F.greatest("a_start", "b_start") + F.lit(1)
-    )
-    left = ex.select(
-        F.col("l_suppkey").alias("suppkey"),
-        "_bucket",
-        F.col("iid").alias("a_iid"),
-        F.col("start_day").alias("a_start"),
-        F.col("end_day").alias("a_end"),
-    )
-    right = ex.select(
-        F.col("l_suppkey").alias("suppkey"),
-        "_bucket",
-        F.col("iid").alias("b_iid"),
-        F.col("start_day").alias("b_start"),
-        F.col("end_day").alias("b_end"),
-    )
+    # the shared rangejoin helpers guarantee bucket assignment, side
+    # projections, ownership, and overlap arithmetic stay BYTE-
+    # IDENTICAL with the batch operator (r11 review — exactly-once
+    # depends on it)
+    ex = overlap_bucketed(lineitem_transit_intervals(batch_df)).persist()
+    left = overlap_side(ex, "a")
+    right = overlap_side(ex, "b")
     within = (
         left.join(right.hint("shuffle_hash"), ["suppkey", "_bucket"])
-        .filter((F.col("a_iid") < F.col("b_iid")) & overlap_pred)
-        .select("suppkey", overlap_days.alias("overlap_days"))
+        .filter((F.col("a_iid") < F.col("b_iid")) & overlap_pred())
+        .select("suppkey", overlap_days().alias("overlap_days"))
     )
     if _hadoop_path_exists(spark, f"{state_dir}/iv"):
         idx = (
@@ -1629,8 +1593,8 @@ def _ivo_overlap_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> No
         # batch operator never counts.
         cross = (
             idx.join(right.hint("shuffle_hash"), ["suppkey", "_bucket"])
-            .filter((F.col("a_iid") != F.col("b_iid")) & overlap_pred)
-            .select("suppkey", overlap_days.alias("overlap_days"))
+            .filter((F.col("a_iid") != F.col("b_iid")) & overlap_pred())
+            .select("suppkey", overlap_days().alias("overlap_days"))
         )
         match_rows = within.unionByName(cross)
     else:

@@ -1433,6 +1433,9 @@ def test_semdedup_text_prune_drops_exact_copy(spark):
     got = semdedup_text_prune(docs).collect()
     assert sum(r["n_vectors"] for r in got) == 4
     assert sum(r["n_dropped"] for r in got) == 1
+
+
+def test_char_entropy_profile_closed_forms(spark):
     """Exact whole-bit entropy bounds on closed-form docs: a
     single-char doc costs 0 bits, a 2-symbol balanced doc exactly 1
     bit/char, a 4-distinct-char doc exactly 2 bits/char — and the

@@ -95,6 +95,28 @@ def main() -> None:
         only = sys.argv[2].split(",")
         names = [n for n in names if n in only]
 
+    path = os.path.join(_REPO, "SHUFFLE_AUDIT.json")
+    payload = {}
+    if only is not None and os.path.exists(path):
+        with open(path) as f:
+            payload = json.load(f)
+        # refuse a merge that would misattribute rows measured under
+        # different settings to this run's top-level sf_dir/cpus (r10
+        # ADVICE): --only against a file from another SF/CPU config
+        # must go to a fresh file instead. Checked BEFORE the
+        # measurement loop so the refusal is free (r11 review: the
+        # original post-loop check threw away minutes of measurement).
+        if payload.get("sf_dir") != SF_DIR or payload.get("cpus") != CPUS:
+            print(
+                f"SHUFFLE_AUDIT.json was measured at sf_dir="
+                f"{payload.get('sf_dir')} cpus={payload.get('cpus')}, "
+                f"current run is sf_dir={SF_DIR} cpus={CPUS}: refusing "
+                "the --only merge (move the old file aside or rerun "
+                "without --only)",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+
     rows = {}
     for name in names:
         try:
@@ -120,25 +142,6 @@ def main() -> None:
             rows[name] = {"error": str(ex)[:200]}
             print(f"{name}: ERROR {ex}", file=sys.stderr)
 
-    path = os.path.join(_REPO, "SHUFFLE_AUDIT.json")
-    payload = {}
-    if only is not None and os.path.exists(path):
-        with open(path) as f:
-            payload = json.load(f)
-        # refuse a merge that would misattribute rows measured under
-        # different settings to this run's top-level sf_dir/cpus (r10
-        # ADVICE): --only against a file from another SF/CPU config
-        # must go to a fresh file instead.
-        if payload.get("sf_dir") != SF_DIR or payload.get("cpus") != CPUS:
-            print(
-                f"SHUFFLE_AUDIT.json was measured at sf_dir="
-                f"{payload.get('sf_dir')} cpus={payload.get('cpus')}, "
-                f"current run is sf_dir={SF_DIR} cpus={CPUS}: refusing "
-                "the --only merge (move the old file aside or rerun "
-                "without --only)",
-                file=sys.stderr,
-            )
-            raise SystemExit(2)
     payload.update(
         {
             "sf_dir": SF_DIR,
