@@ -1462,13 +1462,23 @@ def _vfp_index_batch(
             .drop("_batch_id")
         )
         old = idx.join(over_cap, ["fh"], "left_anti")
-        # index docs and batch docs are disjoint, so least/greatest
-        # orients each cross pair deterministically and one row per
-        # shared fh survives — exactly the count contribution the
-        # batch operator's bucket expansion produces.
+        # index docs and batch docs are disjoint under exactly-once
+        # delivery, so least/greatest orients each cross pair
+        # deterministically and one row per shared fh survives —
+        # exactly the count contribution the batch operator's bucket
+        # expansion produces. The explicit != guard (the sibling
+        # faces' rule, r11 review) covers at-least-once REDELIVERY of
+        # a whole doc in a later batch: without it the doc would
+        # cross-join its own indexed frames into a self-pair whose
+        # n_matched is its full frame count — a pair the batch
+        # operator can never emit.
         cross = (
             old.alias("a")
-            .join(new.alias("b"), "fh")
+            .join(
+                new.alias("b"),
+                (F.col("a.fh") == F.col("b.fh"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
             .select(
                 F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                 F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
@@ -1573,17 +1583,14 @@ def _ivo_overlap_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> No
         .select("suppkey", overlap_days().alias("overlap_days"))
     )
     if _hadoop_path_exists(spark, f"{state_dir}/iv"):
-        idx = (
+        # the index stores ex's own column names, so the probe side is
+        # the SAME overlap_side projection the batch operator uses —
+        # no hand-rolled copy to drift (r11 review)
+        idx = overlap_side(
             spark.read.parquet(f"{state_dir}/iv")
             .filter(F.col("_batch_id") < batch_id)
-            .drop("_batch_id")
-            .select(
-                F.col("suppkey"),
-                "_bucket",
-                F.col("iid").alias("a_iid"),
-                F.col("start_day").alias("a_start"),
-                F.col("end_day").alias("a_end"),
-            )
+            .drop("_batch_id"),
+            "a",
         )
         # a_iid != b_iid mirrors the batch op's strict a_iid < b_iid:
         # iids are NOT unique in the fixture (duplicate (orderkey,
@@ -1620,7 +1627,6 @@ def _ivo_overlap_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> No
     totals.write.mode("overwrite").parquet(f"{state_dir}/osum_v{batch_id}")
     (
         ex.select("l_suppkey", "iid", "start_day", "end_day", "_bucket")
-        .withColumnRenamed("l_suppkey", "suppkey")
         .withColumn("_batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -2000,7 +2006,13 @@ def vfp_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch,
         lambda stream, ckpt: vfp_index_sink(stream, state, out, ckpt),
     )
-    return spark.read.parquet(out).select("doc_a", "doc_b", "n_matched")
+    # explicit schema: a corpus where NO pair reaches VID_MIN_MATCH
+    # writes only _SUCCESS markers per partition and schema inference
+    # would fail on the empty log (r11 review); the declared schema
+    # returns the correct empty relation instead
+    return spark.read.schema(
+        "doc_a BIGINT, doc_b BIGINT, n_matched BIGINT, _batch_id INT"
+    ).parquet(out).select("doc_a", "doc_b", "n_matched")
 
 
 def ivo_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:

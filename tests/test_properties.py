@@ -1564,11 +1564,18 @@ _intervals = st.lists(
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=_intervals)
 def test_interval_overlap_bucketing_equals_naive(spark_prop, rows):
+    """Drives the operator's OWN shared machinery (rangejoin's
+    overlap_bucketed/overlap_side/overlap_pred/overlap_days — the
+    r11 single-source-of-truth helpers, so this test cannot validate
+    a stale private copy) against a naive python reference over
+    arbitrary small interval sets."""
     from flink_kafka_filter_transform_spark.operators.rangejoin import (
-        OVERLAP_BUCKET_DAYS,
+        overlap_bucketed,
+        overlap_days,
+        overlap_pred,
+        overlap_side,
     )
 
-    B = OVERLAP_BUCKET_DAYS
     # naive python reference over the same intervals
     iv = [(s, i, st_, st_ + d) for i, (s, st_, d) in enumerate(rows)]
     expect = {}
@@ -1582,44 +1589,19 @@ def test_interval_overlap_bucketing_equals_naive(spark_prop, rows):
                 days = hi - lo + 1
                 n, s_, m = expect.get(a[0], (0, 0, 0))
                 expect[a[0]] = (n + 1, s_ + days, max(m, days))
-    # the engine path: same bucketed/ownership pipeline as
-    # interval_overlap_pairs, applied to an arbitrary interval relation
     df = spark_prop.createDataFrame(
         [(s, i, st_, en) for (s, i, st_, en) in iv],
         "l_suppkey INT, iid INT, start_day INT, end_day INT",
     )
-    ex = df.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.expr(f"floor(start_day / {B})"), F.expr(f"floor(end_day / {B})")
-            )
-        ),
-    )
-    left = ex.select(
-        F.col("l_suppkey").alias("suppkey"), "_bucket",
-        F.col("iid").alias("a_iid"),
-        F.col("start_day").alias("a_start"), F.col("end_day").alias("a_end"),
-    )
-    right = ex.select(
-        F.col("l_suppkey").alias("suppkey"), "_bucket",
-        F.col("iid").alias("b_iid"),
-        F.col("start_day").alias("b_start"), F.col("end_day").alias("b_end"),
-    )
+    ex = overlap_bucketed(df)
+    left = overlap_side(ex, "a")
+    right = overlap_side(ex, "b")
     got = {
         r["suppkey"]: (r["n"], r["s"], r["m"])
         for r in (
             left.join(right, ["suppkey", "_bucket"])
-            .filter(
-                (F.col("a_iid") < F.col("b_iid"))
-                & (F.col("a_start") <= F.col("b_end"))
-                & (F.col("b_start") <= F.col("a_end"))
-                & (F.col("_bucket") == F.expr(f"floor(greatest(a_start, b_start) / {B})"))
-            )
-            .select(
-                "suppkey",
-                (F.least("a_end", "b_end") - F.greatest("a_start", "b_start") + F.lit(1)).alias("d"),
-            )
+            .filter((F.col("a_iid") < F.col("b_iid")) & overlap_pred())
+            .select("suppkey", overlap_days().alias("d"))
             .groupBy("suppkey")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("d").alias("s"), F.max("d").alias("m"))
             .collect()
