@@ -105,14 +105,19 @@ OVERLAP_BUCKET_DAYS = 16
 
 def lineitem_transit_intervals(lineitem: DataFrame) -> DataFrame:
     """(l_suppkey, iid, start_day, end_day) transit interval per
-    lineitem: start = epoch-day of l_shipdate (integer DIV — the
-    repo's float-free cross-engine discipline), end = start + the
-    derived duration, both INCLUSIVE days. ``iid`` is the composite
-    row id ``l_orderkey * 8 + l_linenumber`` (linenumber <= 7 in
-    TPC-H-shaped data) — one bigint so pair ordering is a scalar
-    comparison instead of a cross-engine struct ordering."""
+    lineitem: start = epoch-day of l_shipdate (floor(us / day), NOT
+    ``DIV`` — DIV truncates toward zero, so a pre-1970 timestamp
+    would land on the wrong day; floor matches the bucketing helpers'
+    convention below and is exact for |us| < 2^52, the repo's
+    float-free-in-effect discipline; values are identical on the
+    1992+ fixture), end = start + the derived duration, both
+    INCLUSIVE days. ``iid`` is the composite row id ``l_orderkey * 8
+    + l_linenumber`` (linenumber <= 7 in TPC-H-shaped data) — one
+    bigint so pair ordering is a scalar comparison instead of a
+    cross-engine struct ordering."""
     from flink_kafka_filter_transform_spark.sources.parquet import ts_as_micros
 
+    day = f"CAST(floor(_us / {DAY_US}) AS BIGINT)"
     return lineitem.select(
         "l_suppkey",
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("iid"),
@@ -124,8 +129,8 @@ def lineitem_transit_intervals(lineitem: DataFrame) -> DataFrame:
     ).select(
         "l_suppkey",
         "iid",
-        F.expr(f"_us DIV {DAY_US}").alias("start_day"),
-        (F.expr(f"_us DIV {DAY_US}") + F.col("_dur")).alias("end_day"),
+        F.expr(day).alias("start_day"),
+        (F.expr(day) + F.col("_dur")).alias("end_day"),
     )
 
 

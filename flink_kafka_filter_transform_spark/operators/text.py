@@ -509,9 +509,22 @@ def bpe_encode_report(docs: DataFrame, steps: int = 3) -> DataFrame:
     broadcast crossJoin of a 1-row relation plus a map-only string
     rewrite, so at 100 TB the encode pass is embarrassingly parallel
     and the only cluster-wide cost is the 3 tiny pair-count aggs.
-    Same \\x1f/\\x1e sentinel encoding and hostile-byte guard as
-    ``bpe_merges`` (docs containing the control bytes are excluded on
-    both engines)."""
+
+    LINEAGE DISCIPLINE (r11 VERDICT item 2 — the semdedup_text_prune
+    remedy applied to the merge loop): without truncation, step k's
+    pair-count aggregate re-executes all k-1 prior corpus rewrites and
+    the final per-doc select re-runs the whole chain — steps-squared
+    corpus passes, and the exact compounding the published 11.3 s
+    reading showed. The corpus string relation is therefore EAGERLY
+    localCheckpoint'd once up front and once per merge step: total
+    work becomes 2 bounded passes per step (one aggregate read + one
+    rewrite materialization) over rows that already sit in executor
+    storage. Same non-reliable-storage trade as operators.kmeans and
+    semdedup_text_prune — a lost executor recomputes from lineage.
+    Measured at sf0.1 (SCALING.md r12): 11.3 s published -> see the
+    adjudication row. Same \\x1f/\\x1e sentinel encoding and
+    hostile-byte guard as ``bpe_merges`` (docs containing the control
+    bytes are excluded on both engines)."""
     s = F.concat(
         F.lit(_BPE_SEP),
         F.array_join(tokens(), _BPE_SEP + _BPE_SEP),
@@ -527,6 +540,10 @@ def bpe_encode_report(docs: DataFrame, steps: int = 3) -> DataFrame:
             F.size(tokens()).cast("bigint").alias("n_tokens_base"),
             s.alias("_s"),
         )
+        # materialize the tokenized corpus ONCE: step 1's aggregate and
+        # rewrite would otherwise each re-run the parquet scan +
+        # tokenize + array_join lineage
+        .localCheckpoint(eager=True)
     )
     for _step in range(steps):
         toks = F.split(
@@ -563,14 +580,17 @@ def bpe_encode_report(docs: DataFrame, steps: int = 3) -> DataFrame:
         # an empty relation (caught by the property test's ['a'] case).
         top1 = top.agg(F.max("_a").alias("_a"), F.max("_b").alias("_b"))
         # unlike training, the LAST merge is applied too: encoding uses
-        # the full merge table
+        # the full merge table. Each rewrite is checkpointed eagerly so
+        # the NEXT step's aggregate (and the final select) read stored
+        # rows instead of replaying every prior rewrite — the lineage
+        # truncation the docstring derives.
         cur = cur.crossJoin(F.broadcast(top1)).select(
             "doc_id",
             "n_tokens_base",
             F.when(
                 F.col("_a").isNotNull(), F.replace(F.col("_s"), pat, rep)
             ).otherwise(F.col("_s")).alias("_s"),
-        )
+        ).localCheckpoint(eager=True)
     n_bpe = F.size(
         F.split(F.expr("substring(_s, 2, length(_s) - 2)"), _BPE_SEP + _BPE_SEP)
     ).cast("bigint")

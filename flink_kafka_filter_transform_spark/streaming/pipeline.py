@@ -1471,7 +1471,18 @@ def _vfp_index_batch(
         # a whole doc in a later batch: without it the doc would
         # cross-join its own indexed frames into a self-pair whose
         # n_matched is its full frame count — a pair the batch
-        # operator can never emit.
+        # operator can never emit. The guard stops at SELF-pairs by
+        # design: cross-batch whole-doc redelivery is OUTSIDE the
+        # delivery contract here, exactly as for the sibling faces —
+        # the checkpoint replays a failed batch with the SAME batch_id
+        # and input, which the _batch_id < batch_id filter plus
+        # dynamic overwrite make fully idempotent; a doc re-arriving
+        # under a NEW batch_id would double-count shared-frame rows
+        # for pairs with genuinely-new docs and re-emit its old pairs
+        # under the new partition, and no per-batch guard can repair
+        # that without a doc-id dedup ledger upstream (r11 ADVICE —
+        # documented, not defended, because the mode is unreachable
+        # under the checkpoint contract).
         cross = (
             old.alias("a")
             .join(
@@ -1492,6 +1503,13 @@ def _vfp_index_batch(
         .agg(F.count(F.lit(1)).alias("n_matched"))
         .filter(F.col("n_matched") >= params.VID_MIN_MATCH)
     )
+    # Dynamic overwrite only rewrites partitions PRESENT in the new
+    # data: a replay that computes an EMPTY pair set would leave the
+    # original partition standing (silent stale pairs, not an error).
+    # That is sound ONLY because the checkpoint contract replays a
+    # batch with identical input — same pairs, same partition — which
+    # the replay tests pin (r11 ADVICE: assumption recorded here, at
+    # the one site whose failure mode would be silent).
     pairs.withColumn("_batch_id", F.lit(batch_id)).write.mode(
         "overwrite"
     ).option("partitionOverwriteMode", "dynamic").partitionBy(

@@ -744,8 +744,12 @@ def test_semdedup_text_prune_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the localCheckpoint swallowed the tokenize/hash/densify lineage:
     # every downstream consumer reads the checkpointed RDD, so the raw
-    # corpus is not re-scanned per consumer
+    # corpus is not re-scanned per consumer. Both directions asserted
+    # (r11 ADVICE): zero parquet scans AND the checkpointed-RDD scan
+    # node present — if a Spark bump renames either node, the gate
+    # fails closed instead of silently passing with scans relabeled.
     assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
     assert px.broadcast_hint_count(df) >= 3
 
 
@@ -759,7 +763,9 @@ def test_temperature_mixture_single_corpus_scan(spark, sf_dir):
     plan = px.explain_str(df, "simple")
     # the corpus scan happens once, at the pinned per-source aggregate;
     # the visible plan reads only checkpointed source-cardinality rows
+    # (positive node assertion per the r11 ADVICE fail-closed rule)
     assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
     assert px.broadcast_hint_count(df) == 1  # the 1-row totals only
     assert "Window" not in plan
 
@@ -803,18 +809,24 @@ def test_dsir_buckets_broadcast_corpus_never_rebucketed(spark, sf_dir):
 
 
 def test_bpe_encode_adds_zero_shuffles_over_training(spark, sf_dir):
-    """ENCODE = the trained merge table applied map-only: every shuffle
-    in bpe_encode_report's plan belongs to the shared TRAINING
-    aggregations (pair counts + top-1 per step) — the per-document
-    rewrite passes are broadcast crossJoins of 1-row relations and must
-    add no exchange of corpus rows."""
+    """ENCODE = the trained merge table applied map-only. Since the
+    r12 lineage fix the merge loop eagerly checkpoints the corpus per
+    step, so the operator's VISIBLE plan is the final per-doc select
+    only: a pure map over the last checkpointed rewrite — ZERO
+    shuffles, zero joins, no parquet re-scan (both node directions
+    asserted, the fail-closed rule). The training aggregates run
+    inside the loop exactly as bpe_merges' do; their shape is pinned
+    by bpe_merges' own differential gate and the encode/train
+    equivalence property test."""
     from flink_kafka_filter_transform_spark.operators import text
 
     docs = load_table(spark, "documents", sf_dir, rebalance=False)
     enc = text.bpe_encode_report(docs)
-    mrg = text.bpe_merges(docs)
-    assert px.count_shuffles(enc) == px.count_shuffles(mrg)
+    plan = px.explain_str(enc, "simple")
+    assert px.count_shuffles(enc) == 0
     assert px.sortmerge_join_count(enc) == 0
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
 
 
 def test_bloom_probe_is_broadcast_only(spark, sf_dir):
