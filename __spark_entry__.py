@@ -153,6 +153,131 @@ def entry(spark: SparkSession) -> DataFrame:
 # neardup_clusters, dedup_survivors, dedup_survivors_quality (the CC
 # consumers; their r6-green verdicts predate the loop change).
 HEAD_ORDER: list[str] = [
+    # === r12 head ===
+    # --- the 10 r7-cohort rotation obligations (the r11 smoothing
+    # remainder; all 10 were judge-gated green at sf0.01 in the r11
+    # verdict session, so this is seating, not debugging) ---
+    "daily_funnel",
+    "daily_reconciliation",
+    "value_outliers_by_type",
+    "q17_small_quantity",
+    "q20_potential_promotion",
+    "q22_idle_rich_customers",
+    "events_pivot",
+    "events_unpivot",
+    "users_purchase_except_error",
+    "users_purchase_intersect_error",
+    # --- NEW in r12 (debut in the head per the rotation policy):
+    # supplier_customer_linkage = TWO-relation record linkage
+    # (VERDICT r11 item 5) — supplier name-ids probed into the
+    # customer master's variant-block index, naive cross-join oracle;
+    # edit_stream_state = the edit-distance linkage face (VERDICT r11
+    # item 6) — accumulated variant-block index, pair-in-later-batch,
+    # drained log equals name_edit_neighbors ---
+    "supplier_customer_linkage",
+    "edit_stream_state",
+    # --- clause-(b) re-gates (changed THIS round, r12):
+    # name_edit_neighbors: its blocking moved into the shared
+    # linkage.variant_exploded / VARIANT_PAIR_EXPANSION single-source
+    # helpers the two debuts reuse (values identical, CI-parity
+    # green, but the r11 verdict's code moved);
+    # interval_overlap_pairs + ivo_stream_state: epoch-day derivation
+    # in lineitem_transit_intervals moved DIV -> floor (values
+    # identical on the 1992+ fixture; both consumers of the changed
+    # helper re-gate);
+    # bpe_encode_report: the r12 lineage fix (eager per-step
+    # localCheckpoint — VERDICT r11 item 2; also its r8 verdict is
+    # the oldest in the registry, so this seat is simultaneously the
+    # cohort pull) ---
+    "name_edit_neighbors",
+    "interval_overlap_pairs",
+    "ivo_stream_state",
+    "bpe_encode_report",
+    # --- SMOOTHING pulls: the r8-verdict cohort (48 strong) hits the
+    # A=4 age limit at r13 in one wave; seat 34 of it now (33 + the
+    # bpe_encode_report re-gate above) so r13 owes only the 13
+    # deferred names — which NEXT_HEAD_PLAN (below) pre-authors as
+    # the r13 head's obligated seats, keeping the rotation guard
+    # green ACROSS the round boundary for the first time (VERDICT
+    # r11 item 1). The 13 deferred are the cheap map-only/showcase
+    # members (text_stats, lang_id, token_counts, doc_fingerprint,
+    # normalize_text, quality_classifier_score,
+    # adaptive_length_filter, token_frequency_score,
+    # trigram_gini_diversity, array_function_showcase, revenue_cube,
+    # revenue_grouping_sets, jpeg_decode). ---
+    "ngram_jaccard_pairs",
+    "neardup_clusters",
+    "dedup_survivors",
+    "embedding_neardup_refined",
+    "minhash_band_sweep",
+    "dedup_survivors_quality",
+    "event_path_report",
+    "neardup_triangles",
+    "q8_market_share",
+    "q16_supplier_part_variety",
+    "q19_discounted_revenue",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "segment_dedup_stats",
+    "semdedup_prune",
+    "temperature_mixture_report",
+    "supply_chain_pagerank",
+    "dsir_proxy_weights",
+    "knn_filtered",
+    "embedding_label_outliers",
+    "pq_train_report",
+    "knn_pq_adc",
+    "knn_pq_recall",
+    "hll_stream_state",
+    "cms_stream_state",
+    "ivf_stream_cell_counts",
+    "lsh_stream_state",
+    "bm25_top_docs",
+    "unigram_surprisal",
+    "dedup_stream_state",
+    "winnowing_overlap",
+    "audio_frame_features",
+    "split_leakage_report",
+    "winnowing_pairs",
+]
+
+# The round this HEAD_ORDER was authored for. At a round boundary —
+# CORRECTNESS_r{HEAD_ROUND} written, next session not yet started —
+# the rotation guard evaluates NEXT_HEAD_PLAN (the seats the NEXT
+# round's head is already committed to) instead of demanding that the
+# consumed head also cover the next round's stale set, which is
+# arithmetically impossible while a >40-name cohort is still
+# unwinding (48 r8 names + 10 r7 names = 58 seats > 50 at the r12
+# boundary). See tools/rotation_check.py for the boundary protocol.
+HEAD_ROUND = 12
+
+# Pre-authored obligated seats for the r{HEAD_ROUND+1} head (VERDICT
+# r11 item 1: "close the round with the head authored for r13's
+# staleness"). The r13 session MUST materialize these names into its
+# HEAD_ORDER (the rotation guard fails the r13 HEAD otherwise) and
+# fill the remaining ~37 slots with debuts/re-gates and r9-cohort
+# smoothing pulls (46 r9 names come due r14).
+NEXT_HEAD_PLAN: list[str] = [
+    # the 13 r8-cohort names deferred by the r12 smoothing above
+    "text_stats",
+    "lang_id",
+    "token_counts",
+    "doc_fingerprint",
+    "normalize_text",
+    "quality_classifier_score",
+    "adaptive_length_filter",
+    "token_frequency_score",
+    "trigram_gini_diversity",
+    "array_function_showcase",
+    "revenue_cube",
+    "revenue_grouping_sets",
+    "jpeg_decode",
+]
+
+# === r11 head (HISTORY — the r11 driver gated these 50 green,
+# CORRECTNESS_r11.json; kept for the provenance comments the rotation
+# policy requires) ===
+_R11_HEAD_HISTORY: list[str] = [
     # === r11 head ===
     # --- SEATING: the 5 late-r10 registrations that carried the
     # one-round ALLOWED_PENDING_DEBUTS deferral (granted r10, due
@@ -1106,6 +1231,19 @@ def queries() -> dict[str, QueryFn]:
         # one-round deferral (granted r10), MUST debut in the r11
         # head ===
         "zordered_box_scan": relational.zordered_box_scan,
+        # === NEW r12 (VERDICT r11 item 5): TWO-relation record
+        # linkage — the supplier master's 9-digit name ids probed
+        # into the customer master's variant-block index, one-typo
+        # tolerance, vs the naive quadratic cross-join oracle ===
+        "supplier_customer_linkage": lambda s, d: linkage.supplier_customer_linkage(
+            load_table(s, "customer", d), load_table(s, "supplier", d)
+        ),
+        # === NEW r12 (VERDICT r11 item 6): streaming face for the
+        # edit-distance linkage — arriving entities probe the
+        # accumulated variant-block index (pair-in-later-batch,
+        # lifetime EDIT_BLOCK_CAP via the bcounts protocol); drained
+        # log equals the batch operator, same quadratic oracle ===
+        "edit_stream_state": streaming_pipeline.edit_stream_state,
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -1329,4 +1467,10 @@ def oracle_sql() -> dict[str, str]:
         "ivo_stream_state": oracles.interval_overlap_pairs_oracle(),
         "name_edit_neighbors": oracles.name_edit_neighbors_oracle(),
         "zordered_box_scan": oracles.zordered_box_scan_oracle(),
+        "supplier_customer_linkage": oracles.supplier_customer_linkage_oracle(),
+        # edit face: drained pair log equals name_edit_neighbors (the
+        # batch self-linkage) — pair-in-later-batch + accumulated
+        # variant-cap protocol, so the SAME naive quadratic oracle
+        # gates the blocking, the verify, AND the micro-batch split
+        "edit_stream_state": oracles.name_edit_neighbors_oracle(),
     }

@@ -224,6 +224,10 @@ HEADLINE = [
     "semdedup_text_prune",
     "vfp_stream_state",
     "ivo_stream_state",
+    # round 12 additions: two-relation record linkage + the
+    # edit-distance linkage face (faces section)
+    "supplier_customer_linkage",
+    "edit_stream_state",
 ]
 
 
@@ -295,6 +299,7 @@ FACE_QUERIES = {
     "afp_stream_state",
     "vfp_stream_state",
     "ivo_stream_state",
+    "edit_stream_state",
     "phash_stream_state",
     "dedup_stream_state",
     "bloom_stream_state",
@@ -446,13 +451,20 @@ def main() -> None:
     # after the upcoming one, so a judge reads the capacity math from
     # the artifact instead of running tools/rotation_check.py.
     try:
-        from tools.rotation_check import forecast_next_round
+        from tools.rotation_check import forecast_next_round, forecast_window
 
         nxt, free, obligated = forecast_next_round()
         full["rotation"] = {
             "next_round": nxt,
             "obligated_head_slots": len(obligated),
             "free_head_slots": free,
+            # full forward A-window, no-smoothing worst case (r12,
+            # VERDICT r11 item 4 — also a CI invariant in
+            # tests/test_rotation.py)
+            "forward_window": [
+                {"round": r, "obligated": ob, "free": fr}
+                for r, ob, fr in forecast_window()
+            ],
         }
     except Exception as ex:  # the bench must never die on the forecast
         full["rotation"] = {"error": str(ex)[:200]}

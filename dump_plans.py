@@ -119,6 +119,9 @@ SHOWCASE = [
     ("zordered_box_scan", "Z-ordered 2-D box scan (r10): both range predicates reach the reader as PushedFilters over the Morton-clustered twin; file-level min/max skipping measured from real footers in test_plans (the storage trio's multi-dimensional member)"),
     # r11 debuts
     ("semdedup_text_prune", "SemDeDup from TEXT (r11): hashing-trick sparse vectors densify via ONE map_from_entries aggregate + sequence/transform fill (no pivot join), then semdedup_prune's chain unchanged — codebook broadcasts per Lloyd step, pair join cluster-blocked, report aggregates to k rows"),
+    # r12 debuts
+    ("supplier_customer_linkage", "TWO-relation linkage (r12): the smaller master aggregates into capped variant blocks (one shuffle), the probe side's exploded variants equi-join the index UNHINTED (Catalyst broadcasts the small index; a shuffle join is the right call at other ratios), pair distinct, JVM levenshtein verify — no cartesian, each relation scanned once"),
+    ("bpe_encode_report", "BPE encode after the r12 lineage fix: the visible plan is the final map-only select over the last checkpointed rewrite (zero shuffles/joins/parquet scans); the per-step pair-count aggregates run inside the loop over checkpointed rows — the steps-squared recompute is gone"),
     # streaming faces with PLANS sections (VERDICT r9 item 7): as with
     # dedup_stream_state, the dumped plan is the POST-DRAIN published
     # state/pair-log read; the incremental maintenance plans are gated
@@ -127,6 +130,7 @@ SHOWCASE = [
     ("afp_stream_state", "audio-index FACE (r10): dumped plan = the post-drain pair-log read; same shared-engine maintenance plan as the image face, proven once in tests/test_streaming.py"),
     ("vfp_stream_state", "video-index FACE (r11): dumped plan = the post-drain pair-log read; the per-batch demux/cap/probe/COUNT maintenance plan (the triad's count path — exact fh matching, >= VID_MIN_MATCH) is gated in tests/test_streaming.py"),
     ("ivo_stream_state", "interval-overlap FACE (r11): dumped plan = the final supplier-cardinality osum state read; the per-batch bucketed/ownership probe + sum-merged monoid rollup (pinned shuffle_hash) is gated in tests/test_streaming.py"),
+    ("edit_stream_state", "edit-linkage FACE (r12): dumped plan = the post-drain pair-log read (_batch_id partitions); the per-batch variant explode/cap/probe/levenshtein maintenance plan is gated in tests/test_streaming.py"),
     ("bloom_stream_state", "Bloom membership FACE: dumped plan = the final <= 64-register state read; the OR-merge maintenance plan (replay- and duplicate-delivery-idempotent by algebra) is gated in tests/test_streaming.py"),
 ]
 

@@ -64,6 +64,31 @@ def deletion_variants(col: str):
     )
 
 
+def variant_exploded(rows: DataFrame, key_col: str, name_col: str) -> DataFrame:
+    """(k, nm, variant): one row per deletion variant of each entity —
+    the blocking relation every linkage face shares (self-join pairs,
+    cross-relation probe, streaming index; r12 single-source factoring,
+    same rationale as rangejoin.overlap_*: candidate recall depends on
+    both sides deriving variants IDENTICALLY, so there is one copy)."""
+    return (
+        rows.select(F.col(key_col).alias("k"), F.col(name_col).alias("nm"))
+        .filter(F.col("nm").isNotNull())
+        .select("k", "nm", F.explode(deletion_variants("nm")).alias("variant"))
+    )
+
+
+# Pair expansion over one sorted block ``ds`` of (k, nm) structs:
+# every i < j pair, preserving both names for the verify stage. Shared
+# by the batch self-join operator and the streaming face's
+# within-batch expansion (the SORTED_PAIR_EXPANSION discipline).
+VARIANT_PAIR_EXPANSION = (
+    "flatten(transform(ds, (a, i) -> "
+    "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
+    "struct(a.k AS ak, a.nm AS anm, "
+    "b.k AS bk, b.nm AS bnm))))"
+)
+
+
 def edit_distance_pairs(
     rows: DataFrame,
     key_col: str,
@@ -84,27 +109,14 @@ def edit_distance_pairs(
     several variants), then the exact verify filter. No broadcast, no
     cartesian, nothing corpus-sized on the driver."""
     ak, bk = f"a_{key_col}", f"b_{key_col}"
-    ex = rows.select(
-        F.col(key_col).alias("k"), F.col(name_col).alias("nm")
-    ).filter(F.col("nm").isNotNull()).select(
-        "k", "nm", F.explode(deletion_variants("nm")).alias("variant")
-    )
+    ex = variant_exploded(rows, key_col, name_col)
     blocks = (
         ex.groupBy("variant")
         .agg(F.array_sort(F.collect_set(F.struct("k", "nm"))).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= block_cap))
     )
     cand = (
-        blocks.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (a, i) -> "
-                    "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
-                    "struct(a.k AS ak, a.nm AS anm, "
-                    "b.k AS bk, b.nm AS bnm))))"
-                )
-            ).alias("p")
-        )
+        blocks.select(F.explode(F.expr(VARIANT_PAIR_EXPANSION)).alias("p"))
         .select("p.ak", "p.anm", "p.bk", "p.bnm")
         .distinct()
     )
@@ -125,3 +137,96 @@ def name_edit_neighbors(customer: DataFrame) -> DataFrame:
     sequential names make the expected pair set closed-form: exactly
     the id pairs differing in one decimal digit)."""
     return edit_distance_pairs(customer, "c_custkey", "c_name")
+
+
+def cross_edit_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    left_name: str,
+    right_key: str,
+    right_name: str,
+    *,
+    block_cap: int = EDIT_BLOCK_CAP,
+) -> DataFrame:
+    """TWO-relation record linkage (r11 VERDICT item 5): every
+    (left row, right row) pair whose name strings are within
+    Levenshtein distance 1, as (<left_key>, <right_key>, distance) —
+    the production entity-resolution shape (a landed batch probed
+    against a master table), where ``edit_distance_pairs`` is the
+    within-one-relation special case. The symmetric-delete recall
+    argument is unchanged: any cross pair at d <= 1 shares a deletion
+    variant, so blocking recall is EXACT.
+
+    Plan shape — index-and-probe, not a self-join: the RIGHT side (by
+    convention the smaller master/dimension) is built into a
+    variant-keyed block index (ONE shuffle, collect_set capped at
+    ``block_cap`` — a block over the cap is a degenerate placeholder
+    value and is dropped, the one-sided divergence rule the LSH
+    family documents); the LEFT side explodes to (k, nm, variant)
+    rows (fan-out <= len+1) and equi-joins the index — Catalyst/AQE
+    broadcasts the index when it is small and shuffle-joins
+    otherwise, and a hot left variant costs at most ``block_cap``
+    candidate rows per probe row. Candidates dedup on the full pair
+    (several shared variants propose the same pair), then the exact
+    ``levenshtein`` verify runs JVM-side. Nothing is corpus-sized on
+    the driver; raw relations shuffle once each. Output keys keep
+    their own column names (the two relations' key columns must be
+    named differently)."""
+    lv = variant_exploded(left, left_key, left_name)
+    idx = (
+        variant_exploded(right, right_key, right_name)
+        .groupBy("variant")
+        .agg(F.array_sort(F.collect_set(F.struct("k", "nm"))).alias("ds"))
+        .filter(F.size("ds") <= block_cap)
+    )
+    cand = (
+        lv.join(idx, "variant")
+        .select(
+            F.col("k").alias("lk"),
+            F.col("nm").alias("lnm"),
+            F.explode("ds").alias("d"),
+        )
+        .select("lk", "lnm", F.col("d.k").alias("rk"), F.col("d.nm").alias("rnm"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein("lnm", "rnm"))
+        .filter(F.col("distance") <= 1)
+        .select(
+            F.col("lk").alias(left_key),
+            F.col("rk").alias(right_key),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )
+
+
+# The 9-digit zero-padded entity id embedded in TPC-H-shaped names
+# ("Customer#000000042" / "Supplier#000000042"): both prefixes are 9
+# characters, so the id starts at position 10. Linking on the id
+# suffix (not the full name — the differing prefixes put every cross
+# pair at distance >= 8) is the classic id-reconciliation case: the
+# same entity keyed in two systems, tolerating one mistyped digit.
+NAME_ID_START = 10
+NAME_ID_LEN = 9
+
+
+def supplier_customer_linkage(
+    customer: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """Registered cross-relation linkage: probe the customer master
+    with the supplier master's 9-digit name ids, keeping pairs within
+    one digit typo — (c_custkey, s_suppkey, distance). The supplier
+    side is the smaller relation at every TPC-H scale (1:15), so it
+    becomes the block index; the DuckDB oracle is the naive quadratic
+    cross join, so the two-sided variant blocking is differentially
+    checked against direct edit-distance semantics."""
+    idcol = lambda c: F.substring(F.col(c), NAME_ID_START, NAME_ID_LEN)  # noqa: E731
+    return cross_edit_linkage(
+        customer.select("c_custkey", idcol("c_name").alias("_cid")),
+        supplier.select("s_suppkey", idcol("s_name").alias("_sid")),
+        "c_custkey",
+        "_cid",
+        "s_suppkey",
+        "_sid",
+    )

@@ -5732,6 +5732,22 @@ WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
 """
 
 
+def supplier_customer_linkage_oracle() -> str:
+    """NAIVE quadratic cross join on the 9-digit name-id suffix —
+    checks the two-relation variant blocking (index the supplier
+    side, probe with customer variants) against direct Levenshtein
+    semantics. substr positions mirror linkage.NAME_ID_START/LEN;
+    ids are ASCII so byte- and char-based levenshtein agree (the
+    dialect pin tests/test_regex_dialect.py records)."""
+    return """
+SELECT c.c_custkey AS c_custkey, s.s_suppkey AS s_suppkey,
+  CAST(levenshtein(substr(c.c_name, 10, 9), substr(s.s_name, 10, 9))
+       AS INTEGER) AS distance
+FROM customer c, supplier s
+WHERE levenshtein(substr(c.c_name, 10, 9), substr(s.s_name, 10, 9)) <= 1
+"""
+
+
 def zordered_box_scan_oracle() -> str:
     """Layout-invariant twin of the Z-ordered 2-D box scan: values
     cannot depend on the storage layout, so the oracle is the plain

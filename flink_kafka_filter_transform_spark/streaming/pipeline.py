@@ -1655,6 +1655,161 @@ def _ivo_overlap_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> No
     _write_latest_pointer(spark, state_dir, batch_id)
 
 
+def edit_index_sink(
+    stream_rows: DataFrame,
+    key_col: str,
+    name_col: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataStreamWriter:
+    """Incremental edit-distance record linkage — the streaming face
+    of operators.linkage.edit_distance_pairs (r12, VERDICT r11
+    item 6), closing the linkage family's streaming story with the
+    _fingerprint_index_batch protocol over VARIANT keys:
+
+    per batch: (1) arriving entities explode into their symmetric-
+    delete variant rows (the SHARED linkage.variant_exploded — recall
+    depends on both faces deriving variants identically); (2) the
+    LIFETIME per-variant entity count is sum-merged as
+    ``vcounts_v{batch_id}`` (bcounts protocol: strictly-pre-batch
+    prev, recompute-on-replay) and variants over EDIT_BLOCK_CAP drop
+    from BOTH sides before any pairing — the cap binds on the
+    accumulated block exactly as the batch operator's cap binds on
+    the whole-corpus block (one-sided cap-boundary caveat if a block
+    crosses the cap mid-stream, verbatim from the LSH face);
+    (3) candidate pairs = within-batch sorted-block expansion (the
+    batch operator's own VARIANT_PAIR_EXPANSION) UNION batch-vs-index
+    variant probes — each pair emits in exactly the batch its LATER
+    member arrives in; (4) verification is the built-in levenshtein
+    on the names already in hand — no separate verify state;
+    (5) verified pairs land under ``_batch_id`` dynamic-overwrite
+    partitions, the batch's variant rows append to the index.
+
+    Cross-probe pairs orient by least/greatest over (k, nm) structs —
+    the SAME lexicographic ordering array_sort gives the within-batch
+    blocks — and the explicit a.k != b.k guard is the sibling faces'
+    redelivery rule (same-batch-id replay is fully idempotent;
+    cross-batch whole-doc redelivery is outside the delivery
+    contract, as documented at the vfp probe).
+
+    After the drain the pair log equals the one-shot batch operator,
+    and the SAME naive quadratic DuckDB oracle gates the blocking,
+    the verify, and the micro-batch split in one differential check.
+
+    Scale shape per batch: variant fan-out <= len+1 per entity; the
+    probe is an equi-join on the variant string — at 100 TB the index
+    store is partitioned by variant hash so the probe prunes to
+    matching partitions; only (key, name, variant) rows ever shuffle,
+    never anything quadratic (blocks are capped)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _edit_index_batch(batch_df, batch_id, key_col, name_col, state_dir, out_dir)
+
+    return stream_rows.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def _edit_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    key_col: str,
+    name_col: str,
+    state_dir: str,
+    out_dir: str,
+) -> None:
+    """One edit_index_sink micro-batch (module-level for replay
+    tests); see the sink docstring for the protocol."""
+    from flink_kafka_filter_transform_spark.operators.linkage import (
+        EDIT_BLOCK_CAP,
+        VARIANT_PAIR_EXPANSION,
+        variant_exploded,
+    )
+
+    spark = batch_df.sparkSession
+    # the variant relation feeds three consumers (block counts, the
+    # within-batch blocks, the index probe) plus the state append;
+    # persisted so the explode runs once per batch
+    ex = variant_exploded(batch_df, key_col, name_col).persist()
+    bn = ex.groupBy("variant").agg(F.count(F.lit(1)).alias("_n"))
+    v = _latest_state_version(spark, state_dir, "vcounts", before=batch_id)
+    prev = (
+        spark.read.parquet(f"{state_dir}/vcounts_v{v}") if v is not None else None
+    )
+    totals = (
+        bn
+        if prev is None
+        else prev.unionByName(bn).groupBy("variant").agg(F.sum("_n").alias("_n"))
+    )
+    totals.write.mode("overwrite").parquet(f"{state_dir}/vcounts_v{batch_id}")
+    over_cap = F.broadcast(
+        spark.read.parquet(f"{state_dir}/vcounts_v{batch_id}")
+        .filter(F.col("_n") > EDIT_BLOCK_CAP)
+        .select("variant")
+    )
+    new = ex.join(over_cap, ["variant"], "left_anti")
+    within = (
+        new.groupBy("variant")
+        .agg(F.array_sort(F.collect_set(F.struct("k", "nm"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(VARIANT_PAIR_EXPANSION)).alias("p"))
+        .select("p.ak", "p.anm", "p.bk", "p.bnm")
+    )
+    if _hadoop_path_exists(spark, f"{state_dir}/variants"):
+        idx = (
+            spark.read.parquet(f"{state_dir}/variants")
+            .filter(F.col("_batch_id") < batch_id)
+            .drop("_batch_id")
+        )
+        old = idx.join(over_cap, ["variant"], "left_anti")
+        sa = F.struct(F.col("a.k").alias("k"), F.col("a.nm").alias("nm"))
+        sb = F.struct(F.col("b.k").alias("k"), F.col("b.nm").alias("nm"))
+        lo, hi = F.least(sa, sb), F.greatest(sa, sb)
+        cross = (
+            old.alias("a")
+            .join(
+                new.alias("b"),
+                (F.col("a.variant") == F.col("b.variant"))
+                & (F.col("a.k") != F.col("b.k")),
+            )
+            .select(
+                lo["k"].alias("ak"),
+                lo["nm"].alias("anm"),
+                hi["k"].alias("bk"),
+                hi["nm"].alias("bnm"),
+            )
+        )
+        cand = within.unionByName(cross).distinct()
+    else:
+        cand = within.distinct()
+    verified = (
+        cand.withColumn("distance", F.levenshtein("anm", "bnm"))
+        .filter(F.col("distance") <= 1)
+        .select(
+            F.col("ak").alias(f"a_{key_col}"),
+            F.col("bk").alias(f"b_{key_col}"),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )
+    # same empty-replay dynamic-overwrite assumption as the vfp pair
+    # log — sound under the checkpoint contract's identical-input rule
+    verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(out_dir)
+    (
+        ex.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(f"{state_dir}/variants")
+    )
+    ex.unpersist()
+    _write_latest_pointer(spark, state_dir, batch_id)
+
+
 # ---------------------------------------------------------------------------
 # Driver-checkable batch faces for the maintenance sinks
 # ---------------------------------------------------------------------------
@@ -2064,6 +2219,39 @@ def ivo_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_overlap_days",
         "max_overlap_days",
     )
+
+
+def edit_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (r12): the customer table drained through
+    edit_index_sink — symmetric-delete variant explode per
+    micro-batch, within-batch sorted-block pairs UNION batch-vs-index
+    variant probes, built-in levenshtein verify, lifetime
+    EDIT_BLOCK_CAP under the bcounts protocol — returning the
+    accumulated pair log (a_c_custkey, b_c_custkey, distance). Each
+    pair is emitted in exactly the batch its LATER member arrives in,
+    so after the drain the log equals the one-shot batch operator
+    name_edit_neighbors, which is exactly what the shared naive
+    quadratic DuckDB oracle computes (the cap-boundary caveat cannot
+    occur at driver scale — fixture blocks stay <= ~20 entities).
+    Closes the linkage family's streaming story (VERDICT r11
+    item 6)."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    scratch = _face_scratch(spark, "sgraft_edit_stream_")
+    state, out = f"{scratch}/state", f"{scratch}/pairs"
+    _drain_through_sink(
+        cust,
+        scratch,
+        lambda stream, ckpt: edit_index_sink(
+            stream, "c_custkey", "c_name", state, out, ckpt
+        ),
+    )
+    # explicit schema: a corpus with no d<=1 pair writes only _SUCCESS
+    # markers and inference would fail on the empty log (the vfp rule)
+    return spark.read.schema(
+        "a_c_custkey BIGINT, b_c_custkey BIGINT, distance INT, _batch_id INT"
+    ).parquet(out).select("a_c_custkey", "b_c_custkey", "distance")
 
 
 def dedup_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:

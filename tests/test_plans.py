@@ -1582,6 +1582,30 @@ def test_name_edit_neighbors_plan(spark, sf_dir):
     assert "levenshtein" in plan
 
 
+def test_supplier_customer_linkage_plan(spark, sf_dir):
+    """Two-relation linkage is index-and-probe: the supplier side
+    aggregates into capped variant blocks (ONE shuffle), the customer
+    side explodes variants and equi-joins the index — Catalyst
+    broadcasts the small block index unhinted (no pin: at a different
+    size ratio AQE may legitimately shuffle instead), the naive
+    quadratic join never appears, and the only other exchange is the
+    candidate-pair distinct. Each raw relation is scanned exactly
+    once; the levenshtein verify stays JVM-side."""
+    from flink_kafka_filter_transform_spark.operators import linkage
+
+    df = linkage.supplier_customer_linkage(
+        load_table(spark, "customer", sf_dir), load_table(spark, "supplier", sf_dir)
+    )
+    plan = px.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert px.sortmerge_join_count(df) == 0
+    assert px.broadcast_hint_count(df) == 0
+    assert px.count_shuffles(df) <= 2
+    assert "levenshtein" in plan
+    # "Scan parquet" also substring-matches "FileScan parquet"
+    assert plan.count("Scan parquet") == 2
+
+
 def test_zordered_box_scan_pushes_both_dims_and_skips_files(spark, sf_dir):
     """Both box predicates must reach the parquet reader as
     PushedFilters, and — measured from the REAL footers, the

@@ -1690,6 +1690,39 @@ def test_edit_distance_pairs_equals_naive(spark_prop, names):
     assert got == expect
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_names, right=_names)
+def test_cross_edit_linkage_equals_naive(spark_prop, left, right):
+    """The TWO-relation variant blocking (index the right side, probe
+    with left variants) has the same exact d <= 1 recall as the
+    self-join case: engine pairs == the naive quadratic cross
+    reference, including d=0 ties and length +-1 pairs, over the
+    collision-heavy tiny alphabet. Unlike the self-join there is no
+    a < b ordering — every (left, right) combination is its own
+    pair."""
+    from flink_kafka_filter_transform_spark.operators.linkage import (
+        cross_edit_linkage,
+    )
+
+    lrows = [(i, nm) for i, nm in enumerate(left)]
+    rrows = [(j, nm) for j, nm in enumerate(right)]
+    expect = {
+        (a[0], b[0], _lev(a[1], b[1]))
+        for a in lrows
+        for b in rrows
+        if _lev(a[1], b[1]) <= 1
+    }
+    ldf = spark_prop.createDataFrame(lrows, "lkey INT, lname STRING")
+    rdf = spark_prop.createDataFrame(rrows, "rkey INT, rname STRING")
+    got = {
+        (r["lkey"], r["rkey"], r["distance"])
+        for r in cross_edit_linkage(
+            ldf, rdf, "lkey", "lname", "rkey", "rname"
+        ).collect()
+    }
+    assert got == expect
+
+
 
 def test_interval_overlap_hot_supplier_exact(spark_prop):
     """Hot-key shape check: ONE supplier holding hundreds of mutually

@@ -1746,3 +1746,66 @@ def test_ivo_overlap_sink_cross_batch_equals_batch_operator(spark, sf_dir):
         ).collect()
     }
     assert face == batch and len(batch) > 0
+
+def test_edit_index_sink_replay_same_batch_id_idempotent(
+    spark, sf_dir, tmp_path_factory
+):
+    """Replaying an edit-linkage batch must overwrite its own variants
+    partition and recompute its vcounts version from the strictly-pre-
+    batch prev (a re-append would inflate lifetime blocks toward
+    EDIT_BLOCK_CAP and re-propose pairs) and re-emit the identical
+    pair partition — the bcounts replay contract through the variant-
+    key index."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    b0 = cust.filter(SF.col("c_custkey") % 2 == 0)
+    b1 = cust.filter(SF.col("c_custkey") % 2 == 1)
+    state = str(tmp_path_factory.mktemp("edit_replay_state"))
+    out = str(tmp_path_factory.mktemp("edit_replay_out"))
+    sp._edit_index_batch(b0, 0, "c_custkey", "c_name", state, out)
+    sp._edit_index_batch(b1, 1, "c_custkey", "c_name", state, out)
+    variants_before = spark.read.parquet(f"{state}/variants").count()
+    counts_before = {
+        (r.variant, r._n)
+        for r in spark.read.parquet(f"{state}/vcounts_v1").collect()
+    }
+    pairs_before = {
+        (r.a_c_custkey, r.b_c_custkey, r.distance)
+        for r in spark.read.parquet(out).collect()
+    }
+    sp._edit_index_batch(b1, 1, "c_custkey", "c_name", state, out)  # replay
+    assert spark.read.parquet(f"{state}/variants").count() == variants_before
+    counts_after = {
+        (r.variant, r._n)
+        for r in spark.read.parquet(f"{state}/vcounts_v1").collect()
+    }
+    pairs_after = {
+        (r.a_c_custkey, r.b_c_custkey, r.distance)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert counts_after == counts_before
+    assert pairs_after == pairs_before and len(pairs_before) > 0
+
+
+def test_edit_index_sink_cross_batch_pairs_match_batch_operator(spark, sf_dir):
+    """The drained edit-linkage face equals the one-shot batch
+    operator name_edit_neighbors: one-digit neighbors mostly land in
+    OPPOSITE %2 halves of the key space (any pair differing in the
+    last digit crosses the parity split), so the batch-vs-index probe
+    carries most of the pair mass — pair-in-later-batch, no pair lost
+    or duplicated across the micro-batch split."""
+    from flink_kafka_filter_transform_spark.operators import linkage
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    face = {
+        (r.a_c_custkey, r.b_c_custkey, r.distance)
+        for r in sp.edit_stream_state(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.a_c_custkey, r.b_c_custkey, r.distance)
+        for r in linkage.name_edit_neighbors(
+            load_table(spark, "customer", sf_dir)
+        ).collect()
+    }
+    assert face == batch and len(batch) > 0

@@ -30,6 +30,15 @@ blocking is ~linear: variant volume is (len+1) keys/row and block
 sizes are bounded by true-duplicate multiplicity (2 here) — the
 EDIT_BLOCK_CAP never fires.
 
+r12 extension — the CROSS-relation arm (VERDICT r11 item 5's
+controlled-density row): probe the SAME derived name relation against
+a master of the bare base strings (one row per base_id). Every left
+row matches exactly its own base's master row — the v=0 member at
+d=0, the v=1 member at d=1 — and hash-hex bases admit no accidental
+cross-base pair, so true cross pairs == N exactly. The study asserts
+cross_edit_linkage finds exactly N at every sf and reports its walls
+alongside the self-join arm's.
+
 Writes BENCH_linkage_scale.json. Usage: python tools/bench_linkage_scale.py
 """
 
@@ -62,6 +71,7 @@ def main() -> None:
     from flink_kafka_filter_transform_spark import get_session
     from flink_kafka_filter_transform_spark.functions.hashing import portable_hash64
     from flink_kafka_filter_transform_spark.operators.linkage import (
+        cross_edit_linkage,
         edit_distance_pairs,
     )
     from flink_kafka_filter_transform_spark.sources.parquet import load_table
@@ -116,14 +126,45 @@ def main() -> None:
             found = edit_distance_pairs(names, "custkey", "nm").count()
             walls.append(round(time.time() - t0, 3))
         assert found == expected, (sf, found, expected)
+        # cross-relation arm: master = one bare base string per
+        # base_id; every probe row pairs with exactly its own base's
+        # master row (d=0 for v=0, d=1 for the designed typo), so
+        # true cross pairs == n_rows by construction
+        cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+        base_id = F.expr("c_custkey DIV 2")
+        h = portable_hash64(base_id.cast("string"))
+        master = (
+            cust.select(
+                base_id.alias("base_id"),
+                F.lower(F.lpad(F.hex(h), 16, "0")).alias("mname"),
+            )
+            .distinct()
+        )
+        cross_walls = []
+        cross_found = None
+        for _ in range(REPS):
+            t0 = time.time()
+            cross_found = cross_edit_linkage(
+                names, master, "custkey", "nm", "base_id", "mname"
+            ).count()
+            cross_walls.append(round(time.time() - t0, 3))
+        assert cross_found == n_rows, (sf, cross_found, n_rows)
         results[sf] = {
             "rows": n_rows,
             "true_pairs": expected,
             "pairs_found": found,
             "walls": walls,
             "wall_min": min(walls),
+            "cross_true_pairs": n_rows,
+            "cross_pairs_found": cross_found,
+            "cross_walls": cross_walls,
+            "cross_wall_min": min(cross_walls),
         }
-        print(f"{sf}: rows={n_rows} pairs={found} walls={walls}", file=sys.stderr)
+        print(
+            f"{sf}: rows={n_rows} pairs={found} walls={walls} "
+            f"cross={cross_found} cross_walls={cross_walls}",
+            file=sys.stderr,
+        )
 
     out = {
         "construction": "hash-hex base names, one designed substitution per odd key",
@@ -133,6 +174,9 @@ def main() -> None:
     if "sf1" in results and "sf3" in results:
         out["sf3_vs_sf1"] = round(
             results["sf3"]["wall_min"] / results["sf1"]["wall_min"], 2
+        )
+        out["cross_sf3_vs_sf1"] = round(
+            results["sf3"]["cross_wall_min"] / results["sf1"]["cross_wall_min"], 2
         )
     path = os.path.join(ROOT, "BENCH_linkage_scale.json")
     with open(path, "w") as f:

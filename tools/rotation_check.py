@@ -130,6 +130,23 @@ MAX_VERDICT_AGE = 4
 # round's debuts/re-gates + ~35 smoothing pulls from the 48-strong r8
 # cohort due r13); r13 = the r8 remainder.
 #
+# r12 CHECK-IN (VERDICT r11 items 1/3/4): the r12 head seats the 10
+# r7 leftovers + 2 debuts (supplier_customer_linkage,
+# edit_stream_state) + 4 clause-(b) re-gates + 34 of the 48-strong r8
+# cohort; the 13 deferred r8 names are PRE-AUTHORED as the r13 head's
+# obligated seats via the new NEXT_HEAD_PLAN boundary protocol (see
+# stale_tail_queries), so for the first time the guard stays green
+# when the driver writes the round's CORRECTNESS file. Capacity is
+# now a failing test, not a forecast field: forecast_window()
+# simulates the full forward A-window in the no-smoothing worst case
+# and tests/test_rotation.py fails any round that would create an
+# infeasible future head; the hard Q <= 250 bound fails with the
+# named RETIREMENT_CANDIDATES. Registration 203 (+2 this round).
+# Forward window at the r12 close: r13 13/37, r14 46/4, r15 47/3,
+# r16 47/3, r17 50/0 — r17 is tight-but-feasible worst case; actual
+# heads smooth (the r13 session should pull ~30 of the r9 cohort
+# forward exactly as this round pulled the r8 cohort).
+
 # One-round debut deferrals: a query registered when the upcoming
 # head's 50 slots are ALL taken by never-verified debuts + rotation
 # obligations + changed-semantics re-gates may wait at tail-top for
@@ -179,7 +196,26 @@ def stale_tail_queries(repo: str = _REPO) -> tuple[int, list[tuple[str, int]]]:
     """(upcoming_round, [(query, latest_green_round), ...]) for every
     query outside the upcoming head whose verdict would age past
     MAX_VERDICT_AGE. latest_green_round is -1 for never-verified
-    queries (they must debut in the head)."""
+    queries (they must debut in the head).
+
+    ROUND-BOUNDARY PROTOCOL (r12; VERDICT r11 item 1 — two
+    consecutive rounds ended with this guard red the moment the
+    driver wrote the round's CORRECTNESS file): while a >40-name
+    cohort is unwinding, it is ARITHMETICALLY impossible for one
+    50-slot head to both gate the current round's stale set and
+    pre-cover the next round's (58 distinct names at the r12
+    boundary), so demanding it just paints every boundary red. The
+    entry module now declares HEAD_ROUND (the round its HEAD_ORDER
+    was authored for) and NEXT_HEAD_PLAN (the seats the NEXT head is
+    already committed to). When ``upcoming`` has moved PAST
+    HEAD_ROUND — the boundary state: this round's artifacts written,
+    the next session not yet started — a stale query is acceptable
+    iff it appears in NEXT_HEAD_PLAN; the next session must
+    materialize that plan into its HEAD_ORDER (this same check fails
+    its HEAD otherwise, because a materialized plan member sits in
+    the head and a dropped one is flagged stale again). When
+    ``upcoming`` == HEAD_ROUND the check is unchanged: the stale set
+    must be inside HEAD_ORDER itself."""
     import sys
 
     sys.path.insert(0, repo)
@@ -188,12 +224,21 @@ def stale_tail_queries(repo: str = _REPO) -> tuple[int, list[tuple[str, int]]]:
     latest = latest_green_rounds(repo)
     upcoming = max(latest.values(), default=0) + 1
     names = list(entry.queries())
+    head_round = getattr(entry, "HEAD_ROUND", None)
+    plan = set(getattr(entry, "NEXT_HEAD_PLAN", ()))
+    # the plan covers exactly ONE boundary: if two rounds elapse
+    # without the head being re-authored (upcoming > HEAD_ROUND + 1),
+    # the allowance expires and the stale names flag again — a session
+    # cannot ride the same plan forever
+    at_boundary = head_round is not None and upcoming == head_round + 1
     stale = []
     for name in names[HEAD_SLOTS:]:
         last = latest.get(name, -1)
         if last < 0 and ALLOWED_PENDING_DEBUTS.get(name) == upcoming:
             continue  # granted a one-round deferral for THIS round only
         if upcoming - last > MAX_VERDICT_AGE:
+            if at_boundary and name in plan:
+                continue  # pre-authored as an obligated next-head seat
             stale.append((name, last))
     return upcoming, stale
 
@@ -225,6 +270,53 @@ def forecast_next_round(repo: str = _REPO) -> tuple[int, int, list[tuple[str, in
     return nxt, HEAD_SLOTS - len(obligated), obligated
 
 
+def forecast_window(
+    repo: str = _REPO, horizon: int = MAX_VERDICT_AGE + 1
+) -> list[tuple[int, int, int]]:
+    """[(round, n_obligated, free_slots), ...] for ``horizon`` rounds
+    after the upcoming one — the full forward A-window capacity check
+    (VERDICT r11 item 4: 'after authoring a head, every forward
+    A-window forecast must be >= 0'). Simulation: the upcoming head
+    (the first HEAD_SLOTS of queries()) goes green this round; each
+    subsequent round seats EXACTLY its obligated set (every query
+    whose assumed verdict would age past MAX_VERDICT_AGE) and nothing
+    else — the no-smoothing worst case, so a negative free count here
+    means some future window is infeasible no matter how the
+    intervening heads are authored. Never-verified names are assumed
+    gated in the upcoming head if seated there, else obligated
+    immediately."""
+    import sys
+
+    sys.path.insert(0, repo)
+    import __spark_entry__ as entry
+
+    latest = latest_green_rounds(repo)
+    upcoming = max(latest.values(), default=0) + 1
+    names = list(entry.queries())
+    assumed = {n: latest.get(n, -1) for n in names}
+    for name in names[:HEAD_SLOTS]:
+        assumed[name] = upcoming
+    window: list[tuple[int, int, int]] = []
+    for rnd in range(upcoming + 1, upcoming + 1 + horizon):
+        obligated = [n for n in names if rnd - assumed[n] > MAX_VERDICT_AGE]
+        window.append((rnd, len(obligated), HEAD_SLOTS - len(obligated)))
+        for n in obligated:
+            assumed[n] = rnd
+    return window
+
+
+# Named retirement/fold candidates (VERDICT r9 item 8 / r11 item 7):
+# surfaced by the capacity test's failure message when registration
+# outgrows the A=4 capacity bound, per the freeze-and-fold rung of
+# the registration-capacity policy above.
+RETIREMENT_CANDIDATES = [
+    "scalar_function_showcase",
+    "knn_lsh",
+    "knn_lsh_recall",
+    "embedding_neardup",
+]
+
+
 def main() -> int:
     import math
     import sys
@@ -245,6 +337,11 @@ def main() -> int:
         f"— ASSUMES the CURRENT HEAD_ORDER is the r{upcoming} head and goes "
         f"green; re-run after authoring the r{upcoming} head for a "
         f"meaningful number"
+    )
+    window = forecast_window()
+    print(
+        "forward window (no-smoothing worst case): "
+        + ", ".join(f"r{r}: {ob} obligated/{fr} free" for r, ob, fr in window)
     )
     if not stale:
         print(f"rotation ok for round {upcoming}: no tail query older than "
