@@ -237,7 +237,11 @@ def stale_tail_queries(repo: str = _REPO) -> tuple[int, list[tuple[str, int]]]:
         if last < 0 and ALLOWED_PENDING_DEBUTS.get(name) == upcoming:
             continue  # granted a one-round deferral for THIS round only
         if upcoming - last > MAX_VERDICT_AGE:
-            if at_boundary and name in plan:
+            # plan coverage applies only to queries with SOME green
+            # verdict: a never-verified registration must use the
+            # ALLOWED_PENDING_DEBUTS contract, not park itself in the
+            # next-head plan to dodge the debut rule
+            if at_boundary and name in plan and last >= 0:
                 continue  # pre-authored as an obligated next-head seat
             stale.append((name, last))
     return upcoming, stale
