@@ -188,23 +188,25 @@ HEAD_ORDER: list[str] = [
     # bpe_encode_report: the r12 lineage fix (eager per-step
     # localCheckpoint — VERDICT r11 item 2; also its r8 verdict is
     # the oldest in the registry, so this seat is simultaneously the
-    # cohort pull) ---
+    # cohort pull);
+    # bpe_merges: the SAME lineage fix applied to the training loop
+    # late-r12 (per-step corpus + 1-row top checkpoints; values
+    # identical, CI-parity green) — its seat displaces
+    # winnowing_pairs from the r8 fill into NEXT_HEAD_PLAN ---
     "name_edit_neighbors",
     "interval_overlap_pairs",
     "ivo_stream_state",
     "bpe_encode_report",
+    "bpe_merges",
     # --- SMOOTHING pulls: the r8-verdict cohort (48 strong) hits the
     # A=4 age limit at r13 in one wave; seat 34 of it now (33 + the
-    # bpe_encode_report re-gate above) so r13 owes only the 13
+    # bpe_encode_report re-gate above) so r13 owes only the 14
     # deferred names — which NEXT_HEAD_PLAN (below) pre-authors as
     # the r13 head's obligated seats, keeping the rotation guard
     # green ACROSS the round boundary for the first time (VERDICT
-    # r11 item 1). The 13 deferred are the cheap map-only/showcase
-    # members (text_stats, lang_id, token_counts, doc_fingerprint,
-    # normalize_text, quality_classifier_score,
-    # adaptive_length_filter, token_frequency_score,
-    # trigram_gini_diversity, array_function_showcase, revenue_cube,
-    # revenue_grouping_sets, jpeg_decode). ---
+    # r11 item 1). The deferred are the cheap map-only/showcase
+    # members plus winnowing_pairs (displaced late-r12 by the
+    # bpe_merges re-gate; full list = NEXT_HEAD_PLAN below). ---
     "ngram_jaccard_pairs",
     "neardup_clusters",
     "dedup_survivors",
@@ -238,7 +240,6 @@ HEAD_ORDER: list[str] = [
     "winnowing_overlap",
     "audio_frame_features",
     "split_leakage_report",
-    "winnowing_pairs",
 ]
 
 # The round this HEAD_ORDER was authored for. At a round boundary —
@@ -258,7 +259,9 @@ HEAD_ROUND = 12
 # fill the remaining ~37 slots with debuts/re-gates and r9-cohort
 # smoothing pulls (46 r9 names come due r14).
 NEXT_HEAD_PLAN: list[str] = [
-    # the 13 r8-cohort names deferred by the r12 smoothing above
+    # the 14 r8-cohort names deferred by the r12 smoothing above
+    # (winnowing_pairs displaced late-r12 by the bpe_merges re-gate)
+    "winnowing_pairs",
     "text_stats",
     "lang_id",
     "token_counts",

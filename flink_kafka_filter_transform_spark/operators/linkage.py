@@ -172,7 +172,13 @@ def cross_edit_linkage(
     ``levenshtein`` verify runs JVM-side. Nothing is corpus-sized on
     the driver; raw relations shuffle once each. Output keys keep
     their own column names (the two relations' key columns must be
-    named differently)."""
+    named differently — asserted, since a shared name would silently
+    collapse the output schema)."""
+    if left_key == right_key:
+        raise ValueError(
+            f"cross_edit_linkage needs distinct key column names on the two "
+            f"relations (both are {left_key!r}); alias one side first"
+        )
     lv = variant_exploded(left, left_key, left_name)
     idx = (
         variant_exploded(right, right_key, right_name)

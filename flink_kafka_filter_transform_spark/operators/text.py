@@ -431,6 +431,17 @@ def bpe_merges(docs: DataFrame, steps: int = 3) -> DataFrame:
     (identical guard in the oracle), so a hostile byte can skew the
     counts by at most its own document, never corrupt the encoding.
 
+    LINEAGE DISCIPLINE (r12 — the bpe_encode_report fix applied to
+    the training side, which had the same compounding shape only
+    better hidden: each step's output row dragged its OWN lineage of
+    all prior rewrites, so the final union re-ran O(steps^2) corpus
+    passes at collect time): the corpus relation is eagerly
+    localCheckpoint'd up front and per rewrite, and each step's 1-row
+    top relation is checkpointed too, so the step's aggregate runs
+    EXACTLY once (the output row and the rewrite both read the stored
+    row) and the final union is free. Bounded work: one aggregate +
+    one rewrite pass per step over stored rows.
+
     Returns (step, pair_a, pair_b, n_occurrences) — merged tokens from
     earlier steps print with spaces between their parts."""
     s = F.concat(
@@ -444,6 +455,7 @@ def bpe_merges(docs: DataFrame, steps: int = 3) -> DataFrame:
             ~F.col("text").contains(_BPE_SEP) & ~F.col("text").contains(_BPE_MERGE)
         )
         .select(s.alias("_s"))
+        .localCheckpoint(eager=True)
     )
     out: DataFrame | None = None
     for step in range(1, steps + 1):
@@ -459,12 +471,15 @@ def bpe_merges(docs: DataFrame, steps: int = 3) -> DataFrame:
                 lambda x, y: F.struct(x.alias("a"), y.alias("b")),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        # checkpoint the (<=1-row) top: the output row AND the rewrite
+        # both read it, so the step's aggregate runs exactly once
         top = (
             cur.select(F.explode(pairs).alias("p"))
             .groupBy(F.col("p.a").alias("_a"), F.col("p.b").alias("_b"))
             .agg(F.count(F.lit(1)).alias("_n"))
             .orderBy(F.col("_n").desc(), F.col("_a").asc(), F.col("_b").asc())
             .limit(1)
+            .localCheckpoint(eager=True)
         )
         row = top.select(
             F.lit(step).cast("int").alias("step"),
@@ -484,7 +499,7 @@ def bpe_merges(docs: DataFrame, steps: int = 3) -> DataFrame:
             )
             cur = cur.crossJoin(F.broadcast(top)).select(
                 F.replace(F.col("_s"), pat, rep).alias("_s")
-            )
+            ).localCheckpoint(eager=True)
     return out
 
 

@@ -1769,3 +1769,18 @@ def test_interval_overlap_hot_supplier_exact(spark_prop):
     assert (
         got[0]["n_pairs"], got[0]["sum_overlap_days"], got[0]["max_overlap_days"]
     ) == (n_pairs, sum_days, max_days)
+
+
+def test_cross_edit_linkage_rejects_shared_key_name(spark_prop):
+    """A shared key column name would silently collapse the output
+    schema (both keys alias to the same column) — the operator must
+    refuse loudly instead."""
+    import pytest
+
+    from flink_kafka_filter_transform_spark.operators.linkage import (
+        cross_edit_linkage,
+    )
+
+    df = spark_prop.createDataFrame([(1, "a")], "k INT, name STRING")
+    with pytest.raises(ValueError, match="distinct key column names"):
+        cross_edit_linkage(df, df, "k", "name", "k", "name")

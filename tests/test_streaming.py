@@ -1809,3 +1809,35 @@ def test_edit_index_sink_cross_batch_pairs_match_batch_operator(spark, sf_dir):
         ).collect()
     }
     assert face == batch and len(batch) > 0
+
+def test_edit_index_sink_three_way_uneven_split_equals_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """Micro-batch-split invariance beyond the %2 case: an UNEVEN
+    3-way split (keys %5 in {0} / {1,2} / {3,4}) drives pairs through
+    every protocol path — within-batch blocks in each of three
+    batches, probes against a 1-batch index, and probes against a
+    2-batch accumulated index — and the concatenated pair log must
+    still equal the one-shot batch operator exactly."""
+    from flink_kafka_filter_transform_spark.operators import linkage
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    parts = [
+        cust.filter(SF.col("c_custkey") % 5 == 0),
+        cust.filter((SF.col("c_custkey") % 5).isin(1, 2)),
+        cust.filter((SF.col("c_custkey") % 5).isin(3, 4)),
+    ]
+    state = str(tmp_path_factory.mktemp("edit3_state"))
+    out = str(tmp_path_factory.mktemp("edit3_out"))
+    for i, b in enumerate(parts):
+        sp._edit_index_batch(b, i, "c_custkey", "c_name", state, out)
+    face = {
+        (r.a_c_custkey, r.b_c_custkey, r.distance)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.a_c_custkey, r.b_c_custkey, r.distance)
+        for r in linkage.name_edit_neighbors(cust).collect()
+    }
+    assert face == batch and len(batch) > 0
