@@ -192,12 +192,26 @@ HEAD_ORDER: list[str] = [
     # bpe_merges: the SAME lineage fix applied to the training loop
     # late-r12 (per-step corpus + 1-row top checkpoints; values
     # identical, CI-parity green) — its seat displaces
-    # winnowing_pairs from the r8 fill into NEXT_HEAD_PLAN ---
+    # winnowing_pairs from the r8 fill into NEXT_HEAD_PLAN;
+    # kmeans_clusters + knn_ivf_pq_residual_recall: NAMED
+    # REPRESENTATIVES (the r6 precedent) for the late-r12
+    # kmeans.lloyd per-round codebook freeze, which transitively
+    # changes every Lloyd-trained consumer — the head cannot seat the
+    # whole family, so these two cover the base kmeans_fit chain and
+    # the deepest composition (coarse + residual + per-cell PQ +
+    # rerank), while pq_train_report / knn_pq_adc / knn_pq_recall /
+    # semdedup_prune / ivf_stream_cell_counts of the same family are
+    # ALREADY seated below and CI parity re-hashes every remaining
+    # consumer per pytest run (values identical by construction: the
+    # checkpoint materializes the same trajectory). They displace
+    # neardup_triangles / event_path_report into NEXT_HEAD_PLAN ---
     "name_edit_neighbors",
     "interval_overlap_pairs",
     "ivo_stream_state",
     "bpe_encode_report",
     "bpe_merges",
+    "kmeans_clusters",
+    "knn_ivf_pq_residual_recall",
     # --- SMOOTHING pulls: the r8-verdict cohort (48 strong) hits the
     # A=4 age limit at r13 in one wave; seat 34 of it now (33 + the
     # bpe_encode_report re-gate above) so r13 owes only the 14
@@ -213,8 +227,6 @@ HEAD_ORDER: list[str] = [
     "embedding_neardup_refined",
     "minhash_band_sweep",
     "dedup_survivors_quality",
-    "event_path_report",
-    "neardup_triangles",
     "q8_market_share",
     "q16_supplier_part_variety",
     "q19_discounted_revenue",
@@ -259,9 +271,13 @@ HEAD_ROUND = 12
 # fill the remaining ~37 slots with debuts/re-gates and r9-cohort
 # smoothing pulls (46 r9 names come due r14).
 NEXT_HEAD_PLAN: list[str] = [
-    # the 14 r8-cohort names deferred by the r12 smoothing above
-    # (winnowing_pairs displaced late-r12 by the bpe_merges re-gate)
+    # the 16 r8-cohort names deferred by the r12 smoothing above
+    # (winnowing_pairs / neardup_triangles / event_path_report
+    # displaced late-r12 by the bpe_merges re-gate and the two
+    # kmeans.lloyd family representatives)
     "winnowing_pairs",
+    "neardup_triangles",
+    "event_path_report",
     "text_stats",
     "lang_id",
     "token_counts",

@@ -551,8 +551,9 @@ def semdedup_prune(
     cents = smp.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
     )
-    for _ in range(iters):
-        cents = _update(smp, _assign(smp, cents), cents)
+    from flink_kafka_filter_transform_spark.operators.kmeans import lloyd
+
+    cents = lloyd(smp, cents, iters)
     assign = _assign(vecs, cents)
     cent_cos = F.when(
         (F.col("nrm") > 0) & (F.col("cnrm") > 0),

@@ -64,6 +64,29 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def lloyd(vecs: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
+    """``iters`` Lloyd rounds with the (<= k)-row codebook EAGERLY
+    localCheckpoint'd per round — the one shared loop every trainer
+    uses (r12). Why per-round freezing matters: ``_update`` references
+    the incoming codebook TWICE (inside the assignment it aggregates
+    over AND as the empty-cell fallback of the left join), so an
+    unfrozen chain DOUBLES per round — evaluating round k re-evaluates
+    round k-1 twice unless exchange reuse happens to fire, and every
+    downstream consumer of the returned codebook re-expands whatever
+    chain survives (the '25 static SortMergeJoins vs 1' note that
+    motivated the residual trainer's post-loop freeze). Checkpointing
+    k rows per round costs one tiny job and bounds the work at exactly
+    one assign + one update aggregate per round, which is the
+    algorithm's floor. Measured at sf0.1 (SCALING.md r12): the
+    full-suite trainer family dropped with no value change (CI parity
+    re-hashes every consumer)."""
+    for _ in range(iters):
+        cents = _update(vecs, _assign(vecs, cents), cents).localCheckpoint(
+            eager=True
+        )
+    return cents
+
+
 def _update(vecs: DataFrame, assign: DataFrame, prev: DataFrame) -> DataFrame:
     """New per-cluster mean centroids; empty clusters keep prev."""
     pos = (
@@ -199,9 +222,7 @@ def kmeans_fit(
         )
     else:
         raise ValueError(f"unknown seeding {seeding!r}: use 'first' or 'farthest'")
-    for _ in range(iters):
-        assign = _assign(vecs, cents)
-        cents = _update(vecs, assign, cents)
+    cents = lloyd(vecs, cents, iters)
     return _assign(vecs, cents), cents
 
 
@@ -247,8 +268,7 @@ def knn_ivf_kmeans(
     cents = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
     )
-    for _ in range(iters):
-        cents = _update(vecs, _assign(vecs, cents), cents)
+    cents = lloyd(vecs, cents, iters)
     member = _assign(vecs, cents)
 
     q = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
@@ -358,9 +378,7 @@ def _pq_codebooks(
         cents = vecs.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
         )
-        for _ in range(iters):
-            cents = _update(vecs, _assign(vecs, cents), cents)
-        subs.append((vecs, cents))
+        subs.append((vecs, lloyd(vecs, cents, iters)))
     return subs
 
 
@@ -473,8 +491,7 @@ def knn_ivf_pq(
     coarse = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
     )
-    for _ in range(iters):
-        coarse = _update(vecs, _assign(vecs, coarse), coarse)
+    coarse = lloyd(vecs, coarse, iters)
     member = _assign(vecs, coarse)
 
     q = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
@@ -679,13 +696,11 @@ def knn_ivf_pq_residual(
     coarse = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
     )
-    for _ in range(iters):
-        coarse = _update(vecs, _assign(vecs, coarse), coarse)
-    # freeze the trained codebook (k rows): every later stage (member
-    # assignment, residual subtraction, probing, query residuals)
-    # references it — un-frozen, each reference re-expands the whole
-    # Lloyd chain into the final plan (25 static SortMergeJoins vs 1)
-    coarse = coarse.localCheckpoint(eager=True)
+    # lloyd() freezes the (k-row) codebook per round, which subsumes
+    # the old post-loop freeze: every later stage (member assignment,
+    # residual subtraction, probing, query residuals) reads the stored
+    # final round directly
+    coarse = lloyd(vecs, coarse, iters)
     member = _assign(vecs, coarse)
 
     # residuals: rv = v - centroid[cell(v)], map-side (coarse is k rows)
@@ -708,10 +723,8 @@ def knn_ivf_pq_residual(
         cents = svecs.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
         )
-        for _ in range(iters):
-            cents = _update(svecs, _assign(svecs, cents), cents)
-        # same freeze for each trained sub-codebook (k rows)
-        subs.append((svecs, cents.localCheckpoint(eager=True)))
+        # per-round freeze inside lloyd() covers the sub-codebooks too
+        subs.append((svecs, lloyd(svecs, cents, iters)))
 
     q = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -979,8 +992,7 @@ def knn_ivf_filtered(
     cents = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
     )
-    for _ in range(iters):
-        cents = _update(vecs, _assign(vecs, cents), cents)
+    cents = lloyd(vecs, cents, iters)
     member = _assign(vecs, cents)
 
     q = emb.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
