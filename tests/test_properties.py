@@ -1784,3 +1784,35 @@ def test_cross_edit_linkage_rejects_shared_key_name(spark_prop):
     df = spark_prop.createDataFrame([(1, "a")], "k INT, name STRING")
     with pytest.raises(ValueError, match="distinct key column names"):
         cross_edit_linkage(df, df, "k", "name", "k", "name")
+
+
+def test_lloyd_freeze_preserves_trajectory(spark_prop):
+    """The r12 per-round codebook freeze is an EXECUTION change only:
+    lloyd() must walk the identical centroid trajectory as the naive
+    unfrozen loop (assign/update composed lazily) — on a fixture with
+    an empty-cluster round so the prev-fallback path is exercised
+    too. Guards the helper against ever drifting into a semantic
+    change (e.g. a round-count off-by-one or a fallback reorder)."""
+    from flink_kafka_filter_transform_spark.operators.kmeans import (
+        _assign,
+        _update,
+        lloyd,
+    )
+
+    # 8 vectors in two tight groups + seeds chosen so cluster 1 goes
+    # empty after round 1 (both seeds sit in group A's hull)
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]), (3, [0.1, 0.1]),
+        (4, [9.0, 9.0]), (5, [9.1, 9.0]), (6, [9.0, 9.1]), (7, [9.1, 9.1]),
+    ]
+    vecs = spark_prop.createDataFrame(rows, "vec_id LONG, v ARRAY<DOUBLE>")
+    seeds = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
+    )
+    naive = seeds
+    for _ in range(3):
+        naive = _update(vecs, _assign(vecs, naive), naive)
+    frozen = lloyd(vecs, seeds, 3)
+    a = sorted((r.cid, tuple(round(x, 12) for x in r.centroid)) for r in naive.collect())
+    b = sorted((r.cid, tuple(round(x, 12) for x in r.centroid)) for r in frozen.collect())
+    assert a == b
