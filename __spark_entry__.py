@@ -213,14 +213,16 @@ HEAD_ORDER: list[str] = [
     "kmeans_clusters",
     "knn_ivf_pq_residual_recall",
     # --- SMOOTHING pulls: the r8-verdict cohort (48 strong) hits the
-    # A=4 age limit at r13 in one wave; seat 34 of it now (33 + the
-    # bpe_encode_report re-gate above) so r13 owes only the 14
+    # A=4 age limit at r13 in one wave; seat 32 of it now (31 pulls +
+    # the bpe_encode_report re-gate above) so r13 owes only the 16
     # deferred names — which NEXT_HEAD_PLAN (below) pre-authors as
     # the r13 head's obligated seats, keeping the rotation guard
     # green ACROSS the round boundary for the first time (VERDICT
     # r11 item 1). The deferred are the cheap map-only/showcase
-    # members plus winnowing_pairs (displaced late-r12 by the
-    # bpe_merges re-gate; full list = NEXT_HEAD_PLAN below). ---
+    # members plus winnowing_pairs / neardup_triangles /
+    # event_path_report (displaced late-r12 by the bpe_merges re-gate
+    # and the two kmeans.lloyd representatives; full list =
+    # NEXT_HEAD_PLAN below). ---
     "ngram_jaccard_pairs",
     "neardup_clusters",
     "dedup_survivors",
@@ -271,6 +273,18 @@ HEAD_ROUND = 12
 # fill the remaining ~37 slots with debuts/re-gates and r9-cohort
 # smoothing pulls (46 r9 names come due r14).
 NEXT_HEAD_PLAN: list[str] = [
+    # clause-(b) seats for r13 (the r7-closing-addendum precedent):
+    # the late-r12 review refactor single-sourced the versioned
+    # lifetime-count replay protocol (_accumulated_over_cap) and gave
+    # every _batch_id index read an explicit schema
+    # (_read_index_before) — lsh_stream_state and the debuting
+    # edit_stream_state gate the changed code in THIS round's head,
+    # values are pytest-pinned identical (full streaming battery +
+    # vanilla-session driver-twin MATCH on all five faces at close),
+    # and the three sibling faces re-gate in r13:
+    "phash_stream_state",
+    "afp_stream_state",
+    "vfp_stream_state",
     # the 16 r8-cohort names deferred by the r12 smoothing above
     # (winnowing_pairs / neardup_triangles / event_path_report
     # displaced late-r12 by the bpe_merges re-gate and the two

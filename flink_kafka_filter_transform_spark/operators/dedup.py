@@ -539,7 +539,7 @@ def semdedup_prune(
     precomputed per VECTOR, only the dot runs per pair; the report
     aggregates to k rows."""
     from flink_kafka_filter_transform_spark.functions.vectors import dot, l2_norm
-    from flink_kafka_filter_transform_spark.operators.kmeans import _assign, _update
+    from flink_kafka_filter_transform_spark.operators.kmeans import _assign, lloyd
 
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     if k is None:
@@ -551,8 +551,6 @@ def semdedup_prune(
     cents = smp.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
     )
-    from flink_kafka_filter_transform_spark.operators.kmeans import lloyd
-
     cents = lloyd(smp, cents, iters)
     assign = _assign(vecs, cents)
     cent_cos = F.when(

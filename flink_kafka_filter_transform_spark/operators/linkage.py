@@ -179,6 +179,11 @@ def cross_edit_linkage(
             f"cross_edit_linkage needs distinct key column names on the two "
             f"relations (both are {left_key!r}); alias one side first"
         )
+    if "distance" in (left_key, right_key):
+        raise ValueError(
+            "cross_edit_linkage emits a 'distance' column; a key column "
+            "named 'distance' would duplicate it — alias the key first"
+        )
     lv = variant_exploded(left, left_key, left_name)
     idx = (
         variant_exploded(right, right_key, right_name)

@@ -535,7 +535,10 @@ def bpe_encode_report(docs: DataFrame, steps: int = 3) -> DataFrame:
     work becomes 2 bounded passes per step (one aggregate read + one
     rewrite materialization) over rows that already sit in executor
     storage. Same non-reliable-storage trade as operators.kmeans and
-    semdedup_text_prune — a lost executor recomputes from lineage.
+    semdedup_text_prune — localCheckpoint TRUNCATES lineage, so a lost
+    executor invalidates the stored blocks and FAILS the job (the job
+    retry restarts from the source data); reliable checkpointing to a
+    fault-tolerant store is the swap where executor loss is routine.
     Measured at sf0.1 (SCALING.md r12): 11.3 s published -> see the
     adjudication row. Same \\x1f/\\x1e sentinel encoding and
     hostile-byte guard as ``bpe_merges`` (docs containing the control

@@ -547,6 +547,68 @@ def _latest_state_version(
     return best
 
 
+def _accumulated_over_cap(
+    spark: SparkSession,
+    state_dir: str,
+    prefix: str,
+    bn: DataFrame,
+    batch_id: int,
+    cap: int,
+    key_cols: list[str],
+):
+    """The versioned LIFETIME-count replay protocol, single-sourced
+    (r12 review — it had grown four hand-copies: bcounts/ccounts/
+    fcounts/vcounts, and the r11 ``before=batch_id`` replay fix had to
+    touch every one): sum-merge this batch's per-key counts ``bn``
+    (columns ``key_cols`` + ``_n``) into ``{prefix}_v{batch_id}``
+    using the strictly-pre-batch prev (recompute-on-replay,
+    _latest_state_version), publish it, and return the BROADCAST
+    over-cap key relation both pairing sides anti-join. Over-cap keys
+    are bounded by total_rows / cap — a cap-th of the key space at
+    worst — which is why the broadcast is safe at any scale."""
+    v = _latest_state_version(spark, state_dir, prefix, before=batch_id)
+    prev = (
+        spark.read.parquet(f"{state_dir}/{prefix}_v{v}") if v is not None else None
+    )
+    totals = (
+        bn
+        if prev is None
+        else prev.unionByName(bn).groupBy(*key_cols).agg(F.sum("_n").alias("_n"))
+    )
+    totals.write.mode("overwrite").parquet(f"{state_dir}/{prefix}_v{batch_id}")
+    return F.broadcast(
+        spark.read.parquet(f"{state_dir}/{prefix}_v{batch_id}")
+        .filter(F.col("_n") > cap)
+        .select(*key_cols)
+    )
+
+
+def _read_index_before(
+    spark: SparkSession, path: str, row_rel: DataFrame, batch_id: int
+) -> DataFrame:
+    """Read a ``_batch_id``-partitioned index strictly before this
+    batch with an EXPLICIT schema (``row_rel``'s — the exact relation
+    the sink appends — plus the partition column): a first batch that
+    produced ZERO rows writes only ``_SUCCESS`` under dynamic
+    overwrite, so the path exists but schema inference would fail and
+    brick the stream on the NEXT batch (r12 review — the vfp pair-log
+    explicit-schema rule applied to every index read). A FRESH
+    StructType is built (StructType.add mutates and df.schema is
+    cached on the DataFrame, so add() would corrupt row_rel's own
+    schema object)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(row_rel.schema.fields) + [StructField("_batch_id", IntegerType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .parquet(path)
+        .filter(F.col("_batch_id") < batch_id)
+        .drop("_batch_id")
+    )
+
+
 def scd2_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The latest published SCD2 table version, or None before the
     first batch commits."""
@@ -1004,25 +1066,9 @@ def _lsh_index_batch(
     # identical: n_total(key) = sum of every prior batch's
     # contributions + this batch's, exactly what the window counted.
     bn = bands.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_n"))
-    v = _latest_state_version(spark, state_dir, "bcounts", before=batch_id)
-    prev = (
-        spark.read.parquet(f"{state_dir}/bcounts_v{v}") if v is not None else None
-    )
-    totals = (
-        bn
-        if prev is None
-        else prev.unionByName(bn)
-        .groupBy("band_idx", "band_key")
-        .agg(F.sum("_n").alias("_n"))
-    )
-    totals.write.mode("overwrite").parquet(f"{state_dir}/bcounts_v{batch_id}")
-    # Over-cap keys are bounded by total_rows / LSH_BUCKET_CAP — a
-    # CAP-th of the key space at worst, tiny in practice — so the
-    # anti-joins broadcast it instead of shuffling the index/batch.
-    over_cap = F.broadcast(
-        spark.read.parquet(f"{state_dir}/bcounts_v{batch_id}")
-        .filter(F.col("_n") > params.LSH_BUCKET_CAP)
-        .select("band_idx", "band_key")
+    over_cap = _accumulated_over_cap(
+        spark, state_dir, "bcounts", bn, batch_id,
+        params.LSH_BUCKET_CAP, ["band_idx", "band_key"],
     )
     # no bare except: before the first published batch the state dirs
     # simply don't exist (an actual read failure should surface, not
@@ -1034,16 +1080,8 @@ def _lsh_index_batch(
     if _hadoop_path_exists(spark, f"{state_dir}/bands") and _hadoop_path_exists(
         spark, f"{state_dir}/sigs"
     ):
-        idx_bands = (
-            spark.read.parquet(f"{state_dir}/bands")
-            .filter(F.col("_batch_id") < batch_id)
-            .drop("_batch_id")
-        )
-        idx_sigs = (
-            spark.read.parquet(f"{state_dir}/sigs")
-            .filter(F.col("_batch_id") < batch_id)
-            .drop("_batch_id")
-        )
+        idx_bands = _read_index_before(spark, f"{state_dir}/bands", bands, batch_id)
+        idx_sigs = _read_index_before(spark, f"{state_dir}/sigs", sig, batch_id)
     else:
         idx_bands, idx_sigs = None, None
     if idx_bands is not None:
@@ -1225,20 +1263,8 @@ def _fingerprint_index_batch(
         .persist()
     )
     bn = chunks.groupBy("ci", "ck").agg(F.count(F.lit(1)).alias("_n"))
-    v = _latest_state_version(spark, state_dir, "ccounts", before=batch_id)
-    prev = (
-        spark.read.parquet(f"{state_dir}/ccounts_v{v}") if v is not None else None
-    )
-    totals = (
-        bn
-        if prev is None
-        else prev.unionByName(bn).groupBy("ci", "ck").agg(F.sum("_n").alias("_n"))
-    )
-    totals.write.mode("overwrite").parquet(f"{state_dir}/ccounts_v{batch_id}")
-    over_cap = F.broadcast(
-        spark.read.parquet(f"{state_dir}/ccounts_v{batch_id}")
-        .filter(F.col("_n") > bucket_cap)
-        .select("ci", "ck")
+    over_cap = _accumulated_over_cap(
+        spark, state_dir, "ccounts", bn, batch_id, bucket_cap, ["ci", "ck"]
     )
     # cap on the ACCUMULATED bucket (index + this batch): both sides
     # drop over-cap keys before any pairing, like the LSH face.
@@ -1263,11 +1289,7 @@ def _fingerprint_index_batch(
         ).alias("p")
     ).select("p.doc_a", "p.sh_a", "p.doc_b", "p.sh_b")
     if _hadoop_path_exists(spark, f"{state_dir}/chunks"):
-        idx = (
-            spark.read.parquet(f"{state_dir}/chunks")
-            .filter(F.col("_batch_id") < batch_id)
-            .drop("_batch_id")
-        )
+        idx = _read_index_before(spark, f"{state_dir}/chunks", chunks, batch_id)
         old = idx.join(over_cap, ["ci", "ck"], "left_anti")
         # index docs and batch docs are disjoint (a doc arrives in one
         # batch; a replay's own partial write is excluded by the
@@ -1432,20 +1454,8 @@ def _vfp_index_batch(
     # unpersisted, each would re-run the demux+decode Arrow stage.
     fr = video_frame_hashes(batch_df).select("doc_id", "fh").distinct().persist()
     bn = fr.groupBy("fh").agg(F.count(F.lit(1)).alias("_n"))
-    v = _latest_state_version(spark, state_dir, "fcounts", before=batch_id)
-    prev = (
-        spark.read.parquet(f"{state_dir}/fcounts_v{v}") if v is not None else None
-    )
-    totals = (
-        bn
-        if prev is None
-        else prev.unionByName(bn).groupBy("fh").agg(F.sum("_n").alias("_n"))
-    )
-    totals.write.mode("overwrite").parquet(f"{state_dir}/fcounts_v{batch_id}")
-    over_cap = F.broadcast(
-        spark.read.parquet(f"{state_dir}/fcounts_v{batch_id}")
-        .filter(F.col("_n") > params.VID_FRAME_CAP)
-        .select("fh")
+    over_cap = _accumulated_over_cap(
+        spark, state_dir, "fcounts", bn, batch_id, params.VID_FRAME_CAP, ["fh"]
     )
     new = fr.join(over_cap, ["fh"], "left_anti")
     within = (
@@ -1456,11 +1466,7 @@ def _vfp_index_batch(
         .select("p.doc_a", "p.doc_b")
     )
     if _hadoop_path_exists(spark, f"{state_dir}/frames"):
-        idx = (
-            spark.read.parquet(f"{state_dir}/frames")
-            .filter(F.col("_batch_id") < batch_id)
-            .drop("_batch_id")
-        )
+        idx = _read_index_before(spark, f"{state_dir}/frames", fr, batch_id)
         old = idx.join(over_cap, ["fh"], "left_anti")
         # index docs and batch docs are disjoint under exactly-once
         # delivery, so least/greatest orients each cross pair
@@ -1733,20 +1739,8 @@ def _edit_index_batch(
     # persisted so the explode runs once per batch
     ex = variant_exploded(batch_df, key_col, name_col).persist()
     bn = ex.groupBy("variant").agg(F.count(F.lit(1)).alias("_n"))
-    v = _latest_state_version(spark, state_dir, "vcounts", before=batch_id)
-    prev = (
-        spark.read.parquet(f"{state_dir}/vcounts_v{v}") if v is not None else None
-    )
-    totals = (
-        bn
-        if prev is None
-        else prev.unionByName(bn).groupBy("variant").agg(F.sum("_n").alias("_n"))
-    )
-    totals.write.mode("overwrite").parquet(f"{state_dir}/vcounts_v{batch_id}")
-    over_cap = F.broadcast(
-        spark.read.parquet(f"{state_dir}/vcounts_v{batch_id}")
-        .filter(F.col("_n") > EDIT_BLOCK_CAP)
-        .select("variant")
+    over_cap = _accumulated_over_cap(
+        spark, state_dir, "vcounts", bn, batch_id, EDIT_BLOCK_CAP, ["variant"]
     )
     new = ex.join(over_cap, ["variant"], "left_anti")
     within = (
@@ -1757,11 +1751,7 @@ def _edit_index_batch(
         .select("p.ak", "p.anm", "p.bk", "p.bnm")
     )
     if _hadoop_path_exists(spark, f"{state_dir}/variants"):
-        idx = (
-            spark.read.parquet(f"{state_dir}/variants")
-            .filter(F.col("_batch_id") < batch_id)
-            .drop("_batch_id")
-        )
+        idx = _read_index_before(spark, f"{state_dir}/variants", ex, batch_id)
         old = idx.join(over_cap, ["variant"], "left_anti")
         sa = F.struct(F.col("a.k").alias("k"), F.col("a.nm").alias("nm"))
         sb = F.struct(F.col("b.k").alias("k"), F.col("b.nm").alias("nm"))

@@ -73,17 +73,29 @@ def test_boundary_will_be_green_after_this_round():
     time, so the close must pre-author it."""
     import __spark_entry__ as entry
 
+    from tools.rotation_check import ALLOWED_PENDING_DEBUTS
+
     latest = latest_green_rounds()
     names = list(entry.queries())
     assumed = {n: latest.get(n, -1) for n in names}
-    for n in names[:HEAD_SLOTS]:
+    head = set(names[:HEAD_SLOTS])
+    for n in head:
         assumed[n] = entry.HEAD_ROUND
     nxt = entry.HEAD_ROUND + 1
     plan = set(entry.NEXT_HEAD_PLAN)
+    # mirror stale_tail_queries' boundary rules EXACTLY (r12 review —
+    # a divergent replica here could certify a boundary the real
+    # guard flags red): plan coverage applies only to names with SOME
+    # green verdict (a never-verified registration must use the
+    # ALLOWED_PENDING_DEBUTS contract), and a deferral granted for
+    # round nxt is itself coverage.
     uncovered = [
         n
         for n in names
-        if nxt - assumed[n] > MAX_VERDICT_AGE and n not in plan
+        if n not in head
+        and nxt - assumed[n] > MAX_VERDICT_AGE
+        and not (n in plan and assumed[n] >= 0)
+        and ALLOWED_PENDING_DEBUTS.get(n) != nxt
     ]
     assert not uncovered, (
         f"after r{entry.HEAD_ROUND} is written these tail names go stale at "

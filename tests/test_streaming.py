@@ -1841,3 +1841,43 @@ def test_edit_index_sink_three_way_uneven_split_equals_batch(
         for r in linkage.name_edit_neighbors(cust).collect()
     }
     assert face == batch and len(batch) > 0
+
+def test_index_sinks_survive_empty_first_batch(spark, sf_dir, tmp_path_factory):
+    """An empty first micro-batch writes only _SUCCESS under each
+    _batch_id-partitioned index dir (no partitions in the data), so
+    the next batch's index read MUST use an explicit schema or the
+    stream bricks on schema inference (r12 review — the vfp pair-log
+    rule applied to every index read via _read_index_before). Proven
+    on the edit-linkage face and the LSH face; the fingerprint faces
+    share the same helper."""
+    from flink_kafka_filter_transform_spark.operators import dedup, linkage
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    state = str(tmp_path_factory.mktemp("edit_empty_state"))
+    out = str(tmp_path_factory.mktemp("edit_empty_out"))
+    sp._edit_index_batch(cust.filter(SF.lit(False)), 0, "c_custkey", "c_name", state, out)
+    sp._edit_index_batch(cust, 1, "c_custkey", "c_name", state, out)  # bricked pre-fix
+    face = {
+        (r.a_c_custkey, r.b_c_custkey, r.distance)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.a_c_custkey, r.b_c_custkey, r.distance)
+        for r in linkage.name_edit_neighbors(cust).collect()
+    }
+    assert face == batch and len(batch) > 0
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    state2 = str(tmp_path_factory.mktemp("lsh_empty_state"))
+    out2 = str(tmp_path_factory.mktemp("lsh_empty_out"))
+    sp._lsh_index_batch(docs.filter(SF.lit(False)), 0, state2, out2)
+    sp._lsh_index_batch(docs, 1, state2, out2)  # bricked pre-fix
+    face2 = {
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(out2).collect()
+    }
+    batch2 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()
+    }
+    assert face2 == batch2 and len(batch2) > 0

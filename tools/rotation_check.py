@@ -132,18 +132,24 @@ MAX_VERDICT_AGE = 4
 #
 # r12 CHECK-IN (VERDICT r11 items 1/3/4): the r12 head seats the 10
 # r7 leftovers + 2 debuts (supplier_customer_linkage,
-# edit_stream_state) + 4 clause-(b) re-gates + 34 of the 48-strong r8
-# cohort; the 13 deferred r8 names are PRE-AUTHORED as the r13 head's
-# obligated seats via the new NEXT_HEAD_PLAN boundary protocol (see
-# stale_tail_queries), so for the first time the guard stays green
-# when the driver writes the round's CORRECTNESS file. Capacity is
-# now a failing test, not a forecast field: forecast_window()
-# simulates the full forward A-window in the no-smoothing worst case
-# and tests/test_rotation.py fails any round that would create an
+# edit_stream_state) + the clause-(b) re-gates (name_edit_neighbors,
+# interval_overlap_pairs, ivo_stream_state, bpe_encode_report,
+# bpe_merges, and the two kmeans.lloyd family representatives
+# kmeans_clusters / knn_ivf_pq_residual_recall) + 31 smoothing pulls
+# of the 48-strong r8 cohort (32 r8 names seated counting
+# bpe_encode_report); the 16 deferred r8 names are PRE-AUTHORED as
+# the r13 head's obligated seats via the new NEXT_HEAD_PLAN boundary
+# protocol (see stale_tail_queries), so for the first time the guard
+# stays green when the driver writes the round's CORRECTNESS file.
+# Capacity is now a failing test, not a forecast field:
+# forecast_window() simulates the full forward A-window in the
+# no-smoothing worst case (boundary-aware: at a round boundary the
+# plan, not the consumed head, is what gates next) and
+# tests/test_rotation.py fails any round that would create an
 # infeasible future head; the hard Q <= 250 bound fails with the
 # named RETIREMENT_CANDIDATES. Registration 203 (+2 this round).
-# Forward window at the r12 close: r13 13/37, r14 46/4, r15 47/3,
-# r16 47/3, r17 50/0 — r17 is tight-but-feasible worst case; actual
+# Forward window at the r12 close: r13 16/34, r14 45/5, r15 46/4,
+# r16 46/4, r17 50/0 — r17 is tight-but-feasible worst case; actual
 # heads smooth (the r13 session should pull ~30 of the r9 cohort
 # forward exactly as this round pulled the r8 cohort).
 
@@ -288,7 +294,17 @@ def forecast_window(
     means some future window is infeasible no matter how the
     intervening heads are authored. Never-verified names are assumed
     gated in the upcoming head if seated there, else obligated
-    immediately."""
+    immediately.
+
+    BOUNDARY-AWARE (r12 review): when the artifacts for HEAD_ROUND
+    are already written (upcoming > HEAD_ROUND), the current
+    HEAD_ORDER has been CONSUMED — assuming it gates again at
+    ``upcoming`` would shift its 50 names' next obligation a round
+    late and evaluate the wrong worst case exactly at round-close
+    commits. In that state the upcoming round's committed seats are
+    NEXT_HEAD_PLAN (the remainder the simulation obligates
+    naturally), so the plan is what gets assumed gated at
+    ``upcoming``."""
     import sys
 
     sys.path.insert(0, repo)
@@ -298,7 +314,12 @@ def forecast_window(
     upcoming = max(latest.values(), default=0) + 1
     names = list(entry.queries())
     assumed = {n: latest.get(n, -1) for n in names}
-    for name in names[:HEAD_SLOTS]:
+    head_round = getattr(entry, "HEAD_ROUND", None)
+    if head_round is not None and upcoming > head_round:
+        seats = [n for n in getattr(entry, "NEXT_HEAD_PLAN", ()) if n in assumed]
+    else:
+        seats = names[:HEAD_SLOTS]
+    for name in seats:
         assumed[name] = upcoming
     window: list[tuple[int, int, int]] = []
     for rnd in range(upcoming + 1, upcoming + 1 + horizon):
