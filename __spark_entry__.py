@@ -153,6 +153,99 @@ def entry(spark: SparkSession) -> DataFrame:
 # neardup_clusters, dedup_survivors, dedup_survivors_quality (the CC
 # consumers; their r6-green verdicts predate the loop change).
 HEAD_ORDER: list[str] = [
+    # === r13 head ===
+    # --- OBLIGATED: NEXT_HEAD_PLAN as pre-authored at the r12 close
+    # (VERDICT r12 item 1 — materialized VERBATIM, all 19 judge-gated
+    # green at sf0.01 in the r12 verdict session, so this is seating,
+    # not debugging). First the 3 clause-(b) sibling-face re-gates for
+    # the late-r12 _accumulated_over_cap/_read_index_before
+    # single-sourcing — and simultaneously the r13 clause-(b) gates
+    # for THIS round's streaming-helper hardening (ADVICE r12:
+    # try/finally unpersist in the index-batch bodies, LongType
+    # _batch_id partition schema, explicit-schema counts reads in
+    # _accumulated_over_cap; values identical, full battery + CI
+    # parity green) ---
+    "phash_stream_state",
+    "afp_stream_state",
+    "vfp_stream_state",
+    # --- the 16 r8-cohort names deferred by the r12 smoothing ---
+    "winnowing_pairs",
+    "neardup_triangles",
+    "event_path_report",
+    "text_stats",
+    "lang_id",
+    "token_counts",
+    "doc_fingerprint",
+    "normalize_text",
+    "quality_classifier_score",
+    "adaptive_length_filter",
+    "token_frequency_score",
+    "trigram_gini_diversity",
+    "array_function_showcase",
+    "revenue_cube",
+    "revenue_grouping_sets",
+    "jpeg_decode",
+    # --- r12-cohort pulls (each buys a slot back from the r17
+    # worst-case 50/0 window — VERDICT r12 item 3 — and each is ALSO
+    # individually motivated): lsh/edit_stream_state are clause-(b)
+    # re-gates for the same streaming-helper hardening the three
+    # sibling faces above gate (the five faces are the complete
+    # consumer set of _read_index_before/_accumulated_over_cap);
+    # pq_train_report/knn_pq_adc/knn_pq_recall/semdedup_prune/
+    # embedding_neardup_refined are the kmeans.lloyd-freeze consumers
+    # VERDICT r12 item 6 asks to re-gate preferentially;
+    # split_leakage_report is the 3.13x unreceipted driver mover
+    # (item 2) — re-gated the same round its isolated plateau is
+    # recorded ---
+    "lsh_stream_state",
+    "edit_stream_state",
+    "pq_train_report",
+    "knn_pq_adc",
+    "knn_pq_recall",
+    "semdedup_prune",
+    "embedding_neardup_refined",
+    "split_leakage_report",
+    # --- r11-cohort pull: the remaining kmeans-family consumer whose
+    # cohort round is nearest (semdedup chain over corpus-derived
+    # vectors; balances the r16 window at >= 6 free) ---
+    "semdedup_text_prune",
+    # --- r10-cohort pulls (lloyd consumers per item 6; balance the
+    # r15 window from 4 to 10 free) ---
+    "embedding_neardup_fps",
+    "kmeans_cluster_sizes",
+    "knn_ivf",
+    "knn_ivf_recall",
+    # --- SMOOTHING pulls from the 45-strong r9 cohort (due r14 in
+    # one wave otherwise — VERDICT r12 item 1 asks for >= 10 pulled
+    # forward; these 18 are the knn/quantization family, i.e. the
+    # remaining lloyd-trained consumers, including knn_ivf_pq_residual
+    # (the second unreceipted driver mover, re-gated the round its
+    # plateau lands). The r14 plan (NEXT_HEAD_PLAN below) owes the
+    # cohort remainder. ---
+    "knn_ivf_kmeans",
+    "knn_ivf_pq",
+    "knn_ivf_pq_recall",
+    "knn_ivf_pq_residual",
+    "knn_ivf_pq_rerank",
+    "knn_ivf_pq_rerank_recall",
+    "knn_sq8",
+    "knn_sq8_recall",
+    "knn_ivf_filtered",
+    "knn_ivf_filtered_recall",
+    "knn_mrl",
+    "knn_mrl_recall",
+    "knn_jl",
+    "knn_jl_recall",
+    "jl_projection_distortion",
+    "embedding_quantize",
+    "embedding_normalized_norms",
+    "doc_text_knn",
+]
+
+# === r12 head (HISTORY — the r12 driver gated these 50 green,
+# CORRECTNESS_r12.json; kept for the provenance comments the rotation
+# policy requires) ===
+_R12_HEAD_HISTORY: list[str] = [
     # === r12 head ===
     # --- the 10 r7-cohort rotation obligations (the r11 smoothing
     # remainder; all 10 were judge-gated green at sf0.01 in the r11
@@ -264,47 +357,45 @@ HEAD_ORDER: list[str] = [
 # arithmetically impossible while a >40-name cohort is still
 # unwinding (48 r8 names + 10 r7 names = 58 seats > 50 at the r12
 # boundary). See tools/rotation_check.py for the boundary protocol.
-HEAD_ROUND = 12
+HEAD_ROUND = 13
 
-# Pre-authored obligated seats for the r{HEAD_ROUND+1} head (VERDICT
-# r11 item 1: "close the round with the head authored for r13's
-# staleness"). The r13 session MUST materialize these names into its
-# HEAD_ORDER (the rotation guard fails the r13 HEAD otherwise) and
-# fill the remaining ~37 slots with debuts/re-gates and r9-cohort
-# smoothing pulls (46 r9 names come due r14).
+# Pre-authored obligated seats for the r{HEAD_ROUND+1} = r14 head
+# (the boundary protocol, second use — VERDICT r12 item 1 asked the
+# close to pre-author r14 exactly as r12's close pre-authored r13).
+# These are the r9-cohort remainder after the r13 head's 18 smoothing
+# pulls: their verdicts hit the A=4 age limit at r14, so the r14
+# session MUST materialize these names into its HEAD_ORDER (the
+# rotation guard fails the r14 HEAD otherwise) and fill the remaining
+# ~23 slots with debuts/re-gates and r10-cohort smoothing pulls (40
+# r10 names come due r15).
 NEXT_HEAD_PLAN: list[str] = [
-    # clause-(b) seats for r13 (the r7-closing-addendum precedent):
-    # the late-r12 review refactor single-sourced the versioned
-    # lifetime-count replay protocol (_accumulated_over_cap) and gave
-    # every _batch_id index read an explicit schema
-    # (_read_index_before) — lsh_stream_state and the debuting
-    # edit_stream_state gate the changed code in THIS round's head,
-    # values are pytest-pinned identical (full streaming battery +
-    # vanilla-session driver-twin MATCH on all five faces at close),
-    # and the three sibling faces re-gate in r13:
-    "phash_stream_state",
-    "afp_stream_state",
-    "vfp_stream_state",
-    # the 16 r8-cohort names deferred by the r12 smoothing above
-    # (winnowing_pairs / neardup_triangles / event_path_report
-    # displaced late-r12 by the bpe_merges re-gate and the two
-    # kmeans.lloyd family representatives)
-    "winnowing_pairs",
-    "neardup_triangles",
-    "event_path_report",
-    "text_stats",
-    "lang_id",
-    "token_counts",
-    "doc_fingerprint",
-    "normalize_text",
-    "quality_classifier_score",
-    "adaptive_length_filter",
-    "token_frequency_score",
-    "trigram_gini_diversity",
-    "array_function_showcase",
-    "revenue_cube",
-    "revenue_grouping_sets",
-    "jpeg_decode",
+    "orders_top10",
+    "salted_event_counts",
+    "event_value_percentiles",
+    "revenue_rollup",
+    "pii_redact",
+    "repetition_ratios",
+    "neardup_kcore",
+    "q12_shipping_delay",
+    "q15_top_supplier",
+    "q21_waiting_orders",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "gram_novelty_profile",
+    "source_overlap_matrix",
+    "events_hopping_window",
+    "bucketed_join_revenue",
+    "partitioned_daily_revenue",
+    "bloom_stream_state",
+    "containment_pairs",
+    "image_phash_pairs",
+    "bigram_surprisal",
+    "doc_hash_embedding",
+    "vocab_growth_curve",
+    "audio_fingerprint_pairs",
+    "audio_silence_segments",
+    "video_frame_match_pairs",
+    "video_scene_cuts",
 ]
 
 # === r11 head (HISTORY — the r11 driver gated these 50 green,
