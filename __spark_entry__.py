@@ -369,6 +369,14 @@ HEAD_ROUND = 13
 # ~23 slots with debuts/re-gates and r10-cohort smoothing pulls (40
 # r10 names come due r15).
 NEXT_HEAD_PLAN: list[str] = [
+    # clause-(b) seat for r14: the r13 streaming-hardening pass
+    # (try/finally unpersist around every index-batch body — r12
+    # ADVICE) also touched _ivo_overlap_batch, whose face is not in
+    # the r13 head; values are pytest-pinned identical (full
+    # streaming battery + batch-equivalence tests green), and the
+    # face re-gates in r14 per the sibling-face precedent:
+    "ivo_stream_state",
+    # the r9-cohort remainder (verdicts hit the A=4 limit at r14):
     "orders_top10",
     "salted_event_counts",
     "event_value_percentiles",

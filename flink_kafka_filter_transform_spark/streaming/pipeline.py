@@ -565,10 +565,22 @@ def _accumulated_over_cap(
     _latest_state_version), publish it, and return the BROADCAST
     over-cap key relation both pairing sides anti-join. Over-cap keys
     are bounded by total_rows / cap — a cap-th of the key space at
-    worst — which is why the broadcast is safe at any scale."""
+    worst — which is why the broadcast is safe at any scale.
+
+    Both counts reads carry an EXPLICIT schema (``bn``'s own key
+    fields + ``_n``), the same discipline _read_index_before applies
+    to the partitioned index reads (r12 ADVICE): an all-empty counts
+    version must not depend on Spark writing a schema-bearing empty
+    part file. A fresh StructType is built — StructType.add mutates,
+    and df.schema is cached on the DataFrame."""
+    from pyspark.sql.types import StructType
+
+    counts_schema = StructType([bn.schema[c] for c in key_cols] + [bn.schema["_n"]])
     v = _latest_state_version(spark, state_dir, prefix, before=batch_id)
     prev = (
-        spark.read.parquet(f"{state_dir}/{prefix}_v{v}") if v is not None else None
+        spark.read.schema(counts_schema).parquet(f"{state_dir}/{prefix}_v{v}")
+        if v is not None
+        else None
     )
     totals = (
         bn
@@ -577,7 +589,8 @@ def _accumulated_over_cap(
     )
     totals.write.mode("overwrite").parquet(f"{state_dir}/{prefix}_v{batch_id}")
     return F.broadcast(
-        spark.read.parquet(f"{state_dir}/{prefix}_v{batch_id}")
+        spark.read.schema(counts_schema)
+        .parquet(f"{state_dir}/{prefix}_v{batch_id}")
         .filter(F.col("_n") > cap)
         .select(*key_cols)
     )
@@ -595,11 +608,17 @@ def _read_index_before(
     explicit-schema rule applied to every index read). A FRESH
     StructType is built (StructType.add mutates and df.schema is
     cached on the DataFrame, so add() would corrupt row_rel's own
-    schema object)."""
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    schema object).
+
+    The partition column is declared LongType (r12 ADVICE):
+    foreachBatch batch ids are 64-bit, and the value is parsed from
+    the partition DIRECTORY NAME against this declared type, so the
+    read stays correct past 2^31 batches regardless of the width
+    F.lit() happened to give the writer's in-memory column."""
+    from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
-        list(row_rel.schema.fields) + [StructField("_batch_id", IntegerType())]
+        list(row_rel.schema.fields) + [StructField("_batch_id", LongType())]
     )
     return (
         spark.read.schema(schema)
@@ -1054,92 +1073,94 @@ def _lsh_index_batch(
     # the shingling+minhash lineage over the batch. Materialize it
     # once per batch — batch-sized, released before the batch returns.
     sig = minhash_signatures(batch_df).persist()
-    bands = band_relation(sig)
-    within = lsh_candidates(sig)
-    # Accumulated bucket sizes are MAINTAINED as sum-merged versioned
-    # state (bcounts_v{batch_id}, the cells_v protocol: strictly-
-    # pre-batch prev, recompute-on-replay), not recomputed: the r6
-    # implementation re-windowed the ENTIRE accumulated index every
-    # batch — a shuffle+sort of all index rows whose cost grows with
-    # the stream, O(index) per batch where the merge is O(distinct
-    # band keys) with map-side combine and no sort. Cap decisions are
-    # identical: n_total(key) = sum of every prior batch's
-    # contributions + this batch's, exactly what the window counted.
-    bn = bands.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_n"))
-    over_cap = _accumulated_over_cap(
-        spark, state_dir, "bcounts", bn, batch_id,
-        params.LSH_BUCKET_CAP, ["band_idx", "band_key"],
-    )
-    # no bare except: before the first published batch the state dirs
-    # simply don't exist (an actual read failure should surface, not
-    # silently reset the index to empty — r5 ADVICE). The existence
-    # probe goes through the Hadoop FileSystem API, not os.path — the
-    # state dir is any Hadoop-compatible URI at scale (S3/HDFS), where
-    # a driver-local isdir would be False forever and silently disable
-    # the cross-batch index.
-    if _hadoop_path_exists(spark, f"{state_dir}/bands") and _hadoop_path_exists(
-        spark, f"{state_dir}/sigs"
-    ):
-        idx_bands = _read_index_before(spark, f"{state_dir}/bands", bands, batch_id)
-        idx_sigs = _read_index_before(spark, f"{state_dir}/sigs", sig, batch_id)
-    else:
-        idx_bands, idx_sigs = None, None
-    if idx_bands is not None:
-        # cap on the ACCUMULATED bucket (index + batch contributions):
-        # drop rows in over-cap buckets on BOTH sides before probing.
-        # Index docs and batch docs are disjoint sets (a doc arrives in
-        # exactly one batch; a replay's own partial write is excluded
-        # by the _batch_id < batch_id filter), so side provenance is
-        # the relation itself — no doc-id semi-joins needed.
-        old = idx_bands.join(over_cap, ["band_idx", "band_key"], "left_anti")
-        new = bands.join(over_cap, ["band_idx", "band_key"], "left_anti")
-        cross = (
-            old.alias("a")
-            .join(
-                new.alias("b"),
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(
-                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-            )
-            .distinct()
+    try:
+        bands = band_relation(sig)
+        within = lsh_candidates(sig)
+        # Accumulated bucket sizes are MAINTAINED as sum-merged versioned
+        # state (bcounts_v{batch_id}, the cells_v protocol: strictly-
+        # pre-batch prev, recompute-on-replay), not recomputed: the r6
+        # implementation re-windowed the ENTIRE accumulated index every
+        # batch — a shuffle+sort of all index rows whose cost grows with
+        # the stream, O(index) per batch where the merge is O(distinct
+        # band keys) with map-side combine and no sort. Cap decisions are
+        # identical: n_total(key) = sum of every prior batch's
+        # contributions + this batch's, exactly what the window counted.
+        bn = bands.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_n"))
+        over_cap = _accumulated_over_cap(
+            spark, state_dir, "bcounts", bn, batch_id,
+            params.LSH_BUCKET_CAP, ["band_idx", "band_key"],
         )
-        cand = within.unionByName(cross).distinct()
-        all_sigs = idx_sigs.unionByName(sig)
-    else:
-        cand = within
-        all_sigs = sig
-    s1 = all_sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    s2 = all_sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    verified = (
-        cand.join(s1, "doc_a")
-        .join(s2, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= params.JACCARD_THRESHOLD)
-    )
-    verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-        "overwrite"
-    ).option("partitionOverwriteMode", "dynamic").partitionBy(
-        "_batch_id"
-    ).parquet(out_dir)
-    for rel, sub in ((bands, "bands"), (sig, "sigs")):
-        (
-            rel.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(f"{state_dir}/{sub}")
+        # no bare except: before the first published batch the state dirs
+        # simply don't exist (an actual read failure should surface, not
+        # silently reset the index to empty — r5 ADVICE). The existence
+        # probe goes through the Hadoop FileSystem API, not os.path — the
+        # state dir is any Hadoop-compatible URI at scale (S3/HDFS), where
+        # a driver-local isdir would be False forever and silently disable
+        # the cross-batch index.
+        if _hadoop_path_exists(spark, f"{state_dir}/bands") and _hadoop_path_exists(
+            spark, f"{state_dir}/sigs"
+        ):
+            idx_bands = _read_index_before(spark, f"{state_dir}/bands", bands, batch_id)
+            idx_sigs = _read_index_before(spark, f"{state_dir}/sigs", sig, batch_id)
+        else:
+            idx_bands, idx_sigs = None, None
+        if idx_bands is not None:
+            # cap on the ACCUMULATED bucket (index + batch contributions):
+            # drop rows in over-cap buckets on BOTH sides before probing.
+            # Index docs and batch docs are disjoint sets (a doc arrives in
+            # exactly one batch; a replay's own partial write is excluded
+            # by the _batch_id < batch_id filter), so side provenance is
+            # the relation itself — no doc-id semi-joins needed.
+            old = idx_bands.join(over_cap, ["band_idx", "band_key"], "left_anti")
+            new = bands.join(over_cap, ["band_idx", "band_key"], "left_anti")
+            cross = (
+                old.alias("a")
+                .join(
+                    new.alias("b"),
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+                .select(
+                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+            cand = within.unionByName(cross).distinct()
+            all_sigs = idx_sigs.unionByName(sig)
+        else:
+            cand = within
+            all_sigs = sig
+        s1 = all_sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+        s2 = all_sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+            F.array_union("sh_a", "sh_b")
         )
-    # Everything downstream of sig has been written to parquet; the
-    # block-manager copy must not outlive the batch (bench r5 lesson:
-    # leaked blocks tax every later query in a shared JVM).
-    sig.unpersist()
+        verified = (
+            cand.join(s1, "doc_a")
+            .join(s2, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= params.JACCARD_THRESHOLD)
+        )
+        verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "_batch_id"
+        ).parquet(out_dir)
+        for rel, sub in ((bands, "bands"), (sig, "sigs")):
+            (
+                rel.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(f"{state_dir}/{sub}")
+            )
+    finally:
+        # Everything downstream of sig has been written to parquet; the
+        # block-manager copy must not outlive the batch (bench r5 lesson:
+        # leaked blocks tax every later query in a shared JVM).
+        sig.unpersist()
     # Same reader-facing publication protocol as the other sinks: the
     # pointer lands only after every state relation of the batch
     # (bcounts + bands + sigs partitions) is fully written. Readers
@@ -1262,75 +1283,80 @@ def _fingerprint_index_batch(
         .select("doc_id", hash_col, "c.ci", "c.ck")
         .persist()
     )
-    bn = chunks.groupBy("ci", "ck").agg(F.count(F.lit(1)).alias("_n"))
-    over_cap = _accumulated_over_cap(
-        spark, state_dir, "ccounts", bn, batch_id, bucket_cap, ["ci", "ck"]
-    )
-    # cap on the ACCUMULATED bucket (index + this batch): both sides
-    # drop over-cap keys before any pairing, like the LSH face.
-    new = chunks.join(over_cap, ["ci", "ck"], "left_anti")
-    within_buckets = (
-        new.groupBy("ci", "ck")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", F.col(hash_col).alias("sig")))
-            ).alias("ds")
+    try:
+        bn = chunks.groupBy("ci", "ck").agg(F.count(F.lit(1)).alias("_n"))
+        over_cap = _accumulated_over_cap(
+            spark, state_dir, "ccounts", bn, batch_id, bucket_cap, ["ci", "ck"]
         )
-        .filter(F.size("ds") >= 2)
-    )
-    within = within_buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (a, i) -> "
-                "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
-                "struct(a.doc_id AS doc_a, a.sig AS sh_a, "
-                "b.doc_id AS doc_b, b.sig AS sh_b))))"
+        # cap on the ACCUMULATED bucket (index + this batch): both sides
+        # drop over-cap keys before any pairing, like the LSH face.
+        new = chunks.join(over_cap, ["ci", "ck"], "left_anti")
+        within_buckets = (
+            new.groupBy("ci", "ck")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", F.col(hash_col).alias("sig")))
+                ).alias("ds")
             )
-        ).alias("p")
-    ).select("p.doc_a", "p.sh_a", "p.doc_b", "p.sh_b")
-    if _hadoop_path_exists(spark, f"{state_dir}/chunks"):
-        idx = _read_index_before(spark, f"{state_dir}/chunks", chunks, batch_id)
-        old = idx.join(over_cap, ["ci", "ck"], "left_anti")
-        # index docs and batch docs are disjoint (a doc arrives in one
-        # batch; a replay's own partial write is excluded by the
-        # _batch_id < batch_id filter) — the a side is always the
-        # indexed doc, so (sh_a, sh_b) assignment is deterministic and
-        # the pair distinct() below is exact.
-        cross = (
-            old.alias("a")
-            .join(
-                new.alias("b"),
-                (F.col("a.ci") == F.col("b.ci"))
-                & (F.col("a.ck") == F.col("b.ck"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(
-                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                F.col(f"a.{hash_col}").alias("sh_a"),
-                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-                F.col(f"b.{hash_col}").alias("sh_b"),
-            )
+            .filter(F.size("ds") >= 2)
         )
-        cand = within.unionByName(cross).distinct()
-    else:
-        cand = within.distinct()
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    verified = cand.select(
-        "doc_a", "doc_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
-    verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-        "overwrite"
-    ).option("partitionOverwriteMode", "dynamic").partitionBy(
-        "_batch_id"
-    ).parquet(out_dir)
-    (
-        chunks.withColumn("_batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch_id")
-        .parquet(f"{state_dir}/chunks")
-    )
-    chunks.unpersist()
+        within = within_buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), b -> "
+                    "struct(a.doc_id AS doc_a, a.sig AS sh_a, "
+                    "b.doc_id AS doc_b, b.sig AS sh_b))))"
+                )
+            ).alias("p")
+        ).select("p.doc_a", "p.sh_a", "p.doc_b", "p.sh_b")
+        if _hadoop_path_exists(spark, f"{state_dir}/chunks"):
+            idx = _read_index_before(spark, f"{state_dir}/chunks", chunks, batch_id)
+            old = idx.join(over_cap, ["ci", "ck"], "left_anti")
+            # index docs and batch docs are disjoint (a doc arrives in one
+            # batch; a replay's own partial write is excluded by the
+            # _batch_id < batch_id filter) — the a side is always the
+            # indexed doc, so (sh_a, sh_b) assignment is deterministic and
+            # the pair distinct() below is exact.
+            cross = (
+                old.alias("a")
+                .join(
+                    new.alias("b"),
+                    (F.col("a.ci") == F.col("b.ci"))
+                    & (F.col("a.ck") == F.col("b.ck"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+                .select(
+                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.col(f"a.{hash_col}").alias("sh_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                    F.col(f"b.{hash_col}").alias("sh_b"),
+                )
+            )
+            cand = within.unionByName(cross).distinct()
+        else:
+            cand = within.distinct()
+        hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        verified = cand.select(
+            "doc_a", "doc_b", hamming.alias("hamming")
+        ).filter(F.col("hamming") <= max_hamming)
+        verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "_batch_id"
+        ).parquet(out_dir)
+        (
+            chunks.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_dir}/chunks")
+        )
+    finally:
+        # released even on a failed write: a leaked block taxes
+        # every later query in a shared JVM (bench r5 lesson /
+        # r12 ADVICE)
+        chunks.unpersist()
     _write_latest_pointer(spark, state_dir, batch_id)
 
 
@@ -1453,82 +1479,87 @@ def _vfp_index_batch(
     # within-batch buckets, the index probe, the state append);
     # unpersisted, each would re-run the demux+decode Arrow stage.
     fr = video_frame_hashes(batch_df).select("doc_id", "fh").distinct().persist()
-    bn = fr.groupBy("fh").agg(F.count(F.lit(1)).alias("_n"))
-    over_cap = _accumulated_over_cap(
-        spark, state_dir, "fcounts", bn, batch_id, params.VID_FRAME_CAP, ["fh"]
-    )
-    new = fr.join(over_cap, ["fh"], "left_anti")
-    within = (
-        new.groupBy("fh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-        .select(F.explode(F.expr(SORTED_PAIR_EXPANSION)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-    )
-    if _hadoop_path_exists(spark, f"{state_dir}/frames"):
-        idx = _read_index_before(spark, f"{state_dir}/frames", fr, batch_id)
-        old = idx.join(over_cap, ["fh"], "left_anti")
-        # index docs and batch docs are disjoint under exactly-once
-        # delivery, so least/greatest orients each cross pair
-        # deterministically and one row per shared fh survives —
-        # exactly the count contribution the batch operator's bucket
-        # expansion produces. The explicit != guard (the sibling
-        # faces' rule, r11 review) covers at-least-once REDELIVERY of
-        # a whole doc in a later batch: without it the doc would
-        # cross-join its own indexed frames into a self-pair whose
-        # n_matched is its full frame count — a pair the batch
-        # operator can never emit. The guard stops at SELF-pairs by
-        # design: cross-batch whole-doc redelivery is OUTSIDE the
-        # delivery contract here, exactly as for the sibling faces —
-        # the checkpoint replays a failed batch with the SAME batch_id
-        # and input, which the _batch_id < batch_id filter plus
-        # dynamic overwrite make fully idempotent; a doc re-arriving
-        # under a NEW batch_id would double-count shared-frame rows
-        # for pairs with genuinely-new docs and re-emit its old pairs
-        # under the new partition, and no per-batch guard can repair
-        # that without a doc-id dedup ledger upstream (r11 ADVICE —
-        # documented, not defended, because the mode is unreachable
-        # under the checkpoint contract).
-        cross = (
-            old.alias("a")
-            .join(
-                new.alias("b"),
-                (F.col("a.fh") == F.col("b.fh"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(
-                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-            )
+    try:
+        bn = fr.groupBy("fh").agg(F.count(F.lit(1)).alias("_n"))
+        over_cap = _accumulated_over_cap(
+            spark, state_dir, "fcounts", bn, batch_id, params.VID_FRAME_CAP, ["fh"]
         )
-        match_rows = within.unionByName(cross)
-    else:
-        match_rows = within
-    pairs = (
-        match_rows.groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-        .filter(F.col("n_matched") >= params.VID_MIN_MATCH)
-    )
-    # Dynamic overwrite only rewrites partitions PRESENT in the new
-    # data: a replay that computes an EMPTY pair set would leave the
-    # original partition standing (silent stale pairs, not an error).
-    # That is sound ONLY because the checkpoint contract replays a
-    # batch with identical input — same pairs, same partition — which
-    # the replay tests pin (r11 ADVICE: assumption recorded here, at
-    # the one site whose failure mode would be silent).
-    pairs.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-        "overwrite"
-    ).option("partitionOverwriteMode", "dynamic").partitionBy(
-        "_batch_id"
-    ).parquet(out_dir)
-    (
-        fr.withColumn("_batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch_id")
-        .parquet(f"{state_dir}/frames")
-    )
-    fr.unpersist()
+        new = fr.join(over_cap, ["fh"], "left_anti")
+        within = (
+            new.groupBy("fh")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(F.explode(F.expr(SORTED_PAIR_EXPANSION)).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+        )
+        if _hadoop_path_exists(spark, f"{state_dir}/frames"):
+            idx = _read_index_before(spark, f"{state_dir}/frames", fr, batch_id)
+            old = idx.join(over_cap, ["fh"], "left_anti")
+            # index docs and batch docs are disjoint under exactly-once
+            # delivery, so least/greatest orients each cross pair
+            # deterministically and one row per shared fh survives —
+            # exactly the count contribution the batch operator's bucket
+            # expansion produces. The explicit != guard (the sibling
+            # faces' rule, r11 review) covers at-least-once REDELIVERY of
+            # a whole doc in a later batch: without it the doc would
+            # cross-join its own indexed frames into a self-pair whose
+            # n_matched is its full frame count — a pair the batch
+            # operator can never emit. The guard stops at SELF-pairs by
+            # design: cross-batch whole-doc redelivery is OUTSIDE the
+            # delivery contract here, exactly as for the sibling faces —
+            # the checkpoint replays a failed batch with the SAME batch_id
+            # and input, which the _batch_id < batch_id filter plus
+            # dynamic overwrite make fully idempotent; a doc re-arriving
+            # under a NEW batch_id would double-count shared-frame rows
+            # for pairs with genuinely-new docs and re-emit its old pairs
+            # under the new partition, and no per-batch guard can repair
+            # that without a doc-id dedup ledger upstream (r11 ADVICE —
+            # documented, not defended, because the mode is unreachable
+            # under the checkpoint contract).
+            cross = (
+                old.alias("a")
+                .join(
+                    new.alias("b"),
+                    (F.col("a.fh") == F.col("b.fh"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+                .select(
+                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                )
+            )
+            match_rows = within.unionByName(cross)
+        else:
+            match_rows = within
+        pairs = (
+            match_rows.groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+            .filter(F.col("n_matched") >= params.VID_MIN_MATCH)
+        )
+        # Dynamic overwrite only rewrites partitions PRESENT in the new
+        # data: a replay that computes an EMPTY pair set would leave the
+        # original partition standing (silent stale pairs, not an error).
+        # That is sound ONLY because the checkpoint contract replays a
+        # batch with identical input — same pairs, same partition — which
+        # the replay tests pin (r11 ADVICE: assumption recorded here, at
+        # the one site whose failure mode would be silent).
+        pairs.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "_batch_id"
+        ).parquet(out_dir)
+        (
+            fr.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_dir}/frames")
+        )
+    finally:
+        # released even on a failed write: a leaked block taxes
+        # every later query in a shared JVM (bench r5 lesson /
+        # r12 ADVICE)
+        fr.unpersist()
     _write_latest_pointer(spark, state_dir, batch_id)
 
 
@@ -1599,65 +1630,70 @@ def _ivo_overlap_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> No
     # IDENTICAL with the batch operator (r11 review — exactly-once
     # depends on it)
     ex = overlap_bucketed(lineitem_transit_intervals(batch_df)).persist()
-    left = overlap_side(ex, "a")
-    right = overlap_side(ex, "b")
-    within = (
-        left.join(right.hint("shuffle_hash"), ["suppkey", "_bucket"])
-        .filter((F.col("a_iid") < F.col("b_iid")) & overlap_pred())
-        .select("suppkey", overlap_days().alias("overlap_days"))
-    )
-    if _hadoop_path_exists(spark, f"{state_dir}/iv"):
-        # the index stores ex's own column names, so the probe side is
-        # the SAME overlap_side projection the batch operator uses —
-        # no hand-rolled copy to drift (r11 review)
-        idx = overlap_side(
-            spark.read.parquet(f"{state_dir}/iv")
-            .filter(F.col("_batch_id") < batch_id)
-            .drop("_batch_id"),
-            "a",
-        )
-        # a_iid != b_iid mirrors the batch op's strict a_iid < b_iid:
-        # iids are NOT unique in the fixture (duplicate (orderkey,
-        # linenumber) rows), and same-iid pairs are excluded from the
-        # pair space on both engines — without this, two same-iid rows
-        # landing in different batches would emit a self-pair the
-        # batch operator never counts.
-        cross = (
-            idx.join(right.hint("shuffle_hash"), ["suppkey", "_bucket"])
-            .filter((F.col("a_iid") != F.col("b_iid")) & overlap_pred())
+    try:
+        left = overlap_side(ex, "a")
+        right = overlap_side(ex, "b")
+        within = (
+            left.join(right.hint("shuffle_hash"), ["suppkey", "_bucket"])
+            .filter((F.col("a_iid") < F.col("b_iid")) & overlap_pred())
             .select("suppkey", overlap_days().alias("overlap_days"))
         )
-        match_rows = within.unionByName(cross)
-    else:
-        match_rows = within
-    delta = match_rows.groupBy("suppkey").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("overlap_days").alias("sum_overlap_days"),
-        F.max("overlap_days").alias("max_overlap_days"),
-    )
-    v = _latest_state_version(spark, state_dir, "osum", before=batch_id)
-    totals = delta
-    if v is not None:
-        prev = spark.read.parquet(f"{state_dir}/osum_v{v}")
-        totals = (
-            prev.unionByName(delta)
-            .groupBy("suppkey")
-            .agg(
-                F.sum("n_pairs").alias("n_pairs"),
-                F.sum("sum_overlap_days").alias("sum_overlap_days"),
-                F.max("max_overlap_days").alias("max_overlap_days"),
+        if _hadoop_path_exists(spark, f"{state_dir}/iv"):
+            # the index stores ex's own column names, so the probe side is
+            # the SAME overlap_side projection the batch operator uses —
+            # no hand-rolled copy to drift (r11 review)
+            idx = overlap_side(
+                spark.read.parquet(f"{state_dir}/iv")
+                .filter(F.col("_batch_id") < batch_id)
+                .drop("_batch_id"),
+                "a",
             )
+            # a_iid != b_iid mirrors the batch op's strict a_iid < b_iid:
+            # iids are NOT unique in the fixture (duplicate (orderkey,
+            # linenumber) rows), and same-iid pairs are excluded from the
+            # pair space on both engines — without this, two same-iid rows
+            # landing in different batches would emit a self-pair the
+            # batch operator never counts.
+            cross = (
+                idx.join(right.hint("shuffle_hash"), ["suppkey", "_bucket"])
+                .filter((F.col("a_iid") != F.col("b_iid")) & overlap_pred())
+                .select("suppkey", overlap_days().alias("overlap_days"))
+            )
+            match_rows = within.unionByName(cross)
+        else:
+            match_rows = within
+        delta = match_rows.groupBy("suppkey").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("overlap_days").alias("sum_overlap_days"),
+            F.max("overlap_days").alias("max_overlap_days"),
         )
-    totals.write.mode("overwrite").parquet(f"{state_dir}/osum_v{batch_id}")
-    (
-        ex.select("l_suppkey", "iid", "start_day", "end_day", "_bucket")
-        .withColumn("_batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch_id")
-        .parquet(f"{state_dir}/iv")
-    )
-    ex.unpersist()
+        v = _latest_state_version(spark, state_dir, "osum", before=batch_id)
+        totals = delta
+        if v is not None:
+            prev = spark.read.parquet(f"{state_dir}/osum_v{v}")
+            totals = (
+                prev.unionByName(delta)
+                .groupBy("suppkey")
+                .agg(
+                    F.sum("n_pairs").alias("n_pairs"),
+                    F.sum("sum_overlap_days").alias("sum_overlap_days"),
+                    F.max("max_overlap_days").alias("max_overlap_days"),
+                )
+            )
+        totals.write.mode("overwrite").parquet(f"{state_dir}/osum_v{batch_id}")
+        (
+            ex.select("l_suppkey", "iid", "start_day", "end_day", "_bucket")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_dir}/iv")
+        )
+    finally:
+        # released even on a failed write: a leaked block taxes
+        # every later query in a shared JVM (bench r5 lesson /
+        # r12 ADVICE)
+        ex.unpersist()
     _write_latest_pointer(spark, state_dir, batch_id)
 
 
@@ -1738,65 +1774,70 @@ def _edit_index_batch(
     # within-batch blocks, the index probe) plus the state append;
     # persisted so the explode runs once per batch
     ex = variant_exploded(batch_df, key_col, name_col).persist()
-    bn = ex.groupBy("variant").agg(F.count(F.lit(1)).alias("_n"))
-    over_cap = _accumulated_over_cap(
-        spark, state_dir, "vcounts", bn, batch_id, EDIT_BLOCK_CAP, ["variant"]
-    )
-    new = ex.join(over_cap, ["variant"], "left_anti")
-    within = (
-        new.groupBy("variant")
-        .agg(F.array_sort(F.collect_set(F.struct("k", "nm"))).alias("ds"))
-        .filter(F.size("ds") >= 2)
-        .select(F.explode(F.expr(VARIANT_PAIR_EXPANSION)).alias("p"))
-        .select("p.ak", "p.anm", "p.bk", "p.bnm")
-    )
-    if _hadoop_path_exists(spark, f"{state_dir}/variants"):
-        idx = _read_index_before(spark, f"{state_dir}/variants", ex, batch_id)
-        old = idx.join(over_cap, ["variant"], "left_anti")
-        sa = F.struct(F.col("a.k").alias("k"), F.col("a.nm").alias("nm"))
-        sb = F.struct(F.col("b.k").alias("k"), F.col("b.nm").alias("nm"))
-        lo, hi = F.least(sa, sb), F.greatest(sa, sb)
-        cross = (
-            old.alias("a")
-            .join(
-                new.alias("b"),
-                (F.col("a.variant") == F.col("b.variant"))
-                & (F.col("a.k") != F.col("b.k")),
+    try:
+        bn = ex.groupBy("variant").agg(F.count(F.lit(1)).alias("_n"))
+        over_cap = _accumulated_over_cap(
+            spark, state_dir, "vcounts", bn, batch_id, EDIT_BLOCK_CAP, ["variant"]
+        )
+        new = ex.join(over_cap, ["variant"], "left_anti")
+        within = (
+            new.groupBy("variant")
+            .agg(F.array_sort(F.collect_set(F.struct("k", "nm"))).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(F.explode(F.expr(VARIANT_PAIR_EXPANSION)).alias("p"))
+            .select("p.ak", "p.anm", "p.bk", "p.bnm")
+        )
+        if _hadoop_path_exists(spark, f"{state_dir}/variants"):
+            idx = _read_index_before(spark, f"{state_dir}/variants", ex, batch_id)
+            old = idx.join(over_cap, ["variant"], "left_anti")
+            sa = F.struct(F.col("a.k").alias("k"), F.col("a.nm").alias("nm"))
+            sb = F.struct(F.col("b.k").alias("k"), F.col("b.nm").alias("nm"))
+            lo, hi = F.least(sa, sb), F.greatest(sa, sb)
+            cross = (
+                old.alias("a")
+                .join(
+                    new.alias("b"),
+                    (F.col("a.variant") == F.col("b.variant"))
+                    & (F.col("a.k") != F.col("b.k")),
+                )
+                .select(
+                    lo["k"].alias("ak"),
+                    lo["nm"].alias("anm"),
+                    hi["k"].alias("bk"),
+                    hi["nm"].alias("bnm"),
+                )
             )
+            cand = within.unionByName(cross).distinct()
+        else:
+            cand = within.distinct()
+        verified = (
+            cand.withColumn("distance", F.levenshtein("anm", "bnm"))
+            .filter(F.col("distance") <= 1)
             .select(
-                lo["k"].alias("ak"),
-                lo["nm"].alias("anm"),
-                hi["k"].alias("bk"),
-                hi["nm"].alias("bnm"),
+                F.col("ak").alias(f"a_{key_col}"),
+                F.col("bk").alias(f"b_{key_col}"),
+                F.col("distance").cast("int").alias("distance"),
             )
         )
-        cand = within.unionByName(cross).distinct()
-    else:
-        cand = within.distinct()
-    verified = (
-        cand.withColumn("distance", F.levenshtein("anm", "bnm"))
-        .filter(F.col("distance") <= 1)
-        .select(
-            F.col("ak").alias(f"a_{key_col}"),
-            F.col("bk").alias(f"b_{key_col}"),
-            F.col("distance").cast("int").alias("distance"),
+        # same empty-replay dynamic-overwrite assumption as the vfp pair
+        # log — sound under the checkpoint contract's identical-input rule
+        verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "_batch_id"
+        ).parquet(out_dir)
+        (
+            ex.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_dir}/variants")
         )
-    )
-    # same empty-replay dynamic-overwrite assumption as the vfp pair
-    # log — sound under the checkpoint contract's identical-input rule
-    verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-        "overwrite"
-    ).option("partitionOverwriteMode", "dynamic").partitionBy(
-        "_batch_id"
-    ).parquet(out_dir)
-    (
-        ex.withColumn("_batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch_id")
-        .parquet(f"{state_dir}/variants")
-    )
-    ex.unpersist()
+    finally:
+        # released even on a failed write: a leaked block taxes
+        # every later query in a shared JVM (bench r5 lesson /
+        # r12 ADVICE)
+        ex.unpersist()
     _write_latest_pointer(spark, state_dir, batch_id)
 
 

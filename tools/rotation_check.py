@@ -304,7 +304,16 @@ def forecast_window(
     commits. In that state the upcoming round's committed seats are
     NEXT_HEAD_PLAN (the remainder the simulation obligates
     naturally), so the plan is what gets assumed gated at
-    ``upcoming``."""
+    ``upcoming``.
+
+    ONE-BOUNDARY rule (r12 ADVICE): the plan covers exactly the round
+    after HEAD_ROUND — the same condition stale_tail_queries enforces.
+    If two rounds elapse without re-authoring the head
+    (upcoming > HEAD_ROUND + 1), the plan has EXPIRED: assuming it
+    still gates at ``upcoming`` would understate obligations relative
+    to the guard that actually fails. An expired plan seats nothing —
+    the simulation then obligates every stale name immediately, the
+    true worst case of that (already-red) state."""
     import sys
 
     sys.path.insert(0, repo)
@@ -315,8 +324,10 @@ def forecast_window(
     names = list(entry.queries())
     assumed = {n: latest.get(n, -1) for n in names}
     head_round = getattr(entry, "HEAD_ROUND", None)
-    if head_round is not None and upcoming > head_round:
+    if head_round is not None and upcoming == head_round + 1:
         seats = [n for n in getattr(entry, "NEXT_HEAD_PLAN", ()) if n in assumed]
+    elif head_round is not None and upcoming > head_round + 1:
+        seats = []
     else:
         seats = names[:HEAD_SLOTS]
     for name in seats:
