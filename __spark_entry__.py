@@ -239,7 +239,13 @@ HEAD_ORDER: list[str] = [
     "jl_projection_distortion",
     "embedding_quantize",
     "embedding_normalized_norms",
-    "doc_text_knn",
+    # --- NEW in r13 (debut in the head per the rotation policy):
+    # cc_stream_state = incremental connected-components maintenance
+    # over the streamed near-dup pair log (VERDICT r12 item 4, the
+    # last first-class streaming gap); displaces doc_text_knn from
+    # the r9 smoothing fill into NEXT_HEAD_PLAN (due r14 with its
+    # cohort) ---
+    "cc_stream_state",
 ]
 
 # === r12 head (HISTORY — the r12 driver gated these 50 green,
@@ -399,6 +405,9 @@ NEXT_HEAD_PLAN: list[str] = [
     "image_phash_pairs",
     "bigram_surprisal",
     "doc_hash_embedding",
+    # displaced from the r13 head's r9 smoothing fill by the
+    # cc_stream_state debut:
+    "doc_text_knn",
     "vocab_growth_curve",
     "audio_fingerprint_pairs",
     "audio_silence_segments",
@@ -1376,6 +1385,13 @@ def queries() -> dict[str, QueryFn]:
         # lifetime EDIT_BLOCK_CAP via the bcounts protocol); drained
         # log equals the batch operator, same quadratic oracle ===
         "edit_stream_state": streaming_pipeline.edit_stream_state,
+        # === NEW r13 (VERDICT r12 item 4): incremental connected-
+        # components over the streamed near-dup pair log — component
+        # labels maintained as versioned state, new pairs merge via
+        # min-label propagation over the AFFECTED label graph only;
+        # drained cluster table equals batch graph.neardup_clusters,
+        # same RECURSIVE-CTE oracle ===
+        "cc_stream_state": streaming_pipeline.cc_stream_state,
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -1605,4 +1621,9 @@ def oracle_sql() -> dict[str, str]:
         # variant-cap protocol, so the SAME naive quadratic oracle
         # gates the blocking, the verify, AND the micro-batch split
         "edit_stream_state": oracles.name_edit_neighbors_oracle(),
+        # cc face: incremental label merges over the streamed pair log
+        # converge to the same components as one-shot CC over the full
+        # pair set, so the SAME recursive-CTE oracle gates the pair
+        # production, the merge protocol, AND the micro-batch split
+        "cc_stream_state": oracles.neardup_clusters_oracle(),
     }

@@ -1841,6 +1841,178 @@ def _edit_index_batch(
     _write_latest_pointer(spark, state_dir, batch_id)
 
 
+def cc_labels_sink(
+    stream_docs: DataFrame, state_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataStreamWriter:
+    """Incremental near-dup CLUSTER maintenance — connected-component
+    labels kept current as pairs stream in (r13, VERDICT r12 item 4:
+    every pair PRODUCER had a streaming face, but cluster assignment —
+    the thing a pipeline actually consumes to pick survivors — was
+    batch-only, forcing a full CC re-run over the pair history to
+    refresh survivor sets).
+
+    per batch: (1) the document batch runs through the UNCHANGED
+    _lsh_index_batch (index maintenance + this batch's verified pairs
+    to the pair log under ``out_dir`` — single-sourced, so the pair
+    semantics can never drift from lsh_stream_state); (2) arriving
+    docs enter the label table as singletons (label := own doc_id);
+    (3) the batch's pairs are lifted to LABEL edges (each endpoint's
+    current component label) — the affected-subgraph contraction: a
+    new pair either lands inside one component (la == lb, dropped) or
+    merges components, and merging needs only the LABEL graph, never
+    the full pair history; (4) graph.connected_components runs on
+    that label graph ONLY (nodes <= 2x batch pairs — the SCD2 face's
+    affected-key recompute pattern), yielding old-label -> new-label;
+    (5) the remap broadcasts into one relabel pass over the label
+    table, and ``labels_v{batch_id}`` publishes.
+
+    Correctness invariant: every component's label is the MIN doc_id
+    of the component. It holds inductively — new docs start as their
+    own label, and a merge takes the min over merged labels (min-label
+    propagation on the label graph), which IS the min doc_id of the
+    union. After the drain the labels equal the one-shot batch
+    operator graph.neardup_clusters over the same corpus —
+    tests/test_streaming.py proves it, and the cc_stream_state face
+    puts it under the driver's RECURSIVE-CTE oracle.
+
+    Replay discipline: the prev label table is resolved strictly
+    pre-batch (_latest_state_version before=batch_id), so a replayed
+    batch recomputes ``labels_v{batch_id}`` from the same inputs —
+    idempotent — and _lsh_index_batch's own dynamic partition
+    overwrite re-emits the identical pair partition. Reads carry
+    explicit schemas (the empty-first-batch rule).
+
+    Scale shape per batch: the LSH probe is the index sink's own cost;
+    the label-edge fixpoint is bounded by the batch's PAIR count (not
+    the corpus, not the history) and converges in O(merged-component
+    diameter IN LABEL HOPS) — near-1 for dedup clusters since
+    contraction collapses every prior round's work into single nodes;
+    the relabel is one broadcast join over the label table. The label
+    table rewrite is O(corpus)/batch — the versioned-state publication
+    protocol every face shares; a deploy past ~1e9 docs would shard
+    ``labels_v`` by doc_id range and rewrite only shards containing
+    affected labels (the remap names them), which the broadcast-remap
+    structure already permits. Old versions prune like every sink's
+    state (prune_state_versions, prefix="labels")."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _cc_labels_batch(batch_df, batch_id, state_dir, out_dir)
+
+    return stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def _cc_labels_batch(
+    batch_df: DataFrame, batch_id: int, state_dir: str, out_dir: str
+) -> None:
+    """One cc_labels_sink micro-batch (module-level for replay tests);
+    see the sink docstring for the protocol."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from flink_kafka_filter_transform_spark.operators.graph import (
+        connected_components,
+    )
+
+    spark = batch_df.sparkSession
+    _lsh_index_batch(batch_df, batch_id, f"{state_dir}/lsh", out_dir)
+    id_field = batch_df.schema["doc_id"]
+    # this batch's verified pairs — the partition _lsh_index_batch just
+    # wrote (replay overwrites it, so the read always sees exactly this
+    # batch's recomputed pairs). Explicit schema: an all-empty batch
+    # writes only _SUCCESS under dynamic overwrite.
+    pair_schema = StructType(
+        [
+            StructField("doc_a", id_field.dataType),
+            StructField("doc_b", id_field.dataType),
+            StructField("jaccard", DoubleType()),
+        ]
+    )
+    label_schema = StructType(
+        [
+            StructField("doc_id", id_field.dataType),
+            StructField("label", id_field.dataType),
+        ]
+    )
+    v = _latest_state_version(spark, state_dir, "labels", before=batch_id)
+    prev = (
+        spark.read.schema(label_schema).parquet(f"{state_dir}/labels_v{v}")
+        if v is not None
+        else None
+    )
+    fresh = batch_df.select("doc_id").distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    # a doc arrives in exactly one batch (the delivery contract every
+    # face shares) and prev is strictly pre-batch, so fresh and prev
+    # are disjoint by construction — plain union, no key-merge shuffle
+    base = fresh if prev is None else prev.unionByName(fresh)
+    pairs_now = _this_batch_pairs(spark, out_dir, pair_schema, batch_id)
+    a_lab = base.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("la"))
+    b_lab = base.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("lb"))
+    ledges = (
+        pairs_now.join(a_lab, "doc_a")
+        .join(b_lab, "doc_b")
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+        .distinct()
+    )
+    # 1-row existence probe (the fixpoint-probe class): a batch whose
+    # pairs all land inside existing components (or an empty batch)
+    # skips the label fixpoint entirely.
+    if ledges.limit(1).count() > 0:
+        lverts = (
+            ledges.select(F.col("src").alias("id"))
+            .unionAll(ledges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        m = connected_components(lverts, ledges)
+        remap = F.broadcast(
+            m.filter(F.col("component") != F.col("id")).select(
+                F.col("id").alias("label"), F.col("component").alias("_new")
+            )
+        )
+        base = base.join(remap, "label", "left").select(
+            "doc_id", F.coalesce("_new", "label").alias("label")
+        )
+    base.write.mode("overwrite").parquet(f"{state_dir}/labels_v{batch_id}")
+    _write_latest_pointer(spark, state_dir, batch_id)
+
+
+def _this_batch_pairs(
+    spark: SparkSession, out_dir: str, pair_schema, batch_id: int
+) -> DataFrame:
+    """EXACTLY this batch's rows of a ``_batch_id``-partitioned pair
+    log, with the explicit-schema discipline of _read_index_before
+    (same LongType partition column, same fresh-StructType rule). A
+    first batch whose pairs are EMPTY under dynamic overwrite leaves
+    out_dir nonexistent (not even _SUCCESS), so absence means no
+    pairs, not an error."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if not _hadoop_path_exists(spark, out_dir):
+        return spark.createDataFrame([], pair_schema).select("doc_a", "doc_b")
+    schema = StructType(
+        list(pair_schema.fields) + [StructField("_batch_id", LongType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .parquet(out_dir)
+        .filter(F.col("_batch_id") == batch_id)
+        .drop("_batch_id")
+        .select("doc_a", "doc_b")
+    )
+
+
+def cc_labels_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The latest published component-label table (doc_id, label), or
+    None before the first batch commits."""
+    version = _read_latest_pointer(spark, state_dir, prefix="labels")
+    if version is None:
+        return None
+    return spark.read.parquet(f"{state_dir}/labels_v{version}")
+
+
 # ---------------------------------------------------------------------------
 # Driver-checkable batch faces for the maintenance sinks
 # ---------------------------------------------------------------------------
@@ -2283,6 +2455,41 @@ def edit_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "a_c_custkey BIGINT, b_c_custkey BIGINT, distance INT, _batch_id INT"
     ).parquet(out).select("a_c_custkey", "b_c_custkey", "distance")
+
+
+def cc_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (r13): the documents table drained through
+    cc_labels_sink — per micro-batch the LSH index face produces the
+    batch's verified near-dup pairs and the component-label table
+    merges them via min-label propagation over the AFFECTED label
+    graph only — returning the final cluster table (doc_id,
+    cluster_id, cluster_size, is_kept). Cluster size and keeper flag
+    derive from the drained labels with one count aggregate, exactly
+    as the batch operator derives them from its component relation,
+    so the result equals graph.neardup_clusters over the same corpus
+    — which is what the shared RECURSIVE-CTE DuckDB oracle computes
+    (min reachable doc_id, an independent fixpoint formulation).
+    Closes the last first-class streaming gap (VERDICT r12 item 4):
+    survivor sets stay current as pairs stream in, with no CC re-run
+    over the pair history."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    scratch = _face_scratch(spark, "sgraft_cc_stream_")
+    state, out = f"{scratch}/state", f"{scratch}/pairs"
+    _drain_through_sink(
+        docs,
+        scratch,
+        lambda stream, ckpt: cc_labels_sink(stream, state, out, ckpt),
+    )
+    labels = cc_labels_current(spark, state)
+    sized = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sized, "label").select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("label")).alias("is_kept"),
+    )
 
 
 def dedup_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1881,3 +1881,125 @@ def test_index_sinks_survive_empty_first_batch(spark, sf_dir, tmp_path_factory):
         for r in dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()
     }
     assert face2 == batch2 and len(batch2) > 0
+
+
+def test_cc_labels_sink_matches_batch_clusters(spark, sf_dir, tmp_path_factory):
+    """Draining documents through the incremental CC label sink must
+    converge to exactly the batch operator's cluster table — every
+    doc, the min-doc_id cluster label, the size, the keeper flag —
+    across genuine multi-batch merges."""
+    from flink_kafka_filter_transform_spark.operators.graph import neardup_clusters
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    src_dir = str(tmp_path_factory.mktemp("cc_src"))
+    docs.repartition(3).write.mode("overwrite").parquet(src_dir)
+    state = str(tmp_path_factory.mktemp("cc_state"))
+    out = str(tmp_path_factory.mktemp("cc_out"))
+    ckpt = str(tmp_path_factory.mktemp("cc_ckpt"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = sp.cc_labels_sink(stream, state, out, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    labels = sp.cc_labels_current(spark, state)
+    got = {(r.doc_id, r.label) for r in labels.collect()}
+    want = {(r.doc_id, r.cluster_id) for r in neardup_clusters(docs).collect()}
+    assert got == want and len(want) > 0
+    # labels are key-unique (one row per doc)
+    assert labels.count() == labels.select("doc_id").distinct().count()
+
+
+def test_cc_labels_batch_merges_two_existing_components(spark, tmp_path_factory):
+    """The core incremental property: a later batch's doc whose pairs
+    BRIDGE two components formed in an earlier batch must merge them
+    through the label graph — relabeling rows written batches ago —
+    without touching the pair history. Chain fixture: X~M and M~Y are
+    near-dups (shingle Jaccard 34/46 = 0.739 — as high as the chain
+    can go, since 1-J is a metric: J(X,M)+J(M,Y) <= 1+J(X,Y) caps the
+    bridges at ~0.78 while the ends stay under the 0.6 threshold) but
+    X~Y is not (28/52 = 0.538), so batch 0 forms two 2-doc components
+    and batch 1's single bridge doc collapses everything to one
+    cluster labeled by the min doc_id. Deterministic: the minhash
+    family is fixed, and at J = 0.739 the 4x2 banding collides for
+    these specific shingle sets (the "kk" token prefix was chosen so
+    BOTH bridge pairs band-collide while the end pair does not even
+    become a candidate; pinned by this test)."""
+    from flink_kafka_filter_transform_spark.operators.graph import neardup_clusters
+
+    w = [f"kk{i:02d}" for i in range(1, 55)]
+    X = " ".join(w[0:42])    # shingles s1..s40
+    M = " ".join(w[6:48])    # s7..s46: J(X,M) = 34/46 = 0.739 >= 0.6
+    Y = " ".join(w[12:54])   # s13..s52: J(M,Y) = 0.739; J(X,Y) = 0.538
+    rows = [(1, X), (2, X), (7, Y), (8, Y), (4, M)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    b0 = docs.filter(SF.col("doc_id") != 4)
+    b1 = docs.filter(SF.col("doc_id") == 4)
+    state = str(tmp_path_factory.mktemp("cc_merge_state"))
+    out = str(tmp_path_factory.mktemp("cc_merge_out"))
+    sp._cc_labels_batch(b0, 0, state, out)
+    after0 = {(r.doc_id, r.label) for r in sp.cc_labels_current(spark, state).collect()}
+    assert after0 == {(1, 1), (2, 1), (7, 7), (8, 7)}  # two components
+    sp._cc_labels_batch(b1, 1, state, out)
+    after1 = {(r.doc_id, r.label) for r in sp.cc_labels_current(spark, state).collect()}
+    assert after1 == {(1, 1), (2, 1), (4, 1), (7, 1), (8, 1)}  # merged
+    # and the batch operator over the union corpus agrees
+    want = {(r.doc_id, r.cluster_id) for r in neardup_clusters(docs).collect()}
+    assert after1 == want
+
+
+def test_cc_labels_sink_replay_same_batch_id_idempotent(
+    spark, sf_dir, tmp_path_factory
+):
+    """Replaying a CC label batch must recompute labels_v{batch_id}
+    from the strictly-pre-batch prev (not merge its own earlier
+    publication — labels would stay correct but fresh rows would
+    duplicate) and leave the published labels and the pair log
+    byte-identical."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    b0 = docs.filter(SF.col("doc_id") % 2 == 0)
+    b1 = docs.filter(SF.col("doc_id") % 2 == 1)
+    state = str(tmp_path_factory.mktemp("cc_replay_state"))
+    out = str(tmp_path_factory.mktemp("cc_replay_out"))
+    sp._cc_labels_batch(b0, 0, state, out)
+    sp._cc_labels_batch(b1, 1, state, out)
+    labels_before = sorted(
+        (r.doc_id, r.label) for r in sp.cc_labels_current(spark, state).collect()
+    )
+    pairs_before = sorted(
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(out).select("doc_a", "doc_b").collect()
+    )
+    sp._cc_labels_batch(b1, 1, state, out)  # replay
+    labels_after = sorted(
+        (r.doc_id, r.label) for r in sp.cc_labels_current(spark, state).collect()
+    )
+    pairs_after = sorted(
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(out).select("doc_a", "doc_b").collect()
+    )
+    assert labels_after == labels_before and len(labels_before) > 0
+    assert pairs_after == pairs_before
+    # no duplicate doc rows snuck in through the replay
+    assert len(labels_after) == len({d for d, _ in labels_after})
+
+
+def test_cc_labels_sink_empty_first_batch(spark, sf_dir, tmp_path_factory):
+    """An empty first micro-batch (no docs, no pairs, only _SUCCESS
+    markers) must not brick the stream: the explicit-schema reads and
+    the nonexistent-pair-log guard make batch 1 see an empty prev and
+    produce the same labels a fresh drain would."""
+    from flink_kafka_filter_transform_spark.operators.graph import neardup_clusters
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    state = str(tmp_path_factory.mktemp("cc_empty_state"))
+    out = str(tmp_path_factory.mktemp("cc_empty_out"))
+    sp._cc_labels_batch(docs.filter(SF.lit(False)), 0, state, out)
+    sp._cc_labels_batch(docs, 1, state, out)
+    got = {(r.doc_id, r.label) for r in sp.cc_labels_current(spark, state).collect()}
+    want = {(r.doc_id, r.cluster_id) for r in neardup_clusters(docs).collect()}
+    assert got == want and len(want) > 0
