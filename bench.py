@@ -228,6 +228,9 @@ HEADLINE = [
     # edit-distance linkage face (faces section)
     "supplier_customer_linkage",
     "edit_stream_state",
+    # round 13 addition: incremental CC cluster maintenance face
+    # (faces section)
+    "cc_stream_state",
 ]
 
 
@@ -308,6 +311,7 @@ FACE_QUERIES = {
     "ivf_stream_cell_counts",
     "scd2_stream_state",
     "lsh_stream_state",
+    "cc_stream_state",
 }
 
 
