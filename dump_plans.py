@@ -131,6 +131,7 @@ SHOWCASE = [
     ("vfp_stream_state", "video-index FACE (r11): dumped plan = the post-drain pair-log read; the per-batch demux/cap/probe/COUNT maintenance plan (the triad's count path — exact fh matching, >= VID_MIN_MATCH) is gated in tests/test_streaming.py"),
     ("ivo_stream_state", "interval-overlap FACE (r11): dumped plan = the final supplier-cardinality osum state read; the per-batch bucketed/ownership probe + sum-merged monoid rollup (pinned shuffle_hash) is gated in tests/test_streaming.py"),
     ("edit_stream_state", "edit-linkage FACE (r12): dumped plan = the post-drain pair-log read (_batch_id partitions); the per-batch variant explode/cap/probe/levenshtein maintenance plan is gated in tests/test_streaming.py"),
+    ("cc_stream_state", "cluster-maintenance FACE (r13): dumped plan = the post-drain label-table read + one count aggregate + the size join (exactly how batch neardup_clusters derives its output from the component relation); the per-batch label-edge lift / label-graph CC / broadcast-remap maintenance plan is gated in tests/test_streaming.py"),
     ("bloom_stream_state", "Bloom membership FACE: dumped plan = the final <= 64-register state read; the OR-merge maintenance plan (replay- and duplicate-delivery-idempotent by algebra) is gated in tests/test_streaming.py"),
 ]
 

@@ -89,11 +89,22 @@ def main() -> None:
     from bench import FACE_QUERIES, HEADLINE
 
     qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs and n not in FACE_QUERIES]
     only = None
     if len(sys.argv) > 2 and sys.argv[1] == "--only":
         only = sys.argv[2].split(",")
-        names = [n for n in names if n in only]
+    # faces (streaming drains) are excluded from the default sweep —
+    # their second "warm" run re-stages and re-drains a fresh scratch,
+    # so a full-suite audit would double every drain — but an
+    # EXPLICITLY --only'd face is measurable on purpose (r13, VERDICT
+    # r12 item 5: the face family joins the per-sf shuffle-byte
+    # discipline; bytes are run-invariant, wall is the drain cost)
+    names = [
+        n
+        for n in HEADLINE
+        if n in qs
+        and (n not in FACE_QUERIES or (only is not None and n in only))
+        and (only is None or n in only)
+    ]
 
     path = os.path.join(_REPO, "SHUFFLE_AUDIT.json")
     payload = {}
