@@ -189,8 +189,9 @@ HEAD_ORDER: list[str] = [
     # worst-case 50/0 window — VERDICT r12 item 3 — and each is ALSO
     # individually motivated): lsh/edit_stream_state are clause-(b)
     # re-gates for the same streaming-helper hardening the three
-    # sibling faces above gate (the five faces are the complete
-    # consumer set of _read_index_before/_accumulated_over_cap);
+    # sibling faces above gate (the five faces plus the r13-debuting
+    # cc_stream_state — seated below — are the complete consumer set
+    # of _read_index_before/_accumulated_over_cap);
     # pq_train_report/knn_pq_adc/knn_pq_recall/semdedup_prune/
     # embedding_neardup_refined are the kmeans.lloyd-freeze consumers
     # VERDICT r12 item 6 asks to re-gate preferentially;

@@ -2468,7 +2468,9 @@ def cc_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the batch operator derives them from its component relation,
     so the result equals graph.neardup_clusters over the same corpus
     — which is what the shared RECURSIVE-CTE DuckDB oracle computes
-    (min reachable doc_id, an independent fixpoint formulation).
+    (min reachable doc_id, an independent fixpoint formulation; the
+    inherited lsh_index_sink cap-boundary caveat cannot occur at
+    driver scale, exactly as for the pair face).
     Closes the last first-class streaming gap (VERDICT r12 item 4):
     survivor sets stay current as pairs stream in, with no CC re-run
     over the pair history."""

@@ -152,6 +152,20 @@ MAX_VERDICT_AGE = 4
 # r16 46/4, r17 50/0 — r17 is tight-but-feasible worst case; actual
 # heads smooth (the r13 session should pull ~30 of the r9 cohort
 # forward exactly as this round pulled the r8 cohort).
+#
+# r13 CHECK-IN (VERDICT r12 items 1/3): the r13 head materializes the
+# 19 pre-authored seats verbatim, debuts cc_stream_state (Q=204, +1
+# this round — far under the 15/round cap), pulls 8 r12-cohort names
+# (buying the r17 worst case from 50/0 back to 42/8), 1 r11 + 4 r10
+# kmeans-family balance pulls, and 17 r9 smoothing pulls. Forward
+# window at the committed r13 HEAD: r14 28/22, r15 40/10, r16 44/6,
+# r17 42/8 (r18 50/0 is the structural echo of ANY full 50-seat head
+# — the terminal window round always shows the just-authored head's
+# own 50 names due again; it is bought back by the next rounds'
+# smoothing exactly as r17 was this round). NEXT_HEAD_PLAN pre-
+# authors r14: the 28-name r9 remainder + the ivo_stream_state
+# clause-(b) re-gate. Wall at Q=230 is ~3 rounds away at this rate;
+# fold candidates unchanged.
 
 # One-round debut deferrals: a query registered when the upcoming
 # head's 50 slots are ALL taken by never-verified debuts + rotation
