@@ -2003,3 +2003,49 @@ def test_cc_labels_sink_empty_first_batch(spark, sf_dir, tmp_path_factory):
     got = {(r.doc_id, r.label) for r in sp.cc_labels_current(spark, state).collect()}
     want = {(r.doc_id, r.cluster_id) for r in neardup_clusters(docs).collect()}
     assert got == want and len(want) > 0
+
+
+def test_cc_labels_batch_split_invariant(spark, sf_dir, tmp_path_factory):
+    """Micro-batch SPLIT invariance — the claim the face exists on:
+    however the corpus is partitioned into arriving batches, the
+    final label table equals one-shot batch CC. Three different split
+    shapes (hash thirds, skewed 90/10, id-range halves) over the
+    sf documents corpus, each drained through _cc_labels_batch
+    sequentially; afterwards prune_state_versions (prefix='labels')
+    must keep the published head readable."""
+    from flink_kafka_filter_transform_spark.operators.graph import neardup_clusters
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    want = {(r.doc_id, r.cluster_id) for r in neardup_clusters(docs).collect()}
+    splits = {
+        "thirds": [docs.filter(SF.col("doc_id") % 3 == i) for i in range(3)],
+        "skewed": [
+            docs.filter(SF.col("doc_id") % 10 != 0),
+            docs.filter(SF.col("doc_id") % 10 == 0),
+        ],
+        "ranges": [
+            docs.filter(SF.col("doc_id") < 250),
+            docs.filter(SF.col("doc_id") >= 250),
+        ],
+    }
+    states = {}
+    for label, batches in splits.items():
+        state = str(tmp_path_factory.mktemp(f"cc_split_{label}_state"))
+        out = str(tmp_path_factory.mktemp(f"cc_split_{label}_out"))
+        for i, b in enumerate(batches):
+            sp._cc_labels_batch(b, i, state, out)
+        got = {
+            (r.doc_id, r.label) for r in sp.cc_labels_current(spark, state).collect()
+        }
+        assert got == want and len(want) > 0, f"split shape {label} diverged"
+        states[label] = state
+    # prune the 3-version state down to the keep_last=2 floor: v0 goes,
+    # the published head stays readable
+    deleted = sp.prune_state_versions(spark, states["thirds"], "labels", keep_last=2)
+    assert deleted == [0]
+    got = {
+        (r.doc_id, r.label)
+        for r in sp.cc_labels_current(spark, states["thirds"]).collect()
+    }
+    assert got == want
