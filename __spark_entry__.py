@@ -197,7 +197,16 @@ HEAD_ORDER: list[str] = [
     # VERDICT r12 item 6 asks to re-gate preferentially;
     # split_leakage_report is the 3.13x unreceipted driver mover
     # (item 2) — re-gated the same round its isolated plateau is
-    # recorded ---
+    # recorded.
+    # (clause-(b) note for the late-r13 review fix: graph.
+    # connected_components now releases its persisted edge relation
+    # in a finally — values identical, resource hygiene only. The
+    # changed helper is gated in THIS head by split_leakage_report
+    # (below) and cc_stream_state (the debut, whose every micro-batch
+    # drives the changed loop); the remaining CC consumers
+    # (neardup_clusters, dedup_survivors, dedup_survivors_quality,
+    # neardup_kcore — r12/r14-plan cohorts) are re-hashed by CI
+    # parity on every pytest run, per the r6 precedent.) ---
     "lsh_stream_state",
     "edit_stream_state",
     "pq_train_report",
@@ -218,8 +227,11 @@ HEAD_ORDER: list[str] = [
     "knn_ivf_recall",
     # --- SMOOTHING pulls from the 45-strong r9 cohort (due r14 in
     # one wave otherwise — VERDICT r12 item 1 asks for >= 10 pulled
-    # forward; these 18 are the knn/quantization family, i.e. the
-    # remaining lloyd-trained consumers, including knn_ivf_pq_residual
+    # forward; these 17 are the knn/quantization family, i.e. the
+    # remaining lloyd-trained consumers (18 were drafted; doc_text_knn
+    # was displaced into NEXT_HEAD_PLAN by the cc_stream_state debut
+    # below, leaving 45 - 17 = 28 r9 names owed at r14), including
+    # knn_ivf_pq_residual
     # (the second unreceipted driver mover, re-gated the round its
     # plateau lands). The r14 plan (NEXT_HEAD_PLAN below) owes the
     # cohort remainder. ---

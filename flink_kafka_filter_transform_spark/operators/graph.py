@@ -61,9 +61,6 @@ def connected_components(
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    lab = vertices.select("id", F.col("id").alias("component")).localCheckpoint(
-        eager=True
-    )
     label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
 
     def _checked_sum(df: DataFrame):
@@ -81,32 +78,44 @@ def connected_components(
             )
         return s
 
-    prev_sum = _checked_sum(lab)
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(lab, sym["src"] == lab["id"])
-            .select(F.col("dst").alias("id"), F.col("component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("nbr_min"))
+    # released on EVERY exit — return, non-convergence raise, or a
+    # _checked_sum overflow raise mid-loop: the per-micro-batch
+    # streaming caller (cc_labels_sink, r13) turns any leaked block
+    # into a recurring tax on the shared JVM (r13 review — the same
+    # rule the index-batch bodies adopted from the r12 ADVICE)
+    try:
+        lab = vertices.select("id", F.col("id").alias("component")).localCheckpoint(
+            eager=True
         )
-        new = lab.join(nbr, "id", "left").select(
-            "id",
-            F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias(
-                "component"
-            ),
+        prev_sum = _checked_sum(lab)
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(lab, sym["src"] == lab["id"])
+                .select(F.col("dst").alias("id"), F.col("component"))
+                .groupBy("id")
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            new = lab.join(nbr, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            new = new.localCheckpoint(eager=True)
+            cur_sum = _checked_sum(new)
+            lab = new
+            if cur_sum == prev_sum:
+                return lab
+            prev_sum = cur_sum
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations; raise max_iter (graph diameter exceeds the bound)"
         )
-        new = new.localCheckpoint(eager=True)
-        cur_sum = _checked_sum(new)
-        lab = new
-        if cur_sum == prev_sum:
-            sym.unpersist()
-            return lab
-        prev_sum = cur_sum
-    sym.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge within max_iter={max_iter} "
-        "iterations; raise max_iter (graph diameter exceeds the bound)"
-    )
+    finally:
+        # safe even for the returned labels: they are eagerly
+        # localCheckpointed, so releasing the edge cache can never
+        # trigger a recompute of the result
+        sym.unpersist()
 
 
 def neardup_clusters(docs: DataFrame) -> DataFrame:

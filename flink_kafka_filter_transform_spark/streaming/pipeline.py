@@ -1945,37 +1945,51 @@ def _cc_labels_batch(
     )
     # a doc arrives in exactly one batch (the delivery contract every
     # face shares) and prev is strictly pre-batch, so fresh and prev
-    # are disjoint by construction — plain union, no key-merge shuffle
-    base = fresh if prev is None else prev.unionByName(fresh)
-    pairs_now = _this_batch_pairs(spark, out_dir, pair_schema, batch_id)
-    a_lab = base.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("la"))
-    b_lab = base.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("lb"))
-    ledges = (
-        pairs_now.join(a_lab, "doc_a")
-        .join(b_lab, "doc_b")
-        .filter(F.col("la") != F.col("lb"))
-        .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
-        .distinct()
-    )
-    # 1-row existence probe (the fixpoint-probe class): a batch whose
-    # pairs all land inside existing components (or an empty batch)
-    # skips the label fixpoint entirely.
-    if ledges.limit(1).count() > 0:
-        lverts = (
-            ledges.select(F.col("src").alias("id"))
-            .unionAll(ledges.select(F.col("dst").alias("id")))
+    # are disjoint by construction — plain union, no key-merge shuffle.
+    # Both multi-consumer relations persist for the batch (the
+    # index-batch bodies' sig/chunks/fr/ex discipline — r13 review):
+    # base feeds the two endpoint-label joins, the relabel join, and
+    # the final write; ledges feeds the existence probe and (union-
+    # reversed, twice) the label-graph fixpoint.
+    base = (fresh if prev is None else prev.unionByName(fresh)).persist()
+    try:
+        pairs_now = _this_batch_pairs(spark, out_dir, pair_schema, batch_id)
+        a_lab = base.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("la"))
+        b_lab = base.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("lb"))
+        ledges = (
+            pairs_now.join(a_lab, "doc_a")
+            .join(b_lab, "doc_b")
+            .filter(F.col("la") != F.col("lb"))
+            .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
             .distinct()
+            .persist()
         )
-        m = connected_components(lverts, ledges)
-        remap = F.broadcast(
-            m.filter(F.col("component") != F.col("id")).select(
-                F.col("id").alias("label"), F.col("component").alias("_new")
-            )
-        )
-        base = base.join(remap, "label", "left").select(
-            "doc_id", F.coalesce("_new", "label").alias("label")
-        )
-    base.write.mode("overwrite").parquet(f"{state_dir}/labels_v{batch_id}")
+        try:
+            final = base
+            # 1-row existence probe (the fixpoint-probe class): a batch
+            # whose pairs all land inside existing components (or an
+            # empty batch) skips the label fixpoint entirely.
+            if ledges.limit(1).count() > 0:
+                lverts = (
+                    ledges.select(F.col("src").alias("id"))
+                    .unionAll(ledges.select(F.col("dst").alias("id")))
+                    .distinct()
+                )
+                m = connected_components(lverts, ledges)
+                remap = F.broadcast(
+                    m.filter(F.col("component") != F.col("id")).select(
+                        F.col("id").alias("label"), F.col("component").alias("_new")
+                    )
+                )
+                final = base.join(remap, "label", "left").select(
+                    "doc_id", F.coalesce("_new", "label").alias("label")
+                )
+            final.write.mode("overwrite").parquet(f"{state_dir}/labels_v{batch_id}")
+        finally:
+            ledges.unpersist()
+    finally:
+        # released even on a failed write (the r12 ADVICE rule)
+        base.unpersist()
     _write_latest_pointer(spark, state_dir, batch_id)
 
 
@@ -1984,10 +1998,16 @@ def _this_batch_pairs(
 ) -> DataFrame:
     """EXACTLY this batch's rows of a ``_batch_id``-partitioned pair
     log, with the explicit-schema discipline of _read_index_before
-    (same LongType partition column, same fresh-StructType rule). A
-    first batch whose pairs are EMPTY under dynamic overwrite leaves
-    out_dir nonexistent (not even _SUCCESS), so absence means no
-    pairs, not an error."""
+    (same LongType partition column, same fresh-StructType rule).
+    Two guard layers, both load-bearing (r13 review): an all-empty
+    first batch DOES create out_dir with a _SUCCESS marker (the r12
+    empty-first-batch finding — which is exactly why the read carries
+    an explicit schema: inference over marker-only output would
+    brick), while the exists-guard covers the path genuinely not
+    existing yet — _cc_labels_batch reads the log its own
+    _lsh_index_batch call just wrote, so in-protocol the dir exists,
+    but a direct _cc_labels_batch caller (the replay tests) must not
+    crash before any write has happened."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     if not _hadoop_path_exists(spark, out_dir):
