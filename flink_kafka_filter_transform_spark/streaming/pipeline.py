@@ -1893,7 +1893,15 @@ def cc_labels_sink(
     ``labels_v`` by doc_id range and rewrite only shards containing
     affected labels (the remap names them), which the broadcast-remap
     structure already permits. Old versions prune like every sink's
-    state (prune_state_versions, prefix="labels")."""
+    state (prune_state_versions, prefix="labels") — AND the nested
+    LSH sub-state this sink drives under ``{state_dir}/lsh`` needs its
+    OWN pruning pass (r13 ADVICE: it is the face's dominant state
+    volume): run prune_state_versions(spark, f"{state_dir}/lsh",
+    prefix="bcounts") for the bucket-count versions, and prune the
+    ``bands``/``sigs`` index ``_batch_id`` partitions below the
+    checkpoint watermark with the same offline cadence (they are
+    append-only partitions, not versions, so the version pruner does
+    not see them)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         _cc_labels_batch(batch_df, batch_id, state_dir, out_dir)
@@ -2505,6 +2513,24 @@ def cc_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stream, ckpt: cc_labels_sink(stream, state, out, ckpt),
     )
     labels = cc_labels_current(spark, state)
+    if labels is None:
+        # r13 ADVICE: cc_labels_current is None before any batch
+        # commits — an empty documents table must yield an empty
+        # cluster table, not an AttributeError on the None
+        from pyspark.sql.types import BooleanType, LongType, StructField
+
+        id_type = docs.schema["doc_id"].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("doc_id", id_type),
+                    StructField("cluster_id", id_type),
+                    StructField("cluster_size", LongType()),
+                    StructField("is_kept", BooleanType()),
+                ]
+            ),
+        )
     sized = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sized, "label").select(
         "doc_id",

@@ -975,7 +975,11 @@ def test_lsh_index_sink_matches_batch_pairs(spark, sf_dir, tmp_path_factory):
         .parquet(src_dir)
     )
     q = lsh_index_sink(stream, state, out, ckpt).trigger(availableNow=True).start()
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        # r13 ADVICE: an ignored timeout leaves the query running and
+        # the test reading partial state — fail as a timeout instead
+        q.stop()
+        raise TimeoutError("lsh_index_sink drain did not finish within 180s")
 
     emitted = [
         (r.doc_a, r.doc_b, f"{r.jaccard:.9g}")
@@ -1903,7 +1907,11 @@ def test_cc_labels_sink_matches_batch_clusters(spark, sf_dir, tmp_path_factory):
         .parquet(src_dir)
     )
     q = sp.cc_labels_sink(stream, state, out, ckpt).trigger(availableNow=True).start()
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        # r13 ADVICE: an ignored timeout leaves the query running and
+        # the test reading partial state — fail as a timeout instead
+        q.stop()
+        raise TimeoutError("cc_labels_sink drain did not finish within 180s")
 
     labels = sp.cc_labels_current(spark, state)
     got = {(r.doc_id, r.label) for r in labels.collect()}
@@ -1949,6 +1957,28 @@ def test_cc_labels_batch_merges_two_existing_components(spark, tmp_path_factory)
     # and the batch operator over the union corpus agrees
     want = {(r.doc_id, r.cluster_id) for r in neardup_clusters(docs).collect()}
     assert after1 == want
+
+
+def test_cc_stream_state_empty_documents_table(spark, sf_dir, tmp_path_factory):
+    """An empty documents table must yield an EMPTY cluster table with
+    the face's output schema, whether the drain commits zero batches
+    (cc_labels_current None — the r13 ADVICE crash path) or commits
+    empty label versions."""
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    schema = load_table(spark, "documents", sf_dir).schema
+    empty_sf = str(tmp_path_factory.mktemp("cc_empty_sf"))
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+        f"{empty_sf}/documents.parquet"
+    )
+    got = sp.cc_stream_state(spark, empty_sf)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "is_kept",
+    ]
 
 
 def test_cc_labels_sink_replay_same_batch_id_idempotent(
