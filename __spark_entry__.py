@@ -153,6 +153,101 @@ def entry(spark: SparkSession) -> DataFrame:
 # neardup_clusters, dedup_survivors, dedup_survivors_quality (the CC
 # consumers; their r6-green verdicts predate the loop change).
 HEAD_ORDER: list[str] = [
+    # === r14 head ===
+    # --- OBLIGATED: NEXT_HEAD_PLAN as pre-authored at the r13 close
+    # (VERDICT r13 item 2 — materialized VERBATIM; all 29 names were
+    # verified complete against the r9-stale set in the r13 verdict
+    # session, so this is seating, not debugging). First the
+    # ivo_stream_state clause-(b) re-gate (the r13 streaming-hardening
+    # pass touched _ivo_overlap_batch; values pytest-pinned identical),
+    # then the 28-name r9-cohort remainder whose verdicts hit the A=4
+    # age limit this round ---
+    "ivo_stream_state",
+    "orders_top10",
+    "salted_event_counts",
+    "event_value_percentiles",
+    "revenue_rollup",
+    "pii_redact",
+    "repetition_ratios",
+    "neardup_kcore",
+    "q12_shipping_delay",
+    "q15_top_supplier",
+    "q21_waiting_orders",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "gram_novelty_profile",
+    "source_overlap_matrix",
+    "events_hopping_window",
+    "bucketed_join_revenue",
+    "partitioned_daily_revenue",
+    "bloom_stream_state",
+    "containment_pairs",
+    "image_phash_pairs",
+    "bigram_surprisal",
+    "doc_hash_embedding",
+    "doc_text_knn",
+    "vocab_growth_curve",
+    "audio_fingerprint_pairs",
+    "audio_silence_segments",
+    "video_frame_match_pairs",
+    "video_scene_cuts",
+    # --- NEW in r14 (debut in the head per the rotation policy):
+    # HTML main-content extraction (VERDICT r13 item 3 / "what's
+    # missing" #2 — the last first-class LLM-pipeline family gap):
+    # per-doc boilerplate-removal report + the cumulative quality
+    # funnel over the EXTRACTED text ---
+    "html_boilerplate_extract",
+    "html_extract_quality_funnel",
+    # --- clause-(b) re-gates + adjudication seats (changed or
+    # disputed THIS round): cc_stream_state — the r13 debut whose
+    # 44.5 s driver reading sat 2.4x above its fresh-JVM plateau
+    # (VERDICT r13 "what's wrong" #1; adjudicated at this HEAD per
+    # item 1) AND the face's batch body changed this round (the
+    # small-label-graph fast path + the sharded labels_v publication,
+    # VERDICT items 1/6) — the driver re-times and re-verifies it
+    # here; q19_discounted_revenue — the 1.52x sub-1 s driver mover
+    # (item 5), re-timed alongside its recorded plateau ---
+    "cc_stream_state",
+    "q19_discounted_revenue",
+    # --- SMOOTHING pulls from the r12 cohort (due r17; buys the r17
+    # window from 41 to 37 obligated): the three remaining batch CC
+    # consumers — seated together with the cc face so the whole
+    # connected-components consumer family carries fresh verdicts in
+    # one round (the r6 named-representative precedent, applied
+    # eagerly) ---
+    "neardup_clusters",
+    "dedup_survivors",
+    "dedup_survivors_quality",
+    # --- SMOOTHING pulls from the r13 cohort (due r18 — VERDICT r13
+    # item 4: the zero-slack window; together with the cc_stream_state
+    # seat above these buy r18 from 50/0 to 47/3): the heaviest r13
+    # seat plus the CC-consuming leakage report ---
+    "split_leakage_report",
+    "semdedup_text_prune",
+    # --- SMOOTHING pulls from the 40-strong r10 cohort (due r15 in
+    # one wave otherwise; these 12 leave r15 at 28 obligated / 22
+    # free). char_entropy_profile is simultaneously the second sub-1 s
+    # driver mover (VERDICT item 5), re-timed here alongside its new
+    # plateau; the rest are the cohort's heaviest members so driver
+    # timings refresh where scatter matters most ---
+    "char_entropy_profile",
+    "substring_dedup_stats",
+    "substring_dedup_rewrite",
+    "embedding_neardup",
+    "knn_brute",
+    "knn_lsh",
+    "knn_lsh_recall",
+    "gopher_quality_rules",
+    "q1_pricing_summary",
+    "knn_ivf_probe_sweep",
+    "normalized_exact_dedup",
+    "scalar_function_showcase",
+]
+
+# === r13 head (HISTORY — the r13 driver gated these 50 green,
+# CORRECTNESS_r13.json; kept for the provenance comments the rotation
+# policy requires) ===
+_R13_HEAD_HISTORY: list[str] = [
     # === r13 head ===
     # --- OBLIGATED: NEXT_HEAD_PLAN as pre-authored at the r12 close
     # (VERDICT r12 item 1 — materialized VERBATIM, all 19 judge-gated
@@ -376,56 +471,48 @@ _R12_HEAD_HISTORY: list[str] = [
 # arithmetically impossible while a >40-name cohort is still
 # unwinding (48 r8 names + 10 r7 names = 58 seats > 50 at the r12
 # boundary). See tools/rotation_check.py for the boundary protocol.
-HEAD_ROUND = 13
+HEAD_ROUND = 14
 
-# Pre-authored obligated seats for the r{HEAD_ROUND+1} = r14 head
-# (the boundary protocol, second use — VERDICT r12 item 1 asked the
-# close to pre-author r14 exactly as r12's close pre-authored r13).
-# These are the r9-cohort remainder after the r13 head's 18 smoothing
-# pulls: their verdicts hit the A=4 age limit at r14, so the r14
-# session MUST materialize these names into its HEAD_ORDER (the
-# rotation guard fails the r14 HEAD otherwise) and fill the remaining
-# ~23 slots with debuts/re-gates and r10-cohort smoothing pulls (40
-# r10 names come due r15).
+# Pre-authored obligated seats for the r{HEAD_ROUND+1} = r15 head
+# (the boundary protocol, third use — VERDICT r13 item 2 asked the
+# close to pre-author r15 exactly as r13's close pre-authored r14).
+# These are the r10-cohort remainder after the r14 head's 12 r10
+# smoothing pulls: their verdicts hit the A=4 age limit at r15, so
+# the r15 session MUST materialize these names into its HEAD_ORDER
+# (the rotation guard fails the r15 HEAD otherwise) and fill the
+# remaining ~22 slots with debuts/re-gates plus r11-cohort smoothing
+# pulls (44 r11 names come due r16 — pull >= 10 forward) and ideally
+# 2-3 more r13-cohort pulls (47 r13 names still come due r18).
 NEXT_HEAD_PLAN: list[str] = [
-    # clause-(b) seat for r14: the r13 streaming-hardening pass
-    # (try/finally unpersist around every index-batch body — r12
-    # ADVICE) also touched _ivo_overlap_batch, whose face is not in
-    # the r13 head; values are pytest-pinned identical (full
-    # streaming battery + batch-equivalence tests green), and the
-    # face re-gates in r14 per the sibling-face precedent:
-    "ivo_stream_state",
-    # the r9-cohort remainder (verdicts hit the A=4 limit at r14):
-    "orders_top10",
-    "salted_event_counts",
-    "event_value_percentiles",
-    "revenue_rollup",
-    "pii_redact",
-    "repetition_ratios",
-    "neardup_kcore",
-    "q12_shipping_delay",
-    "q15_top_supplier",
-    "q21_waiting_orders",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "gram_novelty_profile",
-    "source_overlap_matrix",
-    "events_hopping_window",
-    "bucketed_join_revenue",
-    "partitioned_daily_revenue",
-    "bloom_stream_state",
-    "containment_pairs",
-    "image_phash_pairs",
-    "bigram_surprisal",
-    "doc_hash_embedding",
-    # displaced from the r13 head's r9 smoothing fill by the
-    # cc_stream_state debut:
-    "doc_text_knn",
-    "vocab_growth_curve",
-    "audio_fingerprint_pairs",
-    "audio_silence_segments",
-    "video_frame_match_pairs",
-    "video_scene_cuts",
+    # the r10-cohort remainder (verdicts hit the A=4 limit at r15):
+    "bigram_lift_top",
+    "bigram_top_pairs",
+    "bloom_contamination",
+    "doc_chunks",
+    "events_group_reservoir",
+    "events_props_extract",
+    "events_props_map_explode",
+    "events_retention_cohorts",
+    "frame_sample",
+    "media_resize",
+    "mixture_sample_summary",
+    "multimodal_features",
+    "order_priority_stats",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_volume_orders",
+    "q3_shipping_priority",
+    "q4_order_priority_semi",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_nation_profit",
+    "sentence_split_rows",
+    "source_quality_matrix",
+    "top_customers_per_segment",
+    "training_mixture_report",
+    "weighted_avg_by_type",
+    "window_function_showcase",
 ]
 
 # === r11 head (HISTORY — the r11 driver gated these 50 green,
@@ -1405,6 +1492,20 @@ def queries() -> dict[str, QueryFn]:
         # drained cluster table equals batch graph.neardup_clusters,
         # same RECURSIVE-CTE oracle ===
         "cc_stream_state": streaming_pipeline.cc_stream_state,
+        # === NEW r14 (VERDICT r13 item 3): HTML main-content
+        # extraction — the boilerplate-removal stage between URL
+        # filtering and text quality (jusText/trafilatura-shaped:
+        # block segmentation + tag blacklist + min length + integer
+        # link density over the closed-form synthesized-HTML fixture),
+        # plus the cumulative curation funnel over the EXTRACTED text
+        # (extraction upstream of the quality gates, the real crawl
+        # pipeline order); both debut in the r14 head ===
+        "html_boilerplate_extract": lambda s, d: web.html_boilerplate_extract(
+            _docs(s, d)
+        ),
+        "html_extract_quality_funnel": lambda s, d: (
+            web.html_extract_quality_funnel(_docs(s, d))
+        ),
     }
     head = set(HEAD_ORDER)
     assert len(HEAD_ORDER) == len(head) <= 50, "head must be <= 50 unique names"
@@ -1621,6 +1722,10 @@ def oracle_sql() -> dict[str, str]:
         "vfp_stream_state": oracles.video_frame_match_pairs_oracle(),
         "normalized_exact_dedup": oracles.normalized_exact_dedup_oracle(),
         "url_blocklist_report": oracles.url_blocklist_report_oracle(),
+        "html_boilerplate_extract": oracles.html_boilerplate_extract_oracle(),
+        "html_extract_quality_funnel": (
+            oracles.html_extract_quality_funnel_oracle()
+        ),
         "char_entropy_profile": oracles.char_entropy_profile_oracle(),
         "dedup_cascade_report": oracles.dedup_cascade_report_oracle(),
         "orders_profile": oracles.orders_profile_oracle(),

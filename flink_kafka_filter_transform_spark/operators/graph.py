@@ -118,6 +118,58 @@ def connected_components(
         sym.unpersist()
 
 
+# Bounded-driver fast path for SMALL edge sets (r14, VERDICT r13
+# item 1): the streaming cc face's LABEL graph is <= 2x batch pairs
+# nodes by construction (contraction collapses all prior history into
+# single nodes), so the distributed fixpoint's per-round
+# localCheckpoint + 1-row-sum cadence — ~3 tiny jobs per round, the
+# 348-stage profile that made the face's sf0.1 wall suite-sensitive —
+# buys nothing. Below this cap a driver-side union-find computes the
+# identical min-label components in ONE collect. The cap bounds
+# driver memory explicitly (200k edges ~ a few MB — the same bounded-
+# collect class as the fixpoint probes); above it the caller falls
+# back to the distributed loop, which is the right tool there.
+SMALL_GRAPH_EDGE_CAP = 200_000
+
+
+def components_unionfind_small(
+    edges: DataFrame, edge_cap: int = SMALL_GRAPH_EDGE_CAP
+) -> list[tuple] | None:
+    """Min-label connected components of a SMALL (src, dst) edge set,
+    computed driver-side: returns [(node, component)] for every edge
+    endpoint, component = min node id in the component — exactly what
+    ``connected_components`` returns over the endpoint vertex set
+    (equivalence property-pinned in tests/test_graph.py) — or None
+    when the edge count exceeds ``edge_cap`` (caller must fall back).
+    ONE bounded collect; union-by-min with path compression."""
+    rows = edges.select("src", "dst").limit(edge_cap + 1).collect()
+    if len(rows) > edge_cap:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root: the surviving root is the smaller id,
+            # which keeps every root the component's min — the same
+            # invariant min-label propagation converges to
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(n, find(n)) for n in parent]
+
+
 def neardup_clusters(docs: DataFrame) -> DataFrame:
     """Cluster near-duplicate documents (MinHash-LSH verified pairs)
     and pick the canonical keeper per cluster.

@@ -5558,6 +5558,98 @@ SELECT * FROM (
 """
 
 
+def _html_blocks_cte() -> str:
+    """Shared HTML boilerplate-removal chain (r14): the raw-page
+    derivation template (operators.web.HTML_EXPR, dialect-valid
+    verbatim) plus the IDENTICAL segmentation / strip / link-density
+    steps the Spark map stage applies — split on closing block tags,
+    LAST opening block tag names the block, inline tags become spaces,
+    keep rule = tag blacklist + min length + integer link density.
+    Thresholds are imported from the operator module so the two
+    engines cannot drift."""
+    from flink_kafka_filter_transform_spark.operators.web import (
+        HTML_EXPR,
+        MAX_LINK_DENSITY_PCT,
+        MIN_BLOCK_CHARS,
+    )
+
+    return f"""
+raw AS (SELECT doc_id, {HTML_EXPR} AS html FROM documents),
+blocks AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(regexp_split_to_array(html, '</(?:nav|div|p|footer)>'),
+        p -> struct_pack(
+          tag := regexp_extract(p, '^.*<(nav|div|p|footer)[^>]*>', 1),
+          btext := trim(regexp_replace(regexp_replace(
+                     regexp_extract(p, '^.*<(?:nav|div|p|footer)[^>]*>(.*)$', 1),
+                     '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
+          lchars := coalesce(list_sum(list_transform(
+                      regexp_extract_all(
+                        regexp_extract(p, '^.*<(?:nav|div|p|footer)[^>]*>(.*)$', 1),
+                        '<a [^>]*>([^<]*)</a>', 1),
+                      t -> length(t))), 0))),
+      b -> b.tag <> '') AS bs
+  FROM raw),
+extract AS (
+  SELECT doc_id,
+    CAST(len(bs) AS BIGINT) AS n_blocks,
+    CAST(len(ks) AS BIGINT) AS kept_blocks,
+    CAST(len(bs) - len(ks) AS BIGINT) AS boiler_blocks,
+    CAST(length(array_to_string(list_transform(ks, b -> b.btext), ' '))
+         AS BIGINT) AS extracted_chars,
+    array_to_string(list_transform(ks, b -> b.btext), ' ') AS extracted_text
+  FROM (
+    SELECT doc_id, bs,
+      list_filter(bs, b -> b.tag NOT IN ('nav', 'footer')
+                       AND length(b.btext) >= {MIN_BLOCK_CHARS}
+                       AND b.lchars * 100
+                           <= length(b.btext) * {MAX_LINK_DENSITY_PCT}) AS ks
+    FROM blocks
+  )
+)"""
+
+
+def html_boilerplate_extract_oracle() -> str:
+    """Per-document main-content extraction report — identical
+    template + segmentation + keep-rule chain
+    (operators.web.html_boilerplate_extract)."""
+    return f"""
+WITH {_html_blocks_cte()}
+SELECT doc_id, n_blocks, kept_blocks, boiler_blocks, extracted_chars,
+       extracted_text
+FROM extract
+"""
+
+
+def html_extract_quality_funnel_oracle() -> str:
+    """Cumulative crawl-curation funnel over the EXTRACTED text —
+    same gates as operators.web.html_extract_quality_funnel."""
+    return f"""
+WITH {_html_blocks_cte()},
+flags AS (
+  SELECT kept_blocks >= 1 AS c1,
+         kept_blocks >= 1 AND extracted_chars >= 120 AS c2,
+         kept_blocks >= 1 AND extracted_chars >= 120
+           AND boiler_blocks * 100 <= n_blocks * 80 AS c3
+  FROM extract
+),
+agg AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS n3
+  FROM flags
+)
+SELECT * FROM (
+  SELECT 0 AS stage_no, 'all' AS stage, CAST(n0 AS BIGINT) AS n_docs FROM agg
+  UNION ALL SELECT 1, 'content_extracted', CAST(n1 AS BIGINT) FROM agg
+  UNION ALL SELECT 2, 'min_length', CAST(n2 AS BIGINT) FROM agg
+  UNION ALL SELECT 3, 'low_boiler_ratio', CAST(n3 AS BIGINT) FROM agg
+)
+"""
+
+
 def char_entropy_profile_oracle() -> str:
     """Zeroth-order char-entropy bound, integer bits — identical
     explode / per-char count / floor-log2 rollup as the Spark operator

@@ -1841,8 +1841,25 @@ def _edit_index_batch(
     _write_latest_pointer(spark, state_dir, batch_id)
 
 
+# One labels_v shard covers this many consecutive LABEL ids (floor
+# division, so a shard is a contiguous label range). Labels are min
+# doc_ids, and doc ids arrive roughly monotonically in a real ingest,
+# so fresh singletons concentrate in the tail shard(s) while merges
+# touch only the shards the remap names — the property that makes the
+# per-batch label-table rewrite O(affected), not O(corpus). The
+# default keeps driver-scale corpora (<= ~1M docs) in ONE shard —
+# the pre-r14 full-rewrite behavior, zero extra overhead — while any
+# larger deploy picks up sharding automatically; tests pass small
+# spans explicitly to exercise multi-shard publication.
+CC_LABEL_SHARD_SPAN = 1 << 20
+
+
 def cc_labels_sink(
-    stream_docs: DataFrame, state_dir: str, out_dir: str, checkpoint_dir: str
+    stream_docs: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    shard_span: int = CC_LABEL_SHARD_SPAN,
 ) -> DataStreamWriter:
     """Incremental near-dup CLUSTER maintenance — connected-component
     labels kept current as pairs stream in (r13, VERDICT r12 item 4:
@@ -1883,17 +1900,28 @@ def cc_labels_sink(
     explicit schemas (the empty-first-batch rule).
 
     Scale shape per batch: the LSH probe is the index sink's own cost;
-    the label-edge fixpoint is bounded by the batch's PAIR count (not
-    the corpus, not the history) and converges in O(merged-component
-    diameter IN LABEL HOPS) — near-1 for dedup clusters since
-    contraction collapses every prior round's work into single nodes;
-    the relabel is one broadcast join over the label table. The label
-    table rewrite is O(corpus)/batch — the versioned-state publication
-    protocol every face shares; a deploy past ~1e9 docs would shard
-    ``labels_v`` by doc_id range and rewrite only shards containing
-    affected labels (the remap names them), which the broadcast-remap
-    structure already permits. Old versions prune like every sink's
-    state (prune_state_versions, prefix="labels") — AND the nested
+    the label-edge graph is bounded by the batch's PAIR count (not
+    the corpus, not the history) and — because contraction collapses
+    every prior round's work into single nodes — is near-diameter-1,
+    so below SMALL_GRAPH_EDGE_CAP it resolves in ONE bounded driver
+    union-find (graph.components_unionfind_small — r14, deleting the
+    distributed fixpoint's per-round tiny-job cadence that made the
+    face suite-noise-sensitive at sf0.1); past the cap the generic
+    distributed loop takes over unchanged. The label table publishes
+    SHARDED BY LABEL RANGE (r14, the rewrite the r13 docstring only
+    promised): ``labels_v{batch_id}/_shard=K`` holds only the shards
+    the batch AFFECTED — shards of fresh labels plus shards named by
+    the remap on either side (a relabel moves a row from its old
+    label's shard to its new label's shard, both named) — and
+    ``lmanifest_v{batch_id}`` maps every shard to the version holding
+    its current rows, so per-batch label-table WRITE cost is
+    O(affected)/batch, not O(corpus)/batch: the difference between a
+    100 TB deploy rewriting 100 TB per batch and rewriting megabytes.
+    Readers (cc_labels_current) assemble shard-pruned reads across
+    the manifest's versions. Old versions prune via
+    prune_cc_label_state (NOT the generic prune_state_versions,
+    prefix="labels" — a sharded version dir stays live while ANY
+    manifest-referenced shard points at it) — AND the nested
     LSH sub-state this sink drives under ``{state_dir}/lsh`` needs its
     OWN pruning pass (r13 ADVICE: it is the face's dominant state
     volume): run prune_state_versions(spark, f"{state_dir}/lsh",
@@ -1904,21 +1932,113 @@ def cc_labels_sink(
     not see them)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        _cc_labels_batch(batch_df, batch_id, state_dir, out_dir)
+        _cc_labels_batch(
+            batch_df, batch_id, state_dir, out_dir, shard_span=shard_span
+        )
 
     return stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
     )
 
 
+def _shard_expr(col: str, span: int):
+    """Label-range shard id: floor(label / span) — the dual-dialect
+    integer-division spelling (exact for |label| < 2^52)."""
+    return F.expr(f"CAST(floor({col} / {span}) AS BIGINT)")
+
+
+def _cc_label_schema(id_field) -> "StructType":
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [
+            StructField("doc_id", id_field.dataType),
+            StructField("label", id_field.dataType),
+        ]
+    )
+
+
+def _cc_read_manifest(
+    spark: SparkSession, state_dir: str, before: int | None = None
+) -> dict[int, int] | None:
+    """shard -> version map from the newest published
+    ``lmanifest_v*`` (strictly below ``before`` when given), or None
+    before the first publication. Manifest cardinality is
+    corpus/shard_span — bounded driver rows by design."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    mv = _latest_state_version(spark, state_dir, "lmanifest", before=before)
+    if mv is None:
+        return None
+    schema = StructType(
+        [StructField("shard", LongType()), StructField("version", LongType())]
+    )
+    rows = (
+        spark.read.schema(schema)
+        .parquet(f"{state_dir}/lmanifest_v{mv}")
+        .collect()
+    )
+    return {r["shard"]: r["version"] for r in rows}
+
+
+def _cc_assembled_labels(
+    spark: SparkSession,
+    state_dir: str,
+    manifest: dict[int, int],
+    label_schema=None,
+) -> DataFrame | None:
+    """The complete (doc_id, label) table a manifest describes:
+    per distinct version ONE shard-pruned read of
+    ``labels_v{version}`` (``_shard`` is a partition column, so the
+    isin filter prunes directories before any file is opened), then a
+    plain union — shards are disjoint across the selected versions by
+    the manifest's construction. None for an empty manifest (labels
+    published but the corpus so far is empty)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if not manifest:
+        return None
+    by_version: dict[int, list[int]] = {}
+    for shard, version in manifest.items():
+        by_version.setdefault(version, []).append(shard)
+    parts = []
+    for version, shards in sorted(by_version.items()):
+        reader = spark.read
+        if label_schema is not None:
+            reader = reader.schema(
+                StructType(
+                    list(label_schema.fields)
+                    + [StructField("_shard", LongType())]
+                )
+            )
+        parts.append(
+            reader.parquet(f"{state_dir}/labels_v{version}")
+            .filter(F.col("_shard").isin(shards))
+            .select("doc_id", "label")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _cc_labels_batch(
-    batch_df: DataFrame, batch_id: int, state_dir: str, out_dir: str
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    out_dir: str,
+    shard_span: int = CC_LABEL_SHARD_SPAN,
 ) -> None:
     """One cc_labels_sink micro-batch (module-level for replay tests);
-    see the sink docstring for the protocol."""
+    see the sink docstring for the protocol. ``shard_span`` is the
+    label-range width of one ``labels_v`` shard (tests pass small
+    spans to exercise multi-shard publication; the default keeps a
+    driver-scale corpus in one shard, where the protocol degenerates
+    to the r13 full rewrite)."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     from flink_kafka_filter_transform_spark.operators.graph import (
+        components_unionfind_small,
         connected_components,
     )
 
@@ -1936,16 +2056,11 @@ def _cc_labels_batch(
             StructField("jaccard", DoubleType()),
         ]
     )
-    label_schema = StructType(
-        [
-            StructField("doc_id", id_field.dataType),
-            StructField("label", id_field.dataType),
-        ]
-    )
-    v = _latest_state_version(spark, state_dir, "labels", before=batch_id)
+    label_schema = _cc_label_schema(id_field)
+    prev_manifest = _cc_read_manifest(spark, state_dir, before=batch_id)
     prev = (
-        spark.read.schema(label_schema).parquet(f"{state_dir}/labels_v{v}")
-        if v is not None
+        _cc_assembled_labels(spark, state_dir, prev_manifest, label_schema)
+        if prev_manifest is not None
         else None
     )
     fresh = batch_df.select("doc_id").distinct().select(
@@ -1957,8 +2072,8 @@ def _cc_labels_batch(
     # Both multi-consumer relations persist for the batch (the
     # index-batch bodies' sig/chunks/fr/ex discipline — r13 review):
     # base feeds the two endpoint-label joins, the relabel join, and
-    # the final write; ledges feeds the existence probe and (union-
-    # reversed, twice) the label-graph fixpoint.
+    # the changed-shard write; ledges feeds the small-graph collect or
+    # the distributed fixpoint.
     base = (fresh if prev is None else prev.unionByName(fresh)).persist()
     try:
         pairs_now = _this_batch_pairs(spark, out_dir, pair_schema, batch_id)
@@ -1973,26 +2088,86 @@ def _cc_labels_batch(
             .persist()
         )
         try:
-            final = base
-            # 1-row existence probe (the fixpoint-probe class): a batch
-            # whose pairs all land inside existing components (or an
-            # empty batch) skips the label fixpoint entirely.
-            if ledges.limit(1).count() > 0:
+            # the label graph resolves driver-side below the cap (the
+            # r14 fast path — ONE bounded collect replaces the
+            # distributed loop's per-round tiny-job cadence; an empty
+            # edge set costs the same single job the old 1-row probe
+            # did); components_unionfind_small returns None past the
+            # cap and the generic fixpoint takes over.
+            small = components_unionfind_small(ledges)
+            remap_df = None
+            remap_shards: set[int] = set()
+            if small is not None:
+                remap_rows = [(n, c) for n, c in small if n != c]
+                if remap_rows:
+                    remap_df = spark.createDataFrame(
+                        remap_rows,
+                        StructType(
+                            [
+                                StructField("label", id_field.dataType),
+                                StructField("_new", id_field.dataType),
+                            ]
+                        ),
+                    )
+                    remap_shards = {
+                        x // shard_span for r in remap_rows for x in r
+                    }
+            else:
                 lverts = (
                     ledges.select(F.col("src").alias("id"))
                     .unionAll(ledges.select(F.col("dst").alias("id")))
                     .distinct()
                 )
                 m = connected_components(lverts, ledges)
-                remap = F.broadcast(
-                    m.filter(F.col("component") != F.col("id")).select(
-                        F.col("id").alias("label"), F.col("component").alias("_new")
+                remap_df = m.filter(F.col("component") != F.col("id")).select(
+                    F.col("id").alias("label"), F.col("component").alias("_new")
+                )
+                remap_shards = {
+                    r["s"]
+                    for r in remap_df.select(
+                        F.explode(
+                            F.array(
+                                _shard_expr("label", shard_span),
+                                _shard_expr("_new", shard_span),
+                            )
+                        ).alias("s")
                     )
+                    .distinct()
+                    .collect()
+                }
+            # affected shards = shards receiving fresh singletons plus
+            # every shard the remap names on either side (a relabel
+            # moves a row from its old label's shard to its new
+            # label's shard — both named, so the changed set is closed)
+            fresh_shards = {
+                r["s"]
+                for r in fresh.select(
+                    _shard_expr("label", shard_span).alias("s")
                 )
-                final = base.join(remap, "label", "left").select(
-                    "doc_id", F.coalesce("_new", "label").alias("label")
-                )
-            final.write.mode("overwrite").parquet(f"{state_dir}/labels_v{batch_id}")
+                .distinct()
+                .collect()
+            }
+            affected = sorted(fresh_shards | remap_shards)
+            changed = base.filter(
+                _shard_expr("label", shard_span).isin(affected)
+            )
+            if remap_df is not None:
+                changed = changed.join(
+                    F.broadcast(remap_df), "label", "left"
+                ).select("doc_id", F.coalesce("_new", "label").alias("label"))
+            (
+                changed.withColumn("_shard", _shard_expr("label", shard_span))
+                .write.mode("overwrite")
+                .partitionBy("_shard")
+                .parquet(f"{state_dir}/labels_v{batch_id}")
+            )
+            new_manifest = dict(prev_manifest or {})
+            new_manifest.update({s: batch_id for s in affected})
+            spark.createDataFrame(
+                sorted(new_manifest.items()), "shard BIGINT, version BIGINT"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{state_dir}/lmanifest_v{batch_id}"
+            )
         finally:
             ledges.unpersist()
     finally:
@@ -2033,12 +2208,84 @@ def _this_batch_pairs(
 
 
 def cc_labels_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """The latest published component-label table (doc_id, label), or
-    None before the first batch commits."""
-    version = _read_latest_pointer(spark, state_dir, prefix="labels")
+    """The latest published component-label table (doc_id, label),
+    assembled across the shard manifest's versions with shard-pruned
+    reads, or None before the first batch commits (also None when the
+    corpus drained so far is empty — the manifest exists but names no
+    shard, so there is no parquet to type a frame from; callers
+    already treat None as 'no labels')."""
+    version = _read_latest_pointer(spark, state_dir, prefix="lmanifest")
     if version is None:
         return None
-    return spark.read.parquet(f"{state_dir}/labels_v{version}")
+    manifest = _cc_read_manifest(spark, state_dir, before=version + 1)
+    if not manifest:
+        return None
+    # schema comes from the data itself here (a manifest-referenced
+    # version always holds >= 1 shard's rows); the sink side passes
+    # the explicit schema because ITS reads can race an empty corpus
+    return _cc_assembled_labels(spark, state_dir, manifest)
+
+
+def prune_cc_label_state(
+    spark: SparkSession, state_dir: str, keep_last: int = 2
+) -> list[str]:
+    """Offline pruning for the SHARDED label state: the generic
+    prune_state_versions(prefix="labels") rule — delete all but the
+    newest versions — is WRONG here, because an old ``labels_v{v}``
+    stays live for as long as any manifest shard still points at it
+    (unaffected shards are never rewritten). Keep = every version
+    referenced by the newest ``keep_last`` published manifests, plus
+    those manifests themselves, plus the newest ``keep_last`` version
+    dirs (the replay-prev floor prune_state_versions also honors);
+    delete the rest. Returns the deleted paths. Run OFFLINE or
+    between micro-batches, like every pruner. The nested
+    ``{state_dir}/lsh`` sub-state still prunes separately (see the
+    cc_labels_sink docstring)."""
+    import re as _re
+
+    keep_last = max(2, keep_last)
+    dirpath, fs = _hadoop_fs(spark, state_dir)
+    if not fs.exists(dirpath):
+        return []
+    latest = _read_latest_pointer(spark, state_dir, prefix="lmanifest")
+    manifests: list[int] = []
+    labels: list[int] = []
+    for status in fs.listStatus(dirpath):
+        name = status.getPath().getName()
+        m = _re.fullmatch(r"(lmanifest|labels)_v(\d+)", name)
+        if m is None:
+            continue
+        success = spark._jvm.org.apache.hadoop.fs.Path(
+            status.getPath(), "_SUCCESS"
+        )
+        if not fs.exists(success):
+            continue
+        (manifests if m.group(1) == "lmanifest" else labels).append(
+            int(m.group(2))
+        )
+    # never touch an in-flight publication above the pointer
+    if latest is not None:
+        manifests = [v for v in manifests if v <= latest]
+        labels = [v for v in labels if v <= latest]
+    keep_manifests = set(sorted(manifests)[-keep_last:])
+    referenced: set[int] = set()
+    for mv in keep_manifests:
+        mf = _cc_read_manifest(spark, state_dir, before=mv + 1)
+        referenced |= set((mf or {}).values())
+    keep_labels = referenced | set(sorted(labels)[-keep_last:])
+    deleted: list[str] = []
+    for prefix, versions, keep in (
+        ("lmanifest", manifests, keep_manifests),
+        ("labels", labels, keep_labels),
+    ):
+        for v in versions:
+            if v in keep:
+                continue
+            path = f"{state_dir}/{prefix}_v{v}"
+            jp, pfs = _hadoop_fs(spark, path)
+            if pfs.delete(jp, True):
+                deleted.append(path)
+    return deleted
 
 
 # ---------------------------------------------------------------------------

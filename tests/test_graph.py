@@ -120,3 +120,48 @@ def test_pagerank_rejects_empty_graph(spark):
     edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
     with _pytest.raises(ValueError):
         pagerank(verts, edges)
+
+
+def test_unionfind_small_matches_distributed_components(spark):
+    """The r14 driver-side fast path must compute EXACTLY what the
+    distributed min-label fixpoint computes over the same edge set —
+    per endpoint node, component = min node id — on a graph mixing
+    chains, a clique, self-loops, duplicate and reversed edges."""
+    import random
+
+    from flink_kafka_filter_transform_spark.operators.graph import (
+        components_unionfind_small,
+        connected_components,
+    )
+
+    rng = random.Random(14)
+    edges = (
+        [(i, i + 1) for i in range(0, 8)]          # chain 0..8
+        [:] + [(a, b) for a in (20, 21, 22, 23) for b in (20, 21, 22, 23) if a < b]
+        + [(30, 30), (41, 40), (40, 41), (50, 51), (50, 51)]
+        + [(rng.randrange(60, 90), rng.randrange(60, 90)) for _ in range(40)]
+    )
+    e = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    small = components_unionfind_small(e)
+    assert small is not None
+    verts = (
+        e.selectExpr("src AS id")
+        .unionAll(e.selectExpr("dst AS id"))
+        .distinct()
+    )
+    want = {
+        (r.id, r.component) for r in connected_components(verts, e).collect()
+    }
+    assert set(small) == want
+
+
+def test_unionfind_small_respects_edge_cap(spark):
+    from flink_kafka_filter_transform_spark.operators.graph import (
+        components_unionfind_small,
+    )
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src BIGINT, dst BIGINT"
+    )
+    assert components_unionfind_small(e, edge_cap=5) is None
+    assert components_unionfind_small(e, edge_cap=10) is not None

@@ -1506,6 +1506,23 @@ def test_url_family_broadcasts_nothing(spark, sf_dir):
         assert "Join" not in plan  # map + aggregate only
 
 
+def test_html_extract_is_pure_map(spark, sf_dir):
+    """The boilerplate extractor must stay a single map stage at any
+    corpus size — regexp + array HOFs only: no join, no broadcast,
+    and no exchange at all (blocks never explode into rows). The
+    funnel adds exactly the global aggregate's partial/final pair."""
+    from flink_kafka_filter_transform_spark.operators import web
+
+    docs = load_table(spark, "documents", sf_dir)
+    e = web.html_boilerplate_extract(docs)
+    assert px.broadcast_hint_count(e) == 0
+    plan = px.explain_str(e, "simple")
+    assert "Join" not in plan and "Exchange" not in plan
+    f = web.html_extract_quality_funnel(docs)
+    fplan = px.explain_str(f, "simple")
+    assert "Join" not in fplan
+
+
 def test_normalized_exact_dedup_plan(spark, sf_dir):
     """Normalize-then-hash dedup keeps exact_dedup's shape: the regex
     chain is a map stage, ONE hash-keyed aggregate, no join, no

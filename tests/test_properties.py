@@ -1816,3 +1816,85 @@ def test_lloyd_freeze_preserves_trajectory(spark_prop):
     a = sorted((r.cid, tuple(round(x, 12) for x in r.centroid)) for r in naive.collect())
     b = sorted((r.cid, tuple(round(x, 12) for x in r.centroid)) for r in frozen.collect())
     assert a == b
+
+
+def test_html_boilerplate_block_rules_fire(spark):
+    """Each boilerplate class on a known doc_id residue: nav/footer
+    fall to the tag blacklist, the menu div and share bar to the
+    link-density rule, the empty second paragraph to the min-length
+    rule — and the content paragraphs survive with inline <b>/<a>
+    markup stripped. Expected extracted text is recomputed in Python
+    with the same strip/squash/trim chain the engine applies."""
+    import re as _re
+
+    from flink_kafka_filter_transform_spark.operators.web import (
+        html_boilerplate_extract,
+    )
+
+    t_short = "spark " * 5  # 30 chars: p2 empty for odd ids
+    t_long = ("tok " * 60).strip()  # 239 chars: real p2 overflow
+    docs = spark.createDataFrame(
+        [
+            (0, t_long, "en", "s", len(t_long)),  # %3=0 menu, %5=0 link, %7=0 note
+            (1, t_short, "en", "s", len(t_short)),  # p2 present but empty
+            (2, t_long, "en", "s", len(t_long)),  # plain even doc
+            (3, t_long, "en", "s", len(t_long)),  # %3=0 menu + real p2
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+
+    def strip(raw):
+        return _re.sub(" +", " ", _re.sub("<[^>]*>", " ", raw)).strip()
+
+    got = {r["doc_id"]: r for r in html_boilerplate_extract(docs).collect()}
+    # doc 0: nav, menu div, p1, share bar, footer = 5 blocks, p1 kept
+    assert (got[0]["n_blocks"], got[0]["kept_blocks"]) == (5, 1)
+    assert got[0]["extracted_text"] == strip(
+        '<b>note</b> ' + t_long[:140] + ' <a href="/ref">see also</a>'
+    )
+    # doc 1: nav, p1, EMPTY p2, share bar, footer = 5 blocks; the
+    # empty p2 falls to the min-length rule, p1 (30 chars) survives
+    assert (got[1]["n_blocks"], got[1]["kept_blocks"]) == (5, 1)
+    assert got[1]["extracted_text"] == strip(t_short[:140])
+    # doc 2: nav, p1, share bar, footer = 4 blocks, p1 kept verbatim
+    assert (got[2]["n_blocks"], got[2]["kept_blocks"]) == (4, 1)
+    assert got[2]["extracted_text"] == strip(t_long[:140])
+    # doc 3: menu div joins, p2 carries the overflow: 6 blocks, 2 kept
+    assert (got[3]["n_blocks"], got[3]["kept_blocks"]) == (6, 2)
+    assert got[3]["extracted_text"] == (
+        strip(t_long[:140]) + " " + strip(t_long[140:])
+    )
+    for r in got.values():
+        assert r["boiler_blocks"] == r["n_blocks"] - r["kept_blocks"]
+        assert r["extracted_chars"] == len(r["extracted_text"])
+
+
+def test_html_extract_funnel_cumulative(spark, sf_dir):
+    """Funnel stages are CUMULATIVE (each count <= the previous) and
+    stage 0 is the corpus size; recomputed from the per-doc extract
+    relation the funnel folds."""
+    from flink_kafka_filter_transform_spark.operators.web import (
+        html_boilerplate_extract,
+        html_extract_quality_funnel,
+    )
+    from flink_kafka_filter_transform_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir=sf_dir, name="documents")
+    rows = {
+        r["stage_no"]: r["n_docs"]
+        for r in html_extract_quality_funnel(docs).collect()
+    }
+    assert rows[0] >= rows[1] >= rows[2] >= rows[3] > 0
+    e = html_boilerplate_extract(docs).collect()
+    assert rows[0] == len(e)
+    assert rows[1] == sum(1 for r in e if r["kept_blocks"] >= 1)
+    assert rows[2] == sum(
+        1 for r in e if r["kept_blocks"] >= 1 and r["extracted_chars"] >= 120
+    )
+    assert rows[3] == sum(
+        1
+        for r in e
+        if r["kept_blocks"] >= 1
+        and r["extracted_chars"] >= 120
+        and r["boiler_blocks"] * 100 <= r["n_blocks"] * 80
+    )

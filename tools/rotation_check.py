@@ -166,6 +166,26 @@ MAX_VERDICT_AGE = 4
 # authors r14: the 28-name r9 remainder + the ivo_stream_state
 # clause-(b) re-gate. Wall at Q=230 is ~3 rounds away at this rate;
 # fold candidates unchanged.
+#
+# r14 CHECK-IN (VERDICT r13 items 2/4): the r14 head materializes the
+# 29 pre-authored seats verbatim, debuts the HTML boilerplate pair
+# (html_boilerplate_extract / html_extract_quality_funnel; Q=206, +2
+# this round — far under the 15/round cap), seats cc_stream_state
+# (clause (b): its batch body gained the small-label-graph fast path
+# + sharded labels_v publication; simultaneously the r13 perf-weak
+# adjudication seat) and q19_discounted_revenue/char_entropy_profile
+# (the two sub-1 s driver movers, re-timed alongside their new
+# plateaus), pulls the three batch CC consumers (r12 cohort — the
+# whole connected-components consumer family re-verifies in one
+# round), 2 more r13 pulls (split_leakage_report, semdedup_text_prune
+# — with the cc seat these buy r18 from 50/0 back to 47/3, the
+# VERDICT r13 item 4 ask), and 12 r10 smoothing pulls (r15 lands at
+# 28 obligated / 22 free). Forward window at the committed r14 HEAD:
+# r15 28/22, r16 44/6, r17 37/13, r18 47/3 (r19 50/0 is the
+# structural echo of any full head, bought back by future smoothing
+# exactly as r17/r18 were). NEXT_HEAD_PLAN pre-authors r15: the
+# 28-name r10 remainder. Wall at Q=230 is ~2-3 rounds away at this
+# rate; fold candidates unchanged.
 
 # One-round debut deferrals: a query registered when the upcoming
 # head's 50 slots are ALL taken by never-verified debuts + rotation
