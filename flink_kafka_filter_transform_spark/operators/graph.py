@@ -133,7 +133,9 @@ SMALL_GRAPH_EDGE_CAP = 200_000
 
 
 def components_unionfind_small(
-    edges: DataFrame, edge_cap: int = SMALL_GRAPH_EDGE_CAP
+    edges: DataFrame,
+    edge_cap: int = SMALL_GRAPH_EDGE_CAP,
+    n_edges: int | None = None,
 ) -> list[tuple] | None:
     """Min-label connected components of a SMALL (src, dst) edge set,
     computed driver-side: returns [(node, component)] for every edge
@@ -141,10 +143,22 @@ def components_unionfind_small(
     ``connected_components`` returns over the endpoint vertex set
     (equivalence property-pinned in tests/test_graph.py) — or None
     when the edge count exceeds ``edge_cap`` (caller must fall back).
-    ONE bounded collect; union-by-min with path compression."""
-    rows = edges.select("src", "dst").limit(edge_cap + 1).collect()
-    if len(rows) > edge_cap:
+    Count-then-collect, both parallel jobs — a limit(cap+1).collect()
+    probe would run CollectLimitExec's SEQUENTIAL partition stepping
+    (measured ~1 s/batch of scheduler latency on the cc face); the
+    callers persist the edge relation, so the count materializes the
+    cache the fallback path needs anyway. A caller that already knows
+    the edge count (the cc face folds it into its one probe job)
+    passes ``n_edges`` and the count job is skipped; an empty edge
+    set short-circuits to [] with no job at all. Union-by-min with
+    path compression."""
+    if n_edges is None:
+        n_edges = edges.count()
+    if n_edges > edge_cap:
         return None
+    if n_edges == 0:
+        return []
+    rows = edges.select("src", "dst").collect()
     parent: dict = {}
 
     def find(x):

@@ -1958,27 +1958,88 @@ def _cc_label_schema(id_field) -> "StructType":
     )
 
 
+def _cc_manifest_versions(spark: SparkSession, state_dir: str) -> list[int]:
+    """All published ``lmanifest_v{N}`` FILE versions, ascending. The
+    manifest is a single driver-written file (the _LATEST pointer
+    pattern — it is bookkeeping, not data): publication is the atomic
+    tmp→rename, so existence == published; a crashed partial write
+    leaves only a ``._lmanifest.tmp.*`` residue the regex never
+    matches."""
+    import re as _re
+
+    dirpath, fs = _hadoop_fs(spark, state_dir)
+    if not fs.exists(dirpath):
+        return []
+    out = []
+    for status in fs.listStatus(dirpath):
+        m = _re.fullmatch(r"lmanifest_v(\d+)", status.getPath().getName())
+        if m is not None:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _cc_write_manifest(
+    spark: SparkSession, state_dir: str, batch_id: int, manifest: dict[int, int]
+) -> None:
+    """Publish ``lmanifest_v{batch_id}`` (lines of ``shard version``)
+    via the FS API — tmp write + rename, the _write_latest_pointer
+    discipline. Driver-side on purpose: the map is corpus/shard_span
+    rows of bookkeeping the batch already holds in memory, and a
+    Spark write here costs a whole scheduled job per micro-batch
+    (measured ~1 s even via repartition(1), ~5-6 s via the
+    locality-stalled coalesce(1)) for a file of a few KB."""
+    tmp = f"{state_dir}/._lmanifest.tmp.{batch_id}"
+    jtmp, fs = _hadoop_fs(spark, tmp)
+    out = fs.create(jtmp, True)
+    try:
+        body = "".join(
+            f"{s} {v}\n" for s, v in sorted(manifest.items())
+        )
+        out.write(body.encode("ascii"))
+    finally:
+        out.close()
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{state_dir}/lmanifest_v{batch_id}"
+    )
+    if fs.exists(jdst):
+        fs.delete(jdst, False)
+    if not fs.rename(jtmp, jdst):
+        raise IOError(
+            f"failed to publish {state_dir}/lmanifest_v{batch_id} "
+            f"(rename returned false); partial manifest left at {tmp}"
+        )
+
+
 def _cc_read_manifest(
     spark: SparkSession, state_dir: str, before: int | None = None
 ) -> dict[int, int] | None:
     """shard -> version map from the newest published
-    ``lmanifest_v*`` (strictly below ``before`` when given), or None
-    before the first publication. Manifest cardinality is
+    ``lmanifest_v*`` file (strictly below ``before`` when given), or
+    None before the first publication. Manifest cardinality is
     corpus/shard_span — bounded driver rows by design."""
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    mv = _latest_state_version(spark, state_dir, "lmanifest", before=before)
-    if mv is None:
+    versions = _cc_manifest_versions(spark, state_dir)
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    if not versions:
         return None
-    schema = StructType(
-        [StructField("shard", LongType()), StructField("version", LongType())]
-    )
-    rows = (
-        spark.read.schema(schema)
-        .parquet(f"{state_dir}/lmanifest_v{mv}")
-        .collect()
-    )
-    return {r["shard"]: r["version"] for r in rows}
+    path = f"{state_dir}/lmanifest_v{versions[-1]}"
+    jpath, fs = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        manifest: dict[int, int] = {}
+        line = reader.readLine()
+        while line is not None:
+            line = line.strip()
+            if line:
+                s, v = line.split(" ")
+                manifest[int(s)] = int(v)
+            line = reader.readLine()
+    finally:
+        stream.close()
+    return manifest
 
 
 def _cc_assembled_labels(
@@ -2088,13 +2149,32 @@ def _cc_labels_batch(
             .persist()
         )
         try:
+            # ONE probe job computes everything the protocol needs to
+            # know before acting: the distinct fresh-label shards AND
+            # the ledge count (fused — separate count / collect_set
+            # jobs each cost ~0.3 s of scheduler latency per
+            # micro-batch, measured r14)
+            probe = (
+                fresh.select(
+                    _shard_expr("label", shard_span).alias("v")
+                )
+                .distinct()
+                .withColumn("k", F.lit("shard"))
+                .unionByName(
+                    ledges.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("v")
+                    ).withColumn("k", F.lit("n"))
+                )
+                .collect()
+            )
+            n_ledges = next(r["v"] for r in probe if r["k"] == "n")
+            fresh_shards = {r["v"] for r in probe if r["k"] == "shard"}
             # the label graph resolves driver-side below the cap (the
             # r14 fast path — ONE bounded collect replaces the
             # distributed loop's per-round tiny-job cadence; an empty
-            # edge set costs the same single job the old 1-row probe
-            # did); components_unionfind_small returns None past the
-            # cap and the generic fixpoint takes over.
-            small = components_unionfind_small(ledges)
+            # edge set is free); components_unionfind_small returns
+            # None past the cap and the generic fixpoint takes over.
+            small = components_unionfind_small(ledges, n_edges=n_ledges)
             remap_df = None
             remap_shards: set[int] = set()
             if small is not None:
@@ -2135,18 +2215,10 @@ def _cc_labels_batch(
                     .distinct()
                     .collect()
                 }
-            # affected shards = shards receiving fresh singletons plus
+            # affected shards = the probe's fresh-label shards plus
             # every shard the remap names on either side (a relabel
             # moves a row from its old label's shard to its new
             # label's shard — both named, so the changed set is closed)
-            fresh_shards = {
-                r["s"]
-                for r in fresh.select(
-                    _shard_expr("label", shard_span).alias("s")
-                )
-                .distinct()
-                .collect()
-            }
             affected = sorted(fresh_shards | remap_shards)
             changed = base.filter(
                 _shard_expr("label", shard_span).isin(affected)
@@ -2163,11 +2235,7 @@ def _cc_labels_batch(
             )
             new_manifest = dict(prev_manifest or {})
             new_manifest.update({s: batch_id for s in affected})
-            spark.createDataFrame(
-                sorted(new_manifest.items()), "shard BIGINT, version BIGINT"
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{state_dir}/lmanifest_v{batch_id}"
-            )
+            _cc_write_manifest(spark, state_dir, batch_id, new_manifest)
         finally:
             ledges.unpersist()
     finally:
@@ -2214,10 +2282,7 @@ def cc_labels_current(spark: SparkSession, state_dir: str) -> DataFrame | None:
     corpus drained so far is empty — the manifest exists but names no
     shard, so there is no parquet to type a frame from; callers
     already treat None as 'no labels')."""
-    version = _read_latest_pointer(spark, state_dir, prefix="lmanifest")
-    if version is None:
-        return None
-    manifest = _cc_read_manifest(spark, state_dir, before=version + 1)
+    manifest = _cc_read_manifest(spark, state_dir)
     if not manifest:
         return None
     # schema comes from the data itself here (a manifest-referenced
@@ -2247,12 +2312,12 @@ def prune_cc_label_state(
     dirpath, fs = _hadoop_fs(spark, state_dir)
     if not fs.exists(dirpath):
         return []
-    latest = _read_latest_pointer(spark, state_dir, prefix="lmanifest")
-    manifests: list[int] = []
+    latest = _read_latest_pointer(spark, state_dir)
+    manifests = _cc_manifest_versions(spark, state_dir)
     labels: list[int] = []
     for status in fs.listStatus(dirpath):
         name = status.getPath().getName()
-        m = _re.fullmatch(r"(lmanifest|labels)_v(\d+)", name)
+        m = _re.fullmatch(r"labels_v(\d+)", name)
         if m is None:
             continue
         success = spark._jvm.org.apache.hadoop.fs.Path(
@@ -2260,9 +2325,7 @@ def prune_cc_label_state(
         )
         if not fs.exists(success):
             continue
-        (manifests if m.group(1) == "lmanifest" else labels).append(
-            int(m.group(2))
-        )
+        labels.append(int(m.group(1)))
     # never touch an in-flight publication above the pointer
     if latest is not None:
         manifests = [v for v in manifests if v <= latest]

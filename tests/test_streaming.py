@@ -2041,8 +2041,9 @@ def test_cc_labels_batch_split_invariant(spark, sf_dir, tmp_path_factory):
     final label table equals one-shot batch CC. Three different split
     shapes (hash thirds, skewed 90/10, id-range halves) over the
     sf documents corpus, each drained through _cc_labels_batch
-    sequentially; afterwards prune_state_versions (prefix='labels')
-    must keep the published head readable."""
+    sequentially; afterwards the labels-aware pruner
+    (prune_cc_label_state — r14, the generic labels-prefix rule is
+    wrong under sharding) must keep the published head readable."""
     from flink_kafka_filter_transform_spark.operators.graph import neardup_clusters
     from flink_kafka_filter_transform_spark.sources.parquet import load_table
 
@@ -2072,8 +2073,13 @@ def test_cc_labels_batch_split_invariant(spark, sf_dir, tmp_path_factory):
         states[label] = state
     # prune the 3-version state down to the keep_last=2 floor: v0 goes,
     # the published head stays readable
-    deleted = sp.prune_state_versions(spark, states["thirds"], "labels", keep_last=2)
-    assert deleted == [0]
+    # at the default span this corpus is single-shard, so only the
+    # newest manifest's referenced version (v2) plus the keep_last
+    # floor survive: labels_v0 and the v0 manifest go
+    deleted = sp.prune_cc_label_state(spark, states["thirds"], keep_last=2)
+    assert sorted(p.rsplit("/", 1)[1] for p in deleted) == [
+        "labels_v0", "lmanifest_v0"
+    ]
     got = {
         (r.doc_id, r.label)
         for r in sp.cc_labels_current(spark, states["thirds"]).collect()
