@@ -231,6 +231,10 @@ HEADLINE = [
     # round 13 addition: incremental CC cluster maintenance face
     # (faces section)
     "cc_stream_state",
+    # round 14 additions: HTML main-content extraction + the curation
+    # funnel over the extracted text
+    "html_boilerplate_extract",
+    "html_extract_quality_funnel",
 ]
 
 
