@@ -122,6 +122,9 @@ SHOWCASE = [
     # r12 debuts
     ("supplier_customer_linkage", "TWO-relation linkage (r12): the smaller master aggregates into capped variant blocks (one shuffle), the probe side's exploded variants equi-join the index UNHINTED (Catalyst broadcasts the small index; a shuffle join is the right call at other ratios), pair distinct, JVM levenshtein verify — no cartesian, each relation scanned once"),
     ("bpe_encode_report", "BPE encode after the r12 lineage fix: the visible plan is the final map-only select over the last checkpointed rewrite (zero shuffles/joins/parquet scans); the per-step pair-count aggregates run inside the loop over checkpointed rows — the steps-squared recompute is gone"),
+    # r14 debuts
+    ("html_boilerplate_extract", "HTML main-content extraction (r14): ONE map stage — regexp split on closing block tags, per-piece tag/content extracts, inline-tag strip, array HOF filter on the integer keep rule, array_join — zero Exchange anywhere (plan-gated); the scan is the whole cost at any scale"),
+    ("html_extract_quality_funnel", "extraction -> curation funnel (r14): the same map stage feeding ONE global conditional aggregate (partial/final pair) + stack to 4 fixed rows — the crawl-order composition (boilerplate removal upstream of quality gates)"),
     # streaming faces with PLANS sections (VERDICT r9 item 7): as with
     # dedup_stream_state, the dumped plan is the POST-DRAIN published
     # state/pair-log read; the incremental maintenance plans are gated
@@ -131,7 +134,7 @@ SHOWCASE = [
     ("vfp_stream_state", "video-index FACE (r11): dumped plan = the post-drain pair-log read; the per-batch demux/cap/probe/COUNT maintenance plan (the triad's count path — exact fh matching, >= VID_MIN_MATCH) is gated in tests/test_streaming.py"),
     ("ivo_stream_state", "interval-overlap FACE (r11): dumped plan = the final supplier-cardinality osum state read; the per-batch bucketed/ownership probe + sum-merged monoid rollup (pinned shuffle_hash) is gated in tests/test_streaming.py"),
     ("edit_stream_state", "edit-linkage FACE (r12): dumped plan = the post-drain pair-log read (_batch_id partitions); the per-batch variant explode/cap/probe/levenshtein maintenance plan is gated in tests/test_streaming.py"),
-    ("cc_stream_state", "cluster-maintenance FACE (r13): dumped plan = the post-drain label-table read + one count aggregate + the size join (exactly how batch neardup_clusters derives its output from the component relation); the per-batch label-edge lift / label-graph CC / broadcast-remap maintenance plan is gated in tests/test_streaming.py"),
+    ("cc_stream_state", "cluster-maintenance FACE (r13; r14 rework): dumped plan = the post-drain manifest-assembled shard-pruned label read + one count aggregate + the size join (exactly how batch neardup_clusters derives its output from the component relation); the per-batch label-edge lift / bounded union-find (distributed CC past the cap) / broadcast-remap / affected-shard publication plan is gated in tests/test_streaming.py"),
     ("bloom_stream_state", "Bloom membership FACE: dumped plan = the final <= 64-register state read; the OR-merge maintenance plan (replay- and duplicate-delivery-idempotent by algebra) is gated in tests/test_streaming.py"),
 ]
 
