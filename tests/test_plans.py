@@ -1517,7 +1517,10 @@ def test_html_extract_is_pure_map(spark, sf_dir):
     e = web.html_boilerplate_extract(docs)
     assert px.broadcast_hint_count(e) == 0
     plan = px.explain_str(e, "simple")
-    assert "Join" not in plan and "Exchange" not in plan
+    # count_shuffles, not a raw "Exchange" grep: the ingest-side
+    # rebalance exchange fires on 32-core sessions and is excluded by
+    # policy — the ALGORITHMIC shuffle inventory must be zero
+    assert "Join" not in plan and px.count_shuffles(e) == 0
     f = web.html_extract_quality_funnel(docs)
     fplan = px.explain_str(f, "simple")
     assert "Join" not in fplan
