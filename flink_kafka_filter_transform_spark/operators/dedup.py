@@ -539,7 +539,11 @@ def semdedup_prune(
     precomputed per VECTOR, only the dot runs per pair; the report
     aggregates to k rows."""
     from flink_kafka_filter_transform_spark.functions.vectors import dot, l2_norm
-    from flink_kafka_filter_transform_spark.operators.kmeans import _assign, lloyd
+    from flink_kafka_filter_transform_spark.operators.kmeans import (
+        _assign,
+        _with_best_cell,
+        lloyd,
+    )
 
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     if k is None:
@@ -551,19 +555,21 @@ def semdedup_prune(
     cents = smp.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
     )
-    cents = lloyd(smp, cents, iters)
-    assign = _assign(vecs, cents)
+    cents = lloyd(smp, cents, iters, k_hint=k)
     cent_cos = F.when(
         (F.col("nrm") > 0) & (F.col("cnrm") > 0),
         dot("v", "centroid") / (F.col("nrm") * F.col("cnrm")),
     )
+    # fused member rows (r14): the map-side assignment fold keeps each
+    # vector, its cell id and the winning centroid in ONE stage — the
+    # pre-r14 shape re-joined the corpus to its own assignment on
+    # vec_id and then broadcast-joined the codebook a second time for
+    # cent_sim. dot/l2_norm are the identical folds, so cent_sim is
+    # bit-identical.
     members = (
-        assign.join(vecs, "vec_id")
-        .select("vec_id", "cid", "v", l2_norm("v").alias("nrm"))
-        .join(
-            F.broadcast(cents.select("cid", "centroid", l2_norm("centroid").alias("cnrm"))),
-            "cid",
-        )
+        _with_best_cell(vecs, cents, centroid="centroid")
+        .withColumn("nrm", l2_norm("v"))
+        .withColumn("cnrm", l2_norm("centroid"))
         .select("vec_id", "cid", "v", "nrm", cent_cos.alias("cent_sim"))
     )
     a = members.select(
@@ -600,6 +606,7 @@ def semdedup_prune(
     )
     n = F.count(F.lit(1))
     nd = F.sum(F.coalesce(F.col("_dropped"), F.lit(0)))
+    assign = _assign(vecs, cents)
     return (
         assign.join(dropped, "vec_id", "left")
         .groupBy(F.col("cid").alias("cluster_id"))

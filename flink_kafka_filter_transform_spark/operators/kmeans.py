@@ -52,19 +52,173 @@ def _sq_dist(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cid): nearest centroid, ties to lower cid."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("_d").asc(), F.col("cid").asc())
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", _sq_dist("v", "centroid").alias("_d"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "cid")
+# Codebooks at or under this k are frozen to PLAN LITERALS per Lloyd
+# round (a bounded driver collect — the route-rule-probe precedent):
+# the codebook becomes one constant-folded array literal that the
+# argmin fold reads in place, and the per-round checkpoint /
+# broadcast-build / codebook-agg jobs all disappear. Above the cap
+# (data-adaptive k on a huge corpus) the distributed
+# broadcast-codebook path below is used unchanged.
+CODEBOOK_LITERAL_CAP = 1024
+
+
+def _collect_codebook(cents: DataFrame) -> list[tuple[int, list[float]]]:
+    """The (<= k)-row codebook as cid-ascending Python pairs. Bounded
+    by construction (caller enforces CODEBOOK_LITERAL_CAP); doubles
+    round-trip the driver exactly (IEEE754 both sides)."""
+    cb = getattr(cents, "_sg_codebook", None)
+    if cb is not None:
+        return cb
+    return sorted(
+        (r["cid"], list(r["centroid"]))
+        for r in cents.select("cid", "centroid").collect()
     )
 
 
-def lloyd(vecs: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
+def _local_cents(spark, cb: list[tuple[int, list[float]]]) -> DataFrame:
+    """A LocalRelation (cid, centroid) frame for the frozen codebook —
+    broadcasts and scans of it never launch a cluster job — with the
+    literal pairs attached for the codegen argmin fast path."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("cid", LongType(), False),
+            StructField("centroid", ArrayType(DoubleType()), True),
+        ]
+    )
+    # coalesce(1): PySpark's createDataFrame parallelizes local rows
+    # into defaultParallelism slices (32 near-empty partitions for a
+    # 4-row codebook), so every consumer stage — including broadcast
+    # BUILD jobs — would schedule 32 tasks for k rows. One partition
+    # is the honest shape for a <= CODEBOOK_LITERAL_CAP relation.
+    df = spark.createDataFrame(cb, schema).coalesce(1)
+    df._sg_codebook = cb
+    return df
+
+
+def _cents_exploded(rows: DataFrame, cents: DataFrame) -> DataFrame:
+    """``rows`` × codebook (adds ``cid``/``centroid`` to every row).
+    Frozen codebook: explode of the ALL-LITERAL array — a pure map,
+    no broadcast-build job, no join. Distributed codebook: the
+    pre-r14 broadcast crossJoin, unchanged. Same row set either way
+    (explode emits cid-ascending; consumers aggregate/rank, so order
+    is immaterial)."""
+    cb = getattr(cents, "_sg_codebook", None)
+    if cb is not None:
+        return rows.select(
+            "*", F.explode(_cb_array_col(cb)).alias("_s")
+        ).select(*rows.columns, "_s.cid", "_s.centroid")
+    return rows.crossJoin(F.broadcast(cents.select("cid", "centroid")))
+
+
+def _cb_array_col(cb: list[tuple[int, list[float]]]) -> Column:
+    """The frozen codebook as an ALL-LITERAL ``_cents`` array
+    expression (cid-ascending array<struct<cid, centroid>>). Every
+    child is foldable, so ConstantFolding collapses the whole tree to
+    ONE Literal — referencing it per row costs nothing, and the same
+    argmin fold that runs over the broadcast ``_cents`` column runs
+    over it unchanged: no join, no broadcast build, no codebook agg,
+    hence no extra cluster jobs in the consuming query."""
+    # ONE F.expr call: building this from per-element F.lit columns
+    # costs a py4j round-trip per coordinate (k x dim calls per call
+    # site — measured as seconds of pure driver chatter per query);
+    # repr() is the shortest round-trip decimal, so the parsed double
+    # is bit-identical to the collected one.
+    parts = ", ".join(
+        "named_struct('cid', {}L, 'centroid', array({}))".format(
+            int(cid), ", ".join(repr(float(x)) + "D" for x in vec)
+        )
+        for cid, vec in cb
+    )
+    return F.expr(f"array({parts})")
+
+
+def _cents_sorted(cents: DataFrame) -> DataFrame:
+    """The (<= k)-row codebook folded into ONE cid-ascending array row
+    (``_cents``: array<struct<cid, centroid>>), the broadcast unit of
+    the map-side argmin. sort_array orders by the struct's first field
+    (cid — distinct by construction), making the fold order
+    deterministic regardless of collect_list's arrival order."""
+    return cents.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "centroid"))).alias("_cents")
+    )
+
+
+def _with_best_cell(
+    rows: DataFrame,
+    cents: DataFrame,
+    d2: str | None = None,
+    centroid: str | None = None,
+) -> DataFrame:
+    """``rows`` (any relation with a vector column ``v``) + its
+    nearest-centroid assignment ``cid`` — computed MAP-SIDE.
+
+    r14 optimization (guide §2.4 "remove shuffles outright"): the
+    pre-r14 ``_assign`` cross-joined the broadcast codebook and ranked
+    with a window partitioned by vec_id, which inflated the corpus
+    k-fold through an Exchange + per-vector sort. Assignment is the one
+    full-corpus pass every trainer, encoder and face pays, so it must
+    not shuffle at all: here the codebook folds to a single sorted
+    array row (``_cents_sorted``), broadcast-joins onto the corpus
+    (1-row nested-loop — the same k-row broadcast as before, framed
+    once), and ``array_min`` over per-centroid (d, cid) structs picks
+    the winner per row. Struct ordering compares d first then cid —
+    exactly the old window's (_d ASC, cid ASC) tie-break — and d is the
+    identical ``_sq_dist`` fold, so assignments are bit-identical
+    (tests/test_properties.py pins lloyd against the naive iterate).
+
+    ``d2``/``centroid`` optionally expose the winning distance and
+    centroid as columns, which lets callers that previously re-joined
+    the corpus (``assign.join(vecs, "vec_id").join(broadcast(cents),
+    "cid")``) skip both joins: the fold already holds the winner.
+    """
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                _sq_dist(F.col("v"), s["centroid"]).alias("d"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
+    cb = cents if isinstance(cents, list) else getattr(cents, "_sg_codebook", None)
+    if cb is not None:
+        # literal-codebook fast path: ``_cents`` is a plan CONSTANT
+        # (lloyd froze the codebook under CODEBOOK_LITERAL_CAP), so the
+        # consuming query carries zero joins, zero broadcast builds and
+        # zero codebook-agg jobs for the assignment — same fold, same
+        # doubles, same tie-break as the broadcast path below.
+        out = rows.withColumn("_cents", _cb_array_col(cb)).withColumn("_best", best)
+    else:
+        out = rows.crossJoin(F.broadcast(_cents_sorted(cents))).withColumn("_best", best)
+    cols = [F.col(c) for c in rows.columns] + [F.col("_best.cid").alias("cid")]
+    if d2 is not None:
+        cols.append(F.col("_best.d").alias(d2))
+    if centroid is not None:
+        cols.append(
+            F.element_at(
+                F.filter(F.col("_cents"), lambda s: s["cid"] == F.col("_best.cid")), 1
+            )["centroid"].alias(centroid)
+        )
+    return out.select(*cols)
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest centroid, ties to lower cid — the
+    map-side fold (``_with_best_cell``), no Exchange, no window."""
+    return _with_best_cell(vecs.select("vec_id", "v"), cents).select("vec_id", "cid")
+
+
+def lloyd(
+    vecs: DataFrame, cents: DataFrame, iters: int, k_hint: int | None = None
+) -> DataFrame:
     """``iters`` Lloyd rounds with the (<= k)-row codebook EAGERLY
     localCheckpoint'd per round — the one shared loop every trainer
     uses (r12). Why per-round freezing matters: ``_update`` references
@@ -80,19 +234,66 @@ def lloyd(vecs: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
     algorithm's floor. Measured at sf0.1 (SCALING.md r12): the
     full-suite trainer family dropped with no value change (CI parity
     re-hashes every consumer)."""
+    if k_hint is not None and k_hint <= CODEBOOK_LITERAL_CAP:
+        # r14 literal-freeze path: the (<= k)-row codebook is collected
+        # to the driver each round (bounded by CODEBOOK_LITERAL_CAP —
+        # the same bounded-collect class as the route-rule probe) and
+        # re-enters the next round as plan CONSTANTS. Each round is
+        # then exactly ONE cluster job: a codegen'd argmin map stage
+        # feeding the (cid, pos) decimal-mean aggregate, collected
+        # k x dim rows small. The pre-r14 cadence paid, per round, a
+        # localCheckpoint job + a codebook-fold agg + two broadcast
+        # builds — the tiny-job storm that made every trainer
+        # scheduling-bound at bench scale and pure overhead at any
+        # scale. Values are bit-identical: the aggregate SQL is
+        # unchanged, doubles round-trip the driver exactly, and the
+        # empty-cell keep-prev rule moves from a k-row join to k rows
+        # of Python.
+        spark = vecs.sparkSession
+        cb = _collect_codebook(cents)
+        for _ in range(iters):
+            cell = (
+                _with_best_cell(vecs, cb)
+                .select("cid", "v")
+                .select("cid", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("val").cast("decimal(28,18)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("cv")
+                )
+            )
+            new: dict[int, dict[int, float]] = {}
+            for r in cell.collect():
+                new.setdefault(r["cid"], {})[r["pos"]] = r["cv"]
+            cb = [
+                (cid, [new[cid][p] for p in range(len(prev))] if cid in new else prev)
+                for cid, prev in cb
+            ]
+        return _local_cents(spark, cb)
     for _ in range(iters):
-        cents = _update(vecs, _assign(vecs, cents), cents).localCheckpoint(
-            eager=True
-        )
+        # distributed big-k path (data-adaptive codebooks over the
+        # literal cap): fused assign+member rows — the per-round corpus
+        # pass is ONE map stage (argmin fold) straight into the update
+        # aggregate, no vec_id re-join of the corpus to its own
+        # assignment (r14)
+        assigned = _with_best_cell(vecs, cents).select("cid", "v")
+        cents = _update_assigned(assigned, cents).localCheckpoint(eager=True)
     return cents
 
 
 def _update(vecs: DataFrame, assign: DataFrame, prev: DataFrame) -> DataFrame:
-    """New per-cluster mean centroids; empty clusters keep prev."""
-    pos = (
-        assign.join(vecs, "vec_id")
-        .select("cid", F.posexplode("v").alias("pos", "val"))
-    )
+    """New per-cluster mean centroids; empty clusters keep prev.
+    (Join-based compatibility shape over ``_update_assigned`` — the
+    naive-iterate twin tests/test_properties.py pins lloyd against.)"""
+    return _update_assigned(assign.join(vecs, "vec_id").select("cid", "v"), prev)
+
+
+def _update_assigned(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+    """New per-cluster mean centroids from fused (cid, v) member rows;
+    empty clusters keep prev."""
+    pos = assigned.select("cid", F.posexplode("v").alias("pos", "val"))
     cell = pos.groupBy("cid", "pos").agg(
         (
             F.sum(F.col("val").cast("decimal(28,18)")).cast("double")
@@ -131,41 +332,57 @@ def farthest_point_seeds(vecs: DataFrame, k: int) -> DataFrame:
     traversal runs on a deterministic sample, not the full corpus
     (sampling.py's content-hash filters compose for that).
 
-    Each round localCheckpoints the (<=k)-row seed set — the same
-    lineage-truncation discipline as graph.py's CC loop. Without it
-    every iteration recomputes the whole traversal so far (O(k^2)
-    corpus scans in one giant plan; measured as a timeout at 60k
-    vectors, k=32); with it the traversal is exactly k-1 scans."""
-    seeds = (
-        vecs.orderBy("vec_id")
-        .limit(1)
-        .select(
-            F.lit(0).cast("long").alias("cid"),
-            "vec_id",
-            F.col("v").alias("centroid"),
-        )
-        .localCheckpoint(eager=True)
+    r14: the traversal is driver-paced anyway (each round's argmax
+    depends on the last), so the <= FPS_SEED_CAP chosen seeds live as
+    PYTHON literals between rounds — each round is ONE TakeOrdered job
+    whose min-distance expression is flat codegen arithmetic over the
+    seed constants (F.least of unrolled _sq_dist chains — the same
+    doubles the old crossJoin + groupBy(vec_id) MIN aggregated, without
+    inflating the corpus seed-fold through an Exchange), and the old
+    per-round localCheckpoint of the seed set disappears. Same
+    (_d DESC, vec_id ASC) argmax row per round, so the traversal is
+    value-identical."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    first = (
+        vecs.orderBy("vec_id").limit(1).select("vec_id", "v").first()
+    )
+    schema = StructType(
+        [
+            StructField("cid", LongType(), False),
+            StructField("vec_id", LongType(), True),
+            StructField("centroid", ArrayType(DoubleType()), True),
+        ]
+    )
+    if first is None:
+        return vecs.sparkSession.createDataFrame([], schema)
+    seeds = [(0, first["vec_id"], [float(x) for x in first["v"]])]
     for i in range(1, k):
-        dists = (
-            vecs.crossJoin(F.broadcast(seeds.select("cid", "centroid")))
-            .groupBy("vec_id")
-            .agg(
-                F.min(_sq_dist("v", "centroid")).alias("_d"),
-                F.first("v").alias("v"),
+        sarr = F.expr(
+            "array({})".format(
+                ", ".join(
+                    "array({})".format(", ".join(repr(float(x)) + "D" for x in c))
+                    for _, _, c in seeds
+                )
             )
         )
-        nxt = (
-            dists.orderBy(F.col("_d").desc(), F.col("vec_id").asc())
+        mind = F.array_min(F.transform(sarr, lambda c: _sq_dist(F.col("v"), c)))
+        row = (
+            vecs.select("vec_id", "v", mind.alias("_d"))
+            .orderBy(F.col("_d").desc(), F.col("vec_id").asc())
             .limit(1)
-            .select(
-                F.lit(i).cast("long").alias("cid"),
-                "vec_id",
-                F.col("v").alias("centroid"),
-            )
+            .first()
         )
-        seeds = seeds.unionByName(nxt).localCheckpoint(eager=True)
-    return seeds
+        seeds.append((i, row["vec_id"], [float(x) for x in row["v"]]))
+    out = vecs.sparkSession.createDataFrame(seeds, schema).coalesce(1)
+    out._sg_codebook = [(cid, c) for cid, _, c in seeds]
+    return out
 
 
 def kmeans_fit(
@@ -222,7 +439,7 @@ def kmeans_fit(
         )
     else:
         raise ValueError(f"unknown seeding {seeding!r}: use 'first' or 'farthest'")
-    cents = lloyd(vecs, cents, iters)
+    cents = lloyd(vecs, cents, iters, k_hint=k)
     return _assign(vecs, cents), cents
 
 
@@ -268,23 +485,25 @@ def knn_ivf_kmeans(
     cents = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
     )
-    cents = lloyd(vecs, cents, iters)
-    member = _assign(vecs, cents)
+    cents = lloyd(vecs, cents, iters, k_hint=n_cells)
+    # fused member rows (vec_id, v, cid): the map-side argmin keeps the
+    # vector next to its cell id, so the probed-cell candidate join
+    # needs no corpus self-join on vec_id (r14)
+    member = _with_best_cell(vecs, cents)
 
     q = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
     )
     wp = Window.partitionBy("q_id").orderBy(F.col("_cs").desc(), F.col("cid").asc())
     probed = (
-        q.crossJoin(F.broadcast(cents))
+        _cents_exploded(q, cents)
         .select("q_id", "q_vec", "cid", cosine_similarity("q_vec", "centroid").alias("_cs"))
         .withColumn("_cr", F.row_number().over(wp))
         .filter(F.col("_cr") <= nprobe)
         .select("q_id", "q_vec", "cid")
     )
     scored = (
-        vecs.join(member, "vec_id")
-        .join(F.broadcast(probed), "cid")
+        member.join(F.broadcast(probed), "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cosine_similarity("v", "q_vec").alias("cos_sim"))
     )
@@ -324,11 +543,12 @@ def pq_train_report(
     """
     out: DataFrame | None = None
     for j, (vecs, cents) in enumerate(_pq_codebooks(emb, m, k, iters)):
-        final = _assign(vecs, cents)
+        # fused: the argmin fold already holds each member's distance
+        # to its winning centroid, so the per-subspace report needs no
+        # corpus self-join and no codebook re-join (r14; _d2 is the
+        # identical _sq_dist double the old join recomputed)
         rep = (
-            final.join(vecs, "vec_id")
-            .join(F.broadcast(cents), "cid")
-            .select("cid", _sq_dist("v", "centroid").alias("_d2"))
+            _with_best_cell(vecs, cents, d2="_d2")
             .groupBy("cid")
             .agg(
                 F.count(F.lit(1)).alias("n_vectors"),
@@ -372,13 +592,17 @@ def _pq_codebooks(
     sub_len = (F.size("fv") / F.lit(m)).cast("int")
     subs = []
     for j in range(m):
+        # the slice is a pure map over the ONE checkpointed full-vector
+        # relation — re-deriving it per consumer costs an array slice,
+        # not a scan, so the pre-r14 per-slice eager checkpoint (m extra
+        # jobs + m cached copies per query) bought nothing (r14)
         vecs = full.select(
             "vec_id", F.slice("fv", j * sub_len + 1, sub_len).alias("v")
-        ).localCheckpoint(eager=True)
+        )
         cents = vecs.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
         )
-        subs.append((vecs, lloyd(vecs, cents, iters)))
+        subs.append((vecs, lloyd(vecs, cents, iters, k_hint=k)))
     return subs
 
 
@@ -419,7 +643,7 @@ def knn_pq_adc(
         q_j = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
             F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
         )
-        l_j = q_j.crossJoin(F.broadcast(cents)).select(
+        l_j = _cents_exploded(q_j, cents).select(
             "q_id",
             F.lit(j).alias("j"),
             "cid",
@@ -491,7 +715,7 @@ def knn_ivf_pq(
     coarse = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
     )
-    coarse = lloyd(vecs, coarse, iters)
+    coarse = lloyd(vecs, coarse, iters, k_hint=n_cells)
     member = _assign(vecs, coarse)
 
     q = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
@@ -499,7 +723,7 @@ def knn_ivf_pq(
     )
     wp = Window.partitionBy("q_id").orderBy(F.col("_d2").asc(), F.col("cid").asc())
     probed = (
-        q.crossJoin(F.broadcast(coarse))
+        _cents_exploded(q, coarse)
         .select("q_id", "cid", _sq_dist("qv", "centroid").alias("_d2"))
         .withColumn("_cr", F.row_number().over(wp))
         .filter(F.col("_cr") <= nprobe)
@@ -519,7 +743,7 @@ def knn_ivf_pq(
         q_j = svecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
             F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
         )
-        l_j = q_j.crossJoin(F.broadcast(cents)).select(
+        l_j = _cents_exploded(q_j, cents).select(
             "q_id", F.lit(j).alias("j"), "cid", _sq_dist("qv", "centroid").alias("pd2")
         )
         enc = e_j if enc is None else enc.unionByName(e_j)
@@ -700,38 +924,41 @@ def knn_ivf_pq_residual(
     # the old post-loop freeze: every later stage (member assignment,
     # residual subtraction, probing, query residuals) reads the stored
     # final round directly
-    coarse = lloyd(vecs, coarse, iters)
-    member = _assign(vecs, coarse)
+    coarse = lloyd(vecs, coarse, iters, k_hint=n_cells)
 
-    # residuals: rv = v - centroid[cell(v)], map-side (coarse is k rows)
+    # residuals: rv = v - centroid[cell(v)], in the SAME map stage as
+    # the assignment fold (r14): the winner's centroid comes out of the
+    # broadcast codebook array, so there is no corpus self-join on
+    # vec_id and no second codebook join before the subtraction
     resid = (
-        member.join(vecs, "vec_id")
-        .join(F.broadcast(coarse), "cid")
+        _with_best_cell(vecs, coarse, centroid="_cent")
         .select(
             "vec_id",
             "cid",
-            F.zip_with("v", "centroid", lambda a, b: a - b).alias("rv"),
+            F.zip_with("v", "_cent", lambda a, b: a - b).alias("rv"),
         )
         .localCheckpoint(eager=True)
     )
     sub_len = (F.size("rv") / F.lit(m)).cast("int")
     subs = []
     for j in range(m):
+        # pure map over the checkpointed residuals — no per-slice
+        # checkpoint (the _pq_codebooks r14 rationale)
         svecs = resid.select(
             "vec_id", F.slice("rv", j * sub_len + 1, sub_len).alias("v")
-        ).localCheckpoint(eager=True)
+        )
         cents = svecs.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
         )
         # per-round freeze inside lloyd() covers the sub-codebooks too
-        subs.append((svecs, lloyd(svecs, cents, iters)))
+        subs.append((svecs, lloyd(svecs, cents, iters, k_hint=k)))
 
     q = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     wp = Window.partitionBy("q_id").orderBy(F.col("_d2").asc(), F.col("cid").asc())
     probed = (
-        q.crossJoin(F.broadcast(coarse))
+        _cents_exploded(q, coarse)
         .select("q_id", "cid", "centroid", "qv", _sq_dist("qv", "centroid").alias("_d2"))
         .withColumn("_cr", F.row_number().over(wp))
         .filter(F.col("_cr") <= nprobe)
@@ -750,21 +977,19 @@ def knn_ivf_pq_residual(
         )
         q_sub_len = (F.size("qrv") / F.lit(m)).cast("int")
         l_j = (
-            probed.select(
-                "q_id",
-                "pcid",
-                F.slice("qrv", j * q_sub_len + 1, q_sub_len).alias("qs"),
-            )
-            .crossJoin(
-                F.broadcast(
-                    cents.select(F.col("cid").alias("scid"), "centroid")
-                )
+            _cents_exploded(
+                probed.select(
+                    "q_id",
+                    "pcid",
+                    F.slice("qrv", j * q_sub_len + 1, q_sub_len).alias("qs"),
+                ),
+                cents,
             )
             .select(
                 "q_id",
                 "pcid",
                 F.lit(j).alias("j"),
-                "scid",
+                F.col("cid").alias("scid"),
                 _sq_dist("qs", "centroid").alias("pd2"),
             )
         )
@@ -773,7 +998,10 @@ def knn_ivf_pq_residual(
     assert enc is not None and lut is not None
 
     cand = (
-        member.join(
+        # membership re-read from the checkpointed residual relation —
+        # the assignment is not recomputed for the candidate side (r14)
+        resid.select("vec_id", "cid")
+        .join(
             F.broadcast(probed.select("q_id", F.col("pcid").alias("cid"))), "cid"
         )
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -992,8 +1220,16 @@ def knn_ivf_filtered(
     cents = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
     )
-    cents = lloyd(vecs, cents, iters)
-    member = _assign(vecs, cents)
+    cents = lloyd(vecs, cents, iters, k_hint=n_cells)
+    # fused (vec_id, label, v, cid) member rows: the label rides the
+    # map-side assignment fold, so the candidate join needs no corpus
+    # self-join on vec_id to re-attach membership (r14)
+    member = _with_best_cell(
+        emb.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        cents,
+    )
 
     q = emb.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -1003,7 +1239,7 @@ def knn_ivf_filtered(
     eff_nprobe = filter_probe_mult * nprobe
     wp = Window.partitionBy("q_id").orderBy(F.col("_cs").desc(), F.col("cid").asc())
     probed = (
-        q.crossJoin(F.broadcast(cents))
+        _cents_exploded(q, cents)
         .select(
             "q_id", "q_vec", "q_label", "cid",
             cosine_similarity("q_vec", "centroid").alias("_cs"),
@@ -1013,9 +1249,7 @@ def knn_ivf_filtered(
         .select("q_id", "q_vec", "q_label", "cid")
     )
     scored = (
-        emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-        .join(member.select("vec_id", "cid"), "vec_id")
-        .join(
+        member.join(
             F.broadcast(probed.withColumnRenamed("cid", "p_cid")),
             (F.col("cid") == F.col("p_cid")) & (F.col("label") == F.col("q_label")),
         )

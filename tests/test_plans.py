@@ -307,13 +307,19 @@ def test_q14_part_dimension_broadcasts(spark, sf_dir):
 
 
 def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
-    """Every Lloyd iteration must broadcast the (k x dim) codebook —
-    the corpus is never shuffled for assignment."""
+    """r14: assignment is a SINGLE map stage — the frozen (k x dim)
+    codebook rides the plan as literals (bounded by
+    CODEBOOK_LITERAL_CAP; bigger codebooks broadcast), so the corpus is
+    never shuffled, never joined and never window-sorted to find its
+    nearest centroid. The pre-r14 gate asserted a codebook broadcast
+    join; the new shape is strictly tighter: no join of any kind."""
     from flink_kafka_filter_transform_spark.operators import kmeans
 
     df = kmeans.kmeans_clusters(load_table(spark, "embeddings", sf_dir), iters=1)
-    assert px.has_broadcast_join(df)
-    assert px.sortmerge_join_count(df) == 0
+    plan = px.explain_str(df, "simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert px.count_shuffles(df) == 0
 
 
 def test_sampling_is_shuffle_free(spark, sf_dir):
@@ -726,9 +732,14 @@ def test_semdedup_centroids_broadcast_pairs_cluster_blocked(spark, sf_dir):
     df = dedup.semdedup_prune(load_table(spark, "embeddings", sf_dir))
     plan = px.explain_str(df, "simple")
     assert "CartesianProduct" not in plan
-    # crossJoin(broadcast(cents)) compiles to BroadcastNestedLoop — the
-    # intended k-row broadcast, not a data-data cartesian
-    assert px.broadcast_hint_count(df) >= 3
+    # r14: the codebook is frozen to plan literals, so NO pinned
+    # broadcast remains anywhere (the pre-r14 gate counted >= 3 codebook
+    # broadcast hints); assignment + cent_sim run in one map stage
+    # (no window), and the only wide joins are the cluster-blocked pair
+    # join and the prune rollup
+    assert px.broadcast_hint_count(df) == 0
+    assert "Window" not in plan
+    assert px.count_shuffles(df) <= 4
 
 
 def test_semdedup_text_prune_plan(spark, sf_dir):
@@ -750,7 +761,8 @@ def test_semdedup_text_prune_plan(spark, sf_dir):
     # fails closed instead of silently passing with scans relabeled.
     assert plan.count("Scan parquet") == 0
     assert "Scan ExistingRDD" in plan
-    assert px.broadcast_hint_count(df) >= 3
+    # r14: codebooks are plan literals — zero pinned broadcasts
+    assert px.broadcast_hint_count(df) == 0
 
 
 def test_temperature_mixture_single_corpus_scan(spark, sf_dir):
@@ -942,7 +954,10 @@ def test_knn_ivf_pq_candidates_before_adc(spark, sf_dir):
 
     df = kmeans.knn_ivf_pq(load_table(spark, "embeddings", sf_dir))
     assert px.sortmerge_join_count(df) <= 1
-    assert px.broadcast_hint_count(df) >= 3  # probe set + LUTs + codebooks
+    # r14: codebooks are plan literals (no broadcast needed); the probe
+    # set and the LUT still ride pinned broadcasts
+    assert px.broadcast_hint_count(df) >= 2
+    assert px.count_shuffles(df) <= 4
 
 
 def test_knn_ivf_pq_residual_candidates_before_adc(spark, sf_dir):
@@ -956,7 +971,10 @@ def test_knn_ivf_pq_residual_candidates_before_adc(spark, sf_dir):
 
     df = kmeans.knn_ivf_pq_residual(load_table(spark, "embeddings", sf_dir))
     assert px.sortmerge_join_count(df) <= 1
-    assert px.broadcast_hint_count(df) >= 3  # coarse + probe/LUT + enc-side
+    # r14: coarse + sub-codebooks are plan literals; probe set + LUT
+    # broadcasts remain
+    assert px.broadcast_hint_count(df) >= 2
+    assert px.count_shuffles(df) <= 8
 
 
 def test_no_unreduced_big_table_broadcast_hints(spark, sf_dir):
@@ -1318,8 +1336,9 @@ def test_knn_ivf_pq_rerank_shortlist_rides_broadcasts(spark, sf_dir):
 
     df = kmeans.knn_ivf_pq_rerank(load_table(spark, "embeddings", sf_dir))
     assert px.sortmerge_join_count(df) <= 1
-    # knn_ivf_pq's codebooks/probe/LUT broadcasts + shortlist + queries
-    assert px.broadcast_hint_count(df) >= 5
+    # knn_ivf_pq's probe/LUT broadcasts + shortlist + queries (the
+    # codebooks themselves are r14 plan literals)
+    assert px.broadcast_hint_count(df) >= 4
 
 
 def test_knn_sq8_trains_one_row_and_scans_codes_once(spark, sf_dir):
@@ -1375,7 +1394,9 @@ def test_knn_ivf_filtered_predicate_inside_candidate_join(spark, sf_dir):
     plain = kmeans.knn_ivf_kmeans(emb)
     filt = kmeans.knn_ivf_filtered(emb)
     assert px.count_shuffles(filt) <= px.count_shuffles(plain) + 1
-    assert px.broadcast_hint_count(filt) >= 2  # codebook + probe set
+    # r14: the codebook is a plan literal; the probe set still rides a
+    # pinned broadcast
+    assert px.broadcast_hint_count(filt) >= 1
     assert not px.unreduced_big_table_broadcast_hints(filt)
 
 
