@@ -678,6 +678,18 @@ def semdedup_text_prune(
                 ),
             ).alias("embedding"),
         )
+        # r14 (guide §2.5/§2.2): without this, AQE coalesces the densify
+        # aggregate to ONE post-shuffle partition (the dense relation is
+        # a few MB — bytes-based coalescing cannot see that the
+        # DOWNSTREAM within-cell pair join does quadratic compute per
+        # byte), and the checkpoint PINS that single partition for every
+        # consumer: the whole semdedup chain ran serially (measured
+        # 16–19 s at sf0.1; ~2 s once spread). Re-spread by vec_id
+        # across the cluster's compute width before freezing
+        # (defaultParallelism tracks total cores at any scale).
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "vec_id"
+        )
     ).localCheckpoint(eager=True)
     return semdedup_prune(
         dense, k=k, iters=iters, threshold=threshold, train_denom=train_denom

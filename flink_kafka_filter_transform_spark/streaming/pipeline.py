@@ -160,6 +160,7 @@ def metered_cdc_sink(
     the reference's counters behave identically on redelivery."""
 
     def feed(batch_df: DataFrame, batch_id: int) -> None:
+        _batch_aqe(batch_df.sparkSession)
         parsed = cdc.parse_envelope(batch_df)
         lbl = lambda v: "" if v is None else str(v)  # noqa: E731
         for r in cdc.inbound_counts(parsed).collect():
@@ -368,6 +369,33 @@ def scd2_incremental_sink(
     )
 
 
+def _batch_aqe(spark: SparkSession) -> SparkSession:
+    """Re-enable ADAPTIVE execution for the batch queries a
+    foreachBatch body runs, and return the session (r14, guide §2.2/
+    §3.1).
+
+    Structured Streaming clones the session at ``start()`` and
+    ``ResolveWriteToStream`` force-disables ``spark.sql.adaptive.
+    enabled`` on the clone (AQE is unsupported in the continuous/
+    micro-batch STREAMING plan). But every join/aggregate a
+    foreachBatch sink body builds is an ordinary BATCH query on that
+    clone — with the flag off it runs with the static shuffle-partition
+    count, no runtime partition coalescing, no sort-merge→broadcast
+    promotion and no skew splitting, which at bench scale showed up as
+    dozens of full-width tiny-task stages per micro-batch and at
+    cluster scale forfeits the same runtime re-planning every batch
+    query in the engine relies on. Flipping the conf back INSIDE the
+    batch body is safe for the streaming plan itself: the planner
+    never inserts AQE over streaming sources regardless of the conf
+    (the start()-time disable is belt-and-braces), and the conf is
+    re-checked per batch-body query only. Measured on the LSH face at
+    sf0.1: 13.9 → 11.2 s warm with byte-identical published state
+    (the differential face tests pin it)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    return spark
+
+
 def _scd2_merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
     """One scd2_incremental_sink micro-batch, module-level so replay
     tests can re-drive a batch id directly. ``prev`` comes from
@@ -380,7 +408,7 @@ def _scd2_merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> Non
     from flink_kafka_filter_transform_spark.operators import cdc as cdc_ops
 
     changes_dir = f"{state_dir}/changes"
-    spark = batch_df.sparkSession
+    spark = _batch_aqe(batch_df.sparkSession)
     batch = batch_df.filter(F.col("op").isNotNull()).select(*SCD2_CHANGE_COLS)
     batch.write.mode("append").parquet(changes_dir)
     affected = batch.select("db", "table_name", "key").dropDuplicates()
@@ -647,6 +675,7 @@ def foreach_batch_parquet_sink(
     effectively-once output on top of at-least-once delivery."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _batch_aqe(batch_df.sparkSession)
         (
             batch_df.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -689,6 +718,7 @@ def contamination_guard_sink(
     from flink_kafka_filter_transform_spark.operators.text import token_ngrams, tokens
 
     def guard(batch_df: DataFrame, batch_id: int) -> None:
+        _batch_aqe(batch_df.sparkSession)
         grams = batch_df.select(
             "doc_id", token_ngrams(tokens(), n).alias("grams")
         ).filter(F.size("grams") > 0)
@@ -760,7 +790,7 @@ def _hll_merge_batch(
     see _latest_state_version for the strictly-pre-batch prev rule."""
     from flink_kafka_filter_transform_spark.operators.sketch import hll_registers
 
-    spark = batch_df.sparkSession
+    spark = _batch_aqe(batch_df.sparkSession)
     regs = hll_registers(batch_df, key, [group])
     v = _latest_state_version(spark, state_dir, "regs", before=batch_id)
     prev = spark.read.parquet(f"{state_dir}/regs_v{v}") if v is not None else None
@@ -824,7 +854,7 @@ def _cms_merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None
     see _latest_state_version for the strictly-pre-batch prev rule."""
     from flink_kafka_filter_transform_spark.operators.sketch import cms_grid
 
-    spark = batch_df.sparkSession
+    spark = _batch_aqe(batch_df.sparkSession)
     grid = cms_grid(batch_df)
     v = _latest_state_version(spark, state_dir, "grid", before=batch_id)
     prev = spark.read.parquet(f"{state_dir}/grid_v{v}") if v is not None else None
@@ -890,7 +920,7 @@ def _bloom_merge_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> No
     )
     from flink_kafka_filter_transform_spark.operators.sketch import bloom_build
 
-    spark = batch_df.sparkSession
+    spark = _batch_aqe(batch_df.sparkSession)
     keys = batch_df.select(
         portable_hash64("text").alias("_h1"),
         portable_hash64_second("text").alias("_h2"),
@@ -965,7 +995,7 @@ def _ivf_assign_batch(
     (_latest_state_version) — same protocol as _cms_merge_batch."""
     from flink_kafka_filter_transform_spark.operators.kmeans import _assign
 
-    spark = batch_df.sparkSession
+    spark = _batch_aqe(batch_df.sparkSession)
     a = _assign(batch_df.select("vec_id", F.col("embedding").alias("v")), centroids)
     (
         batch_df.join(a, "vec_id")
@@ -1066,7 +1096,7 @@ def _lsh_index_batch(
         minhash_signatures,
     )
 
-    spark = batch_df.sparkSession
+    spark = _batch_aqe(batch_df.sparkSession)
     # The batch's signature relation feeds FIVE consumers (bucket
     # counts, probe side, within-batch self-join, verification sigs,
     # the two state writes); unpersisted, each consumer would re-run
@@ -1262,7 +1292,7 @@ def _fingerprint_index_batch(
     map-only Arrow decode+hash stage, ``hash_col`` its output column,
     and the chunk/cap/probe/verify/publish protocol is identical —
     see phash_index_sink's docstring for the full replay discipline."""
-    spark = batch_df.sparkSession
+    spark = _batch_aqe(batch_df.sparkSession)
     mask = (1 << chunk_bits) - 1
     chunk_structs = [
         F.struct(
@@ -1474,7 +1504,7 @@ def _vfp_index_batch(
         video_frame_hashes,
     )
 
-    spark = batch_df.sparkSession
+    spark = _batch_aqe(batch_df.sparkSession)
     # The frame relation feeds three consumers (bucket counts, the
     # within-batch buckets, the index probe, the state append);
     # unpersisted, each would re-run the demux+decode Arrow stage.
@@ -1624,7 +1654,7 @@ def _ivo_overlap_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> No
         overlap_side,
     )
 
-    spark = batch_df.sparkSession
+    spark = _batch_aqe(batch_df.sparkSession)
     # the shared rangejoin helpers guarantee bucket assignment, side
     # projections, ownership, and overlap arithmetic stay BYTE-
     # IDENTICAL with the batch operator (r11 review — exactly-once
@@ -1769,7 +1799,7 @@ def _edit_index_batch(
         variant_exploded,
     )
 
-    spark = batch_df.sparkSession
+    spark = _batch_aqe(batch_df.sparkSession)
     # the variant relation feeds three consumers (block counts, the
     # within-batch blocks, the index probe) plus the state append;
     # persisted so the explode runs once per batch
@@ -2103,7 +2133,7 @@ def _cc_labels_batch(
         connected_components,
     )
 
-    spark = batch_df.sparkSession
+    spark = _batch_aqe(batch_df.sparkSession)
     _lsh_index_batch(batch_df, batch_id, f"{state_dir}/lsh", out_dir)
     id_field = batch_df.schema["doc_id"]
     # this batch's verified pairs — the partition _lsh_index_batch just
@@ -2180,6 +2210,10 @@ def _cc_labels_batch(
             if small is not None:
                 remap_rows = [(n, c) for n, c in small if n != c]
                 if remap_rows:
+                    # coalesce(1): createDataFrame parallelizes local
+                    # rows into defaultParallelism near-empty slices, so
+                    # the remap's broadcast BUILD would schedule a
+                    # core-count-wide task wave per micro-batch (r14)
                     remap_df = spark.createDataFrame(
                         remap_rows,
                         StructType(
@@ -2188,7 +2222,7 @@ def _cc_labels_batch(
                                 StructField("_new", id_field.dataType),
                             ]
                         ),
-                    )
+                    ).coalesce(1)
                     remap_shards = {
                         x // shard_span for r in remap_rows for x in r
                     }
@@ -2881,8 +2915,15 @@ def dedup_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sink(stream: DataFrame, ckpt: str) -> DataStreamWriter:
         def write_batch(bdf: DataFrame, batch_id: int) -> None:
+            # the stateful operator's output arrives in state-store
+            # partitioning (one near-empty slice per state partition);
+            # REBALANCE + AQE sizes the ledger partition's files by
+            # BYTES at any scale instead of writing one tiny file per
+            # state partition per batch (guide §6 small-files rule)
+            _batch_aqe(bdf.sparkSession)
             (
-                bdf.withColumn("_batch_id", F.lit(batch_id))
+                bdf.hint("rebalance")
+                .withColumn("_batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_batch_id")
@@ -2896,7 +2937,28 @@ def dedup_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", ckpt)
         )
 
-    _drain_through_sink(docs, scratch, sink)
+    # State-store partition count for the stateful operator (r14, guide
+    # §2.2): Structured Streaming pins the stateful shuffle width to
+    # spark.sql.shuffle.partitions AT FIRST BATCH (it can never change
+    # for the life of the checkpoint), so it must be sized to the
+    # stream's expected STATE VOLUME — a per-deployment decision — not
+    # inherited from the session's transient 2×core default. At 2×32
+    # the ledger's thousands of keys spread over 64 near-empty state
+    # partitions: every micro-batch paid 64 state-store opens/commits
+    # and 64 Arrow round-trips to the Python state worker for ~20 keys
+    # each (measured: ~2.1 s per 1250-row batch; ~0.8 s at 16).
+    # SPARK_GRAFT_STATE_PARTITIONS overrides for production key
+    # cardinalities; the default stays fixed across driver core counts,
+    # which keeps the bench series comparable at every CPU setting.
+    import os as _os
+
+    state_partitions = _os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "16")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions)
+    try:
+        _drain_through_sink(docs, scratch, sink)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     led = spark.read.parquet(ledger)
     final = led.groupBy("content_hash").agg(
         F.max_by(F.struct("first_doc_id", "n_suppressed"), "_batch_id").alias("s")

@@ -1435,6 +1435,47 @@ def test_semdedup_text_prune_drops_exact_copy(spark):
     assert sum(r["n_dropped"] for r in got) == 1
 
 
+def test_semdedup_text_dense_checkpoint_spread(spark, monkeypatch):
+    """The densified vector relation must be re-spread to the compute
+    width (defaultParallelism) BEFORE its localCheckpoint freezes the
+    layout (r14, guide §2.5/§2.2): AQE's bytes-based coalescing sees a
+    few MB post-aggregate and collapses to one partition, but the
+    checkpoint pins that layout for the quadratic within-cell pair
+    join downstream — the whole semdedup chain ran serially (16-19 s
+    at sf0.1 vs ~2 s spread). Spied via localCheckpoint: the FIRST
+    checkpoint inside semdedup_text_prune is the dense relation."""
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is the
+    # abstract base; sessions hand out classic.dataframe.DataFrame,
+    # whose own localCheckpoint would shadow a base-class patch)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from flink_kafka_filter_transform_spark.operators.dedup import (
+        semdedup_text_prune,
+    )
+
+    counts = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        out = orig(self, eager=eager)
+        counts.append(out.rdd.getNumPartitions())
+        return out
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tok"),
+            (F.col("id") % 37).cast("string"),
+            F.lit(" word "),
+            (F.col("id") % 11).cast("string"),
+        ).alias("text"),
+    )
+    semdedup_text_prune(docs)
+    assert counts, "dense relation was not checkpointed"
+    assert counts[0] == spark.sparkContext.defaultParallelism
+
+
 def test_char_entropy_profile_closed_forms(spark):
     """Exact whole-bit entropy bounds on closed-form docs: a
     single-char doc costs 0 bits, a 2-symbol balanced doc exactly 1

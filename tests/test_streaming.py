@@ -1432,6 +1432,25 @@ def test_latest_pointer_concurrent_publish_and_read(spark, sf_dir, tmp_path_fact
     assert seen  # the reader actually resolved versions throughout
 
 
+def test_batch_aqe_reenables_adaptive_on_stream_clone(spark):
+    """_batch_aqe must flip adaptive execution back ON for the batch
+    queries a foreachBatch body runs on the stream-cloned session
+    (ResolveWriteToStream force-disables it on the clone at start()),
+    and must do so on the CLONE only — the caller's own session conf
+    is not touched (r14, guide §2.2/§3.1)."""
+    clone = spark.newSession()
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    clone.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    out = sp._batch_aqe(clone)
+    assert out is clone
+    assert clone.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        clone.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+
+
 def test_dedup_stream_state_equals_batch_exact_dedup(spark, sf_dir):
     """The drained first-seen ledger face must equal one-shot batch
     exact dedup (same min-doc_id winner, same suppressed counts), and
