@@ -404,8 +404,18 @@ def kmeans_fit(
     _pq_codebooks (semdedup_prune, the heaviest caller: 11.6 -> 4.2 s
     cold / 5.2 -> 3.8 s warm at sf0.1). Training inputs are a bounded
     sample at production scale, so the materialization never grows
-    with the corpus."""
-    vecs = vecs.localCheckpoint(eager=True)
+    with the corpus.
+
+    r14 follow-up: the checkpoint is re-spread to defaultParallelism
+    FIRST — the map-side assign fold removed the Exchange that used to
+    re-spread this relation, so a narrow input layout (a small parquet
+    scan is ONE partition) would otherwise pin every Lloyd/seeding
+    round to serial execution (the semdedup_text_prune dense-checkpoint
+    lesson, guide §2.5/§2.2; embedding_neardup_fps measured a 4.8 s
+    single-task stage at sf0.1 before this)."""
+    vecs = vecs.repartition(
+        vecs.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    ).localCheckpoint(eager=True)
     if seeding == "farthest":
         # Capped hybrid: a full farthest-point traversal is k-1
         # SEQUENTIAL corpus scans, and with data-adaptive k (= N/256,
@@ -586,8 +596,15 @@ def _pq_codebooks(
     pq_train_report's docstring) — what is materialized is
     sample-sized, never the corpus; the full-corpus ENCODE pass stays
     map-only against the broadcast codebooks."""
-    full = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("fv")
+    full = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("fv")
+        )
+        # re-spread before freezing: the map-side assign fold has no
+        # Exchange left to widen a narrow scan (see kmeans_fit, r14)
+        .repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+        )
     ).localCheckpoint(eager=True)
     sub_len = (F.size("fv") / F.lit(m)).cast("int")
     subs = []
@@ -709,8 +726,15 @@ def knn_ivf_pq(
     # lesson as _pq_codebooks). Coarse training runs on the same
     # bounded sample as PQ training in a production deployment, so the
     # materialization never grows with the corpus.
-    vecs = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    vecs = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        # re-spread before freezing: the map-side assign fold has no
+        # Exchange left to widen a narrow scan (see kmeans_fit, r14)
+        .repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+        )
     ).localCheckpoint(eager=True)
     coarse = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
@@ -914,8 +938,15 @@ def knn_ivf_pq_residual(
     from flink_kafka_filter_transform_spark.operators import params
 
     topk = params.KNN_K if topk is None else topk
-    vecs = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    vecs = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        # re-spread before freezing: the map-side assign fold has no
+        # Exchange left to widen a narrow scan (see kmeans_fit, r14)
+        .repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+        )
     ).localCheckpoint(eager=True)
     coarse = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
