@@ -470,9 +470,13 @@ def embedding_neardup_refined(
     from flink_kafka_filter_transform_spark.functions.vectors import dot, l2_norm
     from flink_kafka_filter_transform_spark.operators.kmeans import kmeans_clusters
 
+    n_rows = None
     if n_cells is None:
-        n_cells = adaptive_n_cells(emb.count())
-    assign = kmeans_clusters(emb, k=n_cells, iters=iters, seeding=seeding)
+        n_rows = emb.count()
+        n_cells = adaptive_n_cells(n_rows)
+    assign = kmeans_clusters(
+        emb, k=n_cells, iters=iters, seeding=seeding, n_rows=n_rows
+    )
     normed = emb.join(assign, "vec_id").select(
         "vec_id", "label", "cluster_id", "embedding", l2_norm("embedding").alias("nrm")
     )
@@ -1770,10 +1774,17 @@ def dedup_cascade_report(docs: DataFrame) -> DataFrame:
 
     c = url_canonicalize(docs).select("doc_id", "canonical_url")
     url_min = c.groupBy("canonical_url").agg(F.min("doc_id").alias("_m"))
+    # survivor sets materialized ONCE (r15, guide §3.3): s1 feeds both
+    # the stage-2 input and the report flags, s2 feeds the pair rule,
+    # the stage-3 anti-join AND the report flags — unmaterialized, the
+    # whole url->normalize chain re-executed per consumer (the
+    # dominant repetition in this query's 1319-line r14 plan). Both
+    # sets are doc_id-only: bounded-width at any corpus scale.
     s1 = (
         c.join(url_min, "canonical_url")
         .filter(F.col("doc_id") == F.col("_m"))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     norm = (
         docs.join(s1, "doc_id", "left_semi")
@@ -1787,6 +1798,7 @@ def dedup_cascade_report(docs: DataFrame) -> DataFrame:
         norm.join(norm_min, "nh")
         .filter(F.col("doc_id") == F.col("_m"))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     dropped3 = (

@@ -25,10 +25,33 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 200
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 200,
+    edges_within_vertices: bool = False,
 ) -> DataFrame:
     """Min-label propagation. vertices: (id); edges: (src, dst).
     Returns (id, component) where component = min id in the component.
+
+    r15 fast path (VERDICT r14 item 2): below SMALL_GRAPH_EDGE_CAP the
+    components are resolved by ONE bounded driver-side union-find
+    (components_unionfind_small) instead of the per-round fixpoint's
+    ~3-tiny-jobs-per-round cadence, and the result re-enters the plan
+    as a broadcast remap over the vertex relation — vertex-cardinality
+    data never leaves the cluster, only the CAPPED edge list is
+    collected. Semantic guard (the r14-mapped trap): the distributed
+    loop computes components of the VERTEX-INDUCED subgraph — a label
+    only propagates along an edge whose src is a vertex (the sym-join
+    matches nothing otherwise) and only lands on a dst that is a
+    vertex (the left join drops the rest) — while a raw-edge
+    union-find would connect two vertices THROUGH a non-vertex
+    endpoint. The edge set is therefore pre-restricted with two
+    vertex-keyed semi-joins before any driver-side collect (and before
+    the distributed loop too, which shrinks its per-round join for
+    free). ``edges_within_vertices=True`` skips the two semi-joins
+    when the CALLER proves every endpoint is a vertex (the near-dup
+    callers derive both relations from the same doc set); the
+    non-vertex-endpoint case is property-pinned in tests/test_graph.py.
 
     Labels move one hop per iteration, so convergence takes O(graph
     diameter) rounds — near-dup clusters are dense (diameter ~ a few),
@@ -58,8 +81,77 @@ def connected_components(
     labels; the cache is released before returning (the returned
     labels are checkpointed, so the release can never trigger a
     recompute)."""
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e = edges.select("src", "dst")
+    if not edges_within_vertices:
+        # restrict to the vertex-induced subgraph BEFORE the cap probe
+        # (see the docstring's semantic guard); both semi-joins are
+        # vertex-keyed and also shrink the distributed fallback's
+        # per-round join when the probe overflows the cap
+        e = (
+            e.join(
+                vertices.select(F.col("id").alias("src")), "src", "left_semi"
+            )
+            .join(vertices.select(F.col("id").alias("dst")), "dst", "left_semi")
+            # USING-joins move the join key FIRST, so after the dst
+            # semi-join the column ORDER is (dst, src) — and the
+            # fixpoint's position-based unionAll would silently build a
+            # half-reversed sym relation. Re-project the contract order.
+            .select("src", "dst")
+        )
+    # persisted for BOTH outcomes of the probe: the count materializes
+    # the (possibly expensive — minhash LSH for the near-dup callers)
+    # edge derivation exactly once, the collect or the fixpoint loop
+    # reuses it, and every exit releases it in the finally below
+    e = e.persist()
+    try:
+        # the cap is read from module scope at CALL time (not the
+        # helper's def-time default) so tests can pin the distributed
+        # path by monkeypatching SMALL_GRAPH_EDGE_CAP
+        small = components_unionfind_small(e, edge_cap=SMALL_GRAPH_EDGE_CAP)
+        if small is not None:
+            remap = [(n, c) for n, c in small if n != c]
+            if not remap:
+                return vertices.select("id", F.col("id").alias("component"))
+            from pyspark.sql.types import StructField, StructType
+
+            spark = vertices.sparkSession
+            id_type = vertices.schema["id"].dataType
+            # ONE parallelize slice — createDataFrame would split the
+            # local rows into defaultParallelism near-empty python
+            # slices and the broadcast BUILD would either schedule a
+            # core-count task wave or (coalesced) execute them all
+            # sequentially in one task (the r14/r15 kmeans finding)
+            remap_df = spark.createDataFrame(
+                spark.sparkContext.parallelize(remap, 1),
+                StructType(
+                    [
+                        StructField("_rm_id", id_type),
+                        StructField("_rm_comp", id_type),
+                    ]
+                ),
+            )
+            return (
+                vertices.join(
+                    F.broadcast(remap_df),
+                    F.col("id") == F.col("_rm_id"),
+                    "left",
+                )
+                .select(
+                    "id", F.coalesce("_rm_comp", F.col("id")).alias("component")
+                )
+            )
+        return _cc_fixpoint(vertices, e, max_iter)
+    finally:
+        e.unpersist()
+
+
+def _cc_fixpoint(vertices: DataFrame, e: DataFrame, max_iter: int) -> DataFrame:
+    """The distributed min-label fixpoint over a PERSISTED, vertex-
+    induced edge relation — the above-cap path, verbatim from the
+    pre-r15 loop (only the edge restriction/persist moved to the
+    caller so the cap probe shares the materialization)."""
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
 
@@ -197,7 +289,10 @@ def neardup_clusters(docs: DataFrame) -> DataFrame:
     pairs = minhash_lsh_pairs(docs)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     verts = docs.select(F.col("doc_id").alias("id")).distinct()
-    comp = connected_components(verts, edges)
+    # edges_within_vertices: both relations derive from the same docs,
+    # so every pair endpoint IS a vertex — the induced-subgraph
+    # restriction is a no-op here and the semi-joins are skipped (r15)
+    comp = connected_components(verts, edges, edges_within_vertices=True)
     sized = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         comp.join(sized, "component")
@@ -284,7 +379,13 @@ def neardup_triangles(docs: DataFrame) -> DataFrame:
     bounds fan-out by sqrt(|E|) without changing this plan's shape."""
     from flink_kafka_filter_transform_spark.operators.dedup import minhash_lsh_pairs
 
-    e = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # the oriented edge list is consumed FOUR times (both wedge sides,
+    # the closing semi-join, and the edge census) — unmaterialized,
+    # each consumer re-executed the MinHash shingle->band->verify
+    # chain (the dominant subtree of this query's 1151-line r14 plan).
+    # LSH-bounded pair volume: the checkpoint is bounded at any corpus
+    # scale (r15, guide §3.3).
+    e = minhash_lsh_pairs(docs).select("doc_a", "doc_b").localCheckpoint(eager=True)
     wedges = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.doc_b") == F.col("e2.doc_a"))
@@ -366,6 +467,13 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ewd = edges.join(deg, "src").select("src", "dst", "deg").persist()
     ewd.count()  # materialize once, outside the timed loop's lineage
+    # r15 note: a union-with-static-teleport-set rewrite of the
+    # per-round vertices join was prototyped and MEASURED SLOWER
+    # (9.2 s vs 7.0 s at sf0.1/32): the union breaks the loop's
+    # exchange-reuse chaining (each round's vertices-join output is
+    # already hash(node_id)-partitioned for the NEXT round's src join,
+    # so the existing loop re-shuffles rank rows only once), while the
+    # union forced a per-round two-branch exchange. Kept as-is.
     ranks = vertices.select("node_id", F.lit(base).cast("bigint").alias("rank_scaled"))
     for i in range(iters):
         insum = (
@@ -431,6 +539,15 @@ def supply_chain_pagerank(
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        # materialized ONCE (r15, guide §3.3): the directed edge list
+        # feeds both union branches of the symmetrized relation, which
+        # in turn feeds the vertex universe, the degree aggregate AND
+        # the ewd join — unmaterialized, the lineitem scan + distinct
+        # re-executed up to 3x per run (measured: three ~4.4 s
+        # scan+distinct stages inside one sf0.1 profile). The distinct
+        # pair set IS the graph — far smaller than the fact table at
+        # any scale, and the loop below already persists its derivates.
+        .localCheckpoint(eager=True)
     )
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     verts = edges.select(F.col("src").alias("node_id")).distinct()
@@ -566,9 +683,13 @@ def neardup_kcore(docs: DataFrame, k: int = 2) -> DataFrame:
     checkpointed-state discipline."""
     from flink_kafka_filter_transform_spark.operators.dedup import minhash_lsh_pairs
 
+    # materialized ONCE (r15, guide §3.3): the vertex universe, the
+    # peeling loop's symmetrized relation AND the final-readout joins
+    # all derive from this pair list — unmaterialized, each re-executed
+    # the MinHash chain. LSH-bounded volume.
     e = minhash_lsh_pairs(docs).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     verts = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))

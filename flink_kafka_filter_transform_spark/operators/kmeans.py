@@ -60,6 +60,36 @@ def _sq_dist(a: Column | str, b: Column | str) -> Column:
 # (data-adaptive k on a huge corpus) the distributed
 # broadcast-codebook path below is used unchanged.
 CODEBOOK_LITERAL_CAP = 1024
+# r15 (ADVICE r14): the k-cap alone does not bound the literal's SIZE —
+# _cb_array_col builds an O(k*dim) SQL string re-parsed via F.expr at
+# every call site and every Lloyd round, so k=1024 at dim 768 would be
+# ~16 MB of SQL and ~1M literal AST nodes per expression (driver
+# parse/constant-fold blowup). The literal path therefore also requires
+# the TOTAL scalar count k*dim to stay under this cap; above it the
+# distributed broadcast-codebook path is used even when k itself is
+# small enough.
+CODEBOOK_LITERAL_SCALAR_CAP = 64 * 1024
+
+
+def _literal_ok(cb: list[tuple[int, list[float]]]) -> bool:
+    """True when a collected codebook may enter the plan as ONE
+    constant-folded literal: total scalar count bounded (k*dim, the
+    r14 ADVICE gate — k alone does not bound the SQL string)."""
+    return sum(len(vec) for _, vec in cb) <= CODEBOOK_LITERAL_SCALAR_CAP
+
+
+def _dlit(x: float) -> str:
+    """One double as a parseable SQL literal. repr() is the shortest
+    round-trip decimal so finite doubles parse bit-identical; the
+    non-finite values have NO bare-literal spelling ('nanD'/'infD' do
+    not parse — r14 ADVICE) and round-trip exactly through CAST."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def _collect_codebook(cents: DataFrame) -> list[tuple[int, list[float]]]:
@@ -93,13 +123,21 @@ def _local_cents(spark, cb: list[tuple[int, list[float]]]) -> DataFrame:
             StructField("centroid", ArrayType(DoubleType()), True),
         ]
     )
-    # coalesce(1): PySpark's createDataFrame parallelizes local rows
-    # into defaultParallelism slices (32 near-empty partitions for a
-    # 4-row codebook), so every consumer stage — including broadcast
-    # BUILD jobs — would schedule 32 tasks for k rows. One partition
-    # is the honest shape for a <= CODEBOOK_LITERAL_CAP relation.
-    df = spark.createDataFrame(cb, schema).coalesce(1)
-    df._sg_codebook = cb
+    # ONE parallelize slice: PySpark's default createDataFrame splits
+    # local rows into defaultParallelism slices (32 near-empty python
+    # partitions for a 4-row codebook), so every consumer stage —
+    # including broadcast BUILD jobs — would schedule 32 tasks for k
+    # rows (the r14 finding). r15 follow-up: the r14 ``.coalesce(1)``
+    # fix traded that for something WORSE — the single coalesced task
+    # computes all 32 parent PYTHON partitions sequentially, one
+    # python-worker round-trip each (measured 3.7-4.5 s per execution
+    # of an 8-row relation vs 0.15 s with one slice at creation).
+    df = spark.createDataFrame(spark.sparkContext.parallelize(cb, 1), schema)
+    # the literal fast path is only advertised when the codebook fits
+    # the SCALAR cap (k*dim — r15, ADVICE r14); an oversized codebook
+    # keeps the frame-only shape and consumers take the broadcast path
+    if _literal_ok(cb):
+        df._sg_codebook = cb
     return df
 
 
@@ -129,11 +167,12 @@ def _cb_array_col(cb: list[tuple[int, list[float]]]) -> Column:
     # ONE F.expr call: building this from per-element F.lit columns
     # costs a py4j round-trip per coordinate (k x dim calls per call
     # site — measured as seconds of pure driver chatter per query);
-    # repr() is the shortest round-trip decimal, so the parsed double
-    # is bit-identical to the collected one.
+    # _dlit emits the shortest round-trip decimal (bit-identical parse)
+    # and the CAST spelling for non-finite doubles (r14 ADVICE: a NaN
+    # centroid coordinate must not yield unparseable SQL).
     parts = ", ".join(
         "named_struct('cid', {}L, 'centroid', array({}))".format(
-            int(cid), ", ".join(repr(float(x)) + "D" for x in vec)
+            int(cid), ", ".join(_dlit(float(x)) for x in vec)
         )
         for cid, vec in cb
     )
@@ -189,6 +228,14 @@ def _with_best_cell(
         )
     )
     cb = cents if isinstance(cents, list) else getattr(cents, "_sg_codebook", None)
+    if cb is not None and not cb:
+        # r14 ADVICE: the broadcast path's agg-without-groupBy emits one
+        # empty-array row for a 0-row codebook, so an empty codebook
+        # would silently assign every row a NULL cid instead of the
+        # 0-row output the pre-r14 crossJoin produced. Unreachable from
+        # current callers (empty cents implies empty vecs) — fail loud
+        # rather than emit NULL assignments from a latent new caller.
+        raise ValueError("_with_best_cell: empty codebook (no centroids to assign to)")
     if cb is not None:
         # literal-codebook fast path: ``_cents`` is a plan CONSTANT
         # (lloyd froze the codebook under CODEBOOK_LITERAL_CAP), so the
@@ -251,27 +298,34 @@ def lloyd(
         # of Python.
         spark = vecs.sparkSession
         cb = _collect_codebook(cents)
-        for _ in range(iters):
-            cell = (
-                _with_best_cell(vecs, cb)
-                .select("cid", "v")
-                .select("cid", F.posexplode("v").alias("pos", "val"))
-                .groupBy("cid", "pos")
-                .agg(
-                    (
-                        F.sum(F.col("val").cast("decimal(28,18)")).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias("cv")
+        if _literal_ok(cb):
+            for _ in range(iters):
+                cell = (
+                    _with_best_cell(vecs, cb)
+                    .select("cid", "v")
+                    .select("cid", F.posexplode("v").alias("pos", "val"))
+                    .groupBy("cid", "pos")
+                    .agg(
+                        (
+                            F.sum(F.col("val").cast("decimal(28,18)")).cast("double")
+                            / F.count(F.lit(1))
+                        ).alias("cv")
+                    )
                 )
-            )
-            new: dict[int, dict[int, float]] = {}
-            for r in cell.collect():
-                new.setdefault(r["cid"], {})[r["pos"]] = r["cv"]
-            cb = [
-                (cid, [new[cid][p] for p in range(len(prev))] if cid in new else prev)
-                for cid, prev in cb
-            ]
-        return _local_cents(spark, cb)
+                new: dict[int, dict[int, float]] = {}
+                for r in cell.collect():
+                    new.setdefault(r["cid"], {})[r["pos"]] = r["cv"]
+                cb = [
+                    (cid, [new[cid][p] for p in range(len(prev))] if cid in new else prev)
+                    for cid, prev in cb
+                ]
+            return _local_cents(spark, cb)
+        # k fits the row cap but k*dim exceeds the SCALAR cap (r15,
+        # ADVICE r14): the literal would be megabytes of SQL re-parsed
+        # per round/call site. Re-enter the codebook as a 1-partition
+        # local frame (the collect isn't wasted) and run the unchanged
+        # distributed broadcast path below.
+        cents = _local_cents(spark, cb)
     for _ in range(iters):
         # distributed big-k path (data-adaptive codebooks over the
         # literal cap): fused assign+member rows — the per-round corpus
@@ -313,7 +367,72 @@ def _update_assigned(assigned: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
-def farthest_point_seeds(vecs: DataFrame, k: int) -> DataFrame:
+# Bounded-driver fast path for the farthest-point traversal (r15,
+# VERDICT r14 item 1): below this row cap the whole (vec_id, v)
+# relation is collected ONCE and the k-1 traversal rounds run
+# vectorized on the driver — replacing k-1 SEQUENTIAL TakeOrdered
+# cluster jobs, each a full core-count task wave over a tiny sample
+# (the scheduling-wave cadence behind embedding_neardup_fps's 3.7→9.6 s
+# driver regression; its 8-vs-32-core scaling ratio of 0.62 showed the
+# query was job-cadence-bound, not compute-bound). The same bounded-
+# collect class as graph.SMALL_GRAPH_EDGE_CAP: FPS traversal inputs are
+# a deterministic SAMPLE at production scale (see the docstring below),
+# and above the cap the distributed per-round TakeOrdered path is kept
+# verbatim.
+FPS_DRIVER_ROWS_CAP = 65536
+
+
+def _fps_driver_seeds(
+    rows: list[tuple[int, list[float]]], k: int
+) -> list[tuple[int, int, list[float]]] | None:
+    """The farthest-point traversal over collected (vec_id, v) rows —
+    bit-identical to the distributed per-round TakeOrdered walk, or
+    None when the inputs are non-finite (Spark's NaN/Infinity total
+    order differs from numpy's propagation semantics, so those corpora
+    fall back to the distributed walk rather than risk a divergent
+    tie-break).
+
+    Exactness argument, term by term:
+    - squared distance: numpy elementwise subtract/multiply are the
+      same correctly-rounded IEEE754 double ops as the JVM's, and the
+      per-coordinate accumulation below is an explicit LEFT-TO-RIGHT
+      fold (acc = acc + sq[:, j], j ascending, acc starting at 0.0) —
+      exactly ``_sq_dist``'s aggregate fold, coordinate for coordinate;
+    - min over seeds: all distances are sums of non-negative terms from
+      +0.0, so -0.0 never occurs and min is associative — the
+      incremental ``minimum(mind, d2(new_seed))`` equals the full
+      ``array_min`` over every seed that the distributed expression
+      recomputes per round;
+    - argmax tie-break: rows are sorted vec_id-ascending and np.argmax
+      returns the FIRST maximum — the distributed (_d DESC, vec_id ASC)
+      TakeOrdered row."""
+    import numpy as np
+
+    X = np.asarray([v for _, v in rows], dtype=np.float64)
+    if not np.isfinite(X).all():
+        return None
+    ids = [int(i) for i, _ in rows]
+
+    def d2_to(c: "np.ndarray") -> "np.ndarray":
+        sq = (X - c) * (X - c)
+        acc = np.zeros(X.shape[0], dtype=np.float64)
+        for j in range(X.shape[1]):  # left-to-right: _sq_dist's fold order
+            acc = acc + sq[:, j]
+        return acc
+
+    seeds = [(0, ids[0], [float(x) for x in X[0]])]
+    mind = d2_to(X[0])
+    for i in range(1, k):
+        a = int(np.argmax(mind))
+        seeds.append((i, ids[a], [float(x) for x in X[a]]))
+        if i < k - 1:
+            mind = np.minimum(mind, d2_to(X[a]))
+    return seeds
+
+
+def farthest_point_seeds(
+    vecs: DataFrame, k: int, n_rows: int | None = None
+) -> DataFrame:
     """Deterministic farthest-point (greedy kmeans++-style) seeding:
     seed 0 is the lowest vec_id; each next seed is the vector with the
     MAXIMUM distance to its nearest chosen seed (ties -> lower
@@ -341,7 +460,17 @@ def farthest_point_seeds(vecs: DataFrame, k: int) -> DataFrame:
     inflating the corpus seed-fold through an Exchange), and the old
     per-round localCheckpoint of the seed set disappears. Same
     (_d DESC, vec_id ASC) argmax row per round, so the traversal is
-    value-identical."""
+    value-identical.
+
+    r15 (VERDICT r14 item 1): below FPS_DRIVER_ROWS_CAP the whole
+    traversal input is ONE bounded collect and the k-1 rounds run on
+    the driver (_fps_driver_seeds, bit-exactness argued there) —
+    replacing the k-1 sequential TakeOrdered jobs whose per-round
+    core-count task wave made embedding_neardup_fps scheduling-bound
+    at 32 cores. ``n_rows`` lets a caller that already counted the
+    input (the adaptive-k consumers all do) skip the gate's count job;
+    above the cap, or on non-finite inputs, the distributed per-round
+    walk below runs verbatim."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -350,9 +479,6 @@ def farthest_point_seeds(vecs: DataFrame, k: int) -> DataFrame:
         StructType,
     )
 
-    first = (
-        vecs.orderBy("vec_id").limit(1).select("vec_id", "v").first()
-    )
     schema = StructType(
         [
             StructField("cid", LongType(), False),
@@ -360,28 +486,48 @@ def farthest_point_seeds(vecs: DataFrame, k: int) -> DataFrame:
             StructField("centroid", ArrayType(DoubleType()), True),
         ]
     )
-    if first is None:
+    if n_rows is None:
+        n_rows = vecs.count()
+    if n_rows == 0:
         return vecs.sparkSession.createDataFrame([], schema)
-    seeds = [(0, first["vec_id"], [float(x) for x in first["v"]])]
-    for i in range(1, k):
-        sarr = F.expr(
-            "array({})".format(
-                ", ".join(
-                    "array({})".format(", ".join(repr(float(x)) + "D" for x in c))
-                    for _, _, c in seeds
+    seeds: list[tuple[int, int, list[float]]] | None = None
+    if n_rows <= FPS_DRIVER_ROWS_CAP:
+        rows = sorted(
+            (r[0], [float(x) for x in r[1]])
+            for r in vecs.select("vec_id", "v").collect()
+        )
+        seeds = _fps_driver_seeds(rows, k)
+    if seeds is None:
+        # distributed fallback: over the driver cap, or non-finite
+        # coordinates (Spark's NaN total order vs numpy propagation)
+        first = vecs.orderBy("vec_id").limit(1).select("vec_id", "v").first()
+        if first is None:
+            return vecs.sparkSession.createDataFrame([], schema)
+        seeds = [(0, first["vec_id"], [float(x) for x in first["v"]])]
+        for i in range(1, k):
+            sarr = F.expr(
+                "array({})".format(
+                    ", ".join(
+                        "array({})".format(", ".join(_dlit(float(x)) for x in c))
+                        for _, _, c in seeds
+                    )
                 )
             )
-        )
-        mind = F.array_min(F.transform(sarr, lambda c: _sq_dist(F.col("v"), c)))
-        row = (
-            vecs.select("vec_id", "v", mind.alias("_d"))
-            .orderBy(F.col("_d").desc(), F.col("vec_id").asc())
-            .limit(1)
-            .first()
-        )
-        seeds.append((i, row["vec_id"], [float(x) for x in row["v"]]))
-    out = vecs.sparkSession.createDataFrame(seeds, schema).coalesce(1)
-    out._sg_codebook = [(cid, c) for cid, _, c in seeds]
+            mind = F.array_min(F.transform(sarr, lambda c: _sq_dist(F.col("v"), c)))
+            row = (
+                vecs.select("vec_id", "v", mind.alias("_d"))
+                .orderBy(F.col("_d").desc(), F.col("vec_id").asc())
+                .limit(1)
+                .first()
+            )
+            seeds.append((i, row["vec_id"], [float(x) for x in row["v"]]))
+    # one parallelize slice, not coalesce(1) — see _local_cents (r15)
+    out = vecs.sparkSession.createDataFrame(
+        vecs.sparkSession.sparkContext.parallelize(seeds, 1), schema
+    )
+    cb = [(cid, c) for cid, _, c in seeds]
+    if _literal_ok(cb):
+        out._sg_codebook = cb
     return out
 
 
@@ -390,6 +536,7 @@ def kmeans_fit(
     k: int = K_DEFAULT,
     iters: int = ITERS_DEFAULT,
     seeding: str = "first",
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iters`` Lloyd iterations over (vec_id, v) rows and return
     (final assignment (vec_id, cid), final centroids (cid, centroid)).
@@ -429,8 +576,17 @@ def kmeans_fit(
         # work stays O(N * cap^2). The oracle unrolls exactly the cap
         # and mirrors the fill rank (BIGINT cids on both engines).
         nf = min(k, FPS_SEED_CAP)
-        fps = farthest_point_seeds(vecs, nf)
+        # n_rows (when the caller already counted the corpus for its
+        # adaptive k) lets the r15 driver-side traversal skip its gate
+        # count — see farthest_point_seeds
+        fps = farthest_point_seeds(vecs, nf, n_rows=n_rows)
         cents = fps.select("cid", "centroid")
+        # .select() returns a fresh DataFrame, losing the literal-path
+        # attribute — without this carry-over lloyd() re-collected the
+        # seed codebook from the parallelized local relation every fps
+        # call (r15; the collect was also the 3.8 s coalesce(1) trap)
+        if getattr(fps, "_sg_codebook", None) is not None and k <= nf:
+            cents._sg_codebook = fps._sg_codebook
         if k > nf:
             w = Window.orderBy("vec_id")
             fill = (
@@ -458,13 +614,16 @@ def kmeans_clusters(
     k: int = K_DEFAULT,
     iters: int = ITERS_DEFAULT,
     seeding: str = "first",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Final (vec_id, cluster_id) assignment after ``iters`` Lloyd
     iterations. ``seeding``: "first" (the first k vectors — the
     original deterministic baseline) or "farthest" (farthest-point
-    traversal; better-spread codebooks on clustered corpora)."""
+    traversal; better-spread codebooks on clustered corpora).
+    ``n_rows``: optional known corpus row count (r15 — forwarded to the
+    farthest-point seeding gate so adaptive-k callers don't re-count)."""
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    assign, _ = kmeans_fit(vecs, k, iters, seeding)
+    assign, _ = kmeans_fit(vecs, k, iters, seeding, n_rows=n_rows)
     return assign.select("vec_id", F.col("cid").alias("cluster_id"))
 
 
@@ -525,6 +684,31 @@ def knn_ivf_kmeans(
     )
 
 
+def _parallel_lloyd(
+    slices: list[tuple[DataFrame, DataFrame]], iters: int, k: int
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Train the per-subspace codebooks CONCURRENTLY from a small
+    driver thread pool (r15, guide §2.6 'overlap independent jobs'):
+    the m subspace Lloyd chains are mutually independent — each round
+    is one tiny aggregate job whose cost is dominated by fixed
+    scheduling latency, and running them sequentially serialized
+    m x iters such waves per query. Spark's scheduler runs concurrent
+    jobs FIFO with back-fill, so the wall cost of the training phase
+    drops toward max (not sum) of the chains; trajectories are
+    untouched (each chain runs the identical collect-per-round loop on
+    its own relation — thread overlap changes WHEN jobs run, never
+    what they compute)."""
+    if len(slices) <= 1:
+        return [(v, lloyd(v, c, iters, k_hint=k)) for v, c in slices]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(slices))) as pool:
+        trained = list(
+            pool.map(lambda vc: lloyd(vc[0], vc[1], iters, k_hint=k), slices)
+        )
+    return [(v, t) for (v, _), t in zip(slices, trained)]
+
+
 def pq_train_report(
     emb: DataFrame, m: int = 4, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT
 ) -> DataFrame:
@@ -580,7 +764,7 @@ def pq_train_report(
 
 
 def _pq_codebooks(
-    emb: DataFrame, m: int, k: int, iters: int
+    emb: DataFrame, m: int, k: int, iters: int, full: DataFrame | None = None
 ) -> list[tuple[DataFrame, DataFrame]]:
     """Per-subspace (subvectors, trained codebook) pairs: contiguous
     slice j of every embedding + the k-cell first-k-seeded codebook
@@ -595,19 +779,25 @@ def _pq_codebooks(
     because PQ training runs on a bounded deterministic SAMPLE (see
     pq_train_report's docstring) — what is materialized is
     sample-sized, never the corpus; the full-corpus ENCODE pass stays
-    map-only against the broadcast codebooks."""
-    full = (
-        emb.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("fv")
-        )
-        # re-spread before freezing: the map-side assign fold has no
-        # Exchange left to widen a narrow scan (see kmeans_fit, r14)
-        .repartition(
-            emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
-        )
-    ).localCheckpoint(eager=True)
+    map-only against the broadcast codebooks.
+
+    ``full`` (r15): a caller that ALREADY checkpointed the re-spread
+    full-vector relation (knn_ivf_pq's coarse trainer input) passes it
+    as (vec_id, fv) and this helper slices that one materialization
+    instead of checkpointing a second copy of the same rows."""
+    if full is None:
+        full = (
+            emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("fv")
+            )
+            # re-spread before freezing: the map-side assign fold has no
+            # Exchange left to widen a narrow scan (see kmeans_fit, r14)
+            .repartition(
+                emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+            )
+        ).localCheckpoint(eager=True)
     sub_len = (F.size("fv") / F.lit(m)).cast("int")
-    subs = []
+    slices = []
     for j in range(m):
         # the slice is a pure map over the ONE checkpointed full-vector
         # relation — re-deriving it per consumer costs an array slice,
@@ -619,8 +809,10 @@ def _pq_codebooks(
         cents = vecs.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
         )
-        subs.append((vecs, lloyd(vecs, cents, iters, k_hint=k)))
-    return subs
+        slices.append((vecs, cents))
+    # the m independent Lloyd chains overlap on the scheduler (r15,
+    # guide §2.6) — identical trajectories, wall ≈ max not sum
+    return _parallel_lloyd(slices, iters, k)
 
 
 def knn_pq_adc(
@@ -736,10 +928,24 @@ def knn_ivf_pq(
             emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
         )
     ).localCheckpoint(eager=True)
-    coarse = vecs.filter(F.col("vec_id") < n_cells).select(
+    coarse0 = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
     )
-    coarse = lloyd(vecs, coarse, iters, k_hint=n_cells)
+    # r15 (guide §2.6): the coarse Lloyd chain and the m sub-codebook
+    # chains are mutually independent trainers — overlap them on the
+    # scheduler instead of serializing ~(1+m) x iters tiny-job rounds,
+    # and slice the sub-trainers from THIS query's already-checkpointed
+    # vectors instead of checkpointing a second copy of the same rows.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_coarse = _pool.submit(lloyd, vecs, coarse0, iters, n_cells)
+        _f_subs = _pool.submit(
+            _pq_codebooks, emb, m, k, iters,
+            vecs.select("vec_id", F.col("v").alias("fv")),
+        )
+        coarse = _f_coarse.result()
+        subs = _f_subs.result()
     member = _assign(vecs, coarse)
 
     q = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
@@ -758,8 +964,6 @@ def knn_ivf_pq(
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
     )
-
-    subs = _pq_codebooks(emb, m, k, iters)
     enc: DataFrame | None = None
     lut: DataFrame | None = None
     for j, (svecs, cents) in enumerate(subs):
@@ -971,7 +1175,7 @@ def knn_ivf_pq_residual(
         .localCheckpoint(eager=True)
     )
     sub_len = (F.size("rv") / F.lit(m)).cast("int")
-    subs = []
+    slices = []
     for j in range(m):
         # pure map over the checkpointed residuals — no per-slice
         # checkpoint (the _pq_codebooks r14 rationale)
@@ -981,8 +1185,10 @@ def knn_ivf_pq_residual(
         cents = svecs.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("centroid")
         )
-        # per-round freeze inside lloyd() covers the sub-codebooks too
-        subs.append((svecs, lloyd(svecs, cents, iters, k_hint=k)))
+        slices.append((svecs, cents))
+    # per-round freeze inside lloyd() covers the sub-codebooks too; the
+    # m independent residual chains overlap on the scheduler (r15 §2.6)
+    subs = _parallel_lloyd(slices, iters, k)
 
     q = vecs.filter(F.col("vec_id") < params.KNN_NUM_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")

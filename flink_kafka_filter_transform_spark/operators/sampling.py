@@ -397,17 +397,36 @@ def split_leakage_report(docs: DataFrame) -> DataFrame:
     with_split = train_val_test(docs.select("doc_id"), key="doc_id").select(
         "doc_id", F.col("split").alias("split_naive")
     )
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # materialize the verified pair list ONCE (r15, guide §3.3): it is
+    # consumed three times (the CC edge list + the naive and final
+    # leaked-pair joins), and unmaterialized each consumer re-executed
+    # the whole MinHash shingle->band->verify pipeline — the dominant
+    # subtree of this query's 1250-line r14 plan (3x the LSH chain, ~40
+    # parquet scans). Pair volume is LSH-bounded (never all-pairs), so
+    # the checkpoint is bounded at any corpus scale.
+    pairs = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     verts = docs.select(F.col("doc_id").alias("id")).distinct()
-    comp = connected_components(verts, edges)
+    # pair endpoints are doc_ids of the same corpus: endpoints are
+    # provably vertices, the induced-subgraph semi-joins are skipped
+    comp = connected_components(verts, edges, edges_within_vertices=True)
     roots = with_split.select(
         F.col("doc_id").alias("component"), F.col("split_naive").alias("split_final")
     )
+    # m is the per-doc (naive split, final split) verdict — consumed
+    # SIX times (d_out, d_in, and both sides of both leaked joins);
+    # each unmaterialized consumer re-ran the component-keyed
+    # roots join. Three narrow columns at doc cardinality: checkpoint
+    # it once (r15, guide §3.3).
     m = (
         comp.join(with_split, comp["id"] == with_split["doc_id"])
         .join(roots, "component")
         .select(F.col("id").alias("doc_id"), "split_naive", "split_final")
+        .localCheckpoint(eager=True)
     )
     moved = F.col("split_final") != F.col("split_naive")
     d_out = m.groupBy(F.col("split_naive").alias("split")).agg(

@@ -2210,19 +2210,23 @@ def _cc_labels_batch(
             if small is not None:
                 remap_rows = [(n, c) for n, c in small if n != c]
                 if remap_rows:
-                    # coalesce(1): createDataFrame parallelizes local
+                    # ONE parallelize slice: createDataFrame splits local
                     # rows into defaultParallelism near-empty slices, so
                     # the remap's broadcast BUILD would schedule a
-                    # core-count-wide task wave per micro-batch (r14)
+                    # core-count-wide task wave per micro-batch (r14);
+                    # r15: the earlier ``.coalesce(1)`` still executed
+                    # all parent python slices sequentially inside one
+                    # task (a python-worker round-trip each) — slice at
+                    # creation instead
                     remap_df = spark.createDataFrame(
-                        remap_rows,
+                        spark.sparkContext.parallelize(remap_rows, 1),
                         StructType(
                             [
                                 StructField("label", id_field.dataType),
                                 StructField("_new", id_field.dataType),
                             ]
                         ),
-                    ).coalesce(1)
+                    )
                     remap_shards = {
                         x // shard_span for r in remap_rows for x in r
                     }
@@ -2232,7 +2236,11 @@ def _cc_labels_batch(
                     .unionAll(ledges.select(F.col("dst").alias("id")))
                     .distinct()
                 )
-                m = connected_components(lverts, ledges)
+                # lverts IS the endpoint set of ledges, so the induced-
+                # subgraph restriction is a no-op — skip its semi-joins
+                m = connected_components(
+                    lverts, ledges, edges_within_vertices=True
+                )
                 remap_df = m.filter(F.col("component") != F.col("id")).select(
                     F.col("id").alias("label"), F.col("component").alias("_new")
                 )

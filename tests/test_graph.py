@@ -53,11 +53,17 @@ def test_connected_components_edges_computed_once_not_per_iteration(spark):
 
     persists, unpersists = [], []
     orig_p, orig_u = _DF.persist, _DF.unpersist
+    orig_cap = graph.SMALL_GRAPH_EDGE_CAP
     try:
+        # force the DISTRIBUTED fixpoint (this test pins the LOOP's
+        # materialization discipline; the r15 union-find fast path is
+        # covered separately below and in the fastpath tests)
+        graph.SMALL_GRAPH_EDGE_CAP = 0
         _DF.persist = lambda self, *a: persists.append(1) or orig_p(self, *a)
         _DF.unpersist = lambda self, *a: unpersists.append(1) or orig_u(self, *a)
         result = graph.connected_components(verts, edges)
     finally:
+        graph.SMALL_GRAPH_EDGE_CAP = orig_cap
         _DF.persist, _DF.unpersist = orig_p, orig_u
     got = {(r.id, r.component) for r in result.collect()}
     assert got == {(i, 0) for i in range(10)}
@@ -72,13 +78,28 @@ def test_connected_components_edges_computed_once_not_per_iteration(spark):
     import pytest as _pytest
 
     try:
+        graph.SMALL_GRAPH_EDGE_CAP = 0
         _DF.persist = lambda self, *a: persists.append(1) or orig_p(self, *a)
         _DF.unpersist = lambda self, *a: unpersists.append(1) or orig_u(self, *a)
         with _pytest.raises(RuntimeError):
             graph.connected_components(verts, edges, max_iter=1)
     finally:
+        graph.SMALL_GRAPH_EDGE_CAP = orig_cap
         _DF.persist, _DF.unpersist = orig_p, orig_u
     assert len(unpersists) == len(persists)
+
+    # the r15 fast path releases its probe cache too (one persist for
+    # the restricted edge relation, released before returning)
+    persists.clear(); unpersists.clear()
+    try:
+        _DF.persist = lambda self, *a: persists.append(1) or orig_p(self, *a)
+        _DF.unpersist = lambda self, *a: unpersists.append(1) or orig_u(self, *a)
+        fast = graph.connected_components(verts, edges)
+        got_fast = {(r.id, r.component) for r in fast.collect()}
+    finally:
+        _DF.persist, _DF.unpersist = orig_p, orig_u
+    assert got_fast == got
+    assert len(persists) >= 1 and len(unpersists) == len(persists)
 
 
 def test_pagerank_star_graph_center_dominates(spark):
@@ -149,10 +170,61 @@ def test_unionfind_small_matches_distributed_components(spark):
         .unionAll(e.selectExpr("dst AS id"))
         .distinct()
     )
-    want = {
+    # pin the DISTRIBUTED fixpoint as the reference (r15: the public
+    # entry itself takes the union-find path below the cap, which
+    # would make this comparison a tautology)
+    from flink_kafka_filter_transform_spark.operators import graph as _g
+
+    orig_cap = _g.SMALL_GRAPH_EDGE_CAP
+    try:
+        _g.SMALL_GRAPH_EDGE_CAP = 0
+        want = {
+            (r.id, r.component)
+            for r in connected_components(verts, e).collect()
+        }
+    finally:
+        _g.SMALL_GRAPH_EDGE_CAP = orig_cap
+    assert set(small) == want
+    # and the public fast path agrees with both
+    got_fast = {
         (r.id, r.component) for r in connected_components(verts, e).collect()
     }
-    assert set(small) == want
+    assert got_fast == want
+
+
+def test_cc_fastpath_ignores_nonvertex_endpoints(spark):
+    """The r14-mapped semantic trap, property-pinned: the distributed
+    loop computes components of the VERTEX-INDUCED subgraph, so two
+    vertices bridged only THROUGH a non-vertex endpoint stay in
+    SEPARATE components — the r15 union-find fast path must pre-
+    restrict the edge set and agree, never connect through the
+    non-vertex node. Graph: vertices {1,2,3,4}; edges 1-9-2 (9 is NOT
+    a vertex: must not merge 1 and 2), 3-4 (both vertices: merges),
+    plus a dangling 7-8 entirely outside the vertex set."""
+    from flink_kafka_filter_transform_spark.operators import graph
+
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id BIGINT")
+    edges = spark.createDataFrame(
+        [(1, 9), (9, 2), (3, 4), (7, 8)], "src BIGINT, dst BIGINT"
+    )
+    want = {(1, 1), (2, 2), (3, 3), (4, 3)}
+    # fast path (default cap — 4 edges take the union-find)
+    got_fast = {
+        (r.id, r.component)
+        for r in graph.connected_components(verts, edges).collect()
+    }
+    assert got_fast == want
+    # distributed reference agrees
+    orig_cap = graph.SMALL_GRAPH_EDGE_CAP
+    try:
+        graph.SMALL_GRAPH_EDGE_CAP = 0
+        got_dist = {
+            (r.id, r.component)
+            for r in graph.connected_components(verts, edges).collect()
+        }
+    finally:
+        graph.SMALL_GRAPH_EDGE_CAP = orig_cap
+    assert got_dist == want
 
 
 def test_unionfind_small_respects_edge_cap(spark):

@@ -1242,7 +1242,12 @@ def test_split_leakage_adds_no_pinned_broadcast_over_clusters(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir, rebalance=False)
     rep = sampling.split_leakage_report(docs)
     base = graph.neardup_clusters(docs)
-    assert px.broadcast_hint_count(rep) == px.broadcast_hint_count(base)
+    # r15: the report materializes the pair list and the per-doc split
+    # verdict (both bounded-width), so the cluster computation — and
+    # with it the CC remap's own bounded broadcast — sits BEHIND a
+    # checkpoint and out of the declared plan; the report may only
+    # ever pin fewer broadcasts than the raw cluster computation.
+    assert px.broadcast_hint_count(rep) <= px.broadcast_hint_count(base)
     # the only windows in the plan are the LSH band-bucket caps the
     # pair relation always carries (neardup_clusters hides them behind
     # its checkpoint) — the report itself adds none
