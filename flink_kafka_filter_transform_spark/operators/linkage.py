@@ -109,6 +109,17 @@ def edit_distance_pairs(
     several variants), then the exact verify filter. No broadcast, no
     cartesian, nothing corpus-sized on the driver."""
     ak, bk = f"a_{key_col}", f"b_{key_col}"
+    # r15 (guide §2): the deletion-variant explode fans every row out
+    # ~L+1 times with substring work BEFORE the blocking shuffle, at
+    # the SCAN's parallelism — 4.7 s in three tasks on the toy-scale
+    # customer file. Scale-adaptive: a real-scale scan is never touched
+    # (streaming faces call variant_exploded directly and keep their
+    # per-batch relations as delivered).
+    from flink_kafka_filter_transform_spark.sources.parquet import (
+        respread_if_underpartitioned,
+    )
+
+    rows = respread_if_underpartitioned(rows)
     ex = variant_exploded(rows, key_col, name_col)
     blocks = (
         ex.groupBy("variant")

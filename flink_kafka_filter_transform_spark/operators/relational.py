@@ -1785,15 +1785,13 @@ def table_profile(df: DataFrame) -> DataFrame:
     # r15 (guide §2): the pre-shuffle phase is HEAVY — the
     # count-distinct Expand multiplies every row by |columns|, then
     # sorts and partially aggregates on wide keys — and it runs at the
-    # SCAN's parallelism. A single-row-group toy-scale file is one
-    # partition, so the whole expand+sort ran on one core (measured
+    # SCAN's parallelism (one task per single-row-group toy file:
     # 2.65 s of a 3.9 s wall in ONE task at sf0.1/32 cores).
-    # Scale-adaptive re-spread: only when the scan under-splits the
-    # useful parallelism; a real-scale table has more partitions than
-    # cores and is never touched.
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    from flink_kafka_filter_transform_spark.sources.parquet import (
+        respread_if_underpartitioned,
+    )
+
+    df = respread_if_underpartitioned(df)
     numeric = {"bigint", "int", "smallint", "tinyint", "double", "float", "decimal"}
     aggs: list = [F.count(F.lit(1)).alias("_rows")]
     names: list[str] = []

@@ -159,6 +159,24 @@ def load_table(
     return df
 
 
+def respread_if_underpartitioned(df: DataFrame) -> DataFrame:
+    """Scale-adaptive pre-shuffle re-spread for operators whose MAP
+    phase is heavy relative to its input (a count-distinct Expand, a
+    deletion-variant explode): when the input relation has fewer
+    partitions than the useful parallelism — a single-row-group
+    toy-scale file is ONE partition — repartition it so the heavy map
+    doesn't run on a handful of cores (r15, guide §2; measured: the
+    orders profile ran 2.65 s of its 3.9 s wall in one task, the
+    customer variant explode 4.7 s in three). A real-scale table has
+    more scan partitions than cores and is never touched, so this can
+    never inject a full-data shuffle at 100 TB. The partition probe is
+    metadata only (no job)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every testdata table keyed by name."""
     return {name: load_table(spark, name, sf_dir) for name in TABLES}

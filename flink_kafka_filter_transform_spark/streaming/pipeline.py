@@ -1099,7 +1099,7 @@ def _lsh_index_batch(
     spark = _batch_aqe(batch_df.sparkSession)
     # The batch's signature relation feeds FIVE consumers (bucket
     # counts, probe side, within-batch self-join, verification sigs,
-    # the two state writes); unpersisted, each consumer would re-run
+    # the sig state write); unpersisted, each consumer would re-run
     # the shingling+minhash lineage over the batch. Materialize it
     # once per batch — batch-sized, released before the batch returns.
     sig = minhash_signatures(batch_df).persist()
@@ -1127,11 +1127,19 @@ def _lsh_index_batch(
         # state dir is any Hadoop-compatible URI at scale (S3/HDFS), where
         # a driver-local isdir would be False forever and silently disable
         # the cross-batch index.
-        if _hadoop_path_exists(spark, f"{state_dir}/bands") and _hadoop_path_exists(
-            spark, f"{state_dir}/sigs"
-        ):
-            idx_bands = _read_index_before(spark, f"{state_dir}/bands", bands, batch_id)
+        if _hadoop_path_exists(spark, f"{state_dir}/sigs"):
             idx_sigs = _read_index_before(spark, f"{state_dir}/sigs", sig, batch_id)
+            # r15 (guide §6/§2 — VERDICT r14 item 5): the accumulated
+            # band index is a DETERMINISTIC PROJECTION of the signature
+            # index (band_relation is a pure map over the mh columns),
+            # so maintaining it as separate state bought nothing and
+            # cost one 4-rows-per-doc parquet write + one partition
+            # listing EVERY micro-batch. Derive it from the sig index
+            # instead — parquet column pruning reads doc_id + the mh
+            # columns only (the heavy shingle arrays stay unread), and
+            # the derived rows are bit-identical to what the dropped
+            # state dir contained.
+            idx_bands = band_relation(idx_sigs)
         else:
             idx_bands, idx_sigs = None, None
         if idx_bands is not None:
@@ -1178,14 +1186,15 @@ def _lsh_index_batch(
         ).option("partitionOverwriteMode", "dynamic").partitionBy(
             "_batch_id"
         ).parquet(out_dir)
-        for rel, sub in ((bands, "bands"), (sig, "sigs")):
-            (
-                rel.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(f"{state_dir}/{sub}")
-            )
+        # ONE state write: the band index is derived from sigs on read
+        # (see above, r15) — its per-batch write is gone
+        (
+            sig.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(f"{state_dir}/sigs")
+        )
     finally:
         # Everything downstream of sig has been written to parquet; the
         # block-manager copy must not outlive the batch (bench r5 lesson:
@@ -1193,7 +1202,7 @@ def _lsh_index_batch(
         sig.unpersist()
     # Same reader-facing publication protocol as the other sinks: the
     # pointer lands only after every state relation of the batch
-    # (bcounts + bands + sigs partitions) is fully written. Readers
+    # (bcounts + sigs partitions) is fully written. Readers
     # that race the publish fall back to the published-version listing
     # (_read_latest_pointer prefix fallback), never a partial batch.
     _write_latest_pointer(spark, state_dir, batch_id)
