@@ -1349,8 +1349,22 @@ def _fingerprint_index_batch(
                 )
             ).alias("p")
         ).select("p.doc_a", "p.sh_a", "p.doc_b", "p.sh_b")
-        if _hadoop_path_exists(spark, f"{state_dir}/chunks"):
-            idx = _read_index_before(spark, f"{state_dir}/chunks", chunks, batch_id)
+        if _hadoop_path_exists(spark, f"{state_dir}/hashes"):
+            # r15 (the bands-state rule, guide §6/§2): the chunk rows
+            # are a DETERMINISTIC EXPLOSION of the (doc_id, hash)
+            # fingerprints, so the state stores ONE row per doc — the
+            # expensive DECODE result, which is the thing worth keeping
+            # — and the n_chunks bucket rows are re-derived on read
+            # instead of written every micro-batch.
+            idx_hashes = _read_index_before(
+                spark,
+                f"{state_dir}/hashes",
+                chunks.select("doc_id", hash_col),
+                batch_id,
+            )
+            idx = idx_hashes.select(
+                "doc_id", hash_col, F.explode(F.array(*chunk_structs)).alias("c")
+            ).select("doc_id", hash_col, "c.ci", "c.ck")
             old = idx.join(over_cap, ["ci", "ck"], "left_anti")
             # index docs and batch docs are disjoint (a doc arrives in one
             # batch; a replay's own partial write is excluded by the
@@ -1384,12 +1398,17 @@ def _fingerprint_index_batch(
         ).option("partitionOverwriteMode", "dynamic").partitionBy(
             "_batch_id"
         ).parquet(out_dir)
+        # one (doc_id, hash) row per input row: the ci==0 slice of the
+        # PERSISTED chunk relation (exactly one chunk row per
+        # fingerprint, no shuffle, no decode re-run)
         (
-            chunks.withColumn("_batch_id", F.lit(batch_id))
+            chunks.filter(F.col("ci") == 0)
+            .select("doc_id", hash_col)
+            .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
-            .parquet(f"{state_dir}/chunks")
+            .parquet(f"{state_dir}/hashes")
         )
     finally:
         # released even on a failed write: a leaked block taxes
@@ -1826,8 +1845,17 @@ def _edit_index_batch(
             .select(F.explode(F.expr(VARIANT_PAIR_EXPANSION)).alias("p"))
             .select("p.ak", "p.anm", "p.bk", "p.bnm")
         )
-        if _hadoop_path_exists(spark, f"{state_dir}/variants"):
-            idx = _read_index_before(spark, f"{state_dir}/variants", ex, batch_id)
+        if _hadoop_path_exists(spark, f"{state_dir}/names"):
+            # r15 (the bands-state rule, guide §6/§2): the variant index
+            # is a DETERMINISTIC EXPLOSION of the (k, nm) name rows
+            # (variant_exploded is a pure map), so the state stores ONE
+            # narrow row per entity and the ~L+1 variant rows — each
+            # carrying the name AND a variant string — are re-derived on
+            # read instead of written every micro-batch.
+            idx_names = _read_index_before(
+                spark, f"{state_dir}/names", ex.select("k", "nm"), batch_id
+            )
+            idx = variant_exploded(idx_names, "k", "nm")
             old = idx.join(over_cap, ["variant"], "left_anti")
             sa = F.struct(F.col("a.k").alias("k"), F.col("a.nm").alias("nm"))
             sb = F.struct(F.col("b.k").alias("k"), F.col("b.nm").alias("nm"))
@@ -1865,12 +1893,20 @@ def _edit_index_batch(
         ).option("partitionOverwriteMode", "dynamic").partitionBy(
             "_batch_id"
         ).parquet(out_dir)
+        # the name state is one (k, nm) row per entity — batch_df
+        # projected directly (NOT distinct over ex: the explode never
+        # drops or adds entities, and nm-null rows are filtered exactly
+        # as variant_exploded filters them)
         (
-            ex.withColumn("_batch_id", F.lit(batch_id))
+            batch_df.select(
+                F.col(key_col).alias("k"), F.col(name_col).alias("nm")
+            )
+            .filter(F.col("nm").isNotNull())
+            .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
-            .parquet(f"{state_dir}/variants")
+            .parquet(f"{state_dir}/names")
         )
     finally:
         # released even on a failed write: a leaked block taxes

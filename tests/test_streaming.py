@@ -1543,8 +1543,9 @@ def test_prune_between_micro_batches_of_live_drain(spark, sf_dir, tmp_path_facto
 def test_phash_index_sink_replay_same_batch_id_idempotent(
     spark, sf_dir, tmp_path_factory
 ):
-    """Replaying a phash index batch must overwrite its own chunk
-    partition and ccounts version (not re-append — duplicate chunk
+    """Replaying a phash index batch must overwrite its own hash-state
+    partition (r15: chunk rows are DERIVED from the stored fingerprints
+    on read, not stored) and ccounts version (not re-append — duplicate
     rows would inflate accumulated buckets toward PHASH_BUCKET_CAP and
     re-propose pairs) and re-emit the identical pair partition."""
     from flink_kafka_filter_transform_spark.sources.parquet import load_table
@@ -1556,7 +1557,7 @@ def test_phash_index_sink_replay_same_batch_id_idempotent(
     out = str(tmp_path_factory.mktemp("phash_replay_out"))
     sp._phash_index_batch(b0, 0, state, out)
     sp._phash_index_batch(b1, 1, state, out)
-    chunks_before = spark.read.parquet(f"{state}/chunks").count()
+    hashes_before = spark.read.parquet(f"{state}/hashes").count()
     counts_before = {
         (r.ci, r.ck, r._n)
         for r in spark.read.parquet(f"{state}/ccounts_v1").collect()
@@ -1565,7 +1566,7 @@ def test_phash_index_sink_replay_same_batch_id_idempotent(
         (r.doc_a, r.doc_b, r.hamming) for r in spark.read.parquet(out).collect()
     }
     sp._phash_index_batch(b1, 1, state, out)  # replay
-    assert spark.read.parquet(f"{state}/chunks").count() == chunks_before
+    assert spark.read.parquet(f"{state}/hashes").count() == hashes_before
     counts_after = {
         (r.ci, r.ck, r._n)
         for r in spark.read.parquet(f"{state}/ccounts_v1").collect()
@@ -1616,7 +1617,7 @@ def test_afp_index_sink_replay_same_batch_id_idempotent(
     out = str(tmp_path_factory.mktemp("afp_replay_out"))
     sp._afp_index_batch(b0, 0, state, out)
     sp._afp_index_batch(b1, 1, state, out)
-    chunks_before = spark.read.parquet(f"{state}/chunks").count()
+    hashes_before = spark.read.parquet(f"{state}/hashes").count()
     counts_before = {
         (r.ci, r.ck, r._n)
         for r in spark.read.parquet(f"{state}/ccounts_v1").collect()
@@ -1625,7 +1626,7 @@ def test_afp_index_sink_replay_same_batch_id_idempotent(
         (r.doc_a, r.doc_b, r.hamming) for r in spark.read.parquet(out).collect()
     }
     sp._afp_index_batch(b1, 1, state, out)  # replay
-    assert spark.read.parquet(f"{state}/chunks").count() == chunks_before
+    assert spark.read.parquet(f"{state}/hashes").count() == hashes_before
     counts_after = {
         (r.ci, r.ck, r._n)
         for r in spark.read.parquet(f"{state}/ccounts_v1").collect()
@@ -1773,12 +1774,13 @@ def test_ivo_overlap_sink_cross_batch_equals_batch_operator(spark, sf_dir):
 def test_edit_index_sink_replay_same_batch_id_idempotent(
     spark, sf_dir, tmp_path_factory
 ):
-    """Replaying an edit-linkage batch must overwrite its own variants
-    partition and recompute its vcounts version from the strictly-pre-
-    batch prev (a re-append would inflate lifetime blocks toward
-    EDIT_BLOCK_CAP and re-propose pairs) and re-emit the identical
-    pair partition — the bcounts replay contract through the variant-
-    key index."""
+    """Replaying an edit-linkage batch must overwrite its own name-
+    state partition (r15: variants are DERIVED from the stored (k, nm)
+    rows on read, not stored) and recompute its vcounts version from
+    the strictly-pre-batch prev (a re-append would inflate lifetime
+    blocks toward EDIT_BLOCK_CAP and re-propose pairs) and re-emit the
+    identical pair partition — the bcounts replay contract through the
+    variant-key index."""
     from flink_kafka_filter_transform_spark.sources.parquet import load_table
 
     cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
@@ -1788,7 +1790,7 @@ def test_edit_index_sink_replay_same_batch_id_idempotent(
     out = str(tmp_path_factory.mktemp("edit_replay_out"))
     sp._edit_index_batch(b0, 0, "c_custkey", "c_name", state, out)
     sp._edit_index_batch(b1, 1, "c_custkey", "c_name", state, out)
-    variants_before = spark.read.parquet(f"{state}/variants").count()
+    names_before = spark.read.parquet(f"{state}/names").count()
     counts_before = {
         (r.variant, r._n)
         for r in spark.read.parquet(f"{state}/vcounts_v1").collect()
@@ -1798,7 +1800,7 @@ def test_edit_index_sink_replay_same_batch_id_idempotent(
         for r in spark.read.parquet(out).collect()
     }
     sp._edit_index_batch(b1, 1, "c_custkey", "c_name", state, out)  # replay
-    assert spark.read.parquet(f"{state}/variants").count() == variants_before
+    assert spark.read.parquet(f"{state}/names").count() == names_before
     counts_after = {
         (r.variant, r._n)
         for r in spark.read.parquet(f"{state}/vcounts_v1").collect()
