@@ -3003,6 +3003,16 @@ def dedup_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SPARK_GRAFT_STATE_PARTITIONS overrides for production key
     # cardinalities; the default stays fixed across driver core counts,
     # which keeps the bench series comparable at every CPU setting.
+    # SCOPE (r14 ADVICE, documented here at the one site that mutates
+    # it): this override is session-global for the duration of the
+    # drain — any query PLANNED concurrently on the shared session
+    # would inherit the narrow width. The declared-query contract runs
+    # every face serially on the driver's session (bench and oracle
+    # both), and the finally below restores the previous value on
+    # every exit; a concurrent deployment must isolate the drain on
+    # spark.newSession() instead (not done here: a second session
+    # would re-pay session-state init per face for a race that cannot
+    # occur under the serial contract).
     import os as _os
 
     state_partitions = _os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "16")
